@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named group of driver-checkable queries. Each entry in [[queries]] maps
+  * a query name to `(spark, sfDir) => DataFrame`; [[oracles]] carries the
+  * equivalent DuckDB SQL for the driver's correctness gate (omitted entries
+  * get a weaker rows-only check).
+  *
+  * Contract notes (see the driver prompt):
+  *   - column names must match between the DataFrame and the SQL;
+  *   - results must be deterministic → every query ends in a total ORDER BY;
+  *   - double aggregates are rounded so both engines hash identically;
+  *   - raw `events.ts` values never appear in output (parquet stores
+  *     nanoseconds; Spark truncates to microseconds, DuckDB does not).
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}
+
+object Tables {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.LongType
+
+  /** All testdata tables (TESTDATA.md). */
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one testdata table. `events.ts` is stored as parquet
+    * TIMESTAMP(NANOS), which Spark 4 refuses by default — read it as a
+    * nanosecond long and truncate to a microsecond timestamp (the oracle
+    * side only ever sees day/hour truncations of it, so the lost sub-µs
+    * precision is immaterial). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+}
