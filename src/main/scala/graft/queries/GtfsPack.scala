@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gtfs._
+
+/** The GTFS domain pipeline (SURVEY.md §3.1-§3.3) surfaced as driver-runnable
+  * queries. These run the REAL engine paths — protobuf decode (S3), schedule
+  * join (J1/J2), last-writer-wins records (W2), gap-fill (J5), specific and
+  * default curve builds (A3-A10), batch prediction (ST4 analogue) — over the
+  * deterministic GTFS fixture set (the reference ships no test data,
+  * SURVEY.md §5). Curve construction is not SQL-expressible, so these are
+  * rows-only checks; the curve *semantics* are pinned by CurvesSpec /
+  * GtfsPipelineSpec property tests, and the scalar dimensions (time slot,
+  * route section, GTFS time, haversine) are DuckDB-checked in ScalarPack.
+  */
+object GtfsPack extends QueryPack {
+
+  // Fixture + pipeline results are built once per JVM and cached: Verify and
+  // Bench call every query in sequence, and the inputs are identical.
+  private lazy val dirs: (String, String) = FixtureLocator.create()
+
+  private var cache: Option[(SparkSession, GtfsSchedule, DataFrame)] = None
+
+  private def pipeline(s: SparkSession): (GtfsSchedule, DataFrame) = synchronized {
+    cache match {
+      case Some((sess, sched, recs)) if sess eq s => (sched, recs)
+      case _ =>
+        val (schedDir, rtDir) = dirs
+        val sched = GtfsSchedule.load(s, schedDir)
+        val recs = Importer.importDirectory(s, rtDir, sched, "graft").cache()
+        recs.count()
+        cache = Some((s, sched, recs))
+        (sched, recs)
+    }
+  }
+
+  private def records(s: SparkSession, dir: String): DataFrame =
+    pipeline(s)._2.orderBy("trip_start_date", "trip_id", "stop_sequence")
+
+  private def gapFilled(s: SparkSession, dir: String): DataFrame = {
+    val (sched, recs) = pipeline(s)
+    CurveAnalysis.gapFill(recs, sched)
+      .orderBy("trip_start_date", "trip_id", "stop_index")
+  }
+
+  private def specific(s: SparkSession, dir: String): DataFrame = {
+    val (sched, recs) = pipeline(s)
+    CurveAnalysis.specificCurves(s, recs, sched).toDF()
+      .withColumn("focus_delay", col("focus_delay").cast("float"))
+      .orderBy("route_id", "route_variant", "event_type", "time_slot_id",
+        "start_stop_index", "end_stop_index", "focus_delay")
+  }
+
+  private def defaults(s: SparkSession, dir: String): DataFrame = {
+    val (sched, recs) = pipeline(s)
+    CurveAnalysis.defaultCurves(s, recs, sched).toDF()
+      .orderBy("route_type", "route_section", "time_slot_id", "event_type")
+  }
+
+  private def predictions(s: SparkSession, dir: String): DataFrame = {
+    val (sched, recs) = pipeline(s)
+    val sc = CurveAnalysis.specificCurves(s, recs, sched)
+    val dc = CurveAnalysis.defaultCurves(s, recs, sched)
+    Predictor.batchPredict(s, sched, "2024-03-04", "graft", sc, dc)
+      .orderBy("trip_id", "stop_sequence", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gtfs_records" -> (records _),
+    "gtfs_gap_fill" -> (gapFilled _),
+    "gtfs_specific_curves" -> (specific _),
+    "gtfs_default_curves" -> (defaults _),
+    "gtfs_predictions" -> (predictions _)
+  )
+
+  val oracles: Map[String, String] = Map.empty
+}
+
+/** Writes the deterministic GTFS fixture set into a stable temp location
+  * (shared between Verify/Bench invocations within one process). */
+private object FixtureLocator {
+  def create(): (String, String) = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_gtfs_fixture_v1")
+    val sched = root.resolve("schedule")
+    val rt = root.resolve("rt")
+    if (!java.nio.file.Files.exists(rt.resolve(".done"))) {
+      java.nio.file.Files.createDirectories(sched)
+      java.nio.file.Files.createDirectories(rt)
+      FixtureGen.writeSchedule(sched)
+      FixtureGen.writeRtFiles(rt)
+      java.nio.file.Files.write(rt.resolve(".done"), Array.emptyByteArray)
+    }
+    (sched.toString, rt.toString)
+  }
+}

@@ -1,0 +1,154 @@
+package graft.gtfs
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.curves.Curves
+
+class GtfsPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val (schedDir, rtDir) = GtfsFixtures.create()
+  lazy val schedule: GtfsSchedule = GtfsSchedule.load(spark, schedDir)
+  lazy val records = {
+    val df = Importer.importDirectory(spark, rtDir, schedule, "test")
+    df.cache(); df.count(); df
+  }
+
+  test("codec round-trips a FeedMessage including negative delays") {
+    import GtfsRtCodec._
+    val msg = FeedMessage(Some(1700000000L), Seq(TripUpdate(
+      TripDescriptor(Some("T1"), Some("R1"), Some("25:10:00"), Some("20240101")),
+      Seq(StopTimeUpdate(Some(3), Some("S3"),
+        Some(StopTimeEvent(Some(-120), None)), Some(StopTimeEvent(Some(60), Some(1700000100L))))))))
+    val back = decode(encode(msg))
+    assert(back == msg)
+  }
+
+  test("schedule load derives variants: same stop list = same variant") {
+    val trips = schedule.trips.select("trip_id", "route_variant").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(trips("T1") == trips("T1b"), "identical stop lists share a variant")
+    assert(trips("T1") != trips("T1sub"), "sub-sequence is a different variant")
+    assert(trips("T1") != trips("T2"))
+  }
+
+  test("schedule load: stop_index dense, stop_count, section rule, >24h times") {
+    val t2 = schedule.stopTimes.filter("trip_id = 'T2'")
+      .select("stop_index", "stop_count", "route_section").collect()
+    assert(t2.length == 16)
+    assert(t2.map(_.getInt(0)).sorted.toSeq == (0 until 16))
+    assert(t2.forall(_.getLong(1) == 16))
+    // 16 stops → section size 5
+    assert(t2.count(_.getString(2) == "Beginning") == 5)
+    assert(t2.count(_.getString(2) == "End") == 5)
+    val t3 = schedule.stopTimes.filter("trip_id = 'T3' AND stop_sequence = 4")
+      .select("departure_secs").head()
+    assert(t3.getInt(0) > 86400, "past-midnight departure kept as >24h seconds")
+  }
+
+  test("records: J1/J2 misses dropped, F4 null-delay dropped, W2 newest wins") {
+    assert(records.filter("trip_id = 'GHOST'").count() == 0, "unknown trip dropped")
+    assert(records.filter("stop_sequence = 999").count() == 0, "unknown stop dropped")
+    // day-0 stop 1 had a newer second file with delay 444/456
+    val d0 = records.filter("trip_start_date = '2024-01-01' AND stop_sequence = 10")
+      .select("delay_arrival", "delay_departure").head()
+    assert(d0.getInt(0) == 444 && d0.getInt(1) == 456)
+    // delay-less update for S2 on day 0 must not appear as a null-null row
+    assert(records.filter("delay_arrival IS NULL AND delay_departure IS NULL").count() == 0)
+    // 60 days × 4 stops + day-0 outlier row
+    assert(records.count() == 60L * 4 + 1)
+  }
+
+  test("gap-fill synthesizes missing stops carrying the donor's delays") {
+    val filled = CurveAnalysis.gapFill(records, schedule)
+    val day1 = filled.filter("trip_start_date = '2024-01-02' AND trip_id = 'T1'")
+      .orderBy("stop_index")
+      .select("stop_index", "observed", "delay_arrival", "delay_departure")
+      .collect()
+    assert(day1.length == 6, "all scheduled stops present after gap-fill")
+    val synth = day1.filter(!_.getBoolean(1))
+    assert(synth.map(_.getInt(0)).toSet == Set(2, 4), "stops 3,5 synthesized (0-based 2,4)")
+    // synthesized stop 2 carries stop 1's delays (delay(d=1, stop=2))
+    val donor = GtfsFixtures.delay(1, 2)
+    assert(synth.find(_.getInt(0) == 2).get.getInt(2) == donor)
+    assert(synth.find(_.getInt(0) == 2).get.getInt(3) == donor + 12)
+  }
+
+  test("specific curves: general rows gate >=20, valid curves, slots + DEFAULT") {
+    val sc = CurveAnalysis.specificCurves(spark, records, schedule).cache()
+    val general = sc.filter(_.curve_kind == "general").collect()
+    assert(general.nonEmpty)
+    general.foreach { r =>
+      assert(r.sample_size >= 20)
+      assert(r.curve.head.y == 0f && r.curve.last.y == 1f)
+      assert(r.start_stop_index == r.end_stop_index)
+      assert(r.precision_type == Codes.PrecisionSemiSpecific)
+    }
+    assert(general.exists(_.time_slot_id == Codes.DefaultTimeSlot))
+    assert(general.exists(_.time_slot_id != Codes.DefaultTimeSlot))
+
+    val sets = sc.filter(_.curve_kind == "curveset").collect()
+    assert(sets.nonEmpty)
+    sets.foreach { r =>
+      assert(r.end_stop_index > r.start_stop_index)
+      assert(r.focus_delay.isDefined)
+      assert(r.precision_type == Codes.PrecisionSpecific)
+      val c = r.curve.toArray
+      assert(Curves.maxX(c) >= Curves.minX(c) + 13.0f)
+      // F2/F3: foci are within ±3000 and delays were rounded to 12s
+      assert(math.abs(r.focus_delay.get) < 3000)
+    }
+  }
+
+  test("default curves: full 726-cell grid, precision hierarchy") {
+    val dc = CurveAnalysis.defaultCurves(spark, records, schedule).collect()
+    assert(dc.length == 11 * 3 * 11 * 2, "11 route types × 3 sections × 11 slots × 2 events")
+    assert(dc.forall(_.curve.nonEmpty))
+    val bus = dc.filter(_.route_type == 3) // fixture data is on a bus route
+    assert(bus.exists(_.precision_type == Codes.PrecisionGeneral))
+    // types with no data at all fall back to SuperGeneral
+    val taxi = dc.filter(_.route_type == 1500)
+    assert(taxi.forall(_.precision_type == Codes.PrecisionSuperGeneral))
+    dc.foreach { r =>
+      assert(r.curve.head.y == 0f && r.curve.last.y == 1f)
+    }
+  }
+
+  test("predictor: hierarchy specific -> default, batch join produces predictions") {
+    val sc = CurveAnalysis.specificCurves(spark, records, schedule)
+    val dc = CurveAnalysis.defaultCurves(spark, records, schedule)
+    val p = Predictor.fromTables(spark, sc, dc)
+    val variant = schedule.trips.filter("trip_id = 'T1'")
+      .select("route_variant").head().getLong(0)
+
+    // SemiSpecific: no start info, general curve at stop 1
+    val semi = p.predict(variant, 3, None, 1, "Beginning", 3, Codes.EventArrival)
+    assert(semi.exists(_.precisionType == Codes.PrecisionSemiSpecific))
+
+    // Specific: known delay at stop 0 → interpolated curve for stop 5
+    val spec = p.predict(variant, 3, Some((0, Some(120))), 5, "End", 3, Codes.EventArrival)
+    assert(spec.isDefined)
+    assert(Set(Codes.PrecisionSpecific, Codes.PrecisionFallbackSpecific)
+      .contains(spec.get.precisionType))
+
+    // unknown variant → default grid
+    val dflt = p.predict(-1L, 2, Some((0, Some(120))), 5, "Middle", 3, Codes.EventArrival)
+    assert(dflt.exists(r => r.precisionType == Codes.PrecisionGeneral ||
+      r.precisionType == Codes.PrecisionFallbackGeneral ||
+      r.precisionType == Codes.PrecisionSuperGeneral))
+
+    val preds = Predictor.batchPredict(spark, schedule, "2024-03-04", "test", sc, dc)
+    assert(preds.count() > 0)
+    val row = preds.filter("trip_id = 'T1' AND stop_sequence = 60 AND event_type = 1").head()
+    val pmin = row.getAs[java.sql.Timestamp]("prediction_min")
+    val pmax = row.getAs[java.sql.Timestamp]("prediction_max")
+    assert(!pmax.before(pmin))
+    assert(row.getAs[Int]("origin_type") == Codes.OriginSchedule)
+  }
+}
