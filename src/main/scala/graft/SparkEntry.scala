@@ -15,7 +15,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     RelationalPack,
     ScalarPack,
-    GtfsPack
+    GtfsPack,
+    PipelinePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

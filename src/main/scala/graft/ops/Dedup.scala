@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape first:
+  *
+  *  - exact:   hash-groupBy on the content (one shuffle of (hash, id) pairs,
+  *             never of the content itself at scale);
+  *  - n-gram Jaccard: shingle inverted index + self-join, document-frequency
+  *             capped so hot shingles cannot go quadratic;
+  *  - MinHash+LSH: signature → bands → bucket join; only candidates get the
+  *             exact verification;
+  *  - SimHash: 64-bit signature, banded by 16-bit chunks (pigeonhole: any
+  *             pair within Hamming distance 3 shares ≥1 of 4 exact chunks).
+  */
+object Dedup {
+
+  /** Exact dedup (hash-groupBy): one row per distinct text with the
+    * canonical (minimum) id and the multiplicity. Grouping key is
+    * (xxhash64(text), text): the hash prunes comparisons, keeping the text
+    * in the key guards against hash collisions. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("text_hash"), col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  /** Distinct word n-gram shingles per doc, document-frequency capped. */
+  private def shingles(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, maxDf: Int): DataFrame = {
+    val toks = TextAnalysis.tokensCol(col(textCol))
+    // guard: sequence(0, negative) would produce a DESCENDING range in Spark
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))
+    ).otherwise(array())
+    val exploded = docs
+      .select(col(idCol).as("doc"), explode(array_distinct(grams)).as("shingle"))
+    // cap document frequency: a shingle appearing in >maxDf docs contributes
+    // O(df²) candidate pairs — drop it (standard near-dup practice; the same
+    // cap is applied in the DuckDB oracle).
+    val dfCounts = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    exploded.join(dfCounts.filter(col("df") <= maxDf).select("shingle"), "shingle")
+  }
+
+  /** n-gram Jaccard near-dup pairs: |A∩B| via the shingle inverted index,
+    * |A∪B| = |A|+|B|−|A∩B|. Returns (a, b, jaccard) with a < b and
+    * jaccard ≥ threshold. */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                   maxDf: Int = 100, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n, maxDf).cache()
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("s1").join(sh.as("s2"), "shingle")
+      .filter(col("s1.doc") < col("s2.doc"))
+      .groupBy(col("s1.doc").as("a"), col("s2.doc").as("b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("n_shingles", "size_a"), "a")
+      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("n_shingles", "size_b"), "b")
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("size_a") + col("size_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** DuckDB oracle twin of [[ngramJaccard]] (same shingling, cap, formula). */
+  def duckDbNgramJaccardSql(table: String, n: Int, threshold: Double, maxDf: Int,
+                            idCol: String, textCol: String): String = s"""
+    WITH toks AS (
+      SELECT $idCol AS doc, ${TextAnalysis.duckDbTokensSql(textCol)} AS t FROM $table),
+    series AS (SELECT i FROM generate_series(0, 4000) AS g(i)),
+    sh0 AS (
+      SELECT DISTINCT doc, shingle FROM (
+        SELECT doc, array_to_string(t[i+1:i+$n], ' ') AS shingle
+        FROM toks JOIN series ON i <= len(t) - $n)),
+    sh AS (
+      SELECT doc, shingle FROM sh0
+      WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= $maxDf)),
+    sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc),
+    inter AS (
+      SELECT s1.doc AS a, s2.doc AS b, COUNT(*) AS n_common
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc < s2.doc
+      GROUP BY 1, 2)
+    SELECT a, b, ROUND(n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = a
+    JOIN sizes sb ON sb.doc = b
+    WHERE ROUND(n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common), 4) >= $threshold
+    ORDER BY a, b"""
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  /** Per-doc MinHash signature: numHashes independent permutations
+    * approximated by seeded 64-bit hashes of each shingle, banded for LSH. */
+  def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.5, maxDf: Int = 100,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sh = shingles(docs, idCol, textCol, n, maxDf).cache()
+    // signature: for each hash index i, min over shingles of the seeded
+    // 64-bit hash xxhash64(i, shingle) — an independent hash family without
+    // modular arithmetic (ANSI mode makes overflowing multiplies throw).
+    val sigCols = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")
+    }
+    val sigs = sh.groupBy(col("doc")).agg(sigCols.head, sigCols.tail: _*)
+
+    // bands → bucket key; same (band, bucket) → candidate pair
+    val bandCols = (0 until bands).map { bidx =>
+      val cols = (bidx * rowsPerBand until (bidx + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      struct(lit(bidx).as("band"), xxhash64(cols: _*).as("bucket")).as(s"band_$bidx")
+    }
+    val buckets = sigs.select(col("doc") +: bandCols: _*)
+      .select(col("doc"), explode(array((0 until bands).map(i => col(s"band_$i")): _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val candidates = buckets.as("b1").join(buckets.as("b2"), Seq("band", "bucket"))
+      .filter(col("b1.doc") < col("b2.doc"))
+      .select(col("b1.doc").as("a"), col("b2.doc").as("b"))
+      .distinct()
+
+    // exact verification of CANDIDATES only (the LSH contract: never compute
+    // pairwise similarity outside a shared bucket)
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("s1")
+      .join(candidates, col("s1.doc") === col("a"))
+      .join(sh.as("s2"),
+        col("s2.doc") === col("b") && col("s1.shingle") === col("s2.shingle"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("n_shingles", "size_a"), "a")
+      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("n_shingles", "size_b"), "b")
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("size_a") + col("size_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash per doc: sign-sum of token-hash bits. Computed without a
+    * UDF: explode tokens, per-bit ±1 contributions, reassemble the sign bits. */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(TextAnalysis.tokensCol(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"bit_$i")
+    }
+    val agg = toks.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"bit_$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` (≤3 with 4 bands): banded by
+    * the 4 16-bit chunks, verified by popcount of the XOR. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol).cache()
+    val chunks = sigs.select(col("doc"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("bc"))
+      .select(col("doc"), col("simhash"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    chunks.as("c1").join(chunks.as("c2"), Seq("band", "chunk"))
+      .filter(col("c1.doc") < col("c2.doc"))
+      .select(col("c1.doc").as("a"), col("c2.doc").as("b"),
+        col("c1.simhash").as("sig_a"), col("c2.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Dot products use `zip_with` + `aggregate` — pure Catalyst higher-order
+  * functions, codegen'd, summed left-to-right in DOUBLE so the DuckDB oracle
+  * (list_dot_product over DOUBLE[]) produces bit-identical values.
+  *
+  * Brute force is the correctness baseline (query-side broadcast, one pass
+  * over the corpus — at 100 TB this is the right shape for SMALL query sets);
+  * [[lshTopK]] is the scale path: random-hyperplane signatures bucket the
+  * corpus so each query only scores its bucket.
+  */
+object Similarity {
+
+  /** Left-to-right double-precision dot product of two float vectors. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def normCol(a: Column): Column = sqrt(dotCol(a, a))
+
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (normCol(a) * normCol(b))
+
+  /** Exact top-k by cosine for the given query ids (self-excluded).
+    * The query side is tiny → broadcast; the corpus is scanned once. */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val queries = embeddings
+      .filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val corpus = embeddings.select(col(idCol).as("match_id"), col(vecCol).as("m_vec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("match_id"))
+    broadcast(queries).join(corpus, col("query_id") =!= col("match_id"))
+      .withColumn("cosine", round(cosineCol(col("q_vec"), col("m_vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("match_id"), col("cosine"))
+  }
+
+  /** DuckDB twin of [[bruteForceTopK]] (double casts keep the sums identical). */
+  def duckDbBruteForceSql(table: String, queryIds: Seq[Long], k: Int,
+                          idCol: String, vecCol: String): String = s"""
+    WITH q AS (SELECT $idCol AS query_id, $vecCol::DOUBLE[] AS qv FROM $table
+               WHERE $idCol IN (${queryIds.mkString(", ")})),
+    c AS (SELECT $idCol AS match_id, $vecCol::DOUBLE[] AS mv FROM $table),
+    scored AS (
+      SELECT query_id, match_id,
+             ROUND(list_dot_product(qv, mv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(mv, mv))), 4) AS cosine
+      FROM q JOIN c ON query_id <> match_id)
+    SELECT query_id, rank, match_id, cosine FROM (
+      SELECT query_id, match_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank
+      FROM scored)
+    WHERE rank <= $k
+    ORDER BY query_id, rank"""
+
+  /** Deterministic random hyperplanes (seeded) for signature bucketing. */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature of a vector against the hyperplanes, as a Column
+    * (bit i set ⟺ dot(v, plane_i) > 0). */
+  def signatureCol(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dotCol(vec, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k via MULTI-TABLE hyperplane LSH: `numTables`
+    * independent tables of `planesPerTable` hyperplanes each; a corpus
+    * vector is a candidate if it lands in the query's bucket in ANY table
+    * (union of candidates → much higher recall than one wide table; for a
+    * per-table match probability q, recall is 1-(1-q)^L). Each table's
+    * bucket join is an equi-join → shuffle on (table, bucket) keys only; no
+    * cross join ever materializes, and candidates are scored exactly. */
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+              numTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val buckets = (0 until numTables).map { t =>
+      val planes = hyperplanes(dim, planesPerTable, seed = 42L + t)
+      struct(lit(t).as("table"), signatureCol(col(vecCol), planes).as("sig")).as(s"b_$t")
+    }
+    val signed = embeddings
+      .select(col(idCol), col(vecCol),
+        explode(array(buckets: _*)).as("bucket"))
+    val queries = signed.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"))
+    val corpus = signed.select(col(idCol).as("match_id"), col(vecCol).as("m_vec"), col("bucket"))
+    val candidates = broadcast(queries).join(corpus, Seq("bucket"))
+      .filter(col("query_id") =!= col("match_id"))
+      .select("query_id", "q_vec", "match_id", "m_vec")
+      .dropDuplicates("query_id", "match_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("match_id"))
+    candidates
+      .withColumn("cosine", round(cosineCol(col("q_vec"), col("m_vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("match_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification, fingerprinting.
+  * All hot-path functions are pure Column expressions (codegen'd, no UDF);
+  * each has a DuckDB SQL twin built from the SAME constant tables so the
+  * driver oracle can check results exactly.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; trim first so boundary spaces don't produce
+    * empty tokens. */
+  def tokensCol(text: Column): Column = split(trim(text), "\\s+")
+
+  def duckDbTokensSql(textExpr: String): String =
+    s"string_split_regex(trim($textExpr), '\\s+')"
+
+  // ---- language-ID stopword tables (shared between engines) --------------
+  // n-gram/stopword heuristic: score = number of tokens found in each
+  // language's marker list, argmax with a fixed tie order (en>de>es>fr).
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that", "for", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "es" -> Seq("el", "la", "los", "que", "y", "un", "es", "por", "como", "para"),
+    "fr" -> Seq("le", "les", "et", "une", "est", "pour", "dans", "au", "ce", "sur"))
+
+  private def markerCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(words)))
+
+  /** Argmax of marker counts with fixed tie order; "und" when no marker hits. */
+  def langIdCol(text: Column): Column = {
+    val toks = tokensCol(text)
+    val scores = LangMarkers.map { case (lang, words) => lang -> markerCount(toks, words) }
+    val Seq(en, de, es, fr) = scores.map(_._2)
+    when(en >= de && en >= es && en >= fr && en > 0, "en")
+      .when(de >= es && de >= fr && de > 0, "de")
+      .when(es >= fr && es > 0, "es")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  def duckDbLangIdSql(textExpr: String): String = {
+    val toks = duckDbTokensSql(textExpr)
+    def cnt(words: Seq[String]): String = {
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($toks, t -> list_contains($lst, t)))"
+    }
+    val Seq(en, de, es, fr) = LangMarkers.map(m => cnt(m._2))
+    s"""CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en > 0 THEN 'en'
+        WHEN $de >= $es AND $de >= $fr AND $de > 0 THEN 'de'
+        WHEN $es >= $fr AND $es > 0 THEN 'es'
+        WHEN $fr > 0 THEN 'fr' ELSE 'und' END"""
+  }
+
+  // ---- quality scoring ----------------------------------------------------
+  // Deterministic arithmetic only (no transcendentals → bit-identical across
+  // engines): length/punctuation/digit ratios and a linear composite score.
+  def tokenCountCol(text: Column): Column = size(tokensCol(text))
+
+  def punctRatioCol(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[,.!?;:]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  def digitRatioCol(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  def avgTokenLenCol(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s", "")).cast("double") /
+      greatest(tokenCountCol(text), lit(1))
+
+  /** Composite quality score ∈ [0,1]: favors 20-200 token docs with ~5-char
+    * words and little punctuation. Linear, engine-portable. */
+  def qualityScoreCol(text: Column): Column = {
+    val lenScore = least(tokenCountCol(text).cast("double") / 50.0, lit(1.0))
+    val wordScore = lit(1.0) - least(abs(avgTokenLenCol(text) - 5.0) / 10.0, lit(1.0))
+    round((lenScore * 0.5 + wordScore * 0.5) * (lit(1.0) - punctRatioCol(text)), 4)
+  }
+
+  def duckDbQualitySql(textExpr: String): String = {
+    val toks = duckDbTokensSql(textExpr)
+    val nTok = s"greatest(len($toks), 1)"
+    val punct = s"((length($textExpr) - length(regexp_replace($textExpr, '[,.!?;:]', '', 'g'))) * 1.0 / greatest(length($textExpr), 1))"
+    val avgLen = s"(length(regexp_replace(trim($textExpr), '\\s', '', 'g')) * 1.0 / $nTok)"
+    s"""ROUND((least($nTok * 1.0 / 50.0, 1.0) * 0.5
+         + (1.0 - least(abs($avgLen - 5.0) / 10.0, 1.0)) * 0.5)
+         * (1.0 - $punct), 4)"""
+  }
+}

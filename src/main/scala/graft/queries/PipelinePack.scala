@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.functions.RollingFingerprint
+
+/** Training-data pipeline operators (dedup / similarity / text analysis /
+  * multimodal) over the `documents` and `embeddings` tables. Exact and
+  * SQL-expressible variants carry DuckDB oracles; the LSH/SimHash/stub paths
+  * are rows-only here and quality-tested in PipelineOpsSpec.
+  */
+object PipelinePack extends QueryPack {
+  import Tables.t
+
+  private val QueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+
+  // ---- dedup -------------------------------------------------------------
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents")).orderBy("doc_id")
+
+  private def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(t(s, dir, "documents"), n = 3, threshold = 0.5, maxDf = 100)
+      .orderBy("a", "b")
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(t(s, dir, "documents"), n = 3, numHashes = 32, bands = 8,
+      threshold = 0.5, maxDf = 100).orderBy("a", "b")
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3).orderBy("a", "b")
+
+  // ---- similarity --------------------------------------------------------
+  private def annBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(t(s, dir, "embeddings"), QueryIds, k = 10)
+      .orderBy("query_id", "rank")
+
+  private def annLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(s, dir, "embeddings"), QueryIds, k = 10,
+      numTables = 8, planesPerTable = 4)
+      .orderBy("query_id", "rank")
+
+  // ---- text analysis -----------------------------------------------------
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCountCol(col("text")).as("n_tokens"),
+      round(TextAnalysis.avgTokenLenCol(col("text")), 4).as("avg_token_len"),
+      round(TextAnalysis.punctRatioCol(col("text")), 4).as("punct_ratio"),
+      TextAnalysis.qualityScoreCol(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  private def textLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), TextAnalysis.langIdCol(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), RollingFingerprint(col("text"), 16).as("fingerprint"))
+      .orderBy("doc_id")
+
+  // ---- multimodal (stub decode, real plumbing) ---------------------------
+  private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.synthesizeAssets(s, t(s, dir, "documents"))
+    Multimodal.decodeFeatures(s, assets).toDF()
+      .select(col("asset_id"), col("mime"), col("n_bytes"), col("frames_sampled"),
+        round(element_at(col("feature"), 1), 4).as("feat_0"))
+      .orderBy("asset_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgram _),
+    "dedup_minhash_lsh" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "ann_brute_topk" -> (annBrute _),
+    "ann_lsh_topk" -> (annLsh _),
+    "text_stats" -> (textStats _),
+    "text_langid" -> (textLangId _),
+    "text_fingerprint" -> (textFingerprint _),
+    "mm_features" -> (mmFeatures _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> """
+      SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY doc_id""",
+    "dedup_ngram_jaccard" ->
+      Dedup.duckDbNgramJaccardSql("documents", 3, 0.5, 100, "doc_id", "text"),
+    "ann_brute_topk" ->
+      Similarity.duckDbBruteForceSql("embeddings", QueryIds, 10, "vec_id", "embedding"),
+    "text_stats" -> s"""
+      SELECT doc_id,
+             len(${TextAnalysis.duckDbTokensSql("text")}) AS n_tokens,
+             ROUND(length(regexp_replace(trim(text), '\\s', '', 'g')) * 1.0
+               / greatest(len(${TextAnalysis.duckDbTokensSql("text")}), 1), 4) AS avg_token_len,
+             ROUND((length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g'))) * 1.0
+               / greatest(length(text), 1), 4) AS punct_ratio,
+             ${TextAnalysis.duckDbQualitySql("text")} AS quality
+      FROM documents ORDER BY doc_id""",
+    "text_langid" -> s"""
+      SELECT doc_id, ${TextAnalysis.duckDbLangIdSql("text")} AS lang_pred
+      FROM documents ORDER BY doc_id"""
+  )
+}

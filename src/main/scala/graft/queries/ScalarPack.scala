@@ -47,11 +47,13 @@ object ScalarPack extends QueryPack {
   // a cross join is impossible, a cell join is linear in pair density.
   private val CellDeg = 0.005 // ≈ 556 m latitude; ≥ 2× the 300 m radius
 
+  // dense synthetic city grid: ~55 m steps over a 50x37 grid, so
+  // every scale factor yields a healthy number of <300 m pairs
   private def supplierGeo(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "supplier").select(
       col("s_suppkey"),
-      ((col("s_suppkey") % 1000) * 0.0005 + 50.0).as("lat"),
-      (((col("s_suppkey") * 7) % 1000) * 0.0008 + 8.0).as("lon"))
+      ((col("s_suppkey") % 50) * 0.0005 + 50.0).as("lat"),
+      (((col("s_suppkey") * 7) % 37) * 0.0008 + 8.0).as("lon"))
 
   private def j7GeoJoin(s: SparkSession, dir: String): DataFrame = {
     val pts = supplierGeo(s, dir)
@@ -82,8 +84,8 @@ object ScalarPack extends QueryPack {
     "j7_geo_join" -> (j7GeoJoin _)
   )
 
-  private val geoLat = "((s_suppkey % 1000) * 0.0005 + 50.0)"
-  private val geoLon = "(((s_suppkey * 7) % 1000) * 0.0008 + 8.0)"
+  private val geoLat = "((s_suppkey % 50) * 0.0005 + 50.0)"
+  private val geoLon = "(((s_suppkey * 7) % 37) * 0.0008 + 8.0)"
 
   val oracles: Map[String, String] = Map(
     "x6_time_slot" -> s"""

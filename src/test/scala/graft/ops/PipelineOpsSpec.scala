@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.RollingFingerprint
+
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** 40 base docs + planted near-duplicates (one word changed) + exact dups. */
+  lazy val docs = {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("spark", "query", "join", "filter", "scan", "merge",
+      "sort", "hash", "row", "batch", "curve", "delay", "stop", "route",
+      "window", "table", "group", "value", "data", "key")
+    val base = (0L until 40L).map { i =>
+      val words = Seq.fill(30)(vocab(rnd.nextInt(vocab.size)))
+      (i, words.mkString(" "))
+    }
+    val nearDups = base.take(5).map { case (i, t) =>
+      val words = t.split(" ")
+      words(10) = "CHANGED"
+      (i + 100, words.mkString(" "))
+    }
+    val exactDups = base.slice(5, 8).map { case (i, t) => (i + 200, t) }
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups exact duplicates only") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 45, "48 docs - 3 exact dups = 45 groups")
+    assert(out.count(_.getLong(1) == 2) == 3)
+  }
+
+  test("ngram jaccard finds planted near-dups with high similarity") {
+    val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // exact dups → jaccard 1.0
+    for (i <- 5L until 8L)
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 200 && p._3 == 1.0),
+        s"exact pair $i missing")
+    // near dups (1 word of 30 changed → 3 of ~28 shingles differ per side)
+    for (i <- 0L until 5L)
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 100 && p._3 > 0.6),
+        s"near pair $i missing")
+  }
+
+  test("minhash LSH recovers the same >=0.5 pairs as exact jaccard") {
+    val exact = Dedup.ngramJaccard(docs, 3, 0.5, 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, 3, 32, 8, 0.5, 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH verifies candidates exactly → no false positives
+    assert(lsh.subsetOf(exact))
+    // recall on this tiny planted set should be total
+    assert(exact.subsetOf(lsh), s"missed: ${exact -- lsh}")
+  }
+
+  test("simhash: exact dups at distance 0, planted near-dups found") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    for (i <- 5L until 8L)
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 200 && p._3 == 0),
+        s"exact pair $i not at hamming 0")
+    assert(pairs.exists(p => p._2 - p._1 == 100), "some near-dup found")
+  }
+
+  test("brute-force ANN is exact; LSH ANN has decent recall on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L)
+    val brute = Similarity.bruteForceTopK(emb, qids, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(brute.size == 30)
+    val lsh = Similarity.lshTopK(emb, qids, 10, numTables = 8, planesPerTable = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // 8 tables × 4 planes: per-table match prob q=(1-θ/π)^4, union recall
+    // 1-(1-q)^8. Require ≥50% on the true top-10 (sanity, not tuned).
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("rolling fingerprint: equal texts equal, k-gram containment collides") {
+    val fp = RollingFingerprint.fingerprint _
+    assert(fp("hello world example", 8) == fp("hello world example", 8))
+    assert(fp("abc", 8) == fp("abc", 8))
+    assert(fp("", 8) == 0L)
+    // a string containing the other's minimal window can share the fingerprint
+    val a = "the quick brown fox jumps"
+    val b = "PREFIX " + a + " SUFFIX"
+    // not guaranteed equal, but the min-window of a must appear among b's hashes
+    assert(fp(a, 4) >= 0L && fp(b, 4) >= 0L)
+    // expression form works in a query
+    val out = docs.select(RollingFingerprint(org.apache.spark.sql.functions.col("text"), 16))
+      .collect()
+    assert(out.length == 48 && out.forall(!_.isNullAt(0)))
+    // exact dup docs share fingerprints
+    val withFp = docs.select($"doc_id", RollingFingerprint($"text", 16).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 5L until 8L) assert(withFp(i) == withFp(i + 200))
+  }
+
+  test("multimodal plumbing: binary payloads, fixed-shape features, frames") {
+    val assets = Multimodal.synthesizeAssets(spark, docs)
+    val feats = Multimodal.decodeFeatures(spark, assets).collect()
+    assert(feats.length == 48)
+    feats.foreach { f =>
+      assert(f.feature.length == 16, "fixed-shape feature vector")
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-3f, "histogram normalized")
+      assert(f.n_bytes > 0)
+    }
+    val frames = Multimodal.sampleFrames(spark, assets, stride = 32, maxFrames = 16)
+    val fr = frames.collect()
+    assert(fr.length == 48)
+    fr.foreach(r => assert(r.getAs[Seq[Int]]("frame_bytes").length <= 16))
+    // mime metadata assignment is deterministic
+    val mimes = Multimodal.synthesizeAssets(spark, docs).collect()
+      .map(a => a.asset_id -> a.mime).toMap
+    assert(mimes(0L) == "image/png" && mimes(1L) == "audio/wav" && mimes(2L) == "video/mp4")
+  }
+}
