@@ -116,6 +116,11 @@ object GtfsSchedule {
       .drop("stop_ids_key")
       .join(routes.select("route_id", "route_type"), Seq("route_id"), "left")
 
-    GtfsSchedule(agency, stops, routes, trips, stopTimes, calendar, calendarDates)
+    // S2 schedule cache (src/main.rs:321-393 → df.persist()): the derived
+    // tables are re-referenced by every micro-batch / per-query plan; without
+    // persist each reference re-reads the CSVs and re-runs the window +
+    // groupBy derivations.
+    GtfsSchedule(agency, stops, routes, trips.persist(), stopTimes.persist(),
+      calendar, calendarDates)
   }
 }

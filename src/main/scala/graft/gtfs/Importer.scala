@@ -65,7 +65,8 @@ object Importer {
     * that grows unboundedly, so the join never shuffles the big side.
     */
   def recordsFromRt(spark: SparkSession, rt: Dataset[RtRow],
-                    schedule: GtfsSchedule, source: String): DataFrame = {
+                    schedule: GtfsSchedule, source: String,
+                    dedupe: Boolean = true): DataFrame = {
     val trips = schedule.trips.select(
       col("trip_id"), col("route_id"), col("route_variant"),
       col("trip_start_time").as("sched_start_time"))
@@ -86,11 +87,16 @@ object Importer {
     val w = Window.partitionBy(upsertKey.map(col): _*)
       .orderBy(col("time_of_recording").desc)
 
-    joined
+    val withMeta = joined
       .withColumn("source", lit(source))
       .withColumn("schedule_file_name", lit(source + "_schedule"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // W2 last-writer-wins: a window on the batch path; the streaming path
+    // (no windows on streaming DFs) defers it to the upsert/state layer.
+    val deduped =
+      if (dedupe) withMeta.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      else withMeta
+
+    deduped
       .select(col("source"), col("route_id"), col("route_variant"),
         col("trip_id"), col("trip_start_date"), col("trip_start_time"),
         col("stop_sequence").cast("int").as("stop_sequence"), col("stop_id"),

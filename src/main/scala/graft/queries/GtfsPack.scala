@@ -66,12 +66,28 @@ object GtfsPack extends QueryPack {
       .orderBy("trip_id", "stop_sequence", "event_type")
   }
 
+  /** ST1/ST5: the streaming ingest (binaryFile stream → decode → schedule
+    * join → last-writer-wins upsert) run to completion with AvailableNow;
+    * returns the upserted records table — row-identical to `gtfs_records`. */
+  private def streamedRecords(s: SparkSession, dir: String): DataFrame = {
+    val (sched, _) = pipeline(s)
+    val (_, rtDir) = dirs
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val recordsDir = base + "/records"
+    val q = graft.streaming.StreamingImport.start(s, rtDir, sched, "graft",
+      recordsDir, base + "/ckpt", automatic = false)
+    q.awaitTermination(300000)
+    s.read.parquet(recordsDir)
+      .orderBy("trip_start_date", "trip_id", "stop_sequence")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gtfs_records" -> (records _),
     "gtfs_gap_fill" -> (gapFilled _),
     "gtfs_specific_curves" -> (specific _),
     "gtfs_default_curves" -> (defaults _),
-    "gtfs_predictions" -> (predictions _)
+    "gtfs_predictions" -> (predictions _),
+    "gtfs_stream_records" -> (streamedRecords _)
   )
 
   val oracles: Map[String, String] = Map.empty

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.gtfs._
+
+/** A change to one vehicle's prediction basis: re-predict from `stopSequence`
+  * onward using `delayDeparture` (ST2 output; per_schedule_importer.rs:320-366
+  * then drives one Predictor call per later stop × event type). */
+final case class PredictionRequest(
+    trip_id: String, trip_start_date: String, trip_start_time: Int,
+    route_id: String, route_variant: Long,
+    basis_stop_sequence: Int, basis_delay_departure: Int,
+    time_of_recording: Long)
+
+private final case class PredictionBasis(stopSequence: Int, delayDeparture: Int,
+                                         lastSeen: Long)
+
+/** Streaming ingest (SURVEY.md §2.8, §3.1): the batch plan of
+  * [[graft.gtfs.Importer]] wrapped in Structured Streaming.
+  *
+  *  - ST1: `readStream(binaryFile)` over the rt directory; micro-batch
+  *    trigger (5 s in `automatic` mode, AvailableNow for `batch` mode);
+  *  - ST3: watermark on time_of_recording + 12 h past-trip guard (F10);
+  *  - W2/ST5: last-writer-wins upsert per micro-batch in `foreachBatch` —
+  *    idempotent under replays because the key dedup keeps the newest
+  *    time_of_recording regardless of arrival order;
+  *  - ST2: per-vehicle `flatMapGroupsWithState` that suppresses re-prediction
+  *    while a vehicle's (stop_sequence, delay) basis is unchanged, with a
+  *    12 h state TTL (per_schedule_importer.rs:266-313, importer/mod.rs:200-221).
+  */
+object StreamingImport {
+
+  /** The fixed schema of the binaryFile source (required for streaming). */
+  private val BinaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+
+  /** Decoded streaming RT rows from a directory of .pb files. */
+  def rtStream(spark: SparkSession, rtDir: String, maxFilesPerTrigger: Int = 16): Dataset[RtRow] = {
+    val bin = spark.readStream.format("binaryFile")
+      .schema(BinaryFileSchema)
+      .option("pathGlobFilter", "*.pb")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(rtDir)
+    Importer.decodeRtFiles(spark, bin)
+  }
+
+  /** records rows for one micro-batch (same joins as the batch path, minus
+    * the cross-batch dedup, which [[upsertBatch]] applies on write). */
+  def recordsStream(spark: SparkSession, rt: Dataset[RtRow],
+                    schedule: GtfsSchedule, source: String): DataFrame =
+    Importer.recordsFromRt(spark, rt, schedule, source, dedupe = false)
+
+  /** Idempotent last-writer-wins merge of a micro-batch into a parquet
+    * records table (the engine-internal variant of the reference's
+    * UPDATE-then-INSERT-IGNORE upsert, batched_statements.rs:59-107). */
+  def upsertBatch(batch: DataFrame, targetDir: String): Unit = {
+    val spark = batch.sparkSession
+    val existing =
+      try spark.read.parquet(targetDir)
+      catch { case _: Exception => null }
+    val unioned = if (existing == null) batch else existing.unionByName(batch)
+    val key = Seq("source", "route_id", "route_variant", "trip_id",
+      "trip_start_date", "trip_start_time", "stop_sequence")
+    val w = Window.partitionBy(key.map(col): _*).orderBy(col("time_of_recording").desc)
+    val merged = unioned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .cache()
+    merged.count() // materialize before overwriting the source of the read
+    merged.write.mode("overwrite").parquet(targetDir + "_next")
+    // atomic-ish swap: write next, then point by rename
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val next = new org.apache.hadoop.fs.Path(targetDir + "_next")
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(next, target)
+    merged.unpersist()
+  }
+
+  /** ST2 stateful dedup: one [[PredictionRequest]] per vehicle whose basis
+    * (highest observed stop with a departure delay) changed; state expires
+    * 12 h after last activity (pass `GroupStateTimeout.NoTimeout` in tests —
+    * processing-time timeouts schedule a batch every trigger, which makes
+    * `processAllAvailable` block forever). */
+  def predictionRequests(spark: SparkSession, records: DataFrame,
+                         timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[PredictionRequest] = {
+    import spark.implicits._
+    val slim = records.select(
+      col("trip_id"), col("trip_start_date").cast("string"),
+      col("trip_start_time"), col("route_id"), col("route_variant"),
+      col("stop_sequence"), col("delay_departure"),
+      unix_timestamp(col("time_of_recording")).as("rec_ts"))
+      .filter(col("delay_departure").isNotNull)
+      .as[(String, String, Int, String, Long, Int, Int, Long)]
+
+    slim
+      .groupByKey(r => (r._1, r._2, r._3)) // VehicleIdentifier
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (key: (String, String, Int),
+         rows: Iterator[(String, String, Int, String, Long, Int, Int, Long)],
+         state: GroupState[PredictionBasis]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toArray
+            if (batch.isEmpty) Iterator.empty
+            else {
+              // newest basis in this batch: highest stop_sequence, then newest recording
+              val newest = batch.maxBy(r => (r._6, r._8))
+              val basis = PredictionBasis(newest._6, newest._7, newest._8)
+              val unchanged = state.getOption.exists(s =>
+                s.stopSequence == basis.stopSequence && s.delayDeparture == basis.delayDeparture)
+              state.update(basis)
+              if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+                state.setTimeoutDuration("12 hours") // ST2 TTL
+              if (unchanged) Iterator.empty
+              else Iterator.single(PredictionRequest(
+                newest._1, newest._2, newest._3, newest._4, newest._5,
+                basis.stopSequence, basis.delayDeparture, basis.lastSeen))
+            }
+          }
+        })
+  }
+
+  /** Full streaming pipeline: rt files → records upsert + basis-deduped
+    * prediction requests, both driven by one stream. `automatic` mode =
+    * 5 s processing-time trigger (TIME_BETWEEN_DIR_SCANS, importer/mod.rs:30);
+    * `batch` mode = AvailableNow (run once over the backlog, then stop). */
+  def start(spark: SparkSession, rtDir: String, schedule: GtfsSchedule,
+            source: String, recordsDir: String, checkpointDir: String,
+            automatic: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    val rt = rtStream(spark, rtDir)
+    val trigger = if (automatic) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow()
+    rt.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[RtRow], _: Long) =>
+        val recs = recordsStream(spark, batch, schedule, source)
+        upsertBatch(recs, recordsDir)
+      }
+      .start()
+  }
+}
