@@ -21,6 +21,9 @@ object GtfsPack extends QueryPack {
   private lazy val dirs: (String, String) = FixtureLocator.create()
 
   private var cache: Option[(SparkSession, GtfsSchedule, DataFrame)] = None
+  private var curveCache: Option[(SparkSession,
+    org.apache.spark.sql.Dataset[SpecificCurveRow],
+    org.apache.spark.sql.Dataset[DefaultCurveRow])] = None
 
   private def pipeline(s: SparkSession): (GtfsSchedule, DataFrame) = synchronized {
     cache match {
@@ -35,6 +38,21 @@ object GtfsPack extends QueryPack {
     }
   }
 
+  /** The two curve tables feed three queries — build once per session. */
+  private def curves(s: SparkSession): (org.apache.spark.sql.Dataset[SpecificCurveRow],
+                                        org.apache.spark.sql.Dataset[DefaultCurveRow]) = synchronized {
+    curveCache match {
+      case Some((sess, sc, dc)) if sess eq s => (sc, dc)
+      case _ =>
+        val (sched, recs) = pipeline(s)
+        val sc = CurveAnalysis.specificCurves(s, recs, sched).cache()
+        val dc = CurveAnalysis.defaultCurves(s, recs, sched).cache()
+        sc.count(); dc.count()
+        curveCache = Some((s, sc, dc))
+        (sc, dc)
+    }
+  }
+
   private def records(s: SparkSession, dir: String): DataFrame =
     pipeline(s)._2.orderBy("trip_start_date", "trip_id", "stop_sequence")
 
@@ -44,24 +62,19 @@ object GtfsPack extends QueryPack {
       .orderBy("trip_start_date", "trip_id", "stop_index")
   }
 
-  private def specific(s: SparkSession, dir: String): DataFrame = {
-    val (sched, recs) = pipeline(s)
-    CurveAnalysis.specificCurves(s, recs, sched).toDF()
+  private def specific(s: SparkSession, dir: String): DataFrame =
+    curves(s)._1.toDF()
       .withColumn("focus_delay", col("focus_delay").cast("float"))
       .orderBy("route_id", "route_variant", "event_type", "time_slot_id",
         "start_stop_index", "end_stop_index", "focus_delay")
-  }
 
-  private def defaults(s: SparkSession, dir: String): DataFrame = {
-    val (sched, recs) = pipeline(s)
-    CurveAnalysis.defaultCurves(s, recs, sched).toDF()
+  private def defaults(s: SparkSession, dir: String): DataFrame =
+    curves(s)._2.toDF()
       .orderBy("route_type", "route_section", "time_slot_id", "event_type")
-  }
 
   private def predictions(s: SparkSession, dir: String): DataFrame = {
-    val (sched, recs) = pipeline(s)
-    val sc = CurveAnalysis.specificCurves(s, recs, sched)
-    val dc = CurveAnalysis.defaultCurves(s, recs, sched)
+    val (sched, _) = pipeline(s)
+    val (sc, dc) = curves(s)
     Predictor.batchPredict(s, sched, "2024-03-04", "graft", sc, dc)
       .orderBy("trip_id", "stop_sequence", "event_type")
   }

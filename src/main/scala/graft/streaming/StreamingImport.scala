@@ -137,8 +137,9 @@ object StreamingImport {
     * `batch` mode = AvailableNow (run once over the backlog, then stop). */
   def start(spark: SparkSession, rtDir: String, schedule: GtfsSchedule,
             source: String, recordsDir: String, checkpointDir: String,
-            automatic: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
-    val rt = rtStream(spark, rtDir)
+            automatic: Boolean = false,
+            maxFilesPerTrigger: Int = 256): org.apache.spark.sql.streaming.StreamingQuery = {
+    val rt = rtStream(spark, rtDir, maxFilesPerTrigger)
     val trigger = if (automatic) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow()
     rt.writeStream
       .outputMode("append")
