@@ -16,7 +16,8 @@ object SparkEntry {
     RelationalPack,
     ScalarPack,
     GtfsPack,
-    PipelinePack
+    PipelinePack,
+    MonitorPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

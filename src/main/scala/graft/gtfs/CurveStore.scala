@@ -1,0 +1,40 @@
+package graft.gtfs
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** S16/S17: persistence of the statistics tables. The reference serializes a
+  * nested MessagePack tree, optionally sharded into a directory per route
+  * (delay_statistics.rs:29-45, types.md:19-27); the Spark-native analogue is
+  * parquet partitioned by route_id / route_type — the partition directories
+  * ARE the shard layout, and partition pruning replaces the tree descent. */
+object CurveStore {
+
+  def saveSpecific(curves: Dataset[SpecificCurveRow], dir: String): Unit =
+    curves.write.mode("overwrite").partitionBy("route_id").parquet(dir)
+
+  def saveDefault(curves: Dataset[DefaultCurveRow], dir: String): Unit =
+    curves.write.mode("overwrite").partitionBy("route_type").parquet(dir)
+
+  def loadSpecific(spark: SparkSession, dir: String): Dataset[SpecificCurveRow] = {
+    import spark.implicits._
+    spark.read.parquet(dir)
+      .select("route_id", "route_variant", "event_type", "time_slot_id",
+        "start_stop_index", "end_stop_index", "curve_kind", "focus_delay",
+        "curve", "precision_type", "sample_size")
+      .as[SpecificCurveRow]
+  }
+
+  def loadDefault(spark: SparkSession, dir: String): Dataset[DefaultCurveRow] = {
+    import spark.implicits._
+    spark.read.parquet(dir)
+      .select("route_type", "route_section", "time_slot_id", "event_type",
+        "curve", "precision_type", "sample_size")
+      .as[DefaultCurveRow]
+  }
+
+  /** SO3: merged statistics = specific ⊎ default — two independent tables
+    * loaded side by side (src/main.rs:295-318); the Predictor consumes both. */
+  def loadMerged(spark: SparkSession, specificDir: String, defaultDir: String): Predictor =
+    new Predictor(loadSpecific(spark, specificDir).collect(),
+      loadDefault(spark, defaultDir).collect())
+}

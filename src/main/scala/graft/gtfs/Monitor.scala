@@ -1,0 +1,187 @@
+package graft.gtfs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.curves.{CPoint, Curves}
+
+/** The passenger-information query layer (SURVEY.md §2 monitor rows): the
+  * DataFrame queries behind the reference's web pages — the HTML/PNG
+  * rendering itself is out of engine scope (S18), but every filter, window
+  * and composition the pages need is here.
+  */
+object Monitor {
+
+  /** Curve-evaluation UDFs over the stored `array<struct<x,y>>` columns.
+    * (A UDF is acceptable here: these run on the kilobyte-scale curve
+    * tables, never on the observation stream.) */
+  private def toCurve(points: Seq[org.apache.spark.sql.Row]): Array[CPoint] =
+    points.map(r => CPoint(r.getFloat(0), r.getFloat(1))).toArray
+
+  val curveXAtY = udf { (points: Seq[org.apache.spark.sql.Row], y: Double) =>
+    Curves.xAtY(toCurve(points), y.toFloat).toDouble
+  }
+
+  val curvePercentiles = udf { (points: Seq[org.apache.spark.sql.Row]) =>
+    Curves.percentiles(toCurve(points)).map(_.toDouble)
+  }
+
+  /** W8: percentile columns (delay_1 … delay_99) from stored curves
+    * (prediction_result.rs:40-47). */
+  def withPercentiles(predictions: DataFrame): DataFrame =
+    predictions
+      .withColumn("ps", curvePercentiles(col("prediction_curve")))
+      .withColumn("delay_1", element_at(col("ps"), 1))
+      .withColumn("delay_5", element_at(col("ps"), 2))
+      .withColumn("delay_25", element_at(col("ps"), 3))
+      .withColumn("delay_50", element_at(col("ps"), 4))
+      .withColumn("delay_75", element_at(col("ps"), 5))
+      .withColumn("delay_95", element_at(col("ps"), 6))
+      .withColumn("delay_99", element_at(col("ps"), 7))
+      .drop("ps")
+
+  /** The stop page (monitor/mod.rs:426-591): departures at a stop within a
+    * time window —
+    *  - F5: interval overlap with the page window (S9 scan shape);
+    *  - W6: among predictions for the same (route, vehicle), prefer
+    *    realtime-origin over schedule-origin rows;
+    *  - F7: drop the trip's final stop (nothing departs);
+    *  - F6: keep rows whose 5%/95% quantile instants fall inside the window;
+    *  - W5: sort by the median (50%) quantile instant;
+    *  - X12/X13: display formatting (delay as "+n", route-type label). */
+  def stopPage(spark: SparkSession, predictions: DataFrame, schedule: GtfsSchedule,
+               stopId: String, windowStart: String, windowEnd: String): DataFrame = {
+    val ws = to_timestamp(lit(windowStart))
+    val we = to_timestamp(lit(windowEnd))
+
+    val lastStops = schedule.stopTimes
+      .groupBy("trip_id").agg(max("stop_sequence").as("last_seq"))
+
+    val overlap = predictions
+      .filter(col("stop_id") === stopId)
+      .filter(col("event_type") === Codes.EventDeparture)
+      .filter(col("prediction_min") < we && col("prediction_max") > ws) // F5
+
+    val realtimePreferred = overlap
+      .withColumn("has_rt", max(col("origin_type") === Codes.OriginRealtime)
+        .over(Window.partitionBy("route_id", "trip_start_date", "trip_start_time")))
+      .filter(!col("has_rt") || col("origin_type") === Codes.OriginRealtime) // W6
+      .drop("has_rt")
+
+    val notLast = realtimePreferred
+      .join(broadcast(lastStops), Seq("trip_id"), "left")
+      .filter(col("stop_sequence") < col("last_seq")) // F7
+      .drop("last_seq")
+
+    val routeTypeLabel = typedLit(Map( // X13 (monitor/mod.rs:894-922 codes)
+      0 -> "Tram", 1 -> "Subway", 2 -> "Rail", 3 -> "Bus", 4 -> "Ferry",
+      5 -> "CableCar", 6 -> "Gondola", 7 -> "Funicular", 200 -> "Coach",
+      1100 -> "Air", 1500 -> "Taxi"))
+
+    withPercentiles(notLast)
+      .withColumn("q5_ts", col("prediction_min") + make_dt_interval(lit(0), lit(0), lit(0),
+        (col("delay_5") - col("delay_1")).cast("decimal(18,6)")))
+      .withColumn("median_ts", col("prediction_min") + make_dt_interval(lit(0), lit(0), lit(0),
+        (col("delay_50") - col("delay_1")).cast("decimal(18,6)")))
+      .withColumn("q95_ts", col("prediction_min") + make_dt_interval(lit(0), lit(0), lit(0),
+        (col("delay_95") - col("delay_1")).cast("decimal(18,6)")))
+      .filter(col("q5_ts") < we && col("q95_ts") > ws) // F6
+      .join(broadcast(schedule.routes.select(col("route_id"), col("route_short_name"),
+        col("route_type"))), Seq("route_id"), "left")
+      .withColumn("delay_label", format_string("%+d", col("delay_50").cast("int"))) // X12
+      .withColumn("route_type_label",
+        coalesce(routeTypeLabel(col("route_type")), lit("?")))
+      .orderBy("median_ts", "trip_id") // W5
+      .select("route_id", "route_short_name", "route_type_label", "trip_id",
+        "stop_sequence", "median_ts", "delay_label", "precision_type",
+        "origin_type", "sample_size")
+  }
+
+  /** F11: stop-name autocomplete — names containing every query term,
+    * distinct, sorted, top 10 (monitor/mod.rs:202-224). */
+  def autocomplete(stops: DataFrame, terms: Seq[String]): DataFrame = {
+    val cond = terms.map(t => lower(col("stop_name")).contains(t.toLowerCase))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    stops.filter(cond).select("stop_name").distinct().orderBy("stop_name").limit(10)
+  }
+
+  /** J8: trip resolution by descriptor (journey_data.rs:382-473): headsign +
+    * route short name + route type + departure time at a named stop, with the
+    * service date allowed to shift ±1 day (25 h+ start times). */
+  def resolveTrip(schedule: GtfsSchedule, headsign: String, routeShortName: String,
+                  routeType: Int, stopName: String, departureSecs: Int): DataFrame = {
+    val stopIds = schedule.stops.filter(col("stop_name") === stopName) // F12
+      .select(col("stop_id"))
+    schedule.trips
+      .filter(col("trip_headsign") === headsign && col("route_type") === routeType)
+      .join(schedule.routes.filter(col("route_short_name") === routeShortName)
+        .select("route_id"), Seq("route_id"))
+      .join(schedule.stopTimes, Seq("trip_id"))
+      .join(broadcast(stopIds), Seq("stop_id"))
+      .filter(abs(col("departure_secs") - departureSecs) % 86400 === 0)
+      .select("trip_id", "route_id", "route_variant", "stop_sequence", "departure_secs")
+  }
+
+  /** J10: variant subsumption — variants whose stop list is a contiguous
+    * subsequence (forward or reversed) of the longest variant's list
+    * (visual_schedule.rs:236-277). Variant lists are tiny → driver-side
+    * matching over the collected per-route lists, as the reference does. */
+  def subsumedVariants(spark: SparkSession, schedule: GtfsSchedule, routeId: String): Seq[(Long, Long)] = {
+    val variants = schedule.variantStops
+      .filter(col("route_id") === routeId)
+      .orderBy("route_variant", "stop_index")
+      .select("route_variant", "stop_id")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (v, rows) => v -> rows.map(_.getString(1)).toSeq }
+      .toSeq
+    def isSubTrip(sub: Seq[String], full: Seq[String]): Boolean =
+      full.sliding(sub.length).exists(_ == sub) ||
+        full.reverse.sliding(sub.length).exists(_ == sub)
+    val longest = variants.maxBy(_._2.length)
+    variants.filter { case (v, stops) =>
+      v != longest._1 && isSubTrip(stops, longest._2)
+    }.map { case (v, _) => (v, longest._1) }
+  }
+
+  /** X9 + J7: synthetic walk-time curves between nearby platform pairs
+    * (journey_data.rs:234-263, :558-594): haversine ≤ maxDistM via the
+    * grid-bucket join, curve from the pure walk-time synthesis. */
+  def walkCurves(spark: SparkSession, stops: DataFrame, maxDistM: Double = 300.0): DataFrame = {
+    import spark.implicits._
+    val cell = 0.005
+    val pts = stops.select(col("stop_id"), col("stop_lat"), col("stop_lon"))
+      .withColumn("cx", floor(col("stop_lon") / cell))
+      .withColumn("cy", floor(col("stop_lat") / cell))
+    val probe = pts
+      .withColumn("nx", explode(array(col("cx") - 1, col("cx"), col("cx") + 1)))
+      .withColumn("ny", explode(array(col("cy") - 1, col("cy"), col("cy") + 1)))
+      .select(col("stop_id").as("from_stop"), col("stop_lat").as("a_lat"),
+        col("stop_lon").as("a_lon"), col("nx"), col("ny"))
+    val build = pts.select(col("stop_id").as("to_stop"), col("stop_lat").as("b_lat"),
+      col("stop_lon").as("b_lon"), col("cx").as("nx"), col("cy").as("ny"))
+    val pairs = probe.join(build, Seq("nx", "ny"))
+      .filter(col("from_stop") < col("to_stop"))
+      .withColumn("dist_m", Geo.haversineMeters(col("a_lat"), col("a_lon"),
+        col("b_lat"), col("b_lon")))
+      .filter(col("dist_m") <= maxDistM)
+      .select("from_stop", "to_stop", "dist_m")
+    val walkCurve = udf { (d: Double) =>
+      Curves.walkTimeCurve(d.toFloat).map(p => (p.x, p.y)).toSeq
+    }
+    pairs.withColumn("walk_curve", walkCurve(col("dist_m")))
+  }
+
+  /** X10 + X11: journey-leg composition — convolve an arrival curve with the
+    * walk-time curve to the transfer stop, then the probability of catching a
+    * departure curve (time_curve.rs:18-77). Driver-side curve math on two
+    * prediction rows (the reference composes journeys one leg at a time). */
+  def transferProbability(arrivalCurve: Array[CPoint], arrivalRefEpoch: Double,
+                          walkDistanceM: Float,
+                          departureCurve: Array[CPoint], departureRefEpoch: Double): Float = {
+    val walk = Curves.walkTimeCurve(walkDistanceM)
+    val arrivalPlusWalk = Curves.convolve(arrivalCurve, walk)
+    Curves.transferProbability(arrivalPlusWalk, arrivalRefEpoch,
+      departureCurve, departureRefEpoch)
+  }
+}

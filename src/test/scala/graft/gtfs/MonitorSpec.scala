@@ -1,0 +1,115 @@
+package graft.gtfs
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.curves.{CPoint, Curves}
+
+class MonitorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val (schedDir, rtDir) = GtfsFixtures.create()
+  lazy val schedule: GtfsSchedule = GtfsSchedule.load(spark, schedDir)
+  lazy val records = Importer.importDirectory(spark, rtDir, schedule, "test").cache()
+  lazy val predictions = {
+    val sc = CurveAnalysis.specificCurves(spark, records, schedule)
+    val dc = CurveAnalysis.defaultCurves(spark, records, schedule)
+    Predictor.batchPredict(spark, schedule, "2024-03-04", "test", sc, dc).cache()
+  }
+
+  test("stop page: window overlap, not-last-stop, sorted by median") {
+    val page = Monitor.stopPage(spark, predictions, schedule, "S2",
+      "2024-03-04 00:00:00", "2024-03-05 00:00:00").collect()
+    assert(page.nonEmpty, "departures at S2 inside the window")
+    // medians sorted ascending (W5)
+    val medians = page.map(_.getAs[java.sql.Timestamp]("median_ts").getTime)
+    assert(medians.sameElements(medians.sorted))
+    // S2 is never the last stop of its trips here, but last stops must be gone (F7)
+    val lastSeqs = schedule.stopTimes.groupBy("trip_id")
+      .agg(org.apache.spark.sql.functions.max("stop_sequence").as("m"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    page.foreach(r =>
+      assert(r.getAs[Int]("stop_sequence") < lastSeqs(r.getAs[String]("trip_id"))))
+    // X12 label shape
+    page.foreach(r => assert(r.getAs[String]("delay_label").matches("[+-]\\d+")))
+    // S2 is served by bus trips (R1 family) and the rail trip T2 (X13 labels)
+    assert(page.map(_.getAs[String]("route_type_label")).toSet.subsetOf(Set("Bus", "Rail")))
+  }
+
+  test("percentile extraction is monotone per row (W8)") {
+    val rows = Monitor.withPercentiles(predictions)
+      .select("delay_1", "delay_5", "delay_50", "delay_95", "delay_99")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ps = (0 until 5).map(r.getDouble)
+      assert(ps.sliding(2).forall(s => s(0) <= s(1) + 1e-6), s"monotone: $ps")
+    }
+  }
+
+  test("autocomplete: all terms required, distinct, top 10 (F11)") {
+    val out = Monitor.autocomplete(schedule.stops, Seq("stop", "1")).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    out.foreach(r => assert(r.getString(0).toLowerCase.contains("1")))
+  }
+
+  test("trip resolution by descriptor (J8)") {
+    val hits = Monitor.resolveTrip(schedule, "Downtown", "10", 3, "Stop 1", 8 * 3600 + 30)
+      .collect()
+    assert(hits.map(_.getString(0)).toSet == Set("T1"),
+      "T1 departs Stop 1 at 08:00:30; T1b departs at 09:00:30")
+  }
+
+  test("variant subsumption (J10): sub-sequence variant maps to longest") {
+    val variants = schedule.trips
+      .select("trip_id", "route_variant").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val subs = Monitor.subsumedVariants(spark, schedule, "R1")
+    assert(subs.map(_._1).contains(variants("T1sub")),
+      "T1sub's 4-stop list is contiguous inside T1's 6-stop list")
+    assert(subs.forall(_._2 == variants("T1")))
+  }
+
+  test("walk curves between nearby platforms (X9 + J7)") {
+    val wc = Monitor.walkCurves(spark, schedule.stops, maxDistM = 600.0).collect()
+    assert(wc.nonEmpty, "fixture stops are ~250 m apart")
+    wc.foreach { r =>
+      val pts = r.getAs[Seq[org.apache.spark.sql.Row]]("walk_curve")
+        .map(p => CPoint(p.getFloat(0), p.getFloat(1))).toArray
+      assert(pts.head.y == 0f && pts.last.y == 1f)
+      assert(Curves.minX(pts) >= 0f, "walking takes positive time")
+    }
+  }
+
+  test("journey transfer probability composes walk + curves (X10/X11)") {
+    val arrival = Array(CPoint(-60f, 0f), CPoint(0f, 0.5f), CPoint(60f, 1f))
+    val departure = Array(CPoint(500f, 0f), CPoint(560f, 1f))
+    // 100 m walk takes ~40-230 s; departing 500 s after arrival reference →
+    // mostly catchable
+    val p = Monitor.transferProbability(arrival, 0.0, 100f, departure, 0.0)
+    assert(p > 0.5f && p <= 1.0f, s"probability $p")
+    // departure long gone → probability ~0
+    val gone = Array(CPoint(-900f, 0f), CPoint(-880f, 1f))
+    assert(Monitor.transferProbability(arrival, 0.0, 100f, gone, 0.0) < 0.05f)
+  }
+
+  test("curve store round-trips partitioned statistics tables (S16/S17)") {
+    val dir = java.nio.file.Files.createTempDirectory("curvestore").toString
+    val sc = CurveAnalysis.specificCurves(spark, records, schedule)
+    val dc = CurveAnalysis.defaultCurves(spark, records, schedule)
+    CurveStore.saveSpecific(sc, dir + "/specific")
+    CurveStore.saveDefault(dc, dir + "/default")
+    val p = CurveStore.loadMerged(spark, dir + "/specific", dir + "/default")
+    val variant = schedule.trips.filter("trip_id = 'T1'")
+      .select("route_variant").head().getLong(0)
+    assert(p.predict(variant, 3, None, 1, "Beginning", 3, Codes.EventArrival).isDefined)
+    // partition layout = shard tree analogue
+    assert(new java.io.File(dir + "/specific").listFiles()
+      .exists(_.getName.startsWith("route_id=")))
+  }
+}
