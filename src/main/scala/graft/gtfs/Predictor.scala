@@ -97,13 +97,12 @@ object Predictor {
     * curve tables are broadcast, the schedule side stays partitioned, so
     * this scales to any number of trips without a driver loop.
     */
-  def batchPredict(spark: SparkSession, schedule: GtfsSchedule,
-                   serviceDate: String, source: String,
-                   specific: Dataset[SpecificCurveRow],
-                   defaults: Dataset[DefaultCurveRow]): DataFrame = {
+  /** (trip × stop × event type) targets of a service day, with scheduled
+    * instants, time slots and sections attached. */
+  private def targetsForDate(spark: SparkSession, schedule: GtfsSchedule,
+                             serviceDate: String): DataFrame = {
     import spark.implicits._
-
-    val base = schedule.stopTimes
+    schedule.stopTimes
       .join(schedule.trips.select("trip_id", "route_id", "route_variant",
         "route_type", "trip_start_time"), "trip_id")
       .withColumn("trip_start_date", to_date(lit(serviceDate), "yyyy-MM-dd"))
@@ -130,6 +129,13 @@ object Predictor {
       .withColumn("time_slot_id", TimeSlots.slotIdCol(col("scheduled_ts")))
       .withColumn("route_section",
         RouteSections.sectionCol(col("stop_index"), col("stop_count")))
+  }
+
+  def batchPredict(spark: SparkSession, schedule: GtfsSchedule,
+                   serviceDate: String, source: String,
+                   specific: Dataset[SpecificCurveRow],
+                   defaults: Dataset[DefaultCurveRow]): DataFrame = {
+    val base = targetsForDate(spark, schedule, serviceDate)
 
     val gen = specific.filter(_.curve_kind == "general").toDF()
       .select(col("route_variant"), col("event_type"), col("time_slot_id"),
@@ -173,6 +179,107 @@ object Predictor {
         col("route_id"), col("trip_id"), col("trip_start_date"),
         col("trip_start_time"), col("stop_sequence"),
         col("precision_type"), lit(OriginSchedule).as("origin_type"),
+        col("sample_size"), col("prediction_curve"),
+        lit(source + "_schedule").as("schedule_file_name"))
+  }
+
+  /** Realtime-conditioned batch prediction (SURVEY.md §3.1 step 5 /
+    * per_schedule_importer.rs:320-366): for every vehicle with an observed
+    * basis (latest stop with a departure delay), predict every LATER stop ×
+    * event type through the conditional curve sets — the join form of
+    * `predict_specific` with a known initial delay:
+    *
+    *   targets ⋈ basis (per vehicle) ⋈ broadcast(curve sets on
+    *   (variant, et, slot|DEFAULT, basis_idx, target_idx)) →
+    *   `curve_at_x_with_continuation(basis delay)` per group.
+    *
+    * Rows without a matching curve set fall back to the schedule-origin path
+    * ([[batchPredict]] output can be unioned for full coverage). */
+  def batchPredictRealtime(spark: SparkSession, schedule: GtfsSchedule,
+                           records: DataFrame, serviceDate: String, source: String,
+                           specific: Dataset[SpecificCurveRow]): DataFrame = {
+    import spark.implicits._
+
+    // latest basis per vehicle (W3: top-1 by stop, then recency)
+    val basisW = org.apache.spark.sql.expressions.Window
+      .partitionBy("trip_id", "trip_start_date", "trip_start_time")
+      .orderBy(col("stop_sequence").desc, col("time_of_recording").desc)
+    val basis = records
+      .filter(col("delay_departure").isNotNull
+        && col("trip_start_date") === to_date(lit(serviceDate), "yyyy-MM-dd"))
+      .withColumn("rn", row_number().over(basisW))
+      .filter(col("rn") === 1)
+      .select(col("trip_id"), col("trip_start_date"), col("trip_start_time"),
+        col("stop_index").as("basis_idx"),
+        col("delay_departure").as("basis_delay"))
+
+    // join on (trip_id, date): the vehicle's trip_start_time comes from the
+    // realtime feed and may differ by seconds from the schedule-derived
+    // first-stop departure — the basis row carries the authoritative value
+    val targets = targetsForDate(spark, schedule, serviceDate)
+      .drop("trip_start_time")
+      .join(basis, Seq("trip_id", "trip_start_date"))
+      .filter(col("stop_index") > col("basis_idx"))
+
+    val sets = specific.filter(_.curve_kind == "curveset").toDF()
+      .select(col("route_variant").as("cs_variant"),
+        col("event_type").as("cs_event_type"),
+        col("time_slot_id").as("cs_slot"),
+        col("start_stop_index"), col("end_stop_index"),
+        col("focus_delay"), col("curve"), col("sample_size").as("cs_sample"))
+
+    // slot-specific match preferred, DEFAULT-slot fallback (predict_specific
+    // recursion, predictor/mod.rs:299-313) — rank 0 beats rank 1
+    val joined = targets
+      .join(broadcast(sets),
+        col("route_variant") === col("cs_variant")
+          && col("event_type") === col("cs_event_type")
+          && col("basis_idx") === col("start_stop_index")
+          && col("stop_index") === col("end_stop_index")
+          && (col("cs_slot") === col("time_slot_id")
+            || col("cs_slot") === Codes.DefaultTimeSlot))
+      .withColumn("slot_rank",
+        when(col("cs_slot") === col("time_slot_id"), 0).otherwise(1))
+
+    val interpolate = udf { (curves: Seq[org.apache.spark.sql.Row], delay: Int) =>
+      val set = curves.map { r =>
+        (r.getFloat(0), r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => graft.curves.CPoint(p.getFloat(0), p.getFloat(1))).toArray)
+      }
+      Curves.curveSetInterpolate(set.toSeq, delay.toFloat)
+        .map(p => (p.x, p.y)).toSeq
+    }
+
+    val keyCols = Seq("trip_id", "trip_start_date", "trip_start_time",
+      "route_id", "stop_sequence", "stop_id", "event_type")
+    joined
+      .groupBy((keyCols.map(col) :+ col("slot_rank")): _*)
+      .agg(
+        first("scheduled_ts").as("scheduled_ts"),
+        first("basis_delay").as("basis_delay"),
+        first("cs_sample").as("sample_size"),
+        collect_list(struct(col("focus_delay"), col("curve"))).as("curve_set"))
+      .withColumn("best_rank", min("slot_rank")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)))
+      .filter(col("slot_rank") === col("best_rank"))
+      .withColumn("prediction_curve", interpolate(col("curve_set"), col("basis_delay")))
+      .withColumn("precision_type",
+        when(col("slot_rank") === 0, Codes.PrecisionSpecific)
+          .otherwise(Codes.PrecisionFallbackSpecific))
+      .withColumn("curve_min_secs", element_at(col("prediction_curve"), 1).getField("_1"))
+      .withColumn("curve_max_secs", element_at(col("prediction_curve"), -1).getField("_1"))
+      .withColumn("prediction_min",
+        col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
+          col("curve_min_secs").cast("decimal(18,6)")))
+      .withColumn("prediction_max",
+        col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
+          col("curve_max_secs").cast("decimal(18,6)")))
+      .select(
+        lit(source).as("source"), col("event_type"), col("stop_id"),
+        col("prediction_min"), col("prediction_max"),
+        col("route_id"), col("trip_id"), col("trip_start_date"),
+        col("trip_start_time"), col("stop_sequence"),
+        col("precision_type"), lit(OriginRealtime).as("origin_type"),
         col("sample_size"), col("prediction_curve"),
         lit(source + "_schedule").as("schedule_file_name"))
   }

@@ -106,7 +106,17 @@ object GtfsPack extends QueryPack {
       .orderBy("trip_start_date", "trip_id", "stop_sequence")
   }
 
+  /** Realtime-conditioned predictions (3.1 step 5): vehicles observed on
+    * 2024-01-15 predicted forward through the conditional curve sets. */
+  private def predictionsRealtime(s: SparkSession, dir: String): DataFrame = {
+    val (sched, recs) = pipeline(s)
+    val (sc, _) = curves(s)
+    Predictor.batchPredictRealtime(s, sched, recs, "2024-01-15", "graft", sc)
+      .orderBy("trip_id", "stop_sequence", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gtfs_predictions_realtime" -> (predictionsRealtime _),
     "gtfs_records" -> (records _),
     "gtfs_gap_fill" -> (gapFilled _),
     "gtfs_specific_curves" -> (specific _),

@@ -204,6 +204,32 @@ object RelationalPack extends QueryPack {
         regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
       .orderBy("event_id")
 
+  // ---- A3 ECDF construction, oracle-checked ------------------------------
+  // Runs the REAL curve library (graft.curves.Curves.makeCurve, the weighted
+  // ECDF of curve_utils.rs:65-94 with no focus) per event_type over quantized
+  // values, exploded to (group, x, y) rows. The DuckDB oracle reproduces the
+  // construction in SQL: cumulative count at first occurrence / n, endpoints
+  // forced to 0/1, and the reference's lastX=0 quirk (a minimum value of
+  // exactly 0 emits no point of its own).
+  private def a3EcdfCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select(col("event_type"),
+        (expr("CAST(value AS INT)") - expr("CAST(value AS INT) % 12")).as("x"))
+      .as[(String, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g: String, rows: Iterator[(String, Int)]) =>
+        val values = rows.map(_._2.toFloat).toSeq
+        graft.curves.Curves.makeCurve(values, None).iterator.flatMap {
+          case (curve, _) =>
+            curve.iterator.map(p =>
+              (g, p.x.toInt, math.round(p.y.toDouble * 10000) / 10000.0))
+        }
+      }
+      .toDF("event_type", "x", "y")
+      .orderBy("event_type", "x")
+  }
+
   // ---- Flagship: q1-style aggregation (headline correctness probe) -------
   private def q1Agg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -233,6 +259,7 @@ object RelationalPack extends QueryPack {
     "w2_last_writer" -> (w2LastWriter _),
     "w7_topk" -> (w7TopK _),
     "a9_grouping_sets" -> (a9GroupingSets _),
+    "a3_ecdf_curve" -> (a3EcdfCurve _),
     "a12_distinct" -> (a12Distinct _),
     "so1_union" -> (so1Union _),
     "x1_regex_extract" -> (x1RegexExtract _)
@@ -332,6 +359,26 @@ object RelationalPack extends QueryPack {
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       ORDER BY returnflag, linestatus""",
+    "a3_ecdf_curve" -> """
+      WITH vals AS (
+        SELECT event_type AS g,
+               CAST(TRUNC(value) AS INT) - CAST(TRUNC(value) AS INT) % 12 AS x
+        FROM events),
+      stats AS (SELECT g, COUNT(*) AS n, MIN(x) AS mn FROM vals GROUP BY g),
+      pts AS (SELECT g, x, COUNT(*) AS cnt FROM vals GROUP BY g, x),
+      cum AS (
+        SELECT g, x,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY x) - cnt + 1 AS first_rn
+        FROM pts),
+      emitted AS (
+        SELECT c.g, c.x, c.first_rn, s.n FROM cum c JOIN stats s ON c.g = s.g
+        WHERE NOT (c.x = 0 AND c.x = s.mn))
+      SELECT g AS event_type, x,
+             CASE WHEN x = MIN(x) OVER (PARTITION BY g) THEN 0.0
+                  WHEN x = MAX(x) OVER (PARTITION BY g) THEN 1.0
+                  ELSE ROUND(first_rn * 1.0 / n, 4) END AS y
+      FROM emitted
+      ORDER BY event_type, x""",
     "a12_distinct" -> """
       SELECT DISTINCT event_type FROM events ORDER BY event_type""",
     "so1_union" -> """

@@ -98,6 +98,34 @@ class MonitorSpec extends AnyFunSuite {
     assert(Monitor.transferProbability(arrival, 0.0, 100f, gone, 0.0) < 0.05f)
   }
 
+  test("realtime-conditioned batch prediction: later stops, realtime origin") {
+    val sc = CurveAnalysis.specificCurves(spark, records, schedule)
+    val preds = Predictor.batchPredictRealtime(spark, schedule, records,
+      "2024-01-15", "test", sc).cache()
+    val rows = preds.collect()
+    assert(rows.nonEmpty, "vehicles observed on 2024-01-15 get forward predictions")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("origin_type") == Codes.OriginRealtime)
+      assert(Set(Codes.PrecisionSpecific, Codes.PrecisionFallbackSpecific)
+        .contains(r.getAs[Int]("precision_type")))
+      assert(!r.getAs[java.sql.Timestamp]("prediction_max")
+        .before(r.getAs[java.sql.Timestamp]("prediction_min")))
+    }
+    // T1's basis on Jan 15 is stop_sequence 60 minus missing stops → the
+    // last observed stop is 60 (index 5); but its departure event is absent
+    // on stop 6, so basis is stop 4 (index 3)... simply: predictions target
+    // strictly later stops than the basis.
+    val t1basis = records
+      .filter("trip_id = 'T1' AND trip_start_date = '2024-01-15' AND delay_departure IS NOT NULL")
+      .agg(org.apache.spark.sql.functions.max("stop_index")).head().getInt(0)
+    preds.filter("trip_id = 'T1'").collect().foreach { r =>
+      val idx = schedule.stopTimes
+        .filter(s"trip_id = 'T1' AND stop_sequence = ${r.getAs[Int]("stop_sequence")}")
+        .select("stop_index").head().getInt(0)
+      assert(idx > t1basis)
+    }
+  }
+
   test("curve store round-trips partitioned statistics tables (S16/S17)") {
     val dir = java.nio.file.Files.createTempDirectory("curvestore").toString
     val sc = CurveAnalysis.specificCurves(spark, records, schedule)
