@@ -1,0 +1,140 @@
+package graft.gtfs
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Directory-based ingest orchestration (S4/S5/J6, importer/mod.rs:361-460):
+  * filename-dated rt files are grouped under the newest schedule whose date
+  * is ≤ the file's date; files older than every schedule are skipped; files
+  * without a parseable date go to `failed/`; processed files move to
+  * `imported/`. File listings are tiny → the assignment is a pure driver
+  * function (the heavy work — decode + joins — stays distributed).
+  */
+object Directory {
+
+  private val DateRe = raw"(\d{4})-(\d{2})-(\d{2})".r // X1, src/main.rs:101-121
+
+  def dateFromFilename(name: String): Option[java.time.LocalDate] =
+    DateRe.findFirstMatchIn(name).flatMap { m =>
+      try Some(java.time.LocalDate.of(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt))
+      catch { case _: Exception => None }
+    }
+
+  final case class Assignment(
+      bySchedule: Seq[(String, Seq[String])], // schedule file → its rt files, oldest first
+      skipped: Seq[String],                   // rt older than every schedule
+      invalid: Seq[String])                   // no parseable date
+
+  /** J6 as-of assignment: each rt file → newest schedule with date ≤ rt date. */
+  def assignSchedules(rtFiles: Seq[String], scheduleFiles: Seq[String]): Assignment = {
+    val schedules = scheduleFiles
+      .flatMap(f => dateFromFilename(f).map(d => (f, d)))
+      .sortBy(_._2.toEpochDay)
+    val invalidSchedules = scheduleFiles.filter(f => dateFromFilename(f).isEmpty)
+    require(schedules.nonEmpty || rtFiles.isEmpty,
+      "No schedule data (but real time data is present)")
+    val oldest = schedules.headOption.map(_._2)
+
+    val invalid = scala.collection.mutable.ArrayBuffer[String]() ++ invalidSchedules
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    val groups = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+    rtFiles.sorted.foreach { rt =>
+      dateFromFilename(rt) match {
+        case None => invalid += rt
+        case Some(d) if oldest.exists(d.isBefore) => skipped += rt
+        case Some(d) =>
+          schedules.reverse.find(!_._2.isAfter(d)).foreach { case (sched, _) =>
+            groups.getOrElseUpdate(sched, scala.collection.mutable.ArrayBuffer()) += rt
+          }
+      }
+    }
+    Assignment(groups.toSeq.map { case (s, fs) => (s, fs.toSeq) },
+      skipped.toSeq, invalid.toSeq)
+  }
+
+  /** S5: move a processed/failed file into a sibling directory. */
+  def moveTo(file: String, dir: String): Unit = {
+    val src = Paths.get(file)
+    val target = Paths.get(dir)
+    Files.createDirectories(target)
+    Files.move(src, target.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Full directory import (`import --record manual <dir>` shape): scans
+    * `dir/rt` against dated schedule directories under `dir/schedule`,
+    * imports each group with its matched schedule, then archives rt files to
+    * `dir/imported` (failures to `dir/failed`). Returns the unioned records.
+    * A11: per-group success/failure counts are returned alongside. */
+  def importTree(spark: SparkSession, baseDir: String, source: String,
+                 archive: Boolean = true): (Option[DataFrame], Seq[(String, Int, Int)]) = {
+    def list(sub: String): Seq[String] = {
+      val d = new java.io.File(s"$baseDir/$sub")
+      if (!d.exists()) Nil
+      else d.listFiles().map(_.getPath).sorted.toSeq
+    }
+    val rt = list("rt")
+    val schedules = list("schedule")
+    if (rt.isEmpty) return (None, Nil)
+    val assignment = assignSchedules(rt, schedules)
+    assignment.invalid.foreach(f => if (archive) moveTo(f, s"$baseDir/failed"))
+
+    var all: Option[DataFrame] = None
+    val stats = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    assignment.bySchedule.foreach { case (schedFile, rtFiles) =>
+      try {
+        val sched = GtfsSchedule.load(spark, schedFile)
+        val bin = spark.read.format("binaryFile")
+          .load(rtFiles: _*)
+        // localCheckpoint truncates the lineage BEFORE the source files are
+        // archived away — the returned DataFrame must not re-read them
+        val recs = Importer.recordsFromRt(spark,
+          Importer.decodeRtFiles(spark, bin), sched, source)
+          .localCheckpoint(true)
+        all = all.map(_.unionByName(recs)).orElse(Some(recs))
+        stats += ((schedFile, rtFiles.size, 0))
+        if (archive) rtFiles.foreach(f => moveTo(f, s"$baseDir/imported"))
+      } catch {
+        case e: Exception =>
+          stats += ((schedFile, 0, rtFiles.size))
+          if (archive) rtFiles.foreach(f => moveTo(f, s"$baseDir/failed"))
+      }
+    }
+    (all, stats.toSeq)
+  }
+
+  /** S15: drop predictions whose trip started more than 12 h ago
+    * (importer/mod.rs:174-223 run_cleanup; the parquet-table rewrite is the
+    * engine-internal DELETE). */
+  def cleanupOutdatedPredictions(predictions: DataFrame, nowEpochSecs: Long): DataFrame = {
+    val cutoff = nowEpochSecs - 12 * 3600
+    predictions.filter(
+      unix_timestamp(GtfsTime.dateAndTime(col("trip_start_date"), col("trip_start_time")))
+        >= cutoff)
+  }
+
+  /** ST3: keep predictions only inside the live window
+    * [now − 12 h, now + 7 d 12 h] (MAX_ESTIMATED_TRIP_DURATION and
+    * PREDICTION_BUFFER_SIZE, scheduled_predictions_importer.rs:29-30). */
+  def predictionWindowFilter(predictions: DataFrame, nowEpochSecs: Long): DataFrame = {
+    val lo = nowEpochSecs - 12 * 3600
+    val hi = nowEpochSecs + (7 * 24 + 12) * 3600
+    val startTs = unix_timestamp(
+      GtfsTime.dateAndTime(col("trip_start_date"), col("trip_start_time")))
+    predictions.filter(startTs >= lo && startTs <= hi)
+  }
+}
+
+/** S19: health-ping side channel as a StreamingQueryListener — fires the
+  * supplied callback on query progress, rate-limited to once per minute
+  * (importer/mod.rs:268-292). The callback is pluggable (no egress here). */
+final class PingListener(ping: () => Unit, minIntervalMs: Long = 60000L)
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  @volatile private var lastPing = 0L
+  override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+    val now = System.currentTimeMillis()
+    if (now - lastPing >= minIntervalMs) { lastPing = now; ping() }
+  }
+}

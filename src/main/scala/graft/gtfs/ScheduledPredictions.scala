@@ -1,0 +1,111 @@
+package graft.gtfs
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Service-day resolution (`trips_for_date`,
+  * scheduled_predictions_importer.rs:112-139 / journey_data.rs:406):
+  * calendar weekday flags + date range, overridden by calendar_dates
+  * exceptions (1 = added, 2 = removed). */
+object ServiceCalendar {
+
+  /** service_ids active on `date` (a "yyyy-MM-dd" string). */
+  def activeServices(spark: SparkSession, schedule: GtfsSchedule, date: String): DataFrame = {
+    val d = java.time.LocalDate.parse(date)
+    val dateStr = date.replace("-", "")
+    val weekdayCol = d.getDayOfWeek.toString.toLowerCase // "monday" …
+    val base = schedule.calendar
+      .filter(col("start_date") <= dateStr && col("end_date") >= dateStr
+        && col(weekdayCol) === 1)
+      .select("service_id")
+    val added = schedule.calendarDates
+      .filter(col("date") === dateStr && col("exception_type") === 1)
+      .select("service_id")
+    val removed = schedule.calendarDates
+      .filter(col("date") === dateStr && col("exception_type") === 2)
+      .select("service_id")
+    base.union(added).distinct().except(removed)
+  }
+
+  /** Trips running on `date`, by service-id membership (semi join). */
+  def tripsForDate(spark: SparkSession, schedule: GtfsSchedule, date: String): DataFrame =
+    schedule.trips.join(broadcast(activeServices(spark, schedule, date)),
+      Seq("service_id"), "left_semi")
+}
+
+/** ST4 idle-time backfill ("scheduled predictions",
+  * scheduled_predictions_importer.rs:64-242): while no realtime files are
+  * pending, advance a persisted high-water mark through the schedule in
+  * batches of ≥ 6 minutes of trips AND ≥ 1000 trips, up to now + 7 d 12 h;
+  * cross-midnight service days contribute via the previous day's >24 h trips
+  * (SO1 union). Returns the batch plus the advanced mark, or None when the
+  * buffer is full (caller backs off 20 minutes, PREDICTION_FULL_TIMEOUT). */
+object ScheduledPredictions {
+
+  val BufferSecs: Long = (7 * 24 + 12) * 3600L
+  val MinBatchSecs: Long = 6 * 60L
+  val MinBatchTrips: Long = 1000L
+
+  final case class Batch(predictions: DataFrame, newHighWaterMark: Long, tripCount: Long)
+
+  /** Trip start instants (epoch secs) for one service date, including the
+    * previous service day's past-midnight starts (SO1). */
+  private def tripStarts(spark: SparkSession, schedule: GtfsSchedule,
+                         date: String): DataFrame = {
+    val current = ServiceCalendar.tripsForDate(spark, schedule, date)
+      .withColumn("service_date", lit(date))
+    val prevDate = java.time.LocalDate.parse(date).minusDays(1).toString
+    val previous = ServiceCalendar.tripsForDate(spark, schedule, prevDate)
+      .filter(col("trip_start_time") >= 86400) // 25 h+ starts belong to prev day
+      .withColumn("service_date", lit(prevDate))
+    current.unionByName(previous)
+      .withColumn("start_epoch", unix_timestamp(GtfsTime.dateAndTime(
+        to_date(col("service_date")), col("trip_start_time"))))
+  }
+
+  /** One backfill iteration from `highWaterMark` (epoch secs; trips starting
+    * ≤ hwm are already predicted). */
+  def advance(spark: SparkSession, schedule: GtfsSchedule, source: String,
+              specific: Dataset[SpecificCurveRow], defaults: Dataset[DefaultCurveRow],
+              highWaterMark: Long, nowEpochSecs: Long): Option[Batch] = {
+    val bufferEnd = nowEpochSecs + BufferSecs
+    val from = math.max(highWaterMark, nowEpochSecs)
+    if (from >= bufferEnd) return None // buffer full → PREDICTION_FULL_TIMEOUT
+
+    // scan forward day by day until the batch window covers ≥6 min of trips
+    // and ≥1000 trips (or the buffer end is reached)
+    var end = from + MinBatchSecs
+    var trips = 0L
+    var day = java.time.LocalDate.ofEpochDay(from / 86400)
+    val lastDay = java.time.LocalDate.ofEpochDay(bufferEnd / 86400)
+    val starts = new scala.collection.mutable.ArrayBuffer[(String, DataFrame)]()
+    while (!day.isAfter(lastDay)) {
+      starts += ((day.toString, tripStarts(spark, schedule, day.toString)))
+      day = day.plusDays(1)
+    }
+    val allStarts = starts.map(_._2).reduce(_ unionByName _)
+      .filter(col("start_epoch") > from && col("start_epoch") <= bufferEnd)
+      .cache()
+    val total = allStarts.count()
+    if (total == 0) return Some(Batch(
+      spark.emptyDataFrame, bufferEnd, 0)) // nothing scheduled → mark advanced
+
+    // grow the window until both minimums hold
+    val epochs = allStarts.select("start_epoch").orderBy("start_epoch")
+      .limit(math.max(MinBatchTrips.toInt, 1))
+      .collect().map(_.getLong(0))
+    trips = epochs.length
+    end = math.min(bufferEnd, math.max(from + MinBatchSecs, epochs.last))
+
+    val batchTrips = allStarts.filter(col("start_epoch") <= end)
+    val dates = batchTrips.select("service_date").distinct()
+      .collect().map(_.getString(0)).sorted
+    val preds = dates.map { d =>
+      Predictor.batchPredict(spark, schedule, d, source, specific, defaults)
+        .join(broadcast(batchTrips.filter(col("service_date") === d)
+          .select(col("trip_id"))), Seq("trip_id"), "left_semi")
+    }.reduceOption(_ unionByName _).getOrElse(spark.emptyDataFrame)
+
+    Some(Batch(preds, end, batchTrips.count()))
+  }
+}

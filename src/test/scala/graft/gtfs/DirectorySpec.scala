@@ -1,0 +1,104 @@
+package graft.gtfs
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class DirectorySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("J6 as-of assignment: newest schedule <= rt date; old/invalid handled") {
+    val a = Directory.assignSchedules(
+      rtFiles = Seq("/x/2024-01-05T08.pb", "/x/2024-01-20T08.pb",
+        "/x/2023-12-01T08.pb", "/x/nodate.pb"),
+      scheduleFiles = Seq("/s/2024-01-01", "/s/2024-01-15", "/s/badname"))
+    val by = a.bySchedule.toMap
+    assert(by("/s/2024-01-01") == Seq("/x/2024-01-05T08.pb"))
+    assert(by("/s/2024-01-15") == Seq("/x/2024-01-20T08.pb"))
+    assert(a.skipped == Seq("/x/2023-12-01T08.pb"), "older than all schedules")
+    assert(a.invalid.toSet == Set("/x/nodate.pb", "/s/badname"))
+  }
+
+  test("importTree: grouped import + archive moves (S4/S5)") {
+    val base = Files.createTempDirectory("tree").toString
+    val schedDir = s"$base/schedule/2024-01-01"
+    new java.io.File(schedDir).mkdirs()
+    FixtureGen.writeSchedule(java.nio.file.Paths.get(schedDir))
+    new java.io.File(s"$base/rt").mkdirs()
+    FixtureGen.writeRtFiles(java.nio.file.Paths.get(s"$base/rt"))
+    // one junk file without a date
+    Files.write(java.nio.file.Paths.get(s"$base/rt/junk.pb"), Array[Byte](1, 2))
+
+    val (recsOpt, stats) = Directory.importTree(spark, base, "tree")
+    assert(recsOpt.isDefined)
+    assert(recsOpt.get.count() == 241)
+    assert(stats.map(_._2).sum == 61, "61 dated rt files imported")
+    assert(new java.io.File(s"$base/imported").listFiles().length == 61)
+    assert(new java.io.File(s"$base/failed").listFiles().map(_.getName).toSeq == Seq("junk.pb"))
+    assert(new java.io.File(s"$base/rt").listFiles().isEmpty)
+  }
+
+  test("service calendar: weekday flags and calendar_dates exceptions") {
+    val (schedDir, _) = GtfsFixtures.create()
+    val schedule = GtfsSchedule.load(spark, schedDir)
+    // fixture calendar: service WD runs every day of 2024
+    val trips = ServiceCalendar.tripsForDate(spark, schedule, "2024-03-04")
+    assert(trips.count() == 5)
+    // outside the calendar range → nothing
+    assert(ServiceCalendar.tripsForDate(spark, schedule, "2025-06-01").count() == 0)
+  }
+
+  test("S15/ST3: outdated-prediction cleanup and live-window filter") {
+    val (schedDir, rtDir) = GtfsFixtures.create()
+    val schedule = GtfsSchedule.load(spark, schedDir)
+    val records = Importer.importDirectory(spark, rtDir, schedule, "t")
+    val sc = CurveAnalysis.specificCurves(spark, records, schedule)
+    val dc = CurveAnalysis.defaultCurves(spark, records, schedule)
+    val preds = Predictor.batchPredict(spark, schedule, "2024-03-04", "t", sc, dc).cache()
+    val n = preds.count()
+    assert(n > 0)
+    // "now" = noon on the service day → all trips (starting 07:00-23:30 that
+    // day) are within [now-12h, now+7.5d]
+    val noon = java.time.LocalDate.parse("2024-03-04").toEpochDay * 86400 + 12 * 3600
+    assert(Directory.cleanupOutdatedPredictions(preds, noon).count() == n)
+    assert(Directory.predictionWindowFilter(preds, noon).count() == n)
+    // "now" = ten days later → every prediction is outdated
+    val later = noon + 10 * 86400
+    assert(Directory.cleanupOutdatedPredictions(preds, later).count() == 0)
+    // "now" = ten days earlier → outside the 7.5 d buffer
+    assert(Directory.predictionWindowFilter(preds, noon - 10 * 86400).count() == 0)
+  }
+
+  test("ST4: high-water-mark backfill advances in >=6min/>=1000-trip batches") {
+    val (schedDir, rtDir) = GtfsFixtures.create()
+    val schedule = GtfsSchedule.load(spark, schedDir)
+    val records = Importer.importDirectory(spark, rtDir, schedule, "t")
+    val sc = CurveAnalysis.specificCurves(spark, records, schedule)
+    val dc = CurveAnalysis.defaultCurves(spark, records, schedule)
+    val now = java.time.LocalDate.parse("2024-03-04").toEpochDay * 86400 // midnight
+    val batch = ScheduledPredictions.advance(spark, schedule, "t", sc, dc,
+      highWaterMark = 0L, nowEpochSecs = now)
+    assert(batch.isDefined)
+    val b = batch.get
+    assert(b.newHighWaterMark > now, "mark advanced")
+    assert(b.tripCount > 0, "fixture has only 5 trips/day -> window extends")
+    assert(b.predictions.count() > 0)
+    // buffer full → None (20-min backoff signal)
+    val full = ScheduledPredictions.advance(spark, schedule, "t", sc, dc,
+      highWaterMark = now + ScheduledPredictions.BufferSecs + 1, nowEpochSecs = now)
+    assert(full.isEmpty)
+  }
+
+  test("S19: ping listener rate-limits to one call per interval") {
+    var pings = 0
+    val l = new PingListener(() => pings += 1, minIntervalMs = 60000L)
+    (1 to 5).foreach(_ => l.onQueryProgress(null))
+    assert(pings == 1, "five rapid progress events -> one ping")
+  }
+}
