@@ -122,18 +122,21 @@ object CurveAnalysis {
       .toDF("route_id", "route_variant", "event_type", "time_slot_id",
         "stop_index", "delay")
 
+    // ECDF via the partial Aggregator (graft.functions.EcdfAggregator):
+    // map-side combine shuffles (value → count) maps, not raw delay rows —
+    // the F9 ≥20 gate and ε=0.01 simplify live inside the aggregator.
     val generalCurves = generalInput
-      .groupByKey(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
-      .flatMapGroups { (key: (String, Long, Int, Int, Int), rows: Iterator[org.apache.spark.sql.Row]) =>
-        val (routeId, variant, et, slot, stopIdx) = key
-        val values = rows.map(_.getFloat(5)).toArray
-        if (values.length < 20) Iterator.empty // F9 gate (>=20 rows)
-        else Curves.makeCurve(values.toSeq, None).iterator.map { case (curve, _) =>
-          SpecificCurveRow(routeId, variant, et, slot, stopIdx, stopIdx,
-            "general", None, Curves.simplify(curve, 0.01f).toSeq,
-            PrecisionSemiSpecific, values.length)
-        }
-      }
+      .groupBy("route_id", "route_variant", "event_type", "time_slot_id", "stop_index")
+      .agg(
+        graft.functions.EcdfAggregator.ecdf(col("delay"), 20, 0.01f).as("curve"),
+        count(lit(1)).cast("int").as("sample_size"))
+      .filter(size(col("curve")) >= 2)
+      .select(col("route_id"), col("route_variant"), col("event_type"),
+        col("time_slot_id"), col("stop_index").as("start_stop_index"),
+        col("stop_index").as("end_stop_index"), lit("general").as("curve_kind"),
+        lit(null).cast("float").as("focus_delay"), col("curve"),
+        lit(PrecisionSemiSpecific).as("precision_type"), col("sample_size"))
+      .as[SpecificCurveRow]
 
     // ---- J3 pair join + A5/A6 curve sets ----------------------------------
     // Start side: departure delay at the earlier stop. End side: the event
@@ -227,16 +230,13 @@ object CurveAnalysis {
       }
       .toDF("route_type", "route_section", "time_slot_id", "event_type",
         "route_variant", "delay")
-      .groupByKey(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4)))
-      .flatMapGroups { (key: (Int, String, Int, Int, Long), rows: Iterator[org.apache.spark.sql.Row]) =>
-        val (rt, rs, ts, et, variant) = key
-        val values = rows.map(_.getFloat(5)).toArray
-        if (values.length < 10) Iterator.empty // MIN_DATA_FOR_CURVE
-        else Curves.makeCurve(values.toSeq, None).iterator.map { case (curve, _) =>
-          VariantCurve(rt, rs, ts, et, variant,
-            Curves.simplify(curve, 0.001f).toSeq, values.length)
-        }
-      }
+      // partial-aggregated ECDF; MIN_DATA_FOR_CURVE (10) and ε=0.001 inside
+      .groupBy("route_type", "route_section", "time_slot_id", "event_type", "route_variant")
+      .agg(
+        graft.functions.EcdfAggregator.ecdf(col("delay"), 10, 0.001f).as("curve"),
+        count(lit(1)).cast("int").as("sample_size"))
+      .filter(size(col("curve")) >= 2)
+      .as[VariantCurve]
 
     // The curve sets are tiny (≤ variants × 66 cells) — the three average
     // levels run as small shuffles over them.
