@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The test suite shares one SparkSession per forked JVM (getOrCreate) and
+// suites cache records/shingles/curve tables — 8g starves the unified
+// memory manager into an eviction storm on the full run.
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "24g")}"

@@ -27,9 +27,11 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
-  /** Distinct word n-gram shingles per doc, document-frequency capped. */
-  private def shingles(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int, maxDf: Int): DataFrame = {
+  /** Distinct word n-gram shingles per doc, document-frequency capped.
+    * Public so callers running several dedup variants over the same corpus
+    * (e.g. the bench pack) can compute and cache the inverted index once. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+               n: Int, maxDf: Int): DataFrame = {
     val toks = TextAnalysis.tokensCol(col(textCol))
     // guard: sequence(0, negative) would produce a DESCENDING range in Spark
     val grams = when(size(toks) >= n,
@@ -50,8 +52,11 @@ object Dedup {
     * jaccard ≥ threshold. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 100, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n, maxDf).cache()
+                   textCol: String = "text"): DataFrame =
+    ngramJaccardFromShingles(shingles(docs, idCol, textCol, n, maxDf).cache(), threshold)
+
+  /** As [[ngramJaccard]], over a precomputed (cached) shingle index. */
+  def ngramJaccardFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
     val inter = sh.as("s1").join(sh.as("s2"), "shingle")
       .filter(col("s1.doc") < col("s2.doc"))
@@ -97,10 +102,15 @@ object Dedup {
     * approximated by seeded 64-bit hashes of each shingle, banded for LSH. */
   def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.5, maxDf: Int = 100,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minhashLshFromShingles(shingles(docs, idCol, textCol, n, maxDf).cache(),
+      numHashes, bands, threshold)
+
+  /** As [[minhashLsh]], over a precomputed (cached) shingle index. */
+  def minhashLshFromShingles(sh: DataFrame, numHashes: Int, bands: Int,
+                             threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sh = shingles(docs, idCol, textCol, n, maxDf).cache()
     // signature: for each hash index i, min over shingles of the seeded
     // 64-bit hash xxhash64(i, shingle) — an independent hash family without
     // modular arithmetic (ANSI mode makes overflowing multiplies throw).

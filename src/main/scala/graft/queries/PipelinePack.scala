@@ -15,17 +15,31 @@ object PipelinePack extends QueryPack {
 
   private val QueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
+  // the 3-gram shingle inverted index feeds both near-dup queries — build
+  // and cache it once per (session, sfDir)
+  private var shingleCache: Option[(SparkSession, String, DataFrame)] = None
+  private def shingles(s: SparkSession, dir: String): DataFrame = synchronized {
+    shingleCache match {
+      case Some((sess, d, sh)) if (sess eq s) && d == dir => sh
+      case _ =>
+        val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3, 100).cache()
+        sh.count()
+        shingleCache = Some((s, dir, sh))
+        sh
+    }
+  }
+
   // ---- dedup -------------------------------------------------------------
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents")).orderBy("doc_id")
 
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(t(s, dir, "documents"), n = 3, threshold = 0.5, maxDf = 100)
+    Dedup.ngramJaccardFromShingles(shingles(s, dir), threshold = 0.5)
       .orderBy("a", "b")
 
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(t(s, dir, "documents"), n = 3, numHashes = 32, bands = 8,
-      threshold = 0.5, maxDf = 100).orderBy("a", "b")
+    Dedup.minhashLshFromShingles(shingles(s, dir), numHashes = 32, bands = 8,
+      threshold = 0.5).orderBy("a", "b")
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3).orderBy("a", "b")
@@ -48,6 +62,17 @@ object PipelinePack extends QueryPack {
       round(TextAnalysis.avgTokenLenCol(col("text")), 4).as("avg_token_len"),
       round(TextAnalysis.punctRatioCol(col("text")), 4).as("punct_ratio"),
       TextAnalysis.qualityScoreCol(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  // BPE-ish regex token count: letter runs / digit runs / punctuation runs
+  // (the RE2-safe subset so the DuckDB oracle uses the identical pattern)
+  private def textTokensBpe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+        .as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+        .as("bpe_tokens"))
       .orderBy("doc_id")
 
   private def textLangId(s: SparkSession, dir: String): DataFrame =
@@ -77,6 +102,7 @@ object PipelinePack extends QueryPack {
     "ann_brute_topk" -> (annBrute _),
     "ann_lsh_topk" -> (annLsh _),
     "text_stats" -> (textStats _),
+    "text_tokens_bpe" -> (textTokensBpe _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
     "mm_features" -> (mmFeatures _)
@@ -98,6 +124,11 @@ object PipelinePack extends QueryPack {
              ROUND((length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g'))) * 1.0
                / greatest(length(text), 1), 4) AS punct_ratio,
              ${TextAnalysis.duckDbQualitySql("text")} AS quality
+      FROM documents ORDER BY doc_id""",
+    "text_tokens_bpe" -> """
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
       FROM documents ORDER BY doc_id""",
     "text_langid" -> s"""
       SELECT doc_id, ${TextAnalysis.duckDbLangIdSql("text")} AS lang_pred

@@ -131,6 +131,18 @@ object StreamingImport {
         })
   }
 
+  /** A1 in streaming form with event-time semantics (ST3/ST6): hourly
+    * windowed count + mean of arrival delays over the record stream, with a
+    * watermark that drops data arriving more than `lateness` behind the
+    * observed event-time maximum. */
+  def windowedDelayStats(records: DataFrame, lateness: String = "1 hour"): DataFrame =
+    records
+      .withWatermark("time_of_recording", lateness)
+      .filter(col("delay_arrival").between(-36000, 36000)) // F1
+      .groupBy(window(col("time_of_recording"), "1 hour"))
+      .agg(count(lit(1)).as("n"), avg("delay_arrival").as("avg_delay_arrival"))
+      .select(col("window.start").as("bucket_start"), col("n"), col("avg_delay_arrival"))
+
   /** Full streaming pipeline: rt files → records upsert + basis-deduped
     * prediction requests, both driven by one stream. `automatic` mode =
     * 5 s processing-time trigger (TIME_BETWEEN_DIR_SCANS, importer/mod.rs:30);

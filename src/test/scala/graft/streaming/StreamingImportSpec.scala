@@ -36,6 +36,40 @@ class StreamingImportSpec extends AnyFunSuite {
     assert(d0.getInt(0) == 444)
   }
 
+  test("watermarked windowed delay stats: late data beyond the watermark is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RtRow]
+    val stats = StreamingImport.windowedDelayStats(
+      StreamingImport.recordsStream(spark, mem.toDS(), schedule, "test"),
+      lateness = "1 hour")
+    val q = stats.writeStream.format("memory").queryName("win_stats")
+      .outputMode("append").start()
+
+    def rt(rec: Long, delay: Int): RtRow =
+      RtRow("f.pb", rec, "T1", Some("R1"), Some("20240110"), Some("08:00:00"),
+        Some(10), Some("S1"), Some(delay), Some(delay))
+
+    val h0 = 1704880800L // 2024-01-10 10:00:00 UTC
+    mem.addData(rt(h0 + 60, 120), rt(h0 + 120, 240))
+    q.processAllAvailable()
+    // advance event time far beyond h0 + watermark → closes the h0 window
+    mem.addData(rt(h0 + 4 * 3600, 60))
+    q.processAllAvailable()
+    // this event is older than (maxEventTime - 1h) → must be dropped
+    mem.addData(rt(h0 + 90, 999))
+    q.processAllAvailable()
+    mem.addData(rt(h0 + 6 * 3600, 60)) // close remaining windows
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_stats").collect()
+      .map(r => r.getAs[java.sql.Timestamp]("bucket_start").toInstant.getEpochSecond ->
+        (r.getAs[Long]("n"), r.getAs[Double]("avg_delay_arrival"))).toMap
+    assert(rows(h0) == (2L, 180.0),
+      s"h0 window has the two on-time events only (late 999 dropped): $rows")
+  }
+
   test("stateful basis dedup emits one request per changed basis") {
     import spark.implicits._
     // two micro-batches via MemoryStream: same vehicle, same basis twice,
