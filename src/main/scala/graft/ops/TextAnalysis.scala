@@ -73,11 +73,14 @@ object TextAnalysis {
       greatest(tokenCountCol(text), lit(1))
 
   /** Composite quality score ∈ [0,1]: favors 20-200 token docs with ~5-char
-    * words and little punctuation. Linear, engine-portable. */
+    * words and little punctuation. Linear, engine-portable. Truncated (not
+    * rounded) to 4 decimals: ROUND diverges between engines on exact .5
+    * boundaries (Spark rounds the decimal string, DuckDB the binary value),
+    * while FLOOR of the identical double is deterministic everywhere. */
   def qualityScoreCol(text: Column): Column = {
     val lenScore = least(tokenCountCol(text).cast("double") / 50.0, lit(1.0))
     val wordScore = lit(1.0) - least(abs(avgTokenLenCol(text) - 5.0) / 10.0, lit(1.0))
-    round((lenScore * 0.5 + wordScore * 0.5) * (lit(1.0) - punctRatioCol(text)), 4)
+    floor((lenScore * 0.5 + wordScore * 0.5) * (lit(1.0) - punctRatioCol(text)) * 10000) / 10000
   }
 
   def duckDbQualitySql(textExpr: String): String = {
@@ -85,8 +88,8 @@ object TextAnalysis {
     val nTok = s"greatest(len($toks), 1)"
     val punct = s"((length($textExpr) - length(regexp_replace($textExpr, '[,.!?;:]', '', 'g'))) * 1.0 / greatest(length($textExpr), 1))"
     val avgLen = s"(length(regexp_replace(trim($textExpr), '\\s', '', 'g')) * 1.0 / $nTok)"
-    s"""ROUND((least($nTok * 1.0 / 50.0, 1.0) * 0.5
+    s"""FLOOR((least($nTok * 1.0 / 50.0, 1.0) * 0.5
          + (1.0 - least(abs($avgLen - 5.0) / 10.0, 1.0)) * 0.5)
-         * (1.0 - $punct), 4)"""
+         * (1.0 - $punct) * 10000) / 10000"""
   }
 }
