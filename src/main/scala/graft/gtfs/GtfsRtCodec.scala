@@ -33,31 +33,46 @@ object GtfsRtCodec {
 
   // ---------------- wire-format primitives ----------------
 
+  /** Raised on truncated/corrupt input; callers decode per-file and skip the
+    * bad file instead of failing the job (importer error path skips bad
+    * entities/files individually). */
+  final class MalformedProtobufException(msg: String) extends RuntimeException(msg)
+
   private final class Reader(buf: Array[Byte]) {
     var pos = 0
     def hasMore: Boolean = pos < buf.length
     def readVarint(): Long = {
       var shift = 0; var result = 0L
-      while (true) {
+      while (shift < 64) {
+        if (pos >= buf.length) throw new MalformedProtobufException("truncated varint")
         val b = buf(pos); pos += 1
         result |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return result
         shift += 7
       }
-      result
+      throw new MalformedProtobufException("varint exceeds 64 bits")
     }
     def readLengthDelimited(): Array[Byte] = {
       val len = readVarint().toInt
+      if (len < 0 || len > buf.length - pos)
+        throw new MalformedProtobufException(s"length $len exceeds remaining ${buf.length - pos} bytes")
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len
       out
     }
+    private def advance(n: Int): Unit = {
+      if (n > buf.length - pos)
+        throw new MalformedProtobufException("truncated fixed-width field")
+      pos += n
+    }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
-      case 1 => pos += 8
-      case 2 => { val len = readVarint().toInt; pos += len }
-      case 5 => pos += 4
-      case other => throw new IllegalArgumentException(s"unsupported wire type $other")
+      case 1 => advance(8)
+      case 2 => { val len = readVarint().toInt
+        if (len < 0) throw new MalformedProtobufException(s"negative length $len")
+        advance(len) }
+      case 5 => advance(4)
+      case other => throw new MalformedProtobufException(s"unsupported wire type $other")
     }
   }
 

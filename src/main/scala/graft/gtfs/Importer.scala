@@ -35,7 +35,11 @@ object Importer {
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (path, bytes) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
-        val msg = GtfsRtCodec.decode(bytes)
+        // one corrupt/truncated .pb yields zero rows instead of failing the
+        // whole job (the reference skips bad files individually)
+        val msg = try GtfsRtCodec.decode(bytes)
+          catch { case _: GtfsRtCodec.MalformedProtobufException =>
+            GtfsRtCodec.FeedMessage(None, Nil) }
         val ts = msg.timestamp.getOrElse(0L)
         msg.tripUpdates.iterator.flatMap { tu =>
           tu.trip.tripId match {

@@ -62,7 +62,26 @@ object Monitor {
       .filter(col("event_type") === Codes.EventDeparture)
       .filter(col("prediction_min") < we && col("prediction_max") > ws) // F5
 
-    val realtimePreferred = overlap
+    // Quantile instants = scheduled anchor + x_at_y(p) (monitor/mod.rs
+    // get_absolute_time_for_probability). prediction_min is anchored at the
+    // curve's min-x point, so the scheduled instant is recovered as
+    // prediction_min - curve[0].x — NOT via delay_X - delay_1, whose delay_1
+    // (= x at y=0.01) sits above the min-x outlier and would shift every
+    // timestamp earlier.
+    val withQ = withPercentiles(overlap)
+      .withColumn("sched_anchor", col("prediction_min") - make_dt_interval(lit(0), lit(0), lit(0),
+        element_at(col("prediction_curve"), 1).getField("x").cast("decimal(18,6)")))
+      .withColumn("q5_ts", col("sched_anchor") + make_dt_interval(lit(0), lit(0), lit(0),
+        col("delay_5").cast("decimal(18,6)")))
+      .withColumn("median_ts", col("sched_anchor") + make_dt_interval(lit(0), lit(0), lit(0),
+        col("delay_50").cast("decimal(18,6)")))
+      .withColumn("q95_ts", col("sched_anchor") + make_dt_interval(lit(0), lit(0), lit(0),
+        col("delay_95").cast("decimal(18,6)")))
+      .filter(col("q5_ts") < we && col("q95_ts") > ws) // F6 — before W6, as the
+      // reference trims the window first (monitor/mod.rs:460-493); otherwise a
+      // realtime row later removed by F6 still suppresses its schedule twin
+
+    val realtimePreferred = withQ
       .withColumn("has_rt", max(col("origin_type") === Codes.OriginRealtime)
         .over(Window.partitionBy("route_id", "trip_start_date", "trip_start_time")))
       .filter(!col("has_rt") || col("origin_type") === Codes.OriginRealtime) // W6
@@ -78,14 +97,7 @@ object Monitor {
       5 -> "CableCar", 6 -> "Gondola", 7 -> "Funicular", 200 -> "Coach",
       1100 -> "Air", 1500 -> "Taxi"))
 
-    withPercentiles(notLast)
-      .withColumn("q5_ts", col("prediction_min") + make_dt_interval(lit(0), lit(0), lit(0),
-        (col("delay_5") - col("delay_1")).cast("decimal(18,6)")))
-      .withColumn("median_ts", col("prediction_min") + make_dt_interval(lit(0), lit(0), lit(0),
-        (col("delay_50") - col("delay_1")).cast("decimal(18,6)")))
-      .withColumn("q95_ts", col("prediction_min") + make_dt_interval(lit(0), lit(0), lit(0),
-        (col("delay_95") - col("delay_1")).cast("decimal(18,6)")))
-      .filter(col("q5_ts") < we && col("q95_ts") > ws) // F6
+    notLast
       .join(broadcast(schedule.routes.select(col("route_id"), col("route_short_name"),
         col("route_type"))), Seq("route_id"), "left")
       .withColumn("delay_label", format_string("%+d", col("delay_50").cast("int"))) // X12
@@ -166,9 +178,9 @@ object Monitor {
         col("b_lat"), col("b_lon")))
       .filter(col("dist_m") <= maxDistM)
       .select("from_stop", "to_stop", "dist_m")
-    val walkCurve = udf { (d: Double) =>
-      Curves.walkTimeCurve(d.toFloat).map(p => (p.x, p.y)).toSeq
-    }
+    // returns Seq[CPoint] so the column is array<struct<x,y>> like every
+    // other curve column (tuples would encode as _1/_2)
+    val walkCurve = udf { (d: Double) => Curves.walkTimeCurve(d.toFloat).toSeq }
     pairs.withColumn("walk_curve", walkCurve(col("dist_m")))
   }
 

@@ -87,6 +87,17 @@ final class Predictor(
 object Predictor {
   import Codes._
 
+  /** Prediction rows store at most 120 curve points
+    * (`serialize_compact_limited(120)`, per_schedule_importer.rs:362): when a
+    * curve exceeds the cap, keep 120 evenly-index-spaced points including
+    * both endpoints. Pure Catalyst (`transform`/`sequence`) — stays in
+    * whole-stage codegen, no UDF. */
+  val MaxCurvePoints = 120
+  def capCurve(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(c) <= MaxCurvePoints, c).otherwise(
+      transform(sequence(lit(0), lit(MaxCurvePoints - 1)),
+        i => element_at(c, (i * (size(c) - 1) / (MaxCurvePoints - 1) + 1).cast("int"))))
+
   def fromTables(spark: SparkSession, specific: Dataset[SpecificCurveRow],
                  defaults: Dataset[DefaultCurveRow]): Predictor =
     new Predictor(specific.collect(), defaults.collect())
@@ -158,7 +169,7 @@ object Predictor {
             .otherwise(col("time_slot_id"))
           && base("event_type") === dft("event_type"), "left")
       .drop(dft("route_type")).drop(dft("route_section")).drop(dft("event_type"))
-      .withColumn("prediction_curve", coalesce(col("g_curve"), col("d_curve")))
+      .withColumn("prediction_curve", capCurve(coalesce(col("g_curve"), col("d_curve"))))
       .withColumn("precision_type", coalesce(col("g_precision"), col("d_precision")))
       .withColumn("sample_size", coalesce(col("g_sample"), col("d_sample")))
       .filter(col("prediction_curve").isNotNull)
@@ -241,13 +252,14 @@ object Predictor {
       .withColumn("slot_rank",
         when(col("cs_slot") === col("time_slot_id"), 0).otherwise(1))
 
+    // returns Seq[CPoint] → array<struct<x,y>>, schema-identical to the
+    // schedule-origin path (tuples would encode as _1/_2)
     val interpolate = udf { (curves: Seq[org.apache.spark.sql.Row], delay: Int) =>
       val set = curves.map { r =>
         (r.getFloat(0), r.getSeq[org.apache.spark.sql.Row](1)
           .map(p => graft.curves.CPoint(p.getFloat(0), p.getFloat(1))).toArray)
       }
-      Curves.curveSetInterpolate(set.toSeq, delay.toFloat)
-        .map(p => (p.x, p.y)).toSeq
+      Curves.curveSetInterpolate(set.toSeq, delay.toFloat).toSeq
     }
 
     val keyCols = Seq("trip_id", "trip_start_date", "trip_start_time",
@@ -262,12 +274,13 @@ object Predictor {
       .withColumn("best_rank", min("slot_rank")
         .over(org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)))
       .filter(col("slot_rank") === col("best_rank"))
-      .withColumn("prediction_curve", interpolate(col("curve_set"), col("basis_delay")))
+      .withColumn("prediction_curve",
+        capCurve(interpolate(col("curve_set"), col("basis_delay"))))
       .withColumn("precision_type",
         when(col("slot_rank") === 0, Codes.PrecisionSpecific)
           .otherwise(Codes.PrecisionFallbackSpecific))
-      .withColumn("curve_min_secs", element_at(col("prediction_curve"), 1).getField("_1"))
-      .withColumn("curve_max_secs", element_at(col("prediction_curve"), -1).getField("_1"))
+      .withColumn("curve_min_secs", element_at(col("prediction_curve"), 1).getField("x"))
+      .withColumn("curve_max_secs", element_at(col("prediction_curve"), -1).getField("x"))
       .withColumn("prediction_min",
         col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
           col("curve_min_secs").cast("decimal(18,6)")))

@@ -50,15 +50,22 @@ object ScheduledPredictions {
 
   /** Trip start instants (epoch secs) for one service date, including the
     * previous service day's past-midnight starts (SO1). */
+  /** `includePrevious` is set only for the FIRST day of a multi-day scan:
+    * day d's >24 h trips already appear in day d's own listing (service_date
+    * = d), so re-adding them as day d+1's "previous" arm would duplicate
+    * them and inflate the 1000-trip window cutoff. */
   private def tripStarts(spark: SparkSession, schedule: GtfsSchedule,
-                         date: String): DataFrame = {
+                         date: String, includePrevious: Boolean = true): DataFrame = {
     val current = ServiceCalendar.tripsForDate(spark, schedule, date)
       .withColumn("service_date", lit(date))
-    val prevDate = java.time.LocalDate.parse(date).minusDays(1).toString
-    val previous = ServiceCalendar.tripsForDate(spark, schedule, prevDate)
-      .filter(col("trip_start_time") >= 86400) // 25 h+ starts belong to prev day
-      .withColumn("service_date", lit(prevDate))
-    current.unionByName(previous)
+    val withPrev = if (!includePrevious) current else {
+      val prevDate = java.time.LocalDate.parse(date).minusDays(1).toString
+      val previous = ServiceCalendar.tripsForDate(spark, schedule, prevDate)
+        .filter(col("trip_start_time") >= 86400) // 25 h+ starts belong to prev day
+        .withColumn("service_date", lit(prevDate))
+      current.unionByName(previous)
+    }
+    withPrev
       .withColumn("start_epoch", unix_timestamp(GtfsTime.dateAndTime(
         to_date(col("service_date")), col("trip_start_time"))))
   }
@@ -79,8 +86,11 @@ object ScheduledPredictions {
     var day = java.time.LocalDate.ofEpochDay(from / 86400)
     val lastDay = java.time.LocalDate.ofEpochDay(bufferEnd / 86400)
     val starts = new scala.collection.mutable.ArrayBuffer[(String, DataFrame)]()
+    var firstDay = true
     while (!day.isAfter(lastDay)) {
-      starts += ((day.toString, tripStarts(spark, schedule, day.toString)))
+      starts += ((day.toString,
+        tripStarts(spark, schedule, day.toString, includePrevious = firstDay)))
+      firstDay = false
       day = day.plusDays(1)
     }
     val allStarts = starts.map(_._2).reduce(_ unionByName _)

@@ -62,14 +62,19 @@ object GtfsPack extends QueryPack {
       .orderBy("trip_start_date", "trip_id", "stop_index")
   }
 
+  // Curve arrays go out as JSON text: the driver harness hashes result
+  // columns with pandas, which cannot sort/factorize array<struct> cells —
+  // a scalar projection keeps the full curve content driver-checkable.
   private def specific(s: SparkSession, dir: String): DataFrame =
     curves(s)._1.toDF()
       .withColumn("focus_delay", col("focus_delay").cast("float"))
+      .withColumn("curve", to_json(col("curve")))
       .orderBy("route_id", "route_variant", "event_type", "time_slot_id",
         "start_stop_index", "end_stop_index", "focus_delay")
 
   private def defaults(s: SparkSession, dir: String): DataFrame =
     curves(s)._2.toDF()
+      .withColumn("curve", to_json(col("curve")))
       .orderBy("route_type", "route_section", "time_slot_id", "event_type")
 
   private var predCache: Option[(SparkSession, DataFrame)] = None
@@ -89,7 +94,9 @@ object GtfsPack extends QueryPack {
   }
 
   private def predictions(s: SparkSession, dir: String): DataFrame =
-    predictionState(s)._2.orderBy("trip_id", "stop_sequence", "event_type")
+    predictionState(s)._2
+      .withColumn("prediction_curve", to_json(col("prediction_curve")))
+      .orderBy("trip_id", "stop_sequence", "event_type")
 
   /** ST1/ST5: the streaming ingest (binaryFile stream → decode → schedule
     * join → last-writer-wins upsert) run to completion with AvailableNow;
@@ -112,6 +119,7 @@ object GtfsPack extends QueryPack {
     val (sched, recs) = pipeline(s)
     val (sc, _) = curves(s)
     Predictor.batchPredictRealtime(s, sched, recs, "2024-01-15", "graft", sc)
+      .withColumn("prediction_curve", to_json(col("prediction_curve")))
       .orderBy("trip_id", "stop_sequence", "event_type")
   }
 

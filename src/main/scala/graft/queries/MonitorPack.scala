@@ -80,8 +80,11 @@ object MonitorPack extends QueryPack {
 
   private def x9WalkCurves(s: SparkSession, dir: String): DataFrame = {
     val (sched, _) = GtfsPack.predictionState(s)
-    // fixture platforms sit ~310 m apart diagonally; 600 m yields pairs
-    Monitor.walkCurves(s, sched.stops, maxDistM = 600.0).orderBy("from_stop", "to_stop")
+    // fixture platforms sit ~310 m apart diagonally; 600 m yields pairs.
+    // walk_curve → JSON: the driver harness cannot hash array<struct> cells.
+    Monitor.walkCurves(s, sched.stops, maxDistM = 600.0)
+      .withColumn("walk_curve", to_json(col("walk_curve")))
+      .orderBy("from_stop", "to_stop")
   }
 
   private def j8ResolveTrip(s: SparkSession, dir: String): DataFrame = {

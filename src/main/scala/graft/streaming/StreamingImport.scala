@@ -58,30 +58,54 @@ object StreamingImport {
 
   /** Idempotent last-writer-wins merge of a micro-batch into a parquet
     * records table (the engine-internal variant of the reference's
-    * UPDATE-then-INSERT-IGNORE upsert, batched_statements.rs:59-107). */
+    * UPDATE-then-INSERT-IGNORE upsert, batched_statements.rs:59-107).
+    *
+    * Scale shape: the table is partitioned by `(source, trip_start_date)` and
+    * the merge touches ONLY the partitions the batch writes to — per-batch
+    * work is O(batch ∪ touched partitions), never O(table). The partition key
+    * is part of the upsert key (NOT the recording time), so every update for
+    * a vehicle lands in the same partition and cross-partition duplicates are
+    * impossible. Dynamic partition overwrite replaces just those directories —
+    * no whole-table rewrite, no delete+rename swap, no reader-visible race. */
   def upsertBatch(batch: DataFrame, targetDir: String): Unit = {
     val spark = batch.sparkSession
+    val partCols = Seq("source", "trip_start_date")
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val touched = batch.select(partCols.map(col): _*).distinct().collect()
+    if (touched.isEmpty) return
+
+    // read only the touched partitions (partition pruning on the scan); a
+    // missing table is the only tolerated "empty" state — corruption surfaces
     val existing =
-      try spark.read.parquet(targetDir)
-      catch { case _: Exception => null }
-    val unioned = if (existing == null) batch else existing.unionByName(batch)
+      if (!fs.exists(target)) None
+      else {
+        val cond = touched.map(r =>
+            col("source") === lit(r.getString(0))
+              && col("trip_start_date") === lit(r.getDate(1)))
+          .reduce(_ || _)
+        Some(spark.read.parquet(targetDir).filter(cond))
+      }
+
+    val unioned = existing.map(_.unionByName(batch)).getOrElse(batch)
     val key = Seq("source", "route_id", "route_variant", "trip_id",
       "trip_start_date", "trip_start_time", "stop_sequence")
     val w = Window.partitionBy(key.map(col): _*).orderBy(col("time_of_recording").desc)
     val merged = unioned
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-      .cache()
-    merged.count() // materialize before overwriting the source of the read
-    merged.write.mode("overwrite").parquet(targetDir + "_next")
-    // atomic-ish swap: write next, then point by rename
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(targetDir)
-    val next = new org.apache.hadoop.fs.Path(targetDir + "_next")
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(next, target)
-    merged.unpersist()
+      // materialize + truncate lineage so the overwrite below does not read
+      // from the path it replaces
+      .localCheckpoint(true)
+
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy(partCols: _*).parquet(targetDir)
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   /** ST2 stateful dedup: one [[PredictionRequest]] per vehicle whose basis
