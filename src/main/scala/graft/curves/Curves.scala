@@ -168,29 +168,105 @@ object Curves {
     }
   }
 
+  /** Weighted-cell form of [[makeCurve]]: `cells` is (value → multiplicity),
+    * sorted ascending by value — equivalent to expanding each value `count`
+    * times, but lets aggregators keep compressed (value → count) buffers
+    * instead of raw multisets. Reproduces [[makeCurve]]'s construction,
+    * including the lastX=0 quirk and the first-occurrence cumulative rule
+    * (the point at a distinct x carries only the first copy's weight;
+    * duplicate copies roll into the next distinct x). */
+  def makeCurveFromCells(cells: Array[(Float, Long)],
+                         focus: Option[Float]): Option[(Curve, Float)] = {
+    if (cells.isEmpty) return None
+    val minD = cells.head._1
+    val maxD = cells.last._1
+    var sumW = 0f
+    cells.foreach { case (v, c) => sumW += weight(v, focus, minD, maxD) * c }
+    if (sumW == 0f) return None
+    val tups = new ArrayBuffer[CPoint](cells.length)
+    var lastX = 0f
+    var i = 0f
+    cells.foreach { case (v, c) =>
+      val w = weight(v, focus, minD, maxD)
+      if (v != lastX) {
+        tups += CPoint(v, (i + w) / sumW)
+        lastX = v
+      }
+      i += w * c
+    }
+    if (tups.length < 2) return None
+    tups(0) = CPoint(tups(0).x, 0f)
+    tups(tups.length - 1) = CPoint(tups(tups.length - 1).x, 1f)
+    Some((tups.toArray, sumW))
+  }
+
   /** Curve-set build for one stop pair (specific_curves.rs:371-426):
     * sort pairs by initial delay, derive markers, build one focused weighted
     * ECDF per marker window (ε=0.001 simplify, span ≥13 s), sample_size =
-    * average slice size. Returns (Array[(focus, curve)], sampleSize). */
+    * average slice size. Returns (Array[(focus, curve)], sampleSize).
+    *
+    * Delegates to [[makeCurveSetFromCells]] on the canonical
+    * (d_s, d_e)-sorted multiset — marker-boundary slicing within runs of
+    * equal d_s was previously input-order-dependent (i.e. nondeterministic
+    * under shuffles); the canonical order makes it stable. */
   def makeCurveSet(pairs: Seq[(Float, Float)]): Option[(Array[(Float, Curve)], Int)] = {
     if (pairs.isEmpty) return None
-    val own = pairs.toArray.sortBy(_._1)
-    val count = own.length
-    makeCurve(own.map(_._1).toSeq, None).flatMap { case (initial, _) =>
+    val cells = pairs.groupBy(identity).iterator
+      .map { case ((ds, de), ps) => (ds, de, ps.size.toLong) }
+      .toArray.sortBy(t => (t._1, t._2))
+    makeCurveSetFromCells(cells)
+  }
+
+  /** Weighted-cell form of [[makeCurveSet]]: `cells` is the
+    * ((d_s, d_e) → multiplicity) multiset, sorted by (d_s, d_e). The marker
+    * windows slice the canonical expansion by index without materializing
+    * it — the A6 scale fix (a hot stop pair at 100 TB stays a bounded
+    * ~(500×500)-cell map, the pairs being 12 s-quantized and |d|<3000). */
+  def makeCurveSetFromCells(cells: Array[(Float, Float, Long)]): Option[(Array[(Float, Curve)], Int)] = {
+    if (cells.isEmpty) return None
+    var count = 0L
+    cells.foreach(count += _._3)
+    // d_s marginal (cells are (d_s, d_e)-sorted, so equal d_s are contiguous)
+    val marginal = new ArrayBuffer[(Float, Long)]()
+    cells.foreach { case (ds, _, c) =>
+      if (marginal.nonEmpty && marginal.last._1 == ds)
+        marginal(marginal.length - 1) = (ds, marginal.last._2 + c)
+      else marginal += ((ds, c))
+    }
+    makeCurveFromCells(marginal.toArray, None).flatMap { case (initial, _) =>
       val markers = new ArrayBuffer[Float]()
       markers += minX(initial); markers += minX(initial)
       recurseMarkers(initial, markers, minX(initial), maxX(initial), count.toFloat)
       markers += maxX(initial); markers += maxX(initial)
+      // start offset of each cell in the canonical expansion
+      val starts = new Array[Long](cells.length)
+      var acc = 0L
+      var ci = 0
+      while (ci < cells.length) { starts(ci) = acc; acc += cells(ci)._3; ci += 1 }
       var sampleSize = 0L
       val curves = new ArrayBuffer[(Float, Curve)]()
       markers.sliding(3).foreach {
         case ArrayBuffer(lower, mid, upper) =>
-          val minIndex = (count * yAtX(initial, lower)).toInt
-          val maxIndex = (count * yAtX(initial, upper)).toInt
-          val slice = own.slice(minIndex, maxIndex).map(_._2)
-          sampleSize += slice.length
-          if (slice.length > 1) {
-            makeCurve(slice.toSeq, Some(mid)).foreach { case (raw, _) =>
+          val minIndex = (count.toFloat * yAtX(initial, lower)).toLong
+          val maxIndex = (count.toFloat * yAtX(initial, upper)).toLong
+          // the window's d_e sub-multiset, still as (value → count) cells
+          val sliceCells = scala.collection.mutable.TreeMap.empty[Float, Long]
+          var sliceLen = 0L
+          ci = 0
+          while (ci < cells.length) {
+            val lo = math.max(minIndex, starts(ci))
+            val hi = math.min(maxIndex, starts(ci) + cells(ci)._3)
+            if (hi > lo) {
+              val c = hi - lo
+              sliceLen += c
+              val de = cells(ci)._2
+              sliceCells.update(de, sliceCells.getOrElse(de, 0L) + c)
+            }
+            ci += 1
+          }
+          sampleSize += sliceLen
+          if (sliceLen > 1) {
+            makeCurveFromCells(sliceCells.toArray, Some(mid)).foreach { case (raw, _) =>
               val curve = simplify(raw, 0.001f)
               if (maxX(curve) >= minX(curve) + 13.0f)
                 curves += ((mid, curve))

@@ -178,20 +178,24 @@ object CurveAnalysis {
     }.toDF("route_id", "route_variant", "event_type", "time_slot_id",
       "s_idx", "e_idx", "d_s", "d_e")
 
+    // Partial-aggregating curve-set build: map-side combine shuffles
+    // ((d_s, d_e) → count) cells, never raw pair rows — the F9 >20 gate and
+    // the marker/focused-ECDF recursion live inside the aggregator finish.
     val pairCurves = pairInput
-      .groupByKey(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3),
-        r.getInt(4), r.getInt(5)))
-      .flatMapGroups { (key: (String, Long, Int, Int, Int, Int), rows: Iterator[org.apache.spark.sql.Row]) =>
-        val (routeId, variant, et, slot, sIdx, eIdx) = key
-        val ps = rows.map(r => (r.getFloat(6), r.getFloat(7))).toArray
-        if (ps.length <= 20) Iterator.empty // F9 gate (>20 pairs)
-        else Curves.makeCurveSet(ps.toSeq).iterator.flatMap { case (set, sampleSize) =>
-          set.iterator.map { case (focus, curve) =>
-            SpecificCurveRow(routeId, variant, et, slot, sIdx, eIdx,
-              "curveset", Some(focus), curve.toSeq, PrecisionSpecific, sampleSize)
-          }
-        }
-      }
+      .groupBy("route_id", "route_variant", "event_type", "time_slot_id",
+        "s_idx", "e_idx")
+      .agg(graft.functions.PairCurveSetAggregator
+        .curveSet(col("d_s"), col("d_e"), minPairs = 20).as("cs"))
+      .select(col("route_id"), col("route_variant"), col("event_type"),
+        col("time_slot_id"), col("s_idx"), col("e_idx"),
+        explode(col("cs.entries")).as("fc"), // empty entries → no rows
+        col("cs.sample_size").as("sample_size"))
+      .select(col("route_id"), col("route_variant"), col("event_type"),
+        col("time_slot_id"), col("s_idx").as("start_stop_index"),
+        col("e_idx").as("end_stop_index"), lit("curveset").as("curve_kind"),
+        col("fc.focus").as("focus_delay"), col("fc.curve").as("curve"),
+        lit(PrecisionSpecific).as("precision_type"), col("sample_size"))
+      .as[SpecificCurveRow]
 
     generalCurves.union(pairCurves)
   }

@@ -21,6 +21,39 @@ object Directory {
       catch { case _: Exception => None }
     }
 
+  private val DateTimeRe = raw"(\d{4}-\d{2}-\d{2})T(\d{2}):(\d{2}):(\d{2})".r
+
+  /** X2: filename → ISO datetime (`date_time_from_filename`,
+    * analyser/mod.rs:191-199); falls back to the X1 date at midnight when
+    * the name carries only a date. */
+  def dateTimeFromFilename(name: String): Option[java.time.LocalDateTime] =
+    DateTimeRe.findFirstMatchIn(name) match {
+      case Some(m) =>
+        try Some(java.time.LocalDateTime.parse(
+          s"${m.group(1)}T${m.group(2)}:${m.group(3)}:${m.group(4)}"))
+        catch { case _: Exception => None }
+      case None => dateFromFilename(name).map(_.atStartOfDay)
+    }
+
+  /** A1's rt-file statistics half (count.rs:41-70): file count and byte
+    * size per file-date bucket — the reference's `fs::metadata` loop over
+    * `rt_filenames`, as a scan of the listing's (path, length) metadata
+    * only (the binary content column is never touched, so nothing but the
+    * file index is read). */
+  def rtFileStats(spark: SparkSession, dir: String, glob: String = "*.pb"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("length"))
+      .withColumn("file_name", regexp_extract(col("path"), "([^/]+)$", 1))
+      .withColumn("file_ts", coalesce( // X2 with X1-midnight fallback;
+        // try_to_timestamp: a non-matching regex yields '' (ANSI cast throws)
+        try_to_timestamp(regexp_extract(col("file_name"),
+          raw"(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})", 1)),
+        try_to_timestamp(regexp_extract(col("file_name"), raw"(\d{4}-\d{2}-\d{2})", 1))))
+      .filter(col("file_ts").isNotNull)
+      .groupBy(to_date(col("file_ts")).as("file_date"))
+      .agg(count(lit(1)).as("rt_file_count"), sum(col("length")).as("rt_file_size"))
+
   final case class Assignment(
       bySchedule: Seq[(String, Seq[String])], // schedule file → its rt files, oldest first
       skipped: Seq[String],                   // rt older than every schedule

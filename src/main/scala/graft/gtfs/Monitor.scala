@@ -109,6 +109,113 @@ object Monitor {
         "origin_type", "sample_size")
   }
 
+  /** The trip page (monitor/mod.rs:690-795 `generate_trip_page`): for one
+    * vehicle (trip id + start date/time) and a boarding stop, the departure
+    * prediction at the boarding stop plus arrival predictions at every later
+    * stop — each with scheduled instant and the 1%/50%/99% quantile instants
+    * the page's [−/○/+] columns show (write_stop_time_output), stop names
+    * joined from the schedule (F12), ordered by stop sequence. */
+  def tripPage(spark: SparkSession, predictions: DataFrame, schedule: GtfsSchedule,
+               tripId: String, tripStartDate: String, tripStartTime: Int,
+               boardingStopSeq: Int): DataFrame = {
+    val vehicle = predictions
+      .filter(col("trip_id") === tripId
+        && col("trip_start_date") === to_date(lit(tripStartDate), "yyyy-MM-dd")
+        && col("trip_start_time") === tripStartTime)
+      .filter((col("stop_sequence") === boardingStopSeq
+          && col("event_type") === Codes.EventDeparture)
+        || (col("stop_sequence") > boardingStopSeq
+          && col("event_type") === Codes.EventArrival))
+
+    val secs = (c: Column) => make_dt_interval(lit(0), lit(0), lit(0), c.cast("decimal(18,6)"))
+    withPercentiles(vehicle)
+      .withColumn("sched_ts", col("prediction_min") -
+        secs(element_at(col("prediction_curve"), 1).getField("x")))
+      .withColumn("q1_ts", col("sched_ts") + secs(col("delay_1")))
+      .withColumn("median_ts", col("sched_ts") + secs(col("delay_50")))
+      .withColumn("q99_ts", col("sched_ts") + secs(col("delay_99")))
+      .join(broadcast(schedule.stops.select(col("stop_id"), col("stop_name"))),
+        Seq("stop_id"), "left")
+      .orderBy("stop_sequence", "event_type")
+      .select("route_id", "trip_id", "stop_sequence", "event_type", "stop_name",
+        "sched_ts", "q1_ts", "median_ts", "q99_ts",
+        "precision_type", "origin_type", "sample_size")
+  }
+
+  /** One leg of a composed journey: ride a vehicle between two stop
+    * sequences, or walk a known distance to the next stop. */
+  sealed trait JourneyLeg
+  final case class RideLeg(tripId: String, tripStartDate: String, tripStartTime: Int,
+                           boardStopSeq: Int, alightStopSeq: Int) extends JourneyLeg
+  final case class WalkLeg(distanceMeters: Float) extends JourneyLeg
+
+  /** End-to-end journey composition (journey_data.rs:265-339, :420-470):
+    * chain stop → trip → walk legs, carrying an absolute-anchored arrival
+    * curve and a cumulative success probability —
+    *  - start: ±30 s uniform curve anchored at `startEpoch`, probability 1
+    *    (journey_data.rs:317-321);
+    *  - ride: probability ×= X11 transfer probability from the current
+    *    arrival curve to the leg's departure curve (journey_data.rs:445);
+    *    the new arrival curve is the prediction at the alight stop;
+    *  - walk: arrival curve = X10 convolution with the synthetic X9
+    *    walk-time curve; probability carries over (journey_data.rs:300-310).
+    *
+    * Per-leg curve lookups collect SINGLE prediction rows (the reference
+    * issues the same one-row queries per leg, journey_data.rs:487-493);
+    * the returned frame has one row per component with the reach
+    * probability and the 50% quantile instant. */
+  def journey(spark: SparkSession, predictions: DataFrame, schedule: GtfsSchedule,
+              startEpoch: Double, legs: Seq[JourneyLeg]): DataFrame = {
+    import spark.implicits._
+
+    def predictionAt(tripId: String, date: String, startTime: Int, stopSeq: Int,
+                     et: Int): (Array[CPoint], Double) = {
+      val rows = predictions
+        .filter(col("trip_id") === tripId
+          && col("trip_start_date") === to_date(lit(date), "yyyy-MM-dd")
+          && col("trip_start_time") === startTime
+          && col("stop_sequence") === stopSeq && col("event_type") === et)
+        .select(unix_timestamp(col("prediction_min")).cast("double").as("min_epoch"),
+          col("prediction_curve"))
+        .collect()
+      require(rows.nonEmpty, s"no prediction for $tripId seq $stopSeq et $et")
+      val r = rows.head
+      val curve = toCurve(r.getSeq[org.apache.spark.sql.Row](1))
+      // prediction_min sits at the curve's min-x point → scheduled anchor
+      val anchor = r.getDouble(0) - curve.head.x
+      (curve, anchor)
+    }
+
+    var curve: Array[CPoint] = Array(CPoint(-30f, 0f), CPoint(30f, 1f))
+    var anchor: Double = startEpoch
+    var prob: Float = 1f
+    val out = Seq.newBuilder[(Int, String, String, Double, Double, Double)]
+    out += ((0, "start", "", 1.0,
+      anchor, anchor + Curves.xAtY(curve, 0.5f)))
+
+    legs.zipWithIndex.foreach {
+      case (RideLeg(tripId, date, startTime, board, alight), i) =>
+        val (depCurve, depAnchor) =
+          predictionAt(tripId, date, startTime, board, Codes.EventDeparture)
+        prob *= Curves.transferProbability(curve, anchor, depCurve, depAnchor)
+        val (arrCurve, arrAnchor) =
+          predictionAt(tripId, date, startTime, alight, Codes.EventArrival)
+        curve = arrCurve; anchor = arrAnchor
+        out += ((i + 1, "ride", tripId, (math.rint(prob * 10000) / 10000).toDouble,
+          anchor, anchor + Curves.xAtY(curve, 0.5f)))
+      case (WalkLeg(dist), i) =>
+        curve = Curves.convolve(curve, Curves.walkTimeCurve(dist))
+        out += ((i + 1, "walk", "", (math.rint(prob * 10000) / 10000).toDouble,
+          anchor, anchor + Curves.xAtY(curve, 0.5f)))
+    }
+    out.result()
+      .toDF("component_idx", "kind", "trip_id", "reach_prob",
+        "anchor_epoch", "median_epoch")
+      .withColumn("anchor_epoch", round(col("anchor_epoch"), 2))
+      .withColumn("median_epoch", round(col("median_epoch"), 2))
+      .orderBy("component_idx")
+  }
+
   /** F11: stop-name autocomplete — names containing every query term,
     * distinct, sorted, top 10 (monitor/mod.rs:202-224). */
   def autocomplete(stops: DataFrame, terms: Seq[String]): DataFrame = {

@@ -1,0 +1,80 @@
+package graft.gtfs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The visual-schedule DATASET (run_visual_schedule,
+  * /root/reference/src/analyser/visual_schedule.rs:50-377): per route,
+  * variants are greedily grouped under the longest "primary" variant that
+  * contains them (forward or reversed), and every trip of a grouped variant
+  * contributes one row per stop event with its y-position along the primary
+  * variant's stop list — the line data behind the reference's PNG graphs
+  * (the SVG/PNG rendering itself is out of engine scope, SURVEY §2 X15).
+  */
+object VisualSchedule {
+
+  /** Greedy variant grouping (visual_schedule.rs:236-277): repeatedly take
+    * the longest remaining variant as primary and absorb every variant whose
+    * stop list is a contiguous subsequence of it, forward or reversed
+    * (`is_sub_trip`). Returns (variant → its primary), covering all inputs. */
+  def variantGroups(stopLists: Seq[(Long, Seq[String])]): Seq[(Long, Long)] = {
+    def isSub(sub: Seq[String], full: Seq[String]): Boolean =
+      sub.nonEmpty && full.sliding(sub.length).exists(_ == sub)
+    var remaining = stopLists.sortBy { case (v, s) => (-s.length, v) }
+    val out = Seq.newBuilder[(Long, Long)]
+    while (remaining.nonEmpty) {
+      val (primary, pStops) = remaining.head
+      val rev = pStops.reverse
+      val (members, rest) = remaining.partition { case (_, s) =>
+        isSub(s, pStops) || isSub(s, rev)
+      }
+      members.foreach { case (v, _) => out += ((v, primary)) }
+      remaining = rest
+    }
+    out.result()
+  }
+
+  /** Per-trip line data: one row per (trip, stop event) with
+    * `y_index` = the stop's first position in the PRIMARY variant's stop
+    * list and the scheduled arrival/departure seconds as x. Variant stop
+    * lists are tiny (the reference collects them per route too,
+    * visual_schedule.rs:180-210), so grouping is driver-side; the per-trip
+    * explosion joins `stopTimes` against the broadcast (variant, stop) →
+    * index map — distributed, no driver loop over trips. */
+  def tripLines(spark: SparkSession, schedule: GtfsSchedule,
+                routeId: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val vstops = routeId
+      .map(r => schedule.variantStops.filter(col("route_id") === r))
+      .getOrElse(schedule.variantStops)
+    val byRoute = vstops
+      .orderBy("route_id", "route_variant", "stop_index")
+      .select("route_id", "route_variant", "stop_id")
+      .collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case ((rid, v), rows) => (rid, v, rows.map(_.getString(2)).toSeq) }
+      .toSeq.groupBy(_._1)
+
+    val mapping = for {
+      (rid, variants) <- byRoute.toSeq
+      lists = variants.map { case (_, v, stops) => (v, stops) }
+      primaryOf = variantGroups(lists).toMap
+      stopsOf = lists.toMap
+      (v, _) <- lists
+      primary = primaryOf(v)
+      // first occurrence wins if a loop route visits a stop twice
+      (stopId, idx) <- stopsOf(primary).zipWithIndex.groupBy(_._1)
+        .map { case (s, occ) => (s, occ.map(_._2).min) }
+    } yield (rid, v, primary, stopId, idx)
+
+    val mapDf = mapping
+      .toDF("route_id", "route_variant", "primary_variant", "stop_id", "y_index")
+    schedule.stopTimes
+      .join(schedule.trips
+        .select("trip_id", "route_id", "route_variant", "trip_headsign"), "trip_id")
+      .join(broadcast(mapDf), Seq("route_id", "route_variant", "stop_id"))
+      .select(col("route_id"), col("primary_variant"), col("route_variant"),
+        col("trip_id"), col("stop_sequence"), col("stop_id"), col("y_index"),
+        col("arrival_secs"), col("departure_secs"))
+  }
+}

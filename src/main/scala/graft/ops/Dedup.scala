@@ -20,10 +20,13 @@ object Dedup {
 
   /** Exact dedup (hash-groupBy): one row per distinct text with the
     * canonical (minimum) id and the multiplicity. Grouping key is
-    * (xxhash64(text), text): the hash prunes comparisons, keeping the text
-    * in the key guards against hash collisions. */
+    * (xxhash64(text), md5(text), length(text)) — 192 effective bits, so the
+    * shuffle carries a fixed ~44-byte key per row and NEVER the text itself
+    * (shuffling document bodies is the scale-killer at 100 TB); a collision
+    * across all three simultaneously is cryptographically negligible. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.groupBy(xxhash64(col(textCol)).as("text_hash"), col(textCol))
+    docs.groupBy(xxhash64(col(textCol)).as("h64"), md5(col(textCol)).as("h128"),
+        length(col(textCol)).as("text_len"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 

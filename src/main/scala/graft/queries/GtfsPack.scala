@@ -123,8 +123,26 @@ object GtfsPack extends QueryPack {
       .orderBy("trip_id", "stop_sequence", "event_type")
   }
 
+  /** Visual-schedule line dataset on the fixture schedule (X15's data half;
+    * the PNG rendering is out of engine scope). */
+  private def visualSchedule(s: SparkSession, dir: String): DataFrame = {
+    val (sched, _) = pipeline(s)
+    VisualSchedule.tripLines(s, sched)
+      .orderBy("route_id", "primary_variant", "route_variant", "trip_id",
+        "stop_sequence")
+  }
+
+  /** A1's rt-file half (count.rs:41-70): per-day file count + byte size of
+    * the fixture rt directory listing. */
+  private def fileStats(s: SparkSession, dir: String): DataFrame = {
+    val (_, rtDir) = dirs
+    Directory.rtFileStats(s, rtDir).orderBy("file_date")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gtfs_predictions_realtime" -> (predictionsRealtime _),
+    "gtfs_visual_schedule" -> (visualSchedule _),
+    "gtfs_file_stats" -> (fileStats _),
     "gtfs_records" -> (records _),
     "gtfs_gap_fill" -> (gapFilled _),
     "gtfs_specific_curves" -> (specific _),

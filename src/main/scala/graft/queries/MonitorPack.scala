@@ -87,6 +87,27 @@ object MonitorPack extends QueryPack {
       .orderBy("from_stop", "to_stop")
   }
 
+  /** Trip page for fixture trip T1 (departs 08:00:30 → trip_start_time
+    * 28830), boarding at the first stop (seq 10). */
+  private def tripPage(s: SparkSession, dir: String): DataFrame = {
+    val (sched, preds) = GtfsPack.predictionState(s)
+    Monitor.tripPage(s, preds, sched, "T1", "2024-03-04",
+      tripStartTime = 8 * 3600 + 30, boardingStopSeq = 10)
+  }
+
+  /** 3-leg fixture journey: S1 →(T1)→ S3 →(walk ~260 m)→ S4 →(T1sub)→ S5.
+    * T1sub departs S4 at 10:10:30, ~2 h after T1 arrives S3 — the first
+    * transfer succeeds with certainty, exercising X10/X11 end to end. */
+  private def journeyQ(s: SparkSession, dir: String): DataFrame = {
+    val (sched, preds) = GtfsPack.predictionState(s)
+    val start = s.sql("SELECT unix_timestamp(to_timestamp('2024-03-04 07:55:00'))")
+      .head.getLong(0).toDouble
+    Monitor.journey(s, preds, sched, start, Seq(
+      Monitor.RideLeg("T1", "2024-03-04", 8 * 3600 + 30, boardStopSeq = 10, alightStopSeq = 30),
+      Monitor.WalkLeg(261f),
+      Monitor.RideLeg("T1sub", "2024-03-04", 10 * 3600 + 30, boardStopSeq = 40, alightStopSeq = 50)))
+  }
+
   private def j8ResolveTrip(s: SparkSession, dir: String): DataFrame = {
     val (sched, _) = GtfsPack.predictionState(s)
     Monitor.resolveTrip(sched, "Downtown", "10", 3, "Stop 1", 8 * 3600 + 30)
@@ -101,6 +122,8 @@ object MonitorPack extends QueryPack {
     "so4_except" -> (so4Except _),
     "x12_format" -> (x12Format _),
     "monitor_stop_page" -> (stopPage _),
+    "monitor_trip_page" -> (tripPage _),
+    "monitor_journey" -> (journeyQ _),
     "w8_percentiles" -> (w8Percentiles _),
     "x9_walk_curves" -> (x9WalkCurves _),
     "j8_resolve_trip" -> (j8ResolveTrip _)

@@ -230,6 +230,33 @@ object RelationalPack extends QueryPack {
       .orderBy("event_type", "x")
   }
 
+  // A8/A10 curve averaging, oracle-checked end to end: per-group
+  // unsimplified ECDFs (the REAL partial aggregator) averaged pointwise on
+  // the union x-grid by the REAL library average — the default-curve
+  // averaging step (default_curves.rs:180-244) made SQL-expressible by
+  // ε=0 (simplify is then a no-op). The oracle reproduces makeCurve
+  // (incl. the lastX=0 quirk), linear yAtX interpolation with 0/1 clamps,
+  // and the pointwise mean.
+  private def a8CurveAverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select(col("event_type"),
+        (expr("CAST(value AS INT)") - expr("CAST(value AS INT) % 12"))
+          .cast("float").as("v"))
+      .groupBy("event_type")
+      .agg(graft.functions.EcdfAggregator.ecdf(col("v"), 1, 0f).as("curve"))
+      .as[(String, Seq[graft.curves.CPoint])]
+      .groupByKey(_ => 1)
+      .flatMapGroups { (_: Int, it: Iterator[(String, Seq[graft.curves.CPoint])]) =>
+        // deterministic float-sum order: sort curves by group key
+        val cs = it.toSeq.sortBy(_._1).map(_._2.toArray)
+        graft.curves.Curves.average(cs).iterator
+          .map(p => (p.x.toInt, math.round(p.y.toDouble * 10000) / 10000.0))
+      }
+      .toDF("x", "y")
+      .orderBy("x")
+  }
+
   // ---- Flagship: q1-style aggregation (headline correctness probe) -------
   private def q1Agg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -260,6 +287,7 @@ object RelationalPack extends QueryPack {
     "w7_topk" -> (w7TopK _),
     "a9_grouping_sets" -> (a9GroupingSets _),
     "a3_ecdf_curve" -> (a3EcdfCurve _),
+    "a8_curve_average" -> (a8CurveAverage _),
     "a12_distinct" -> (a12Distinct _),
     "so1_union" -> (so1Union _),
     "x1_regex_extract" -> (x1RegexExtract _)
@@ -379,6 +407,44 @@ object RelationalPack extends QueryPack {
                   ELSE ROUND(first_rn * 1.0 / n, 4) END AS y
       FROM emitted
       ORDER BY event_type, x""",
+    "a8_curve_average" -> """
+      WITH vals AS (
+        SELECT event_type AS g,
+               CAST(TRUNC(value) AS INT) - CAST(TRUNC(value) AS INT) % 12 AS x
+        FROM events),
+      stats AS (SELECT g, COUNT(*) AS n, MIN(x) AS mn FROM vals GROUP BY g),
+      pts AS (SELECT g, x, COUNT(*) AS cnt FROM vals GROUP BY g, x),
+      cum AS (
+        SELECT g, x,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY x) - cnt + 1 AS first_rn
+        FROM pts),
+      emitted AS (
+        SELECT cu.g, cu.x, cu.first_rn, st.n FROM cum cu JOIN stats st ON cu.g = st.g
+        WHERE NOT (cu.x = 0 AND cu.x = st.mn)),
+      curve AS (
+        SELECT g, x,
+               CASE WHEN x = MIN(x) OVER (PARTITION BY g) THEN 0.0
+                    WHEN x = MAX(x) OVER (PARTITION BY g) THEN 1.0
+                    ELSE first_rn * 1.0 / n END AS y
+        FROM emitted),
+      gs AS (SELECT DISTINCT g FROM curve),
+      grid AS (SELECT DISTINCT x FROM curve),
+      interp AS (
+        SELECT gs.g, grid.x AS gx,
+          CASE
+            WHEN grid.x <= (SELECT MIN(c.x) FROM curve c WHERE c.g = gs.g) THEN 0.0
+            WHEN grid.x >= (SELECT MAX(c.x) FROM curve c WHERE c.g = gs.g) THEN 1.0
+            ELSE (SELECT p0.y + (p1.y - p0.y) * ((grid.x - p0.x) * 1.0 / (p1.x - p0.x))
+                  FROM (SELECT c0.x, c0.y FROM curve c0
+                        WHERE c0.g = gs.g AND c0.x < grid.x
+                        ORDER BY c0.x DESC LIMIT 1) p0,
+                       (SELECT c1.x, c1.y FROM curve c1
+                        WHERE c1.g = gs.g AND c1.x >= grid.x
+                        ORDER BY c1.x LIMIT 1) p1)
+          END AS y
+        FROM gs CROSS JOIN grid)
+      SELECT gx AS x, ROUND(AVG(y), 4) AS y
+      FROM interp GROUP BY gx ORDER BY gx""",
     "a12_distinct" -> """
       SELECT DISTINCT event_type FROM events ORDER BY event_type""",
     "so1_union" -> """

@@ -108,6 +108,21 @@ object StreamingImport {
     }
   }
 
+  /** S13/S14 as a true DB export: per micro-batch, reduce to the newest row
+    * per upsert key (W2 within the batch) and push through the batched keyed
+    * JDBC writer — UPDATE-then-INSERT with deadlock retry, mirroring the
+    * reference's MySQL sink (batched_statements.rs:40-107,
+    * importer/mod.rs:558-616). Replay-idempotent: a retried batch UPDATEs
+    * the same keys to the same values. */
+  def upsertBatchJdbc(batch: DataFrame, cfg: graft.sinks.JdbcUpsert.Config): Unit = {
+    val key = cfg.keyCols
+    val w = Window.partitionBy(key.map(col): _*).orderBy(col("time_of_recording").desc)
+    val reduced = batch
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    graft.sinks.JdbcUpsert.upsert(reduced, cfg)
+  }
+
   /** ST2 stateful dedup: one [[PredictionRequest]] per vehicle whose basis
     * (highest observed stop with a departure delay) changed; state expires
     * 12 h after last activity (pass `GroupStateTimeout.NoTimeout` in tests —

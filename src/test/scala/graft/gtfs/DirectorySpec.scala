@@ -44,6 +44,28 @@ class DirectorySpec extends AnyFunSuite {
     assert(new java.io.File(s"$base/rt").listFiles().isEmpty)
   }
 
+  test("X2: filename datetime regex with X1 date-midnight fallback") {
+    assert(Directory.dateTimeFromFilename("feed-2024-03-04T08:15:30.pb")
+      .contains(java.time.LocalDateTime.of(2024, 3, 4, 8, 15, 30)))
+    assert(Directory.dateTimeFromFilename("2024-03-04-feed.pb")
+      .contains(java.time.LocalDateTime.of(2024, 3, 4, 0, 0, 0)))
+    assert(Directory.dateTimeFromFilename("nodate.pb").isEmpty)
+  }
+
+  test("A1 rt-file half: per-day count and byte size from the listing") {
+    val dir = Files.createTempDirectory("rtstats")
+    FixtureGen.writeRtFiles(dir)
+    val stats = Directory.rtFileStats(spark, dir.toString).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats.size == FixtureGen.Days, "one bucket per fixture day")
+    assert(stats("2024-01-01")._1 == 2, "day 0 has the newer second feed file")
+    assert(stats("2024-01-02")._1 == 1)
+    val expectedSize = new java.io.File(dir.toString).listFiles()
+      .filter(f => f.getName.startsWith("2024-01-02") && f.getName.endsWith(".pb"))
+      .map(_.length).sum
+    assert(stats("2024-01-02")._2 == expectedSize, "byte size equals fs metadata")
+  }
+
   test("service calendar: weekday flags and calendar_dates exceptions") {
     val (schedDir, _) = GtfsFixtures.create()
     val schedule = GtfsSchedule.load(spark, schedDir)

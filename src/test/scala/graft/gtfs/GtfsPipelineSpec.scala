@@ -120,6 +120,28 @@ class GtfsPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("visual schedule: sub-variants grouped under longest; y along primary") {
+    val variantOf = schedule.trips.select("trip_id", "route_variant").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // grouping: T1sub (S2..S5) and T3 (S1..S4) are contiguous subsequences
+    // of T1's S1..S6 → all R1 variants share T1's primary
+    val lines = VisualSchedule.tripLines(spark, schedule).collect()
+    val primaries = lines.map(r =>
+      r.getAs[Long]("route_variant") -> r.getAs[Long]("primary_variant")).toMap
+    assert(primaries(variantOf("T1sub")) == variantOf("T1"))
+    assert(primaries(variantOf("T3")) == variantOf("T1"))
+    assert(primaries(variantOf("T2")) == variantOf("T2"), "R2 is its own primary")
+
+    // y positions follow the PRIMARY list: T1sub serves S2..S5 → indices 1..4
+    val subY = lines.filter(_.getAs[String]("trip_id") == "T1sub")
+      .sortBy(_.getAs[Int]("stop_sequence"))
+      .map(_.getAs[Int]("y_index")).toSeq
+    assert(subY == Seq(1, 2, 3, 4), s"T1sub y positions: $subY")
+    // every trip of the fixture contributes all its stop rows
+    assert(lines.count(_.getAs[String]("trip_id") == "T2") == 16)
+  }
+
   test("predictor: hierarchy specific -> default, batch join produces predictions") {
     val sc = CurveAnalysis.specificCurves(spark, records, schedule)
     val dc = CurveAnalysis.defaultCurves(spark, records, schedule)

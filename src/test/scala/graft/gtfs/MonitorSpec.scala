@@ -98,6 +98,78 @@ class MonitorSpec extends AnyFunSuite {
     assert(Monitor.transferProbability(arrival, 0.0, 100f, gone, 0.0) < 0.05f)
   }
 
+  test("trip page: boarding departure first, later arrivals, monotone quantiles") {
+    val page = Monitor.tripPage(spark, predictions, schedule, "T1", "2024-03-04",
+      tripStartTime = 8 * 3600 + 30, boardingStopSeq = 10).collect()
+    assert(page.nonEmpty, "T1 has predictions on 2024-03-04")
+    val first = page.head
+    assert(first.getAs[Int]("stop_sequence") == 10
+      && first.getAs[Int]("event_type") == Codes.EventDeparture,
+      "boarding stop row is the departure prediction")
+    page.tail.foreach { r =>
+      assert(r.getAs[Int]("stop_sequence") > 10
+        && r.getAs[Int]("event_type") == Codes.EventArrival)
+    }
+    page.foreach { r =>
+      val q1 = r.getAs[java.sql.Timestamp]("q1_ts").getTime
+      val med = r.getAs[java.sql.Timestamp]("median_ts").getTime
+      val q99 = r.getAs[java.sql.Timestamp]("q99_ts").getTime
+      assert(q1 <= med && med <= q99, "quantile instants monotone")
+      assert(r.getAs[String]("stop_name") != null, "stop name joined (F12)")
+    }
+  }
+
+  test("journey composition: hand-computed 3-leg journey (X10/X11 chained)") {
+    import spark.implicits._
+    def ts(epoch: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(epoch))
+    val date = java.sql.Date.valueOf("2099-01-01")
+    // uniform curves: dep J1 [0,60]@10600, arr J1 [0,120]@12000,
+    // dep J2 [0,60]@12058, arr J2 [0,60]@13000
+    def uniform(a: Float, b: Float) = Seq(CPoint(a, 0f), CPoint(b, 1f))
+    val preds = Seq(
+      ("J1", date, 100, 1, Codes.EventDeparture, ts(10600), uniform(0f, 60f)),
+      ("J1", date, 100, 2, Codes.EventArrival, ts(12000), uniform(0f, 120f)),
+      ("J2", date, 200, 1, Codes.EventDeparture, ts(12058), uniform(0f, 60f)),
+      ("J2", date, 200, 2, Codes.EventArrival, ts(13000), uniform(0f, 60f))
+    ).toDF("trip_id", "trip_start_date", "trip_start_time", "stop_sequence",
+      "event_type", "prediction_min", "prediction_curve")
+
+    val out = Monitor.journey(spark, preds, schedule, startEpoch = 10000.0, Seq(
+      Monitor.RideLeg("J1", "2099-01-01", 100, boardStopSeq = 1, alightStopSeq = 2),
+      Monitor.WalkLeg(10f), // < 20 m → ±12 s uniform walk curve
+      Monitor.RideLeg("J2", "2099-01-01", 200, boardStopSeq = 1, alightStopSeq = 2)))
+      .collect()
+    assert(out.length == 4, "start + 3 legs")
+
+    // start: anchored at t0, median = t0
+    assert(out(0).getAs[Double]("anchor_epoch") == 10000.0)
+    assert(out(0).getAs[Double]("median_epoch") == 10000.0)
+
+    // leg 1: the start window [9970, 10030] ends 570 s before the earliest
+    // J1 departure (10600) → the transfer NEVER misses, probability exactly 1;
+    // alight curve uniform [0,120]@12000 → median 12060
+    assert(out(1).getAs[Double]("reach_prob") == 1.0)
+    assert(out(1).getAs[Double]("median_epoch") == 12060.0)
+
+    // leg 2 (walk): convolving with the symmetric ±12 s walk curve keeps the
+    // median near 12060 (discrete convolution step ≤ 12 s); prob carries over
+    assert(out(2).getAs[Double]("reach_prob") == 1.0)
+    assert(math.abs(out(2).getAs[Double]("median_epoch") - 12060.0) <= 15.0)
+
+    // leg 3: tight transfer — J2 departs uniformly [12058, 12118] while the
+    // walk-arrival straddles it → probability strictly between 0 and 1, and
+    // must equal the X10+X11 primitives composed directly
+    val walkArrival = Curves.convolve(
+      Array(CPoint(0f, 0f), CPoint(120f, 1f)), Curves.walkTimeCurve(10f))
+    val expected = Curves.transferProbability(
+      walkArrival, 12000.0, Array(CPoint(0f, 0f), CPoint(60f, 1f)), 12058.0)
+    val p3 = out(3).getAs[Double]("reach_prob")
+    assert(p3 > 0.0 && p3 < 1.0, s"tight transfer must be uncertain: $p3")
+    assert(math.abs(p3 - (math.rint(expected * 10000) / 10000)) < 1e-9,
+      s"journey prob $p3 vs direct composition $expected")
+    assert(out(3).getAs[Double]("median_epoch") == 13030.0)
+  }
+
   test("realtime-conditioned batch prediction: later stops, realtime origin") {
     val sc = CurveAnalysis.specificCurves(spark, records, schedule)
     val preds = Predictor.batchPredictRealtime(spark, schedule, records,
