@@ -22,7 +22,9 @@ object Explain {
 
     val audit = Seq("q1_agg", "f1_range_filter", "j1_broadcast_join",
       "j3_pair_join", "j7_geo_join", "w2_last_writer", "ann_brute_topk",
-      "dedup_exact", "text_stats")
+      "dedup_exact", "text_stats", "a8_curve_average", "dedup_lsh_vs_exact",
+      "ann_lsh_recall", "gtfs_visual_schedule", "gtfs_file_stats",
+      "monitor_trip_page")
 
     audit.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

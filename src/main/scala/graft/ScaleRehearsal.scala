@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Scale rehearsal for the curve path (dev tool, not part of the driver
+  * contract): generates a records table several orders of magnitude larger
+  * than the test fixture (same shape the importer produces), runs the
+  * specific + default curve builds on it, and prints wall time, row counts
+  * and shuffle bytes. Results are recorded in SCALE.md.
+  *
+  * Knobs via env: SPARK_GRAFT_SR_ROUTES (default 500), _TRIPS (trips per
+  * variant per day, default 10), _STOPS (default 20), _DAYS (default 60).
+  * Defaults yield ~12M observation rows → ~230M quantized delay pairs
+  * through the A6 aggregator (~50,000× the unit fixture).
+  */
+object ScaleRehearsal {
+
+  private final class ShuffleMeter extends SparkListener {
+    val writeBytes = new AtomicLong
+    val readBytes = new AtomicLong
+    val spillBytes = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        writeBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        readBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spillBytes.addAndGet(m.diskBytesSpilled)
+      }
+    }
+  }
+
+  /** Synthetic GTFS CSV schedule: `routes` routes × 2 variants (full +
+    * prefix) × `tripsPerVariant` trips, `stops` stops each. */
+  private def writeSchedule(dir: java.nio.file.Path, routes: Int,
+                            tripsPerVariant: Int, stops: Int): Unit = {
+    def w(name: String, lines: Iterator[String]): Unit = {
+      val bw = java.nio.file.Files.newBufferedWriter(dir.resolve(name))
+      try lines.foreach { l => bw.write(l); bw.write("\n") } finally bw.close()
+    }
+    def fmt(secs: Int) = f"${secs / 3600}%02d:${(secs % 3600) / 60}%02d:${secs % 60}%02d"
+    w("agency.txt", Iterator("agency_id,agency_name", "AG,ScaleTest"))
+    w("stops.txt", Iterator("stop_id,stop_name,stop_lat,stop_lon") ++
+      (1 to stops).iterator.map(i => f"S$i,Stop $i,${50.0 + i * 0.002}%.4f,${8.0 + i * 0.003}%.4f"))
+    w("routes.txt", Iterator("route_id,agency_id,route_short_name,route_type") ++
+      (0 until routes).iterator.map(r => s"R$r,AG,${r % 900},${Seq(0, 1, 2, 3)(r % 4)}"))
+    w("trips.txt", Iterator("trip_id,route_id,service_id,trip_headsign") ++
+      (for {
+        r <- (0 until routes).iterator; v <- Iterator(0, 1); t <- (0 until tripsPerVariant).iterator
+      } yield s"T${r}_${v}_$t,R$r,WD,H$r"))
+    // variant 0 = all stops; variant 1 = first stops/2 stops (a sub-variant)
+    w("stop_times.txt", Iterator("trip_id,stop_sequence,stop_id,arrival_time,departure_time") ++
+      (for {
+        r <- (0 until routes).iterator; v <- Iterator(0, 1); t <- (0 until tripsPerVariant).iterator
+        n = if (v == 0) stops else stops / 2
+        i <- (1 to n).iterator
+        arr = 5 * 3600 + t * 1200 + (i - 1) * 180
+      } yield s"T${r}_${v}_$t,$i,S$i,${fmt(arr)},${fmt(arr + 30)}"))
+    w("calendar.txt", Iterator(
+      "service_id,monday,tuesday,wednesday,thursday,friday,saturday,sunday,start_date,end_date",
+      "WD,1,1,1,1,1,1,1,20240101,20261231"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val routes = sys.env.getOrElse("SPARK_GRAFT_SR_ROUTES", "500").toInt
+    val tripsPerVariant = sys.env.getOrElse("SPARK_GRAFT_SR_TRIPS", "10").toInt
+    val stops = sys.env.getOrElse("SPARK_GRAFT_SR_STOPS", "20").toInt
+    val days = sys.env.getOrElse("SPARK_GRAFT_SR_DAYS", "60").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    val schedDir = java.nio.file.Files.createTempDirectory("sr_sched")
+    writeSchedule(schedDir, routes, tripsPerVariant, stops)
+    val schedule = graft.gtfs.GtfsSchedule.load(spark, schedDir.toString)
+    schedule.trips.count(); schedule.stopTimes.count()
+
+    // records = days × stop_times, importer-shaped, with deterministic
+    // pseudo-delays (pure Column arithmetic — generated distributed)
+    val dayDf = spark.range(days).select(
+      date_add(to_date(lit("2024-01-01")), col("id").cast("int")).as("trip_start_date"))
+    val base = schedule.stopTimes
+      .join(schedule.trips.select("trip_id", "route_id", "route_variant",
+        "route_type", "trip_start_time"), "trip_id")
+      .crossJoin(dayDf)
+    val h = pmod(xxhash64(col("trip_id"), col("trip_start_date"), col("stop_sequence")), lit(100000))
+    val records = base.select(
+      lit("scale").as("source"), col("route_id"), col("route_variant"),
+      col("trip_id"), col("trip_start_date"), col("trip_start_time"),
+      col("stop_sequence"), col("stop_id"), col("stop_index"), col("stop_count"),
+      col("arrival_secs"), col("departure_secs"),
+      (pmod(h, lit(500)) - 100).cast("int").as("delay_arrival"),
+      (pmod(h + 37, lit(500)) - 88).cast("int").as("delay_departure"),
+      to_timestamp(col("trip_start_date")).as("time_of_recording"),
+      lit("scale_sched").as("schedule_file_name"))
+
+    val recDir = java.nio.file.Files.createTempDirectory("sr_records").toString + "/records"
+    val t0 = System.nanoTime()
+    records.write.mode("overwrite").parquet(recDir)
+    val genSecs = (System.nanoTime() - t0) / 1e9
+    val stored = spark.read.parquet(recDir)
+    val nRecords = stored.count()
+    val bytes = new java.io.File(recDir).listFiles().map(_.length).sum
+
+    def runTimed(name: String)(f: => Long): Unit = {
+      val w0 = meter.writeBytes.get; val r0 = meter.readBytes.get
+      val s0 = meter.spillBytes.get; val c0 = System.nanoTime()
+      val rows = f
+      println(f"[scale] $name: rows=$rows wall=${(System.nanoTime() - c0) / 1e9}%.1fs " +
+        f"shuffleWrite=${(meter.writeBytes.get - w0) / 1e6}%.0fMB " +
+        f"shuffleRead=${(meter.readBytes.get - r0) / 1e6}%.0fMB " +
+        f"spill=${(meter.spillBytes.get - s0) / 1e6}%.0fMB")
+    }
+
+    println(f"[scale] records: rows=$nRecords parquet=${bytes / 1e6}%.0fMB gen=${genSecs}%.1fs " +
+      s"(routes=$routes trips/var=$tripsPerVariant stops=$stops days=$days)")
+    runTimed("specific_curves")(
+      graft.gtfs.CurveAnalysis.specificCurves(spark, stored, schedule).count())
+    runTimed("default_curves")(
+      graft.gtfs.CurveAnalysis.defaultCurves(spark, stored, schedule).count())
+    spark.stop()
+  }
+}

@@ -33,8 +33,11 @@ object CurveStore {
   }
 
   /** SO3: merged statistics = specific ⊎ default — two independent tables
-    * loaded side by side (src/main.rs:295-318); the Predictor consumes both. */
+    * loaded side by side (src/main.rs:295-318); the Predictor consumes both.
+    * Collects to driver maps, gated by [[Predictor.MaxDriverRows]] — beyond
+    * that, use the broadcast-join form ([[Predictor.batchPredict]]). */
   def loadMerged(spark: SparkSession, specificDir: String, defaultDir: String): Predictor =
-    new Predictor(loadSpecific(spark, specificDir).collect(),
-      loadDefault(spark, defaultDir).collect())
+    new Predictor(
+      Predictor.guarded(loadSpecific(spark, specificDir).collect(), "specific_curves"),
+      Predictor.guarded(loadDefault(spark, defaultDir).collect(), "default_curves"))
 }

@@ -98,9 +98,23 @@ object Predictor {
       transform(sequence(lit(0), lit(MaxCurvePoints - 1)),
         i => element_at(c, (i * (size(c) - 1) / (MaxCurvePoints - 1) + 1).cast("int"))))
 
+  /** Rows above this bound indicate the statistics tables are no longer
+    * driver-map material — use [[batchPredict]]'s join form instead. The
+    * reference's whole statistics tree is KB–MB (SURVEY §4); 2M rows ≈
+    * hundreds of MB of curves, far past any sane point-query use. */
+  val MaxDriverRows = 2000000
+
+  private[gtfs] def guarded[T](rows: Array[T], what: String): Array[T] = {
+    require(rows.length <= MaxDriverRows,
+      s"$what has ${rows.length} rows — too large for the driver-map Predictor; " +
+        "use Predictor.batchPredict (broadcast-join form) instead")
+    rows
+  }
+
   def fromTables(spark: SparkSession, specific: Dataset[SpecificCurveRow],
                  defaults: Dataset[DefaultCurveRow]): Predictor =
-    new Predictor(specific.collect(), defaults.collect())
+    new Predictor(guarded(specific.collect(), "specific_curves"),
+      guarded(defaults.collect(), "default_curves"))
 
   /** Bulk schedule-based predictions (the idle-backfill capability, ST4 /
     * scheduled_predictions_importer.rs): for every (trip, stop, event type)
