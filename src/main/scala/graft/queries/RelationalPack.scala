@@ -257,6 +257,33 @@ object RelationalPack extends QueryPack {
       .orderBy("x")
   }
 
+  // W8 quantile extraction, oracle-checked: the REAL library inverse-CDF
+  // (Curves.xAtY via Curves.percentiles — the consumer the prediction rows
+  // run through, prediction_result.rs:40-47) against a full SQL
+  // reconstruction (leftmost bracketing points + linear interpolation).
+  // x is rounded to 2dp: quantile x values run to ~1e3 where Float carries
+  // ~1e-4 absolute error, so 4dp would flake at round boundaries.
+  private def w8QuantileExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select(col("event_type"),
+        (expr("CAST(value AS INT)") - expr("CAST(value AS INT) % 12"))
+          .cast("float").as("v"))
+      .groupBy("event_type")
+      .agg(graft.functions.EcdfAggregator.ecdf(col("v"), 1, 0f).as("curve"))
+      .as[(String, Seq[graft.curves.CPoint])]
+      .flatMap { case (g, curve) =>
+        val c = curve.toArray
+        graft.curves.Curves.PredictionPercentiles
+          .zip(graft.curves.Curves.percentiles(c))
+          .map { case (p, x) =>
+            (g, math.round(p * 100), math.round(x.toDouble * 100) / 100.0)
+          }
+      }
+      .toDF("event_type", "p", "x")
+      .orderBy("event_type", "p")
+  }
+
   // ---- Flagship: q1-style aggregation (headline correctness probe) -------
   private def q1Agg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -288,6 +315,7 @@ object RelationalPack extends QueryPack {
     "a9_grouping_sets" -> (a9GroupingSets _),
     "a3_ecdf_curve" -> (a3EcdfCurve _),
     "a8_curve_average" -> (a8CurveAverage _),
+    "w8_quantile_extract" -> (w8QuantileExtract _),
     "a12_distinct" -> (a12Distinct _),
     "so1_union" -> (so1Union _),
     "x1_regex_extract" -> (x1RegexExtract _)
@@ -445,6 +473,45 @@ object RelationalPack extends QueryPack {
         FROM gs CROSS JOIN grid)
       SELECT gx AS x, ROUND(AVG(y), 4) AS y
       FROM interp GROUP BY gx ORDER BY gx""",
+    "w8_quantile_extract" -> """
+      WITH vals AS (
+        SELECT event_type AS g,
+               CAST(TRUNC(value) AS INT) - CAST(TRUNC(value) AS INT) % 12 AS x
+        FROM events),
+      stats AS (SELECT g, COUNT(*) AS n, MIN(x) AS mn FROM vals GROUP BY g),
+      pts AS (SELECT g, x, COUNT(*) AS cnt FROM vals GROUP BY g, x),
+      cum AS (
+        SELECT g, x,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY x) - cnt + 1 AS first_rn
+        FROM pts),
+      emitted AS (
+        SELECT cu.g, cu.x, cu.first_rn, st.n FROM cum cu JOIN stats st ON cu.g = st.g
+        WHERE NOT (cu.x = 0 AND cu.x = st.mn)),
+      curve AS (
+        SELECT g, x,
+               CASE WHEN x = MIN(x) OVER (PARTITION BY g) THEN 0.0
+                    WHEN x = MAX(x) OVER (PARTITION BY g) THEN 1.0
+                    ELSE first_rn * 1.0 / n END AS y
+        FROM emitted),
+      ps(p, y) AS (VALUES (1, 0.01), (5, 0.05), (25, 0.25), (50, 0.50),
+                          (75, 0.75), (95, 0.95), (99, 0.99)),
+      gs AS (SELECT DISTINCT g FROM curve)
+      SELECT gs.g AS event_type, ps.p AS p,
+        ROUND(CASE
+          WHEN ps.y <= (SELECT c.y FROM curve c WHERE c.g = gs.g ORDER BY c.x LIMIT 1)
+            THEN (SELECT c.x FROM curve c WHERE c.g = gs.g ORDER BY c.x LIMIT 1)
+          WHEN ps.y >= (SELECT c.y FROM curve c WHERE c.g = gs.g ORDER BY c.x DESC LIMIT 1)
+            THEN (SELECT c.x FROM curve c WHERE c.g = gs.g ORDER BY c.x DESC LIMIT 1)
+          ELSE (SELECT p0.x + (p1.x - p0.x) * ((ps.y - p0.y) / (p1.y - p0.y))
+                FROM (SELECT c0.x, c0.y FROM curve c0
+                      WHERE c0.g = gs.g AND c0.y < ps.y
+                      ORDER BY c0.x DESC LIMIT 1) p0,
+                     (SELECT c1.x, c1.y FROM curve c1
+                      WHERE c1.g = gs.g AND c1.y >= ps.y
+                      ORDER BY c1.x LIMIT 1) p1)
+        END, 2) AS x
+      FROM gs CROSS JOIN ps
+      ORDER BY event_type, p""",
     "a12_distinct" -> """
       SELECT DISTINCT event_type FROM events ORDER BY event_type""",
     "so1_union" -> """

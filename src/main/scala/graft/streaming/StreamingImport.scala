@@ -67,7 +67,19 @@ object StreamingImport {
     * a vehicle lands in the same partition and cross-partition duplicates are
     * impossible. Dynamic partition overwrite replaces just those directories —
     * no whole-table rewrite, no delete+rename swap, no reader-visible race. */
-  def upsertBatch(batch: DataFrame, targetDir: String): Unit = {
+  def upsertBatch(batch: DataFrame, targetDir: String): Unit =
+    upsertTable(batch, targetDir,
+      keyCols = Seq("source", "route_id", "route_variant", "trip_id",
+        "trip_start_date", "trip_start_time", "stop_sequence"),
+      newestBy = col("time_of_recording"))
+
+  /** Generalized partition-scoped keyed upsert: merge `batch` into the
+    * parquet table at `targetDir` (partitioned by `(source,
+    * trip_start_date)`), keeping per `keyCols` the row with the greatest
+    * `newestBy`. Used for the records table (recording-time LWW) and the
+    * predictions table (refresh-sequence LWW). */
+  def upsertTable(batch: DataFrame, targetDir: String, keyCols: Seq[String],
+                  newestBy: org.apache.spark.sql.Column): Unit = {
     val spark = batch.sparkSession
     val partCols = Seq("source", "trip_start_date")
     val target = new org.apache.hadoop.fs.Path(targetDir)
@@ -89,9 +101,7 @@ object StreamingImport {
       }
 
     val unioned = existing.map(_.unionByName(batch)).getOrElse(batch)
-    val key = Seq("source", "route_id", "route_variant", "trip_id",
-      "trip_start_date", "trip_start_time", "stop_sequence")
-    val w = Window.partitionBy(key.map(col): _*).orderBy(col("time_of_recording").desc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(newestBy.desc)
     val merged = unioned
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
@@ -199,6 +209,49 @@ object StreamingImport {
       .foreachBatch { (batch: Dataset[RtRow], _: Long) =>
         val recs = recordsStream(spark, batch, schedule, source)
         upsertBatch(recs, recordsDir)
+      }
+      .start()
+  }
+
+  /** The reference importer's full realtime loop, streaming end to end
+    * (per_schedule_importer.rs:266-366): each micro-batch upserts its
+    * records, then RE-PREDICTS every service date the batch touched from
+    * the latest stored basis per vehicle (the conditional curve-set path)
+    * and upserts the resulting predictions — newer refreshes win via the
+    * batch id. The records read-back is partition-pruned to the touched
+    * `(source, trip_start_date)` directories, so per-batch work stays
+    * O(batch ∪ touched partitions) like the records upsert itself. */
+  def startPredictionRefresh(spark: SparkSession, rtDir: String,
+      schedule: GtfsSchedule, source: String, recordsDir: String,
+      predictionsDir: String, checkpointDir: String,
+      specific: Dataset[graft.gtfs.SpecificCurveRow],
+      automatic: Boolean = false,
+      maxFilesPerTrigger: Int = 256): org.apache.spark.sql.streaming.StreamingQuery = {
+    val rt = rtStream(spark, rtDir, maxFilesPerTrigger)
+    val trigger = if (automatic) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow()
+    rt.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[RtRow], batchId: Long) =>
+        val recs = recordsStream(spark, batch, schedule, source)
+        upsertBatch(recs, recordsDir)
+        val dates = recs.select(col("trip_start_date")).distinct()
+          .collect().map(_.getDate(0)).sortBy(_.getTime)
+        if (dates.nonEmpty) {
+          val stored = spark.read.parquet(recordsDir)
+            .filter(col("source") === source
+              && col("trip_start_date").isInCollection(dates.toSeq))
+          dates.foreach { d =>
+            val preds = Predictor.batchPredictRealtime(spark, schedule,
+              stored, d.toString, source, specific)
+              .withColumn("refresh_seq", lit(batchId))
+            upsertTable(preds, predictionsDir,
+              keyCols = Seq("source", "trip_id", "trip_start_date",
+                "trip_start_time", "stop_sequence", "event_type"),
+              newestBy = col("refresh_seq"))
+          }
+        }
       }
       .start()
   }

@@ -105,4 +105,36 @@ class StreamingImportSpec extends AnyFunSuite {
     assert(out == Seq((20, 60), (30, 120)),
       s"one request per distinct basis, got $out")
   }
+
+  test("streaming prediction refresh converges to the batch realtime path") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("predrefresh").toString
+    val batchRecs = Importer.importDirectory(spark, rtDir, schedule, "test").cache()
+    val sc = CurveAnalysis.specificCurves(spark, batchRecs, schedule).cache()
+    sc.count()
+
+    // small trigger size → several micro-batches → the per-date refresh and
+    // the refresh_seq last-writer-wins both get exercised
+    val q = StreamingImport.startPredictionRefresh(spark, rtDir, schedule,
+      "test", base + "/records", base + "/predictions", base + "/ckpt", sc,
+      automatic = false, maxFilesPerTrigger = 16)
+    q.awaitTermination(300000)
+
+    val streamed = spark.read.parquet(base + "/predictions")
+    assert(streamed.count() > 0, "refresh produced predictions")
+    assert(streamed.select("origin_type").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(Codes.OriginRealtime))
+
+    // final state for one date ≡ the batch realtime prediction on the full
+    // records table (the last refresh of a date recomputes it completely)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("trip_start_date") === "2024-01-15")
+      .select(col("trip_id"), col("stop_sequence"), col("event_type"),
+        col("precision_type"), to_json(col("prediction_curve")).as("curve"))
+    val batchPreds = Predictor.batchPredictRealtime(spark, schedule, batchRecs,
+      "2024-01-15", "test", sc)
+    assert(canon(streamed).except(canon(batchPreds)).count() == 0
+      && canon(batchPreds).except(canon(streamed)).count() == 0,
+      "streamed refresh ≡ batch realtime prediction")
+  }
 }
