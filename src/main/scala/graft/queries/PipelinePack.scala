@@ -71,7 +71,9 @@ object PipelinePack extends QueryPack {
     lshPairs(s, dir).orderBy("a", "b")
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3).orderBy("a", "b")
+    cached(s, dir, "simhash_pairs")(
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3))
+      .orderBy("a", "b")
 
   /** LSH soundness invariant, driver-checkable: LSH verifies its candidates
     * with the exact Jaccard formula, so its pairs are a SUBSET of the exact

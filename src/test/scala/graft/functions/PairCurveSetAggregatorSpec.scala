@@ -63,6 +63,43 @@ class PairCurveSetAggregatorSpec extends AnyFunSuite {
     }
   }
 
+  test("PairCellMap: growth, zero key, merge, kryo round-trip") {
+    val rnd = new scala.util.Random(3)
+    val ref = scala.collection.mutable.Map[Long, Long]()
+    val m = new PairCellMap()
+    // includes key 0 (the (+0f, +0f) pair) and forces several growths
+    val keys = (0L +: Array.fill(500)(rnd.nextLong())).distinct
+    keys.foreach { k =>
+      val c = 1L + rnd.nextInt(5)
+      m.add(k, c)
+      ref.update(k, ref.getOrElse(k, 0L) + c)
+      if (rnd.nextBoolean()) { m.add(k, 2L); ref.update(k, ref(k) + 2L) }
+    }
+    def cells(p: PairCellMap): Map[Long, Long] = {
+      val b = Map.newBuilder[Long, Long]
+      p.foreachCell((k, c) => b += k -> c)
+      b.result()
+    }
+    assert(cells(m) == ref.toMap)
+    assert(m.totalCount == ref.values.sum)
+    assert(m.cellCount == ref.size)
+
+    // merge disjoint + overlapping
+    val m2 = new PairCellMap()
+    m2.add(0L, 7L); m2.add(keys(1), 3L); m2.add(999999L, 1L)
+    m2.foreachCell((k, c) => m.add(k, c))
+    assert(m.totalCount == ref.values.sum + 11L)
+
+    // kryo round-trip writes only live cells and restores them exactly
+    val kryo = new com.esotericsoftware.kryo.Kryo()
+    kryo.setRegistrationRequired(false)
+    val out = new com.esotericsoftware.kryo.io.Output(1 << 20)
+    kryo.writeObject(out, m)
+    val back = kryo.readObject(
+      new com.esotericsoftware.kryo.io.Input(out.toBytes), classOf[PairCellMap])
+    assert(cells(back) == cells(m) && back.totalCount == m.totalCount)
+  }
+
   test("partial aggregation appears in the plan (map-side combine)") {
     val df = spark.range(2000).select((col("id") % 5).as("g"),
       (col("id") % 17 * 12).cast("float").as("d_s"),
