@@ -50,7 +50,45 @@ object Monitor {
     *  - W5: sort by the median (50%) quantile instant;
     *  - X12/X13: display formatting (delay as "+n", route-type label). */
   def stopPage(spark: SparkSession, predictions: DataFrame, schedule: GtfsSchedule,
-               stopId: String, windowStart: String, windowEnd: String): DataFrame = {
+               stopId: String, windowStart: String, windowEnd: String): DataFrame =
+    stopPageFiltered(spark, predictions.filter(col("stop_id") === stopId),
+      schedule, windowStart, windowEnd)
+
+  /** The extended stop set behind a page (journey_data.rs:229-264): every
+    * stop sharing the name, plus every stop within `maxDistM` (300 m,
+    * EXTENDED_STOPS_MAX_DISTANCE) of one of them — the platform group the
+    * reference queries departures across. The named side is a handful of
+    * platforms → broadcast against one pass over the stops table; returns
+    * (stop_id, dist_m to the closest named platform). */
+  def extendedStops(spark: SparkSession, stops: DataFrame, stopName: String,
+                    maxDistM: Double = 300.0): DataFrame = {
+    val named = stops.filter(col("stop_name") === stopName) // F12
+      .select(col("stop_lat").as("a_lat"), col("stop_lon").as("a_lon"))
+    stops.select(col("stop_id"), col("stop_lat"), col("stop_lon"))
+      .crossJoin(broadcast(named))
+      .withColumn("dist_m", Geo.haversineMeters(col("a_lat"), col("a_lon"),
+        col("stop_lat"), col("stop_lon")))
+      .filter(col("dist_m") < maxDistM)
+      .groupBy("stop_id").agg(min("dist_m").as("dist_m"))
+  }
+
+  /** Stop page for a stop NAME: departures across the whole extended
+    * platform group, as the reference's page does
+    * (monitor/mod.rs:450-452 loops extended_stop_ids). */
+  def stopPageByName(spark: SparkSession, predictions: DataFrame,
+                     schedule: GtfsSchedule, stopName: String,
+                     windowStart: String, windowEnd: String,
+                     maxDistM: Double = 300.0): DataFrame = {
+    val ext = extendedStops(spark, schedule.stops, stopName, maxDistM)
+      .select("stop_id")
+    stopPageFiltered(spark,
+      predictions.join(broadcast(ext), Seq("stop_id"), "left_semi"),
+      schedule, windowStart, windowEnd)
+  }
+
+  private def stopPageFiltered(spark: SparkSession, predictions: DataFrame,
+                               schedule: GtfsSchedule, windowStart: String,
+                               windowEnd: String): DataFrame = {
     val ws = to_timestamp(lit(windowStart))
     val we = to_timestamp(lit(windowEnd))
 
@@ -58,7 +96,6 @@ object Monitor {
       .groupBy("trip_id").agg(max("stop_sequence").as("last_seq"))
 
     val overlap = predictions
-      .filter(col("stop_id") === stopId)
       .filter(col("event_type") === Codes.EventDeparture)
       .filter(col("prediction_min") < we && col("prediction_max") > ws) // F5
 

@@ -67,7 +67,10 @@ object MonitorPack extends QueryPack {
   // ---- curve-bearing monitor pages on the GTFS fixture (rows-only) -------
   private def stopPage(s: SparkSession, dir: String): DataFrame = {
     val (sched, preds) = GtfsPack.predictionState(s)
-    Monitor.stopPage(s, preds, sched, "S2", "2024-03-04 00:00:00", "2024-03-05 00:00:00")
+    // name-based page = the reference's extended-platform-group query
+    // (at the 300 m radius the fixture group is the single platform S2)
+    Monitor.stopPageByName(s, preds, sched, "Stop 2",
+      "2024-03-04 00:00:00", "2024-03-05 00:00:00")
   }
 
   private def w8Percentiles(s: SparkSession, dir: String): DataFrame = {

@@ -98,6 +98,25 @@ class MonitorSpec extends AnyFunSuite {
     assert(Monitor.transferProbability(arrival, 0.0, 100f, gone, 0.0) < 0.05f)
   }
 
+  test("extended stops: same name always; neighbors only within the radius") {
+    // fixture platforms are ~309 m apart diagonally: at the reference's
+    // 300 m radius a stop's extended set is itself; at 320 m it gains its
+    // direct neighbors
+    val at300 = Monitor.extendedStops(spark, schedule.stops, "Stop 2").collect()
+      .map(_.getString(0)).toSet
+    assert(at300 == Set("S2"), s"at 300 m: $at300")
+    val at320 = Monitor.extendedStops(spark, schedule.stops, "Stop 2", maxDistM = 320.0)
+      .collect().map(_.getString(0)).toSet
+    assert(at320 == Set("S1", "S2", "S3"), s"at 320 m: $at320")
+    // page by name over the widened group sees departures from all three
+    val page = Monitor.stopPageByName(spark, predictions, schedule, "Stop 2",
+      "2024-03-04 00:00:00", "2024-03-05 00:00:00", maxDistM = 320.0).collect()
+    val single = Monitor.stopPage(spark, predictions, schedule, "S2",
+      "2024-03-04 00:00:00", "2024-03-05 00:00:00").collect()
+    assert(page.length > single.length,
+      "extended page covers more departures than the single platform")
+  }
+
   test("trip page: boarding departure first, later arrivals, monotone quantiles") {
     val page = Monitor.tripPage(spark, predictions, schedule, "T1", "2024-03-04",
       tripStartTime = 8 * 3600 + 30, boardingStopSeq = 10).collect()
