@@ -86,9 +86,39 @@ object Monitor {
       schedule, windowStart, windowEnd)
   }
 
+  /** Stop page in a JOURNEY context (write_stop_time_output,
+    * monitor/mod.rs:866-890): the traveller arrives with `arrivalCurve`
+    * (anchored at `arrivalAnchorEpoch`), walks to each platform of the
+    * group (distance from [[extendedStops]]), and each departure row gets
+    * its local transfer probability — X10 convolution with the X9 walk
+    * curve, then X11 — with rows under 5 % suppressed (F8). */
+  def stopPageWithArrival(spark: SparkSession, predictions: DataFrame,
+                          schedule: GtfsSchedule, stopName: String,
+                          windowStart: String, windowEnd: String,
+                          arrivalCurve: Array[CPoint], arrivalAnchorEpoch: Double,
+                          maxDistM: Double = 300.0): DataFrame = {
+    val ext = extendedStops(spark, schedule.stops, stopName, maxDistM)
+    val withDist = predictions.join(broadcast(ext), Seq("stop_id"))
+    val page = stopPageFiltered(spark, withDist, schedule, windowStart, windowEnd,
+      keep = Seq("dist_m", "prediction_min", "prediction_curve"))
+    val transferProb = udf { (points: Seq[org.apache.spark.sql.Row],
+                              minEpoch: Double, dist: Double) =>
+      val dep = toCurve(points)
+      val depAnchor = minEpoch - dep.head.x
+      val arrWalk = Curves.convolve(arrivalCurve, Curves.walkTimeCurve(dist.toFloat))
+      Curves.transferProbability(arrWalk, arrivalAnchorEpoch, dep, depAnchor).toDouble
+    }
+    page
+      .withColumn("transfer_prob", round(transferProb(col("prediction_curve"),
+        unix_timestamp(col("prediction_min")).cast("double"), col("dist_m")), 4))
+      .filter(col("transfer_prob") >= 0.05) // F8
+      .drop("prediction_min", "prediction_curve")
+      .withColumn("dist_m", round(col("dist_m"), 1))
+  }
+
   private def stopPageFiltered(spark: SparkSession, predictions: DataFrame,
                                schedule: GtfsSchedule, windowStart: String,
-                               windowEnd: String): DataFrame = {
+                               windowEnd: String, keep: Seq[String] = Nil): DataFrame = {
     val ws = to_timestamp(lit(windowStart))
     val we = to_timestamp(lit(windowEnd))
 
@@ -141,9 +171,9 @@ object Monitor {
       .withColumn("route_type_label",
         coalesce(routeTypeLabel(col("route_type")), lit("?")))
       .orderBy("median_ts", "trip_id") // W5
-      .select("route_id", "route_short_name", "route_type_label", "trip_id",
+      .select((Seq("route_id", "route_short_name", "route_type_label", "trip_id",
         "stop_sequence", "median_ts", "delay_label", "precision_type",
-        "origin_type", "sample_size")
+        "origin_type", "sample_size") ++ keep).map(col): _*)
   }
 
   /** The trip page (monitor/mod.rs:690-795 `generate_trip_page`): for one

@@ -90,6 +90,18 @@ object MonitorPack extends QueryPack {
       .orderBy("from_stop", "to_stop")
   }
 
+  /** Journey-context stop page (F8): arriving at Stop 2 around 07:55 with a
+    * ±60 s arrival curve, which departures are catchable with ≥5 % chance. */
+  private def stopPageTransfer(s: SparkSession, dir: String): DataFrame = {
+    val (sched, preds) = GtfsPack.predictionState(s)
+    val arrivalEpoch = s.sql(
+      "SELECT unix_timestamp(to_timestamp('2024-03-04 07:55:00'))").head.getLong(0).toDouble
+    Monitor.stopPageWithArrival(s, preds, sched, "Stop 2",
+      "2024-03-04 00:00:00", "2024-03-05 00:00:00",
+      Array(graft.curves.CPoint(-60f, 0f), graft.curves.CPoint(60f, 1f)),
+      arrivalEpoch)
+  }
+
   /** Trip page for fixture trip T1 (departs 08:00:30 → trip_start_time
     * 28830), boarding at the first stop (seq 10). */
   private def tripPage(s: SparkSession, dir: String): DataFrame = {
@@ -125,6 +137,7 @@ object MonitorPack extends QueryPack {
     "so4_except" -> (so4Except _),
     "x12_format" -> (x12Format _),
     "monitor_stop_page" -> (stopPage _),
+    "monitor_stop_page_transfer" -> (stopPageTransfer _),
     "monitor_trip_page" -> (tripPage _),
     "monitor_journey" -> (journeyQ _),
     "w8_percentiles" -> (w8Percentiles _),

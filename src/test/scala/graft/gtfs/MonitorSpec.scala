@@ -117,6 +117,28 @@ class MonitorSpec extends AnyFunSuite {
       "extended page covers more departures than the single platform")
   }
 
+  test("stop page with arrival context: F8 suppresses sub-5% transfers") {
+    // arrival early morning 2024-03-04 → every departure that day is
+    // comfortably catchable
+    val early = spark.sql("SELECT unix_timestamp(to_timestamp('2024-03-04 05:00:00'))")
+      .head.getLong(0).toDouble
+    val arr = Array(CPoint(-60f, 0f), CPoint(60f, 1f))
+    val window = ("2024-03-04 00:00:00", "2024-03-05 00:00:00")
+    val catchable = Monitor.stopPageWithArrival(spark, predictions, schedule,
+      "Stop 2", window._1, window._2, arr, early).collect()
+    assert(catchable.nonEmpty, "early arrival catches departures")
+    catchable.foreach { r =>
+      val p = r.getAs[Double]("transfer_prob")
+      assert(p >= 0.05 && p <= 1.0, s"prob in range: $p")
+    }
+    // arrival near end of day → departures long gone, all rows suppressed
+    val late = early + 18 * 3600
+    val missed = Monitor.stopPageWithArrival(spark, predictions, schedule,
+      "Stop 2", window._1, window._2, arr, late).collect()
+    assert(missed.length < catchable.length,
+      s"late arrival suppresses transfers (${missed.length} vs ${catchable.length})")
+  }
+
   test("trip page: boarding departure first, later arrivals, monotone quantiles") {
     val page = Monitor.tripPage(spark, predictions, schedule, "T1", "2024-03-04",
       tripStartTime = 8 * 3600 + 30, boardingStopSeq = 10).collect()
