@@ -137,12 +137,14 @@ object PipelinePack extends QueryPack {
       col("doc_id"), RollingFingerprint(col("text"), 16).as("fingerprint"))
       .orderBy("doc_id")
 
-  // ---- multimodal (stub decode, real plumbing) ---------------------------
+  // ---- multimodal (real container-header decode) -------------------------
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     val assets = Multimodal.synthesizeAssets(s, t(s, dir, "documents"))
     Multimodal.decodeFeatures(s, assets).toDF()
       .select(col("asset_id"), col("mime"), col("n_bytes"), col("frames_sampled"),
-        round(element_at(col("feature"), 1), 4).as("feat_0"))
+        round(element_at(col("feature"), 1), 4).as("feat_0"),
+        col("decoded_width"), col("decoded_height"), col("sample_rate"),
+        col("decoded_duration_ms"), col("parse_ok"))
       .orderBy("asset_id")
   }
 

@@ -125,4 +125,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(a => a.asset_id -> a.mime).toMap
     assert(mimes(0L) == "image/png" && mimes(1L) == "audio/wav" && mimes(2L) == "video/mp4")
   }
+
+  test("media codecs: header parse round-trips the declared metadata") {
+    val assets = Multimodal.synthesizeAssets(spark, docs).collect()
+      .map(a => a.asset_id -> a).toMap
+    val feats = Multimodal.decodeFeatures(spark,
+      Multimodal.synthesizeAssets(spark, docs)).collect()
+    assert(feats.forall(_.parse_ok), "every synthesized container parses")
+    feats.foreach { f =>
+      val a = assets(f.asset_id)
+      f.mime match {
+        case "image/png" =>
+          assert(f.decoded_width == a.width && f.decoded_height == a.height,
+            s"PNG IHDR round-trip for ${f.asset_id}")
+        case "audio/wav" =>
+          assert(f.sample_rate == 8000, "fmt chunk sample rate")
+          assert(f.decoded_duration_ms == a.duration_ms, "data-chunk duration")
+        case "video/mp4" =>
+          assert(f.decoded_duration_ms == a.duration_ms, "mvhd duration")
+      }
+    }
+    // direct codec checks, including a 64-bit-time mvhd and corrupt input
+    assert(MediaCodec.parsePng(MediaCodec.pngBytes(640, 480, Array[Byte](1, 2)))
+      .contains((640, 480, 8)))
+    assert(MediaCodec.parseWav(MediaCodec.wavBytes(44100, 2, 16, new Array[Byte](44100 * 4)))
+      .contains((44100, 2, 16, 1000L)))
+    assert(MediaCodec.parseMp4(MediaCodec.mp4Bytes(600, 1200, Array[Byte](9)))
+      .map(_._3).contains(2000L))
+    assert(MediaCodec.parsePng("not a png".getBytes).isEmpty)
+    assert(MediaCodec.parseWav("RIFFxxxxJUNK".getBytes).isEmpty)
+    assert(MediaCodec.parseMp4(new Array[Byte](6)).isEmpty)
+    // corrupt payload flows through decode as parse_ok=false, not a crash
+    import spark.implicits._
+    val bad = Seq(MediaAsset(99L, "image/png", "garbage".getBytes, 1, 1, 0L)).toDS()
+    val badFeat = Multimodal.decodeFeatures(spark, bad).collect().head
+    assert(!badFeat.parse_ok && badFeat.decoded_width == -1)
+  }
 }
