@@ -117,6 +117,55 @@ class CurvesSpec extends AnyFunSuite {
     assert(weight(-1f, None, 0f, 10f) == 0f)
   }
 
+  test("makeCurveFromCells equals makeCurve on the expanded multiset") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 20) {
+      val cells = (0 until (2 + rnd.nextInt(30))).map { _ =>
+        (((rnd.nextInt(80) - 20) * 12).toFloat, 1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (v, cs) => (v, cs.map(_._2).sum) }
+        .toArray.sortBy(_._1)
+      val expanded = cells.flatMap { case (v, c) => Seq.fill(c.toInt)(v) }.toSeq
+      val focus = if (trial % 2 == 0) None else Some(expanded(rnd.nextInt(expanded.size)))
+      (makeCurveFromCells(cells, focus), makeCurve(expanded, focus)) match {
+        case (None, None) => ()
+        case (Some((ca, wa)), Some((cb, wb))) =>
+          assert(ca.length == cb.length, s"trial $trial point count")
+          ca.zip(cb).foreach { case (a, b) =>
+            assert(a.x == b.x && math.abs(a.y - b.y) < 1e-5f, s"trial $trial: $a vs $b")
+          }
+          assert(math.abs(wa - wb) < math.max(1f, wb) * 1e-4f, s"trial $trial sumW")
+        case (a, b) => fail(s"trial $trial: $a vs $b")
+      }
+    }
+  }
+
+  test("makeCurveSetFromCells equals makeCurveSet on the expanded pairs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 10) {
+      val cells = (0 until (25 + rnd.nextInt(60))).map { _ =>
+        (((rnd.nextInt(40) - 10) * 12).toFloat, ((rnd.nextInt(50) - 15) * 12).toFloat,
+          1L + rnd.nextInt(6))
+      }.groupBy(t => (t._1, t._2)).map { case ((s, e), cs) => (s, e, cs.map(_._3).sum) }
+        .toArray.sortBy(t => (t._1, t._2))
+      // makeCurveSet expands via its own canonical grouping — same input set
+      val pairs = cells.flatMap { case (s, e, c) => Seq.fill(c.toInt)((s, e)) }.toSeq
+      (makeCurveSetFromCells(cells), makeCurveSet(pairs)) match {
+        case (None, None) => ()
+        case (Some((sa, na)), Some((sb, nb))) =>
+          assert(na == nb, s"trial $trial sample size")
+          assert(sa.length == sb.length, s"trial $trial curve count")
+          sa.zip(sb).foreach { case ((fa, ca), (fb, cb)) =>
+            assert(fa == fb, s"trial $trial focus")
+            assert(ca.length == cb.length)
+            ca.zip(cb).foreach { case (a, b) =>
+              assert(a.x == b.x && math.abs(a.y - b.y) < 1e-5f)
+            }
+          }
+        case (a, b) => fail(s"trial $trial: one side empty")
+      }
+    }
+  }
+
   test("makeCurveSet: markers respect >=20s spacing; curves valid") {
     val rnd = new scala.util.Random(42)
     val pairs = (1 to 500).map { _ =>
