@@ -105,22 +105,23 @@ object CurveAnalysis {
     val filled = withSlots(gapFill(records, schedule))
 
     // ---- A7 general per-stop curves: one per (variant, et, slot, stop) ----
-    // Rows enter their own slot AND the DEFAULT slot (explode), mirroring the
-    // reference's loop over TIME_SLOTS_WITH_DEFAULT.
+    // Rows enter their own slot AND the DEFAULT slot, mirroring the
+    // reference's loop over TIME_SLOTS_WITH_DEFAULT. Pure Column explodes
+    // (no typed flatMap): the prep of billions of observation rows stays
+    // inside whole-stage codegen with zero per-row object churn.
     val generalInput = filled
       .select(col("route_id"), col("route_variant"), col("stop_index"),
-        col("delay_arrival"), col("delay_departure"),
-        col("slot_arrival"), col("slot_departure"))
-      .flatMap { r =>
-        for {
-          (et, delayIdx, slotIdx) <- Seq((EventArrival, 3, 5), (EventDeparture, 4, 6))
-          if !r.isNullAt(delayIdx)
-          slot <- Seq(r.getInt(slotIdx), DefaultTimeSlot)
-        } yield (r.getString(0), r.getLong(1), et, slot, r.getInt(2),
-          r.getInt(delayIdx).toFloat)
-      }
-      .toDF("route_id", "route_variant", "event_type", "time_slot_id",
-        "stop_index", "delay")
+        explode(array(
+          struct(lit(EventArrival).as("event_type"),
+            col("delay_arrival").as("delay"), col("slot_arrival").as("slot")),
+          struct(lit(EventDeparture).as("event_type"),
+            col("delay_departure").as("delay"), col("slot_departure").as("slot"))))
+          .as("ev"))
+      .filter(col("ev.delay").isNotNull)
+      .select(col("route_id"), col("route_variant"),
+        col("ev.event_type").as("event_type"),
+        explode(array(col("ev.slot"), lit(DefaultTimeSlot))).as("time_slot_id"),
+        col("stop_index"), col("ev.delay").cast("float").as("delay"))
 
     // ECDF via the partial Aggregator (graft.functions.EcdfAggregator):
     // map-side combine shuffles (value → count) maps, not raw delay rows —
@@ -159,24 +160,30 @@ object CurveAnalysis {
     val pairs = starts.join(ends, vehicleKey)
       .filter(col("e_idx") > col("s_idx"))
 
-    // explode over event type and (matching slot | DEFAULT)
-    val pairInput = pairs.flatMap { r =>
-      val routeId = r.getString(3); val variant = r.getLong(4)
-      val sIdx = r.getInt(5); val dS = r.getInt(6)
-      val eIdx = r.getInt(9)
-      for {
-        (et, dIdx, sSlotIdx, eSlotIdx) <- Seq((EventArrival, 10, 7, 12), (EventDeparture, 11, 8, 13))
-        if !r.isNullAt(dIdx)
-        dE = r.getInt(dIdx)
-        if dE < 3000 && dE > -3000
-        slot <- {
-          val ss = r.getInt(sSlotIdx); val es = r.getInt(eSlotIdx)
-          if (ss == es) Seq(es, DefaultTimeSlot) else Seq(DefaultTimeSlot)
-        }
-      } yield (routeId, variant, et, slot, sIdx, eIdx,
-        ((dS / 12) * 12).toFloat, ((dE / 12) * 12).toFloat) // F3 truncating 12 s rounding
-    }.toDF("route_id", "route_variant", "event_type", "time_slot_id",
-      "s_idx", "e_idx", "d_s", "d_e")
+    // explode over event type and (matching slot | DEFAULT) — again pure
+    // Column ops; `d - d % 12` reproduces the Scala Int division's
+    // truncation toward zero (F3 truncating 12 s rounding) for negatives.
+    val pairInput = pairs
+      .select(col("route_id"), col("route_variant"), col("s_idx"), col("e_idx"),
+        col("d_s").as("d_s_raw"),
+        explode(array(
+          struct(lit(EventArrival).as("event_type"),
+            col("e_delay_arrival").as("d_e_raw"),
+            col("s_slot_arrival").as("s_slot"), col("e_slot_arrival").as("e_slot")),
+          struct(lit(EventDeparture).as("event_type"),
+            col("e_delay_departure").as("d_e_raw"),
+            col("s_slot_departure").as("s_slot"), col("e_slot_departure").as("e_slot"))))
+          .as("ev"))
+      .filter(col("ev.d_e_raw").isNotNull
+        && col("ev.d_e_raw") < 3000 && col("ev.d_e_raw") > -3000) // F2
+      .select(col("route_id"), col("route_variant"),
+        col("ev.event_type").as("event_type"),
+        explode(when(col("ev.s_slot") === col("ev.e_slot"),
+            array(col("ev.e_slot"), lit(DefaultTimeSlot)))
+          .otherwise(array(lit(DefaultTimeSlot)))).as("time_slot_id"),
+        col("s_idx"), col("e_idx"),
+        (col("d_s_raw") - col("d_s_raw") % 12).cast("float").as("d_s"),
+        (col("ev.d_e_raw") - col("ev.d_e_raw") % 12).cast("float").as("d_e"))
 
     // Partial-aggregating curve-set build: map-side combine shuffles
     // ((d_s, d_e) → count) cells, never raw pair rows — the F9 >20 gate and
@@ -223,17 +230,16 @@ object CurveAnalysis {
         col("trip_start_date"), coalesce(col("arrival_secs"), col("departure_secs")))))
 
     val variantCurves: Dataset[VariantCurve] = withMeta
-      .select(col("route_type"), col("route_section"), col("slot"),
-        col("route_variant"), col("delay_arrival"), col("delay_departure"))
-      .flatMap { r =>
-        for {
-          (et, idx) <- Seq((EventArrival, 4), (EventDeparture, 5))
-          if !r.isNullAt(idx)
-        } yield (r.getInt(0), r.getString(1), r.getInt(2), et, r.getLong(3),
-          r.getInt(idx).toFloat)
-      }
-      .toDF("route_type", "route_section", "time_slot_id", "event_type",
-        "route_variant", "delay")
+      .select(col("route_type"), col("route_section"),
+        col("slot").as("time_slot_id"), col("route_variant"),
+        explode(array( // Column explode, not typed flatMap — stays codegen'd
+          struct(lit(EventArrival).as("event_type"), col("delay_arrival").as("delay")),
+          struct(lit(EventDeparture).as("event_type"), col("delay_departure").as("delay"))))
+          .as("ev"))
+      .filter(col("ev.delay").isNotNull)
+      .select(col("route_type"), col("route_section"), col("time_slot_id"),
+        col("ev.event_type").as("event_type"), col("route_variant"),
+        col("ev.delay").cast("float").as("delay"))
       // partial-aggregated ECDF; MIN_DATA_FOR_CURVE (10) and ε=0.001 inside
       .groupBy("route_type", "route_section", "time_slot_id", "event_type", "route_variant")
       .agg(
