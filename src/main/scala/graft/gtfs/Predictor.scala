@@ -123,11 +123,21 @@ object Predictor {
     * this scales to any number of trips without a driver loop.
     */
   /** (trip × stop × event type) targets of a service day, with scheduled
-    * instants, time slots and sections attached. */
+    * instants, time slots and sections attached. Only trips whose service
+    * actually RUNS on the date are targeted (`trips_for_date`,
+    * scheduled_predictions_importer.rs:115); feeds without any calendar
+    * data at all fall back to every trip. */
   private def targetsForDate(spark: SparkSession, schedule: GtfsSchedule,
                              serviceDate: String): DataFrame = {
     import spark.implicits._
-    schedule.stopTimes
+    val hasCalendar = !schedule.calendar.isEmpty || !schedule.calendarDates.isEmpty
+    val scoped =
+      if (hasCalendar)
+        schedule.stopTimes.join(broadcast(
+          ServiceCalendar.tripsForDate(spark, schedule, serviceDate)
+            .select("trip_id")), Seq("trip_id"), "left_semi")
+      else schedule.stopTimes
+    scoped
       .join(schedule.trips.select("trip_id", "route_id", "route_variant",
         "route_type", "trip_start_time"), "trip_id")
       .withColumn("trip_start_date", to_date(lit(serviceDate), "yyyy-MM-dd"))

@@ -142,6 +142,22 @@ class GtfsPipelineSpec extends AnyFunSuite {
     assert(lines.count(_.getAs[String]("trip_id") == "T2") == 16)
   }
 
+  test("batch prediction targets only trips whose service runs on the date") {
+    // same schedule, but service WD skips Mondays
+    val dir = java.nio.file.Files.createTempDirectory("nomonday")
+    FixtureGen.writeSchedule(dir)
+    java.nio.file.Files.write(dir.resolve("calendar.txt"), String.join("\n",
+      "service_id,monday,tuesday,wednesday,thursday,friday,saturday,sunday,start_date,end_date",
+      "WD,0,1,1,1,1,1,1,20240101,20241231").getBytes("UTF-8"))
+    val noMonday = GtfsSchedule.load(spark, dir.toString)
+    val sc = CurveAnalysis.specificCurves(spark, records, schedule)
+    val dc = CurveAnalysis.defaultCurves(spark, records, schedule)
+    val monday = Predictor.batchPredict(spark, noMonday, "2024-03-04", "test", sc, dc)
+    assert(monday.count() == 0, "2024-03-04 is a Monday — no service, no targets")
+    val tuesday = Predictor.batchPredict(spark, noMonday, "2024-03-05", "test", sc, dc)
+    assert(tuesday.count() > 0, "Tuesday service runs")
+  }
+
   test("predictor: hierarchy specific -> default, batch join produces predictions") {
     val sc = CurveAnalysis.specificCurves(spark, records, schedule)
     val dc = CurveAnalysis.defaultCurves(spark, records, schedule)
