@@ -63,12 +63,37 @@ object ScaleRehearsal {
       "WD,1,1,1,1,1,1,1,20240101,20261231"))
   }
 
+  /** Deterministic synthetic corpus with planted near-duplicates: ~55-word
+    * docs from a 4096-word vocabulary; every 50th doc is a light edit of
+    * its predecessor (near-dup), every 97th an exact copy. Pure Column ops
+    * — generated distributed, no driver loop. */
+  private def syntheticDocs(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val words = transform(sequence(lit(0), lit(54)), i =>
+      concat(lit("w"), pmod(xxhash64(col("id"), i), lit(4096))))
+    spark.range(n).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(97)) === 0 && col("id") > 0,
+        // exact copy of the previous doc's text
+        concat_ws(" ", transform(sequence(lit(0), lit(54)), i =>
+          concat(lit("w"), pmod(xxhash64(col("id") - 1, i), lit(4096))))))
+      .when(pmod(col("id"), lit(50)) === 0 && col("id") > 0,
+        // near-dup: predecessor's words with the last 5 replaced
+        concat_ws(" ", concat(
+          transform(sequence(lit(0), lit(49)), i =>
+            concat(lit("w"), pmod(xxhash64(col("id") - 1, i), lit(4096)))),
+          transform(sequence(lit(50), lit(54)), i =>
+            concat(lit("x"), pmod(xxhash64(col("id"), i), lit(4096)))))))
+      .otherwise(concat_ws(" ", words)).as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val routes = sys.env.getOrElse("SPARK_GRAFT_SR_ROUTES", "500").toInt
     val tripsPerVariant = sys.env.getOrElse("SPARK_GRAFT_SR_TRIPS", "10").toInt
     val stops = sys.env.getOrElse("SPARK_GRAFT_SR_STOPS", "20").toInt
     val days = sys.env.getOrElse("SPARK_GRAFT_SR_DAYS", "60").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SR_MODE", "curves")
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_SR_DOCS", "1000000").toLong
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,6 +104,33 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
+
+    def runTimed(name: String)(f: => Long): Unit = {
+      val w0 = meter.writeBytes.get; val r0 = meter.readBytes.get
+      val s0 = meter.spillBytes.get; val c0 = System.nanoTime()
+      val rows = f
+      println(f"[scale] $name: rows=$rows wall=${(System.nanoTime() - c0) / 1e9}%.1fs " +
+        f"shuffleWrite=${(meter.writeBytes.get - w0) / 1e6}%.0fMB " +
+        f"shuffleRead=${(meter.readBytes.get - r0) / 1e6}%.0fMB " +
+        f"spill=${(meter.spillBytes.get - s0) / 1e6}%.0fMB")
+    }
+
+    if (mode == "docs") {
+      // ---- training-data pipeline ops at corpus scale ----
+      val docsDir = java.nio.file.Files.createTempDirectory("sr_docs").toString + "/documents"
+      syntheticDocs(spark, nDocs).write.mode("overwrite").parquet(docsDir)
+      val docs = spark.read.parquet(docsDir)
+      println(f"[scale] documents: rows=${docs.count()} parquet=${
+        new java.io.File(docsDir).listFiles().map(_.length).sum / 1e6}%.0fMB")
+      runTimed("dedup_exact")(graft.ops.Dedup.exact(docs).count())
+      val sh = graft.ops.Dedup.shingles(docs, "doc_id", "text", 3, 100).cache()
+      runTimed("shingle_index")(sh.count())
+      runTimed("minhash_lsh")(
+        graft.ops.Dedup.minhashLshFromShingles(sh, 32, 8, 0.5).count())
+      runTimed("simhash")(graft.ops.Dedup.simhashPairs(docs, 3).count())
+      spark.stop()
+      return
+    }
 
     val schedDir = java.nio.file.Files.createTempDirectory("sr_sched")
     writeSchedule(schedDir, routes, tripsPerVariant, stops)
@@ -111,16 +163,6 @@ object ScaleRehearsal {
     val stored = spark.read.parquet(recDir)
     val nRecords = stored.count()
     val bytes = new java.io.File(recDir).listFiles().map(_.length).sum
-
-    def runTimed(name: String)(f: => Long): Unit = {
-      val w0 = meter.writeBytes.get; val r0 = meter.readBytes.get
-      val s0 = meter.spillBytes.get; val c0 = System.nanoTime()
-      val rows = f
-      println(f"[scale] $name: rows=$rows wall=${(System.nanoTime() - c0) / 1e9}%.1fs " +
-        f"shuffleWrite=${(meter.writeBytes.get - w0) / 1e6}%.0fMB " +
-        f"shuffleRead=${(meter.readBytes.get - r0) / 1e6}%.0fMB " +
-        f"spill=${(meter.spillBytes.get - s0) / 1e6}%.0fMB")
-    }
 
     println(f"[scale] records: rows=$nRecords parquet=${bytes / 1e6}%.0fMB gen=${genSecs}%.1fs " +
       s"(routes=$routes trips/var=$tripsPerVariant stops=$stops days=$days)")

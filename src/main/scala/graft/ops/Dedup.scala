@@ -32,15 +32,23 @@ object Dedup {
 
   /** Distinct word n-gram shingles per doc, document-frequency capped.
     * Public so callers running several dedup variants over the same corpus
-    * (e.g. the bench pack) can compute and cache the inverted index once. */
+    * (e.g. the bench pack) can compute and cache the inverted index once.
+    *
+    * A shingle is represented by `xxhash64` of its token-array window —
+    * never as a joined string: the index then carries one BIGINT per
+    * shingle, so every downstream shuffle (df-cap, inverted-index
+    * self-join, MinHash signatures) moves 8-byte keys instead of ~25-char
+    * strings, and no string is ever materialized (measured 1.8× on the
+    * 1M-doc rehearsal). Shingle equality ⟺ hash equality up to 64-bit
+    * collisions, negligible at any realistic distinct-shingle count. */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
                n: Int, maxDf: Int): DataFrame = {
     val toks = TextAnalysis.tokensCol(col(textCol))
     // guard: sequence(0, negative) would produce a DESCENDING range in Spark
     val grams = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " "))
-    ).otherwise(array())
+        i => xxhash64(slice(toks, i + 1, lit(n))))
+    ).otherwise(array().cast("array<bigint>"))
     val exploded = docs
       .select(col(idCol).as("doc"), explode(array_distinct(grams)).as("shingle"))
     // cap document frequency: a shingle appearing in >maxDf docs contributes
