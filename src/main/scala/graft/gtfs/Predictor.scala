@@ -140,25 +140,24 @@ object Predictor {
     scoped
       .join(schedule.trips.select("trip_id", "route_id", "route_variant",
         "route_type", "trip_start_time"), "trip_id")
-      .withColumn("trip_start_date", to_date(lit(serviceDate), "yyyy-MM-dd"))
-      .flatMap { r =>
-        val arr = if (r.isNullAt(r.fieldIndex("arrival_secs"))) None
-                  else Some((EventArrival, r.getAs[Int]("arrival_secs")))
-        val dep = if (r.isNullAt(r.fieldIndex("departure_secs"))) None
-                  else Some((EventDeparture, r.getAs[Int]("departure_secs")))
-        (arr.toSeq ++ dep.toSeq).map { case (et, secs) =>
-          (r.getAs[String]("trip_id"), r.getAs[String]("route_id"),
-            r.getAs[Long]("route_variant"),
-            Option(r.getAs[Integer]("route_type")).map(_.toInt).getOrElse(3),
-            r.getAs[Int]("stop_sequence"), r.getAs[String]("stop_id"),
-            r.getAs[Int]("stop_index"), r.getAs[Long]("stop_count").toInt,
-            Option(r.getAs[Integer]("trip_start_time")).map(_.toInt).getOrElse(0),
-            java.sql.Date.valueOf(serviceDate), et, secs)
-        }
-      }
-      .toDF("trip_id", "route_id", "route_variant", "route_type",
-        "stop_sequence", "stop_id", "stop_index", "stop_count",
-        "trip_start_time", "trip_start_date", "event_type", "event_secs")
+      // event fan-out as a Column explode (no typed flatMap): a national
+      // schedule × every refresh date flows through here, so it stays in
+      // whole-stage codegen like the curve-input prep
+      .select(col("trip_id"), col("route_id"), col("route_variant"),
+        coalesce(col("route_type"), lit(3)).as("route_type"),
+        col("stop_sequence"), col("stop_id"), col("stop_index"),
+        col("stop_count").cast("int").as("stop_count"),
+        coalesce(col("trip_start_time"), lit(0)).as("trip_start_time"),
+        to_date(lit(serviceDate), "yyyy-MM-dd").as("trip_start_date"),
+        explode(array(
+          struct(lit(EventArrival).as("event_type"),
+            col("arrival_secs").as("event_secs")),
+          struct(lit(EventDeparture).as("event_type"),
+            col("departure_secs").as("event_secs")))).as("ev"))
+      .filter(col("ev.event_secs").isNotNull)
+      .withColumn("event_type", col("ev.event_type"))
+      .withColumn("event_secs", col("ev.event_secs"))
+      .drop("ev")
       .withColumn("scheduled_ts",
         GtfsTime.dateAndTime(col("trip_start_date"), col("event_secs")))
       .withColumn("time_slot_id", TimeSlots.slotIdCol(col("scheduled_ts")))

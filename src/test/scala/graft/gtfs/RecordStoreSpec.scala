@@ -23,6 +23,16 @@ class RecordStoreSpec extends AnyFunSuite {
   lazy val records = Importer.importDirectory(spark, rtDir, schedule, "test")
 
   test("bucketed self-join on the vehicle key plans with zero exchanges") {
+    // the suite shares one JVM-wide session (getOrCreate), so this spec's
+    // warehouse conf may be ignored and a managed-table location from a
+    // previous run can linger on disk — clear catalog entry AND location
+    spark.sql("DROP TABLE IF EXISTS records_bucketed")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(del)
+      f.delete(); ()
+    }
+    del(new java.io.File(wh, "records_bucketed"))
     RecordStore.saveBucketed(records, "records_bucketed", buckets = 8)
     val stored = RecordStore.load(spark, "records_bucketed")
     assert(stored.count() == records.count(), "bucketed round-trip keeps rows")
