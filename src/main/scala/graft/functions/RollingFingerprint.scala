@@ -72,4 +72,36 @@ object RollingFingerprint {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(RollingFingerprint(GraftColumnBridge.expression(c), k))
   }
+
+  /** DuckDB oracle SQL: the same min-of-k-gram-rolling-hashes, computed
+    * non-iteratively as Σ c_j·Base^(kk-1-j) mod M per window (equal to the
+    * Scala Horner loop because both reduce the polynomial mod the same
+    * Mersenne prime) in HUGEINT arithmetic, then MIN over windows. Matches
+    * the UTF-16 charAt for ASCII/BMP text (`maxLen` bounds the position
+    * series; windows per doc are len-kk+1). */
+  def duckDbSql(table: String, idCol: String, textCol: String, k: Int,
+                maxLen: Int = 4000): String = s"""
+    WITH doc AS (SELECT $idCol AS did, $textCol AS t, length($textCol) AS n FROM $table),
+    series AS (SELECT i FROM generate_series(0, $maxLen) AS g(i)),
+    chars AS (SELECT d.did, s.i, unicode(substr(d.t, s.i + 1, 1))::HUGEINT AS c
+              FROM doc d JOIN series s ON s.i < d.n),
+    pows AS (
+      WITH RECURSIVE p(e, v) AS (
+        SELECT 0, 1::HUGEINT
+        UNION ALL SELECT e + 1, (v * $Base) % $Mod FROM p WHERE e < ${k - 1})
+      SELECT e, v FROM p),
+    wins AS (SELECT d.did, s.i AS w, LEAST($k, d.n) AS kk
+             FROM doc d JOIN series s ON s.i <= d.n - LEAST($k, d.n)
+             WHERE d.n > 0),
+    hashes AS (
+      SELECT w.did, w.w,
+             CAST(SUM((c.c * p.v) % $Mod) % $Mod AS BIGINT) AS h
+      FROM wins w
+      JOIN chars c ON c.did = w.did AND c.i >= w.w AND c.i < w.w + w.kk
+      JOIN pows p ON p.e = w.w + w.kk - 1 - c.i
+      GROUP BY w.did, w.w),
+    fp AS (SELECT did, MIN(h) AS fingerprint FROM hashes GROUP BY did)
+    SELECT d.did AS $idCol, COALESCE(f.fingerprint, 0) AS fingerprint
+    FROM doc d LEFT JOIN fp f ON f.did = d.did
+    ORDER BY d.did"""
 }

@@ -107,6 +107,71 @@ object Dedup {
     WHERE ROUND(n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common), 4) >= $threshold
     ORDER BY a, b"""
 
+  /** DuckDB oracle for [[minhashLshFromShingles]] over the aux dumps Verify
+    * writes: `_aux/shingles` (the df-capped (doc, shingle-hash) index) and
+    * `_aux/minhash_seeded` (per distinct shingle, the 32 seeded hash values
+    * the signature minimizes over). Banding compares the per-band signature
+    * TUPLES directly — equality of tuples ⟺ equality of the Spark side's
+    * xxhash64 bucket ids (up to negligible 64-bit collisions), so the oracle
+    * reproduces signature aggregation, banding, the candidate bucket join and
+    * the exact-Jaccard verification without needing xxhash64 in SQL. */
+  def duckDbMinhashLshSql(numHashes: Int, bands: Int, threshold: Double): String = {
+    val rpb = numHashes / bands
+    val mins = (0 until numHashes).map(i => s"MIN(h$i) AS mh$i").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (b * rpb until (b + 1) * rpb).map(i => s"mh$i").mkString(", ")
+      s"SELECT doc, $b AS band, row($key) AS bkey FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH sh AS (SELECT doc, shingle FROM read_parquet('__VOUT__/_aux/shingles/*.parquet')),
+    seed AS (SELECT * FROM read_parquet('__VOUT__/_aux/minhash_seeded/*.parquet')),
+    sigs AS (SELECT sh.doc, $mins FROM sh JOIN seed USING (shingle) GROUP BY sh.doc),
+    buckets AS ($bandSelects),
+    cands AS (SELECT DISTINCT b1.doc AS a, b2.doc AS b
+              FROM buckets b1 JOIN buckets b2
+                ON b1.band = b2.band AND b1.bkey = b2.bkey AND b1.doc < b2.doc),
+    sizes AS (SELECT doc, COUNT(*) AS ns FROM sh GROUP BY doc),
+    inter AS (SELECT c.a, c.b, COUNT(*) AS nc
+              FROM cands c
+              JOIN sh s1 ON s1.doc = c.a
+              JOIN sh s2 ON s2.doc = c.b AND s2.shingle = s1.shingle
+              GROUP BY c.a, c.b)
+    SELECT a, b, ROUND(nc * 1.0 / (sa.ns + sb.ns - nc), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
+    WHERE ROUND(nc * 1.0 / (sa.ns + sb.ns - nc), 4) >= $threshold
+    ORDER BY a, b"""
+  }
+
+  /** DuckDB oracle for [[simhashPairs]] over `_aux/doc_token_hashes` (one row
+    * per token OCCURRENCE with its 64-bit hash): recomputes the 64 bit-sum
+    * sign aggregation, reassembles the two's-complement signature, bands by
+    * the 4 16-bit chunks and verifies Hamming ≤ maxHamming via
+    * bit_count(xor) — everything downstream of the token hash itself. */
+  def duckDbSimhashSql(maxHamming: Int): String = {
+    val bitSums = (0 until 64)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(", ")
+    val sigTerms = (0 until 64)
+      .map(i => s"CASE WHEN b$i > 0 THEN ${BigInt(1) << i}::HUGEINT ELSE 0::HUGEINT END")
+      .mkString(" + ")
+    s"""
+    WITH th AS (SELECT doc, h FROM read_parquet('__VOUT__/_aux/doc_token_hashes/*.parquet')),
+    bits AS (SELECT doc, $bitSums FROM th GROUP BY doc),
+    sigs AS (SELECT doc,
+      CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
+                THEN su - 18446744073709551616::HUGEINT ELSE su END AS BIGINT) AS sig
+      FROM (SELECT doc, ($sigTerms) AS su FROM bits)),
+    chunks AS (
+      SELECT doc, sig, band, (sig >> (band * 16)) & 65535 AS chunk
+      FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band)),
+    pairs AS (SELECT DISTINCT c1.doc AS a, c2.doc AS b, c1.sig AS s_a, c2.sig AS s_b
+              FROM chunks c1 JOIN chunks c2
+                ON c1.band = c2.band AND c1.chunk = c2.chunk AND c1.doc < c2.doc)
+    SELECT a, b, bit_count(xor(s_a, s_b)) AS hamming
+    FROM pairs WHERE bit_count(xor(s_a, s_b)) <= $maxHamming
+    ORDER BY a, b"""
+  }
+
   // ---- MinHash + LSH ------------------------------------------------------
 
   /** Per-doc MinHash signature: numHashes independent permutations

@@ -76,6 +76,38 @@ object Similarity {
       when(dotCol(vec, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** DuckDB oracle for [[lshTopK]] over `_aux/ann_planes` (the seeded
+    * hyperplanes as DOUBLE[] rows): recomputes the sign-bit signatures with
+    * list_dot_product (bit-identical to [[dotCol]]'s left-to-right double
+    * sum), the per-table bucket join, candidate dedup and exact rescoring. */
+  def duckDbLshTopKSql(table: String, queryIds: Seq[Long], k: Int,
+                       idCol: String, vecCol: String): String = s"""
+    WITH emb AS (SELECT $idCol AS vid, $vecCol::DOUBLE[] AS v FROM $table),
+    pl AS (SELECT tbl, plane_idx, plane FROM read_parquet('__VOUT__/_aux/ann_planes/*.parquet')),
+    sigs AS (SELECT e.vid, p.tbl,
+               SUM(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                        THEN (1::BIGINT << p.plane_idx) ELSE 0 END) AS sig
+             FROM emb e CROSS JOIN pl p GROUP BY e.vid, p.tbl),
+    q AS (SELECT vid AS query_id, tbl, sig FROM sigs
+          WHERE vid IN (${queryIds.mkString(", ")})),
+    cand AS (SELECT DISTINCT q.query_id, s.vid AS match_id
+             FROM q JOIN sigs s
+               ON s.tbl = q.tbl AND s.sig = q.sig AND s.vid <> q.query_id),
+    scored AS (SELECT c.query_id, c.match_id,
+                 ROUND(list_dot_product(qe.v, me.v) /
+                       (sqrt(list_dot_product(qe.v, qe.v))
+                        * sqrt(list_dot_product(me.v, me.v))), 4) AS cosine
+               FROM cand c
+               JOIN emb qe ON qe.vid = c.query_id
+               JOIN emb me ON me.vid = c.match_id)
+    SELECT query_id, rank, match_id, cosine FROM (
+      SELECT query_id, match_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, match_id) AS rank
+      FROM scored)
+    WHERE rank <= $k
+    ORDER BY query_id, rank"""
+
   /** Approximate top-k via MULTI-TABLE hyperplane LSH: `numTables`
     * independent tables of `planesPerTable` hyperplanes each; a corpus
     * vector is a candidate if it lands in the query's bucket in ANY table

@@ -53,8 +53,16 @@ object GtfsPack extends QueryPack {
     }
   }
 
+  // time_of_recording goes out as epoch SECONDS: Spark writes parquet
+  // timestamps as UTC-adjusted µs, which DuckDB surfaces as TIMESTAMPTZ —
+  // the naive-vs-zoned isoformat mismatch would fail the compare even for
+  // identical instants. A BIGINT is engine-neutral.
+  private def asEpochSecs(df: DataFrame): DataFrame =
+    df.withColumn("time_of_recording", unix_timestamp(col("time_of_recording")))
+
   private def records(s: SparkSession, dir: String): DataFrame =
-    pipeline(s)._2.orderBy("trip_start_date", "trip_id", "stop_sequence")
+    asEpochSecs(pipeline(s)._2)
+      .orderBy("trip_start_date", "trip_id", "stop_sequence")
 
   private def gapFilled(s: SparkSession, dir: String): DataFrame = {
     val (sched, recs) = pipeline(s)
@@ -109,7 +117,7 @@ object GtfsPack extends QueryPack {
     val q = graft.streaming.StreamingImport.start(s, rtDir, sched, "graft",
       recordsDir, base + "/ckpt", automatic = false)
     q.awaitTermination(300000)
-    s.read.parquet(recordsDir)
+    asEpochSecs(s.read.parquet(recordsDir))
       .orderBy("trip_start_date", "trip_id", "stop_sequence")
   }
 
@@ -139,6 +147,41 @@ object GtfsPack extends QueryPack {
     Directory.rtFileStats(s, rtDir).orderBy("file_date")
   }
 
+  /** Aux inputs for the outDir-based DuckDB oracles (written by Verify under
+    * `outDir/_aux/`; `__VOUT__` in the oracle SQL is substituted with the
+    * real outDir at dump time). The rt decode and schedule derivations are
+    * Spark-computed — the oracles verify everything DOWNSTREAM of them
+    * (joins, LWW, gap-fill, aggregation); the decode itself is pinned by the
+    * codec round-trip tests. The file listing is plain java.nio — fully
+    * independent of the Spark binaryFile source it checks. */
+  def oracleAux(s: SparkSession): Map[String, DataFrame] = {
+    import s.implicits._
+    val (_, rtDir) = dirs
+    val (sched, _) = pipeline(s)
+    val bin = s.read.format("binaryFile").option("pathGlobFilter", "*.pb").load(rtDir)
+    val rtRows = Importer.decodeRtFiles(s, bin).toDF()
+    val listing = {
+      val stream = java.nio.file.Files.list(java.nio.file.Paths.get(rtDir))
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".pb"))
+          .map(p => (p.getFileName.toString, java.nio.file.Files.size(p)))
+          .toSeq.sorted
+      } finally stream.close()
+    }
+    Map(
+      "rt_rows" -> rtRows,
+      "sched_trips" -> sched.trips.select("trip_id", "route_id", "route_variant",
+        "trip_start_time", "route_type", "trip_headsign", "service_id"),
+      "sched_stop_times" -> sched.stopTimes.select("trip_id", "stop_sequence",
+        "stop_id", "stop_index", "stop_count", "route_section",
+        "arrival_secs", "departure_secs"),
+      "sched_stops" -> sched.stops,
+      "sched_routes" -> sched.routes,
+      "rt_files" -> listing.toDF("file_name", "length"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gtfs_predictions_realtime" -> (predictionsRealtime _),
     "gtfs_visual_schedule" -> (visualSchedule _),
@@ -151,7 +194,94 @@ object GtfsPack extends QueryPack {
     "gtfs_stream_records" -> (streamedRecords _)
   )
 
-  val oracles: Map[String, String] = Map.empty
+  /** The records-table reconstruction shared by the batch and streaming
+    * oracles: decode dump → trips/stop_times joins (J1/J2) → GTFS start-time
+    * parse with schedule fallback → F4 delay filter → W2 last-writer-wins.
+    * Mirrors Importer.recordsFromRt step for step. */
+  private val recordsSql = """
+    WITH rt AS (SELECT * FROM read_parquet('__VOUT__/_aux/rt_rows/*.parquet')),
+    tr AS (SELECT trip_id, route_id, route_variant,
+                  trip_start_time AS sched_start_time
+           FROM read_parquet('__VOUT__/_aux/sched_trips/*.parquet')),
+    st AS (SELECT trip_id, stop_sequence, stop_id, stop_index, stop_count,
+                  arrival_secs, departure_secs
+           FROM read_parquet('__VOUT__/_aux/sched_stop_times/*.parquet')),
+    joined AS (
+      SELECT rt.trip_id, rt.stop_sequence, rt.time_of_recording,
+             rt.delay_arrival, rt.delay_departure,
+             tr.route_id, tr.route_variant,
+             st.stop_id, st.stop_index, st.stop_count,
+             st.arrival_secs, st.departure_secs,
+             strptime(rt.start_date, '%Y%m%d')::DATE AS trip_start_date,
+             COALESCE(
+               CAST(string_split(rt.start_time, ':')[1] AS INT) * 3600
+                 + CAST(string_split(rt.start_time, ':')[2] AS INT) * 60
+                 + CAST(string_split(rt.start_time, ':')[3] AS INT),
+               tr.sched_start_time) AS trip_start_time
+      FROM rt
+      JOIN tr ON tr.trip_id = rt.trip_id
+      JOIN st ON st.trip_id = rt.trip_id AND st.stop_sequence = rt.stop_sequence
+      WHERE rt.delay_arrival IS NOT NULL OR rt.delay_departure IS NOT NULL),
+    dedup AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY route_id, route_variant, trip_id, trip_start_date,
+                     trip_start_time, stop_sequence
+        ORDER BY time_of_recording DESC) AS rn
+      FROM joined)
+    SELECT 'graft' AS source, route_id, route_variant, trip_id, trip_start_date,
+           trip_start_time, stop_sequence, stop_id, stop_index, stop_count,
+           arrival_secs, departure_secs, time_of_recording,
+           delay_arrival, delay_departure,
+           'graft_schedule' AS schedule_file_name
+    FROM dedup WHERE rn = 1"""
+
+  val oracles: Map[String, String] = Map(
+    "gtfs_records" -> recordsSql,
+    // ST5 through the oracle: the streamed table must equal the same SQL
+    // reconstruction the batch path matches.
+    "gtfs_stream_records" -> recordsSql,
+    // J5 forward fill over the schedule grid, from the checked records output.
+    "gtfs_gap_fill" -> """
+      WITH recs AS (SELECT * FROM read_parquet('__VOUT__/gtfs_records/*.parquet')),
+      st AS (SELECT trip_id, stop_sequence, stop_id, stop_index, stop_count,
+                    arrival_secs, departure_secs
+             FROM read_parquet('__VOUT__/_aux/sched_stop_times/*.parquet')),
+      veh AS (SELECT DISTINCT trip_id, trip_start_date, trip_start_time, source,
+                     route_id, route_variant, schedule_file_name
+              FROM recs),
+      grid AS (SELECT v.*, st.stop_sequence, st.stop_id, st.stop_index,
+                      st.stop_count, st.arrival_secs, st.departure_secs
+               FROM veh v JOIN st ON st.trip_id = v.trip_id),
+      obs AS (SELECT trip_id, trip_start_date, trip_start_time, stop_sequence,
+                     delay_arrival AS o_da, delay_departure AS o_dd, TRUE AS obs
+              FROM recs),
+      j AS (SELECT g.*, o.o_da, o.o_dd, o.obs
+            FROM grid g LEFT JOIN obs o
+              ON o.trip_id = g.trip_id AND o.trip_start_date = g.trip_start_date
+             AND o.trip_start_time = g.trip_start_time
+             AND o.stop_sequence = g.stop_sequence),
+      w AS (SELECT *, LAST_VALUE(
+              CASE WHEN obs THEN struct_pack(da := o_da, dd := o_dd) END
+              IGNORE NULLS) OVER (
+                PARTITION BY trip_id, trip_start_date, trip_start_time
+                ORDER BY stop_index
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS donor
+            FROM j)
+      SELECT trip_id, trip_start_date, trip_start_time, source, route_id,
+             route_variant, schedule_file_name, stop_sequence, stop_id,
+             stop_index, stop_count, arrival_secs, departure_secs,
+             CASE WHEN obs THEN o_da ELSE donor.da END AS delay_arrival,
+             CASE WHEN obs THEN o_dd ELSE donor.dd END AS delay_departure,
+             COALESCE(obs, FALSE) AS observed
+      FROM w WHERE donor IS NOT NULL""",
+    // A1's rt-file half against the independent java.nio listing.
+    "gtfs_file_stats" -> """
+      SELECT strptime(regexp_extract(file_name, '(\d{4}-\d{2}-\d{2})', 1),
+                      '%Y-%m-%d')::DATE AS file_date,
+             COUNT(*) AS rt_file_count, SUM(length) AS rt_file_size
+      FROM read_parquet('__VOUT__/_aux/rt_files/*.parquet')
+      GROUP BY 1 ORDER BY 1"""
+  )
 }
 
 /** Writes the deterministic GTFS fixture set into a stable temp location

@@ -177,6 +177,21 @@ object MonitorPack extends QueryPack {
              printf('%+d', CAST(TRUNC(value) AS INT)) AS delay_label,
              printf('%d:%02d Min.', (event_id % 100) // 60, (event_id % 100) % 60)
                AS duration_label
-      FROM events ORDER BY event_id"""
+      FROM events ORDER BY event_id""",
+    // J8 over the schedule aux dumps: headsign + short name + route type +
+    // named stop + departure time mod 24 h (journey_data.rs:382-473).
+    "j8_resolve_trip" -> """
+      SELECT t.trip_id, t.route_id, t.route_variant, st.stop_sequence,
+             st.departure_secs
+      FROM read_parquet('__VOUT__/_aux/sched_trips/*.parquet') t
+      JOIN read_parquet('__VOUT__/_aux/sched_routes/*.parquet') r
+        ON r.route_id = t.route_id AND r.route_short_name = '10'
+      JOIN read_parquet('__VOUT__/_aux/sched_stop_times/*.parquet') st
+        ON st.trip_id = t.trip_id
+      JOIN read_parquet('__VOUT__/_aux/sched_stops/*.parquet') s
+        ON s.stop_id = st.stop_id AND s.stop_name = 'Stop 1'
+      WHERE t.trip_headsign = 'Downtown' AND t.route_type = 3
+        AND abs(st.departure_secs - 28830) % 86400 = 0
+      ORDER BY t.trip_id, st.stop_sequence"""
   )
 }

@@ -60,6 +60,34 @@ object PipelinePack extends QueryPack {
     * phase) so per-query bench numbers reflect marginal cost. */
   def prewarm(s: SparkSession, dir: String): Unit = { shingles(s, dir); () }
 
+  /** Aux inputs for the outDir-based DuckDB oracles (written by Verify under
+    * `outDir/_aux/`): the df-capped shingle index, the 32 seeded MinHash
+    * values per distinct shingle, per-occurrence token hashes (SimHash
+    * input), and the seeded ANN hyperplanes. The raw 64-bit hashes are
+    * Spark-computed (DuckDB has no xxhash64); the oracles verify everything
+    * DOWNSTREAM — signature aggregation, banding, candidate joins,
+    * similarity verification, ranking. */
+  def oracleAux(s: SparkSession, dir: String): Map[String, DataFrame] = {
+    import s.implicits._
+    val sh = shingles(s, dir)
+    val seeded = sh.select("shingle").distinct()
+      .select(col("shingle") +:
+        (0 until 32).map(i => xxhash64(lit(i), col("shingle")).as(s"h$i")): _*)
+    val tokenHashes = t(s, dir, "documents")
+      .select(col("doc_id").as("doc"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      .select(col("doc"), xxhash64(col("tok")).as("h"))
+    val planes = for {
+      tbl <- 0 until 12
+      (plane, idx) <- Similarity.hyperplanes(64, 4, seed = 42L + tbl).zipWithIndex
+    } yield (tbl, idx, plane.toSeq)
+    Map(
+      "shingles" -> sh.select("doc", "shingle"),
+      "minhash_seeded" -> seeded,
+      "doc_token_hashes" -> tokenHashes,
+      "ann_planes" -> planes.toDF("tbl", "plane_idx", "plane"))
+  }
+
   // ---- dedup -------------------------------------------------------------
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents")).orderBy("doc_id")
@@ -194,6 +222,13 @@ object PipelinePack extends QueryPack {
       FROM documents ORDER BY doc_id""",
     "text_langid" -> s"""
       SELECT doc_id, ${TextAnalysis.duckDbLangIdSql("text")} AS lang_pred
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      RollingFingerprint.duckDbSql("documents", "doc_id", "text", 16),
+    "dedup_minhash_lsh" ->
+      Dedup.duckDbMinhashLshSql(numHashes = 32, bands = 8, threshold = 0.5),
+    "dedup_simhash" -> Dedup.duckDbSimhashSql(maxHamming = 3),
+    "ann_lsh_topk" ->
+      Similarity.duckDbLshTopKSql("embeddings", QueryIds, 10, "vec_id", "embedding")
   )
 }
