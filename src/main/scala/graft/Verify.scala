@@ -36,10 +36,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // aux oracle inputs (see graft.queries.OracleAux) + path substitution
+    // aux oracle inputs (see graft.queries.OracleAux): dumped to a SIBLING
+    // directory of outDir, not inside it — the driver harness scans every
+    // outDir subdirectory as a query result, and the mixed-schema aux
+    // parquet crashed its pandas sort (the r3 `_aux` error entry).
     graft.queries.OracleAux.dump(spark, sfDir, outDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__VOUT__", outDir))}" }
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__VOUT__/_aux", outDir + "_aux").replace("__VOUT__", outDir))}"
+      }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

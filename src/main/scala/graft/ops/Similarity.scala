@@ -28,17 +28,24 @@ object Similarity {
     dotCol(a, b) / (normCol(a) * normCol(b))
 
   /** Exact top-k by cosine for the given query ids (self-excluded).
-    * The query side is tiny → broadcast; the corpus is scanned once. */
+    * The query side is tiny → broadcast; the corpus is scanned once.
+    * Norms are computed ONCE per side before the pair join (not per pair —
+    * at 100 TB the corpus norm would otherwise be recomputed |queries|
+    * times); `q_norm * m_norm` multiplies in the same order as
+    * `normCol(q) * normCol(m)`, so the cosines are bit-identical. */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val queries = embeddings
       .filter(col(idCol).isInCollection(queryIds))
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val corpus = embeddings.select(col(idCol).as("match_id"), col(vecCol).as("m_vec"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        normCol(col(vecCol)).as("q_norm"))
+    val corpus = embeddings.select(col(idCol).as("match_id"), col(vecCol).as("m_vec"),
+      normCol(col(vecCol)).as("m_norm"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("match_id"))
     broadcast(queries).join(corpus, col("query_id") =!= col("match_id"))
-      .withColumn("cosine", round(cosineCol(col("q_vec"), col("m_vec")), 4))
+      .withColumn("cosine",
+        round(dotCol(col("q_vec"), col("m_vec")) / (col("q_norm") * col("m_norm")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("match_id"), col("cosine"))
@@ -118,24 +125,31 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
               numTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val buckets = (0 until numTables).map { t =>
-      val planes = hyperplanes(dim, planesPerTable, seed = 42L + t)
-      struct(lit(t).as("table"), signatureCol(col(vecCol), planes).as("sig")).as(s"b_$t")
-    }
+    // All tables' sign-bit signatures in ONE native-expression pass (the
+    // Column-composed per-plane form built a ~3000-literal tree whose
+    // analysis + Janino compile dominated the query; see
+    // graft.functions.HyperplaneSignatures). Values are bit-identical.
+    val planes: Array[Array[Array[Double]]] =
+      (0 until numTables).map(t => hyperplanes(dim, planesPerTable, seed = 42L + t)).toArray
     val signed = embeddings
       .select(col(idCol), col(vecCol),
-        explode(array(buckets: _*)).as("bucket"))
+        posexplode(graft.functions.HyperplaneSignatures(col(vecCol), planes)))
+      .select(col(idCol), col(vecCol),
+        struct(col("pos").as("table"), col("col").as("sig")).as("bucket"))
     val queries = signed.filter(col(idCol).isInCollection(queryIds))
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"))
-    val corpus = signed.select(col(idCol).as("match_id"), col(vecCol).as("m_vec"), col("bucket"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        normCol(col(vecCol)).as("q_norm"), col("bucket"))
+    val corpus = signed.select(col(idCol).as("match_id"), col(vecCol).as("m_vec"),
+      normCol(col(vecCol)).as("m_norm"), col("bucket"))
     val candidates = broadcast(queries).join(corpus, Seq("bucket"))
       .filter(col("query_id") =!= col("match_id"))
-      .select("query_id", "q_vec", "match_id", "m_vec")
+      .select("query_id", "q_vec", "q_norm", "match_id", "m_vec", "m_norm")
       .dropDuplicates("query_id", "match_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("match_id"))
     candidates
-      .withColumn("cosine", round(cosineCol(col("q_vec"), col("m_vec")), 4))
+      .withColumn("cosine",
+        round(dotCol(col("q_vec"), col("m_vec")) / (col("q_norm") * col("m_norm")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("match_id"), col("cosine"))

@@ -148,7 +148,7 @@ object GtfsPack extends QueryPack {
   }
 
   /** Aux inputs for the outDir-based DuckDB oracles (written by Verify under
-    * `outDir/_aux/`; `__VOUT__` in the oracle SQL is substituted with the
+    * `<outDir>_aux/`; `__VOUT__` in the oracle SQL is substituted with the
     * real outDir at dump time). The rt decode and schedule derivations are
     * Spark-computed — the oracles verify everything DOWNSTREAM of them
     * (joins, LWW, gap-fill, aggregation); the decode itself is pinned by the
@@ -278,7 +278,10 @@ object GtfsPack extends QueryPack {
     "gtfs_file_stats" -> """
       SELECT strptime(regexp_extract(file_name, '(\d{4}-\d{2}-\d{2})', 1),
                       '%Y-%m-%d')::DATE AS file_date,
-             COUNT(*) AS rt_file_count, SUM(length) AS rt_file_size
+             COUNT(*) AS rt_file_count,
+             -- BIGINT cast: DuckDB SUM(BIGINT) is HUGEINT, which lands in
+             -- pandas as float64 and hash-mismatches Spark's int64
+             CAST(SUM(length) AS BIGINT) AS rt_file_size
       FROM read_parquet('__VOUT__/_aux/rt_files/*.parquet')
       GROUP BY 1 ORDER BY 1"""
   )

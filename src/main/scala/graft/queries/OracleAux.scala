@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 
-/** Writes the auxiliary oracle-input parquet tables under `outDir/_aux/`.
+/** Writes the auxiliary oracle-input parquet tables under `<outDir>_aux/`.
   *
   * Several driver queries compute over inputs DuckDB cannot reach from the
   * sf tables alone — the GTFS fixture pipeline's decoded rt rows and derived
@@ -15,8 +15,10 @@ import org.apache.spark.sql.SparkSession
 object OracleAux {
   def dump(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val frames = GtfsPack.oracleAux(spark) ++ PipelinePack.oracleAux(spark, sfDir)
+    // Sibling of outDir ("<outDir>_aux"), NOT a subdirectory: the driver
+    // harness treats every outDir/* entry as a query result to compare.
     frames.foreach { case (name, df) =>
-      try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/$name")
+      try df.coalesce(1).write.mode("overwrite").parquet(s"${outDir}_aux/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] aux dump $name failed: ${e.getMessage}")
       }
