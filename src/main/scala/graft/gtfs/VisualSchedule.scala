@@ -41,8 +41,12 @@ object VisualSchedule {
     * visual_schedule.rs:180-210), so grouping is driver-side; the per-trip
     * explosion joins `stopTimes` against the broadcast (variant, stop) →
     * index map — distributed, no driver loop over trips. */
-  def tripLines(spark: SparkSession, schedule: GtfsSchedule,
-                routeId: Option[String] = None): DataFrame = {
+  /** The (variant, stop) → (primary variant, y index) mapping behind
+    * [[tripLines]] — built driver-side over the tiny per-route variant
+    * lists (as the reference does), exposed so the DuckDB oracle can pin
+    * everything DOWNSTREAM of it (the distributed joins + projection). */
+  def variantIndexMap(spark: SparkSession, schedule: GtfsSchedule,
+                      routeId: Option[String] = None): DataFrame = {
     import spark.implicits._
     val vstops = routeId
       .map(r => schedule.variantStops.filter(col("route_id") === r))
@@ -67,8 +71,12 @@ object VisualSchedule {
         .map { case (s, occ) => (s, occ.map(_._2).min) }
     } yield (rid, v, primary, stopId, idx)
 
-    val mapDf = mapping
-      .toDF("route_id", "route_variant", "primary_variant", "stop_id", "y_index")
+    mapping.toDF("route_id", "route_variant", "primary_variant", "stop_id", "y_index")
+  }
+
+  def tripLines(spark: SparkSession, schedule: GtfsSchedule,
+                routeId: Option[String] = None): DataFrame = {
+    val mapDf = variantIndexMap(spark, schedule, routeId)
     schedule.stopTimes
       .join(schedule.trips
         .select("trip_id", "route_id", "route_variant", "trip_headsign"), "trip_id")

@@ -64,20 +64,28 @@ object MonitorPack extends QueryPack {
           (col("event_id") % 100) % 60).as("duration_label"))
       .orderBy("event_id")
 
-  // ---- curve-bearing monitor pages on the GTFS fixture (rows-only) -------
+  // ---- curve-bearing monitor pages on the GTFS fixture --------------------
+  // Time columns go out as ROUNDED EPOCH DOUBLES (not timestamps): Spark
+  // parquet timestamps surface in DuckDB as TIMESTAMPTZ and isoformat
+  // differently from the oracle's naive arithmetic; an epoch double is
+  // engine-neutral and the round(4) absorbs f32-vs-f64 interpolation dust.
   private def stopPage(s: SparkSession, dir: String): DataFrame = {
     val (sched, preds) = GtfsPack.predictionState(s)
     // name-based page = the reference's extended-platform-group query
     // (at the 300 m radius the fixture group is the single platform S2)
     Monitor.stopPageByName(s, preds, sched, "Stop 2",
       "2024-03-04 00:00:00", "2024-03-05 00:00:00")
+      .withColumn("median_epoch", round(col("median_ts").cast("double"), 4))
+      .drop("median_ts")
   }
 
   private def w8Percentiles(s: SparkSession, dir: String): DataFrame = {
     val (_, preds) = GtfsPack.predictionState(s)
+    val ds = Seq("delay_1", "delay_5", "delay_25", "delay_50", "delay_75",
+      "delay_95", "delay_99")
     Monitor.withPercentiles(preds)
-      .select("trip_id", "stop_sequence", "event_type",
-        "delay_1", "delay_5", "delay_25", "delay_50", "delay_75", "delay_95", "delay_99")
+      .select(Seq(col("trip_id"), col("stop_sequence"), col("event_type")) ++
+        ds.map(d => round(col(d), 4).as(d)): _*)
       .orderBy("trip_id", "stop_sequence", "event_type")
   }
 
@@ -87,6 +95,7 @@ object MonitorPack extends QueryPack {
     // walk_curve → JSON: the driver harness cannot hash array<struct> cells.
     Monitor.walkCurves(s, sched.stops, maxDistM = 600.0)
       .withColumn("walk_curve", to_json(col("walk_curve")))
+      .withColumn("dist_m", round(col("dist_m"), 3))
       .orderBy("from_stop", "to_stop")
   }
 
@@ -106,8 +115,13 @@ object MonitorPack extends QueryPack {
     * 28830), boarding at the first stop (seq 10). */
   private def tripPage(s: SparkSession, dir: String): DataFrame = {
     val (sched, preds) = GtfsPack.predictionState(s)
-    Monitor.tripPage(s, preds, sched, "T1", "2024-03-04",
+    val page = Monitor.tripPage(s, preds, sched, "T1", "2024-03-04",
       tripStartTime = 8 * 3600 + 30, boardingStopSeq = 10)
+    Seq("sched_ts" -> "sched_epoch", "q1_ts" -> "q1_epoch",
+      "median_ts" -> "median_epoch", "q99_ts" -> "q99_epoch")
+      .foldLeft(page) { case (df, (ts, ep)) =>
+        df.withColumn(ep, round(col(ts).cast("double"), 4)).drop(ts)
+      }
   }
 
   /** 3-leg fixture journey: S1 →(T1)→ S3 →(walk ~260 m)→ S4 →(T1sub)→ S5.
@@ -128,6 +142,93 @@ object MonitorPack extends QueryPack {
     Monitor.resolveTrip(sched, "Downtown", "10", 3, "Stop 1", 8 * 3600 + 30)
       .orderBy("trip_id", "stop_sequence")
   }
+
+  /** Aux inputs for the page/percentile oracles: the batch-prediction rows
+    * scalarized (epoch doubles) and their curves exploded to one row per
+    * point, plus the per-pair walk-curve lookup. The curve CONTENT is
+    * Spark-computed (marker recursion / walk synthesis are not
+    * SQL-expressible; both are pinned by CurvesSpec and the curve-invariant
+    * queries) — the oracles verify everything DOWNSTREAM: percentile
+    * interpolation, window overlap, realtime preference, last-stop and
+    * quantile-window filters, ordering, joins, formatting. */
+  def oracleAux(s: SparkSession): Map[String, DataFrame] = {
+    val (sched, preds) = GtfsPack.predictionState(s)
+    val keys = Seq(col("trip_id"), col("trip_start_date"), col("trip_start_time"),
+      col("stop_sequence"), col("event_type"))
+    val rows = preds.select(keys ++ Seq(col("stop_id"), col("route_id"),
+      col("precision_type"), col("origin_type"), col("sample_size"),
+      col("prediction_min").cast("double").as("min_epoch"),
+      col("prediction_max").cast("double").as("max_epoch")): _*)
+    val points = preds
+      .select(keys :+ posexplode(col("prediction_curve")): _*)
+      .select(keys ++ Seq(col("pos").as("idx"),
+        col("col.x").as("x"), col("col.y").as("y")): _*)
+    val walk = Monitor.walkCurves(s, sched.stops, maxDistM = 600.0)
+      .select(col("from_stop"), col("to_stop"),
+        to_json(col("walk_curve")).as("curve_json"))
+    Map("pred_rows" -> rows, "pred_points" -> points, "walk_pairs" -> walk)
+  }
+
+  private val PredKeys = Seq("trip_id", "trip_start_date", "trip_start_time",
+    "stop_sequence", "event_type")
+  private def keyList(prefix: String = ""): String =
+    PredKeys.map(k => if (prefix.isEmpty) k else s"$prefix.$k").mkString(", ")
+  private def keyJoin(a: String, b: String): String =
+    PredKeys.map(k => s"$a.$k = $b.$k").mkString(" AND ")
+
+  /** CTE block reproducing [[graft.curves.Curves.xAtY]] over the exploded
+    * `pred_points` aux: per prediction row, the leftmost segment reaching
+    * each target y, linearly interpolated, clamped to the first/last point
+    * outside [y0, yN]. Percentile targets are the exact doubles of the f32
+    * constants ([[graft.curves.Curves.PredictionPercentiles]]), so the
+    * segment choice matches the Scala scan bit for bit, and the interp
+    * emulates f32 with a REAL cast after every operation (the only residual
+    * difference is double-rounding through f64 ops, ~2⁻²⁹ likely per op —
+    * absorbed by the round(4) on outputs).
+    * Exposes `ends` (first/last points) and `pq` (one row per prediction
+    * with d1…d99). */
+  private def quantCtes: String = {
+    val ps = Seq(1 -> 0.01f, 5 -> 0.05f, 25 -> 0.25f, 50 -> 0.5f,
+      75 -> 0.75f, 95 -> 0.95f, 99 -> 0.99f)
+      .map { case (n, f) => s"($n, ${f.toDouble})" }.mkString(", ")
+    val dcols = Seq(1, 5, 25, 50, 75, 95, 99)
+      .map(n => s"MAX(CASE WHEN pn = $n THEN q END) AS d$n").mkString(",\n                 ")
+    s"""
+    pp AS (SELECT ${keyList()}, idx, x::DOUBLE AS x, y::DOUBLE AS y
+           FROM read_parquet('__VOUT__/_aux/pred_points/*.parquet')),
+    ends AS (SELECT ${keyList()},
+                    MIN_BY(x, idx) AS fx, MIN_BY(y, idx) AS fy,
+                    MAX_BY(x, idx) AS lx, MAX_BY(y, idx) AS ly
+             FROM pp GROUP BY ${keyList()}),
+    ps(pn, pv) AS (VALUES $ps),
+    seg AS (SELECT *, LAG(x) OVER w AS px, LAG(y) OVER w AS py
+            FROM pp WINDOW w AS (PARTITION BY ${keyList()} ORDER BY idx)),
+    cand AS (SELECT ${keyList("seg")}, pn,
+                    -- f32 emulation (REAL cast after every op): the Scala
+                    -- side interpolates in Float, and a f64 result landing
+                    -- an ulp under an integer flips TRUNC-based labels
+                    CAST(px + CAST(CAST(x - px AS REAL)
+                      * CAST(CAST(pv - py AS REAL) / CAST(y - py AS REAL) AS REAL)
+                      AS REAL) AS REAL) AS q,
+                    ROW_NUMBER() OVER (PARTITION BY ${keyList("seg")}, pn
+                                       ORDER BY idx) AS rn
+             FROM seg CROSS JOIN ps WHERE y >= pv),
+    quant AS (SELECT ${keyList("e")}, p.pn,
+                     CASE WHEN p.pv <= e.fy THEN e.fx
+                          WHEN p.pv >= e.ly THEN e.lx
+                          ELSE c.q END AS q
+              FROM ends e CROSS JOIN ps p
+              LEFT JOIN cand c ON ${keyJoin("c", "e")} AND c.pn = p.pn AND c.rn = 1),
+    pq AS (SELECT ${keyList()},
+                 $dcols
+           FROM quant GROUP BY ${keyList()})"""
+  }
+
+  private val RouteTypeLabelCase = """CASE r.route_type
+      WHEN 0 THEN 'Tram' WHEN 1 THEN 'Subway' WHEN 2 THEN 'Rail'
+      WHEN 3 THEN 'Bus' WHEN 4 THEN 'Ferry' WHEN 5 THEN 'CableCar'
+      WHEN 6 THEN 'Gondola' WHEN 7 THEN 'Funicular' WHEN 200 THEN 'Coach'
+      WHEN 1100 THEN 'Air' WHEN 1500 THEN 'Taxi' ELSE '?' END"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f5_window_overlap" -> (f5WindowOverlap _),
@@ -178,6 +279,104 @@ object MonitorPack extends QueryPack {
              printf('%d:%02d Min.', (event_id % 100) // 60, (event_id % 100) % 60)
                AS duration_label
       FROM events ORDER BY event_id""",
+    // W8 percentile extraction, recomputed from the exploded curve points.
+    "w8_percentiles" -> s"""
+      WITH $quantCtes
+      SELECT trip_id, stop_sequence, event_type,
+             ROUND(d1, 4) AS delay_1, ROUND(d5, 4) AS delay_5,
+             ROUND(d25, 4) AS delay_25, ROUND(d50, 4) AS delay_50,
+             ROUND(d75, 4) AS delay_75, ROUND(d95, 4) AS delay_95,
+             ROUND(d99, 4) AS delay_99
+      FROM pq ORDER BY trip_id, stop_sequence, event_type""",
+    // Trip page: vehicle filter, percentile instants (anchor = min_epoch −
+    // first curve x, mirroring the decimal(18,6) interval casts as ROUND 6),
+    // stop-name join, ordering (monitor/mod.rs:690-795).
+    "monitor_trip_page" -> s"""
+      WITH $quantCtes,
+      pr AS (SELECT * FROM read_parquet('__VOUT__/_aux/pred_rows/*.parquet')),
+      veh AS (SELECT * FROM pr
+              WHERE trip_id = 'T1' AND trip_start_date = DATE '2024-03-04'
+                AND trip_start_time = 28830
+                AND ((stop_sequence = 10 AND event_type = 2)
+                  OR (stop_sequence > 10 AND event_type = 1))),
+      j AS (SELECT veh.*, pq.d1, pq.d50, pq.d99, e.fx,
+                   veh.min_epoch - ROUND(e.fx, 6) AS anchor
+            FROM veh
+            JOIN pq ON ${keyJoin("pq", "veh")}
+            JOIN ends e ON ${keyJoin("e", "veh")})
+      SELECT j.route_id, j.trip_id, j.stop_sequence, j.event_type, s.stop_name,
+             ROUND(anchor, 4) AS sched_epoch,
+             ROUND(anchor + ROUND(d1, 6), 4) AS q1_epoch,
+             ROUND(anchor + ROUND(d50, 6), 4) AS median_epoch,
+             ROUND(anchor + ROUND(d99, 6), 4) AS q99_epoch,
+             j.precision_type, j.origin_type, j.sample_size
+      FROM j LEFT JOIN read_parquet('__VOUT__/_aux/sched_stops/*.parquet') s
+        ON s.stop_id = j.stop_id
+      ORDER BY j.stop_sequence, j.event_type""",
+    // Stop page: extended platform group (haversine < 300 m), F5 overlap,
+    // F6 quantile-window trim, W6 realtime preference, F7 last-stop drop,
+    // route join + X12/X13 labels, W5 median order (monitor/mod.rs:426-591).
+    "monitor_stop_page" -> s"""
+      WITH $quantCtes,
+      pr AS (SELECT * FROM read_parquet('__VOUT__/_aux/pred_rows/*.parquet')),
+      st AS (SELECT * FROM read_parquet('__VOUT__/_aux/sched_stops/*.parquet')),
+      named AS (SELECT stop_lat AS a_lat, stop_lon AS a_lon FROM st
+                WHERE stop_name = 'Stop 2'),
+      ext AS (SELECT s.stop_id FROM st s CROSS JOIN named
+              WHERE ${Geo.duckDbHaversineSql("named.a_lat", "named.a_lon",
+                "s.stop_lat", "s.stop_lon")} < 300.0
+              GROUP BY s.stop_id),
+      win AS (SELECT epoch(TIMESTAMP '2024-03-04 00:00:00') AS ws,
+                     epoch(TIMESTAMP '2024-03-05 00:00:00') AS we),
+      ov AS (SELECT pr.* FROM pr
+             JOIN ext ON ext.stop_id = pr.stop_id CROSS JOIN win
+             WHERE pr.event_type = 2 AND pr.min_epoch < win.we
+               AND pr.max_epoch > win.ws),
+      q AS (SELECT ov.*, pq.d5, pq.d50, pq.d95,
+                   ov.min_epoch - ROUND(e.fx, 6) AS anchor
+            FROM ov
+            JOIN pq ON ${keyJoin("pq", "ov")}
+            JOIN ends e ON ${keyJoin("e", "ov")}),
+      f6 AS (SELECT q.* FROM q CROSS JOIN win
+             WHERE anchor + ROUND(d5, 6) < win.we
+               AND anchor + ROUND(d95, 6) > win.ws),
+      w6 AS (SELECT *, MAX(CASE WHEN origin_type = 1 THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY route_id, trip_start_date,
+                                            trip_start_time) AS has_rt
+             FROM f6),
+      w6f AS (SELECT * FROM w6 WHERE has_rt = 0 OR origin_type = 1),
+      last AS (SELECT trip_id, MAX(stop_sequence) AS last_seq
+               FROM read_parquet('__VOUT__/_aux/sched_stop_times/*.parquet')
+               GROUP BY trip_id),
+      nl AS (SELECT w.* FROM w6f w JOIN last l ON l.trip_id = w.trip_id
+             WHERE w.stop_sequence < l.last_seq)
+      SELECT nl.route_id, r.route_short_name,
+             $RouteTypeLabelCase AS route_type_label,
+             nl.trip_id, nl.stop_sequence,
+             ROUND(anchor + ROUND(d50, 6), 4) AS median_epoch,
+             printf('%+d', CAST(TRUNC(d50) AS INT)) AS delay_label,
+             nl.precision_type, nl.origin_type, nl.sample_size
+      FROM nl LEFT JOIN read_parquet('__VOUT__/_aux/sched_routes/*.parquet') r
+        ON r.route_id = nl.route_id
+      ORDER BY median_epoch, nl.trip_id""",
+    // X9 pairs re-derived by plain all-pairs haversine (the Spark side uses
+    // the grid-bucketed join); curves via the walk_pairs lookup — LEFT join,
+    // so a pair the Spark side missed still surfaces as a row diff.
+    "x9_walk_curves" -> s"""
+      WITH st AS (SELECT stop_id, stop_lat, stop_lon
+                  FROM read_parquet('__VOUT__/_aux/sched_stops/*.parquet')),
+      pairs AS (SELECT a.stop_id AS from_stop, b.stop_id AS to_stop,
+                       ${Geo.duckDbHaversineSql("a.stop_lat", "a.stop_lon",
+                         "b.stop_lat", "b.stop_lon")} AS dist
+                FROM st a JOIN st b ON a.stop_id < b.stop_id
+                WHERE ${Geo.duckDbHaversineSql("a.stop_lat", "a.stop_lon",
+                  "b.stop_lat", "b.stop_lon")} <= 600.0)
+      SELECT p.from_stop, p.to_stop, ROUND(p.dist, 3) AS dist_m,
+             w.curve_json AS walk_curve
+      FROM pairs p
+      LEFT JOIN read_parquet('__VOUT__/_aux/walk_pairs/*.parquet') w
+        ON w.from_stop = p.from_stop AND w.to_stop = p.to_stop
+      ORDER BY p.from_stop, p.to_stop""",
     // J8 over the schedule aux dumps: headsign + short name + route type +
     // named stop + departure time mod 24 h (journey_data.rs:382-473).
     "j8_resolve_trip" -> """

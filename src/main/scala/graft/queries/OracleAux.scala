@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
   */
 object OracleAux {
   def dump(spark: SparkSession, sfDir: String, outDir: String): Unit = {
-    val frames = GtfsPack.oracleAux(spark) ++ PipelinePack.oracleAux(spark, sfDir)
+    val frames = GtfsPack.oracleAux(spark) ++ MonitorPack.oracleAux(spark) ++
+      PipelinePack.oracleAux(spark, sfDir)
     // Sibling of outDir ("<outDir>_aux"), NOT a subdirectory: the driver
     // harness treats every outDir/* entry as a query result to compare.
     frames.foreach { case (name, df) =>
