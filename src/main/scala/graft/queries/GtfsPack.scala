@@ -104,6 +104,10 @@ object GtfsPack extends QueryPack {
   private def predictions(s: SparkSession, dir: String): DataFrame =
     predictionState(s)._2
       .withColumn("prediction_curve", to_json(col("prediction_curve")))
+      // epoch doubles: Spark parquet timestamps surface as TIMESTAMPTZ in
+      // DuckDB and cannot be compared against the oracle's naive arithmetic
+      .withColumn("prediction_min", col("prediction_min").cast("double"))
+      .withColumn("prediction_max", col("prediction_max").cast("double"))
       .orderBy("trip_id", "stop_sequence", "event_type")
 
   /** ST1/ST5: the streaming ingest (binaryFile stream → decode → schedule
@@ -170,6 +174,26 @@ object GtfsPack extends QueryPack {
           .toSeq.sorted
       } finally stream.close()
     }
+    // curve-table dumps for the prediction-selection oracle: the curve
+    // CONTENT is Spark-computed (marker recursion is not SQL-expressible;
+    // pinned by CurvesSpec + the curve-invariant checks) and rides along as
+    // its to_json string — the oracle re-derives the prediction TARGETS and
+    // the general→default fallback joins from scratch
+    val (sc, dc) = curves(s)
+    val genCurves = sc.toDF().filter(col("curve_kind") === "general")
+      .select(col("route_variant"), col("event_type"), col("time_slot_id"),
+        col("end_stop_index").as("stop_index"),
+        to_json(Predictor.capCurve(col("curve"))).as("g_json"),
+        col("precision_type").as("g_precision"), col("sample_size").as("g_sample"),
+        element_at(col("curve"), 1).getField("x").as("g_min_x"),
+        element_at(col("curve"), -1).getField("x").as("g_max_x"))
+    val dftCurves = dc.toDF()
+      .select(col("route_type"), col("route_section"), col("time_slot_id"),
+        col("event_type"),
+        to_json(Predictor.capCurve(col("curve"))).as("d_json"),
+        col("precision_type").as("d_precision"), col("sample_size").as("d_sample"),
+        element_at(col("curve"), 1).getField("x").as("d_min_x"),
+        element_at(col("curve"), -1).getField("x").as("d_max_x"))
     Map(
       "rt_rows" -> rtRows,
       "sched_trips" -> sched.trips.select("trip_id", "route_id", "route_variant",
@@ -179,7 +203,12 @@ object GtfsPack extends QueryPack {
         "arrival_secs", "departure_secs"),
       "sched_stops" -> sched.stops,
       "sched_routes" -> sched.routes,
-      "rt_files" -> listing.toDF("file_name", "length"))
+      "rt_files" -> listing.toDF("file_name", "length"),
+      "trips_for_date" -> ServiceCalendar
+        .tripsForDate(s, sched, "2024-03-04").select("trip_id"),
+      "variant_primary" -> VisualSchedule.variantIndexMap(s, sched),
+      "gen_curves" -> genCurves,
+      "dft_curves" -> dftCurves)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -274,6 +303,76 @@ object GtfsPack extends QueryPack {
              CASE WHEN obs THEN o_dd ELSE donor.dd END AS delay_departure,
              COALESCE(obs, FALSE) AS observed
       FROM w WHERE donor IS NOT NULL""",
+    // Batch prediction (ST4 join form): targets re-derived from the schedule
+    // dumps (event fan-out, GTFS noon-anchored time, time slot, service-day
+    // scoping), then the general→default fallback joins — the curve strings
+    // ride along from the curve-table dumps, everything else is re-computed.
+    "gtfs_predictions" -> s"""
+      WITH st AS (SELECT * FROM read_parquet('__VOUT__/_aux/sched_stop_times/*.parquet')),
+      tfd AS (SELECT trip_id FROM read_parquet('__VOUT__/_aux/trips_for_date/*.parquet')),
+      tr AS (SELECT * FROM read_parquet('__VOUT__/_aux/sched_trips/*.parquet')),
+      ev AS (
+        SELECT trip_id, stop_sequence, stop_id, stop_index, route_section,
+               1 AS event_type, arrival_secs AS event_secs
+        FROM st WHERE arrival_secs IS NOT NULL
+        UNION ALL
+        SELECT trip_id, stop_sequence, stop_id, stop_index, route_section,
+               2 AS event_type, departure_secs AS event_secs
+        FROM st WHERE departure_secs IS NOT NULL),
+      base AS (
+        SELECT ev.*, tr.route_id, tr.route_variant,
+               COALESCE(tr.route_type, 3) AS route_type,
+               COALESCE(tr.trip_start_time, 0) AS trip_start_time,
+               DATE '2024-03-04' AS trip_start_date,
+               ${GtfsTime.duckDbDateAndTimeSql("DATE '2024-03-04'", "ev.event_secs")}
+                 AS scheduled_ts
+        FROM ev
+        JOIN tfd ON tfd.trip_id = ev.trip_id
+        JOIN tr ON tr.trip_id = ev.trip_id),
+      slotted AS (SELECT *, ${TimeSlots.duckDbSlotIdSql("scheduled_ts")} AS time_slot_id
+                  FROM base),
+      g AS (SELECT * FROM read_parquet('__VOUT__/_aux/gen_curves/*.parquet')),
+      d AS (SELECT * FROM read_parquet('__VOUT__/_aux/dft_curves/*.parquet')),
+      sel AS (
+        SELECT s.*,
+               COALESCE(g.g_json, d.d_json) AS prediction_curve,
+               COALESCE(g.g_precision, d.d_precision) AS precision_type,
+               COALESCE(g.g_sample, d.d_sample) AS sample_size,
+               COALESCE(g.g_min_x, d.d_min_x)::DOUBLE AS min_x,
+               COALESCE(g.g_max_x, d.d_max_x)::DOUBLE AS max_x
+        FROM slotted s
+        LEFT JOIN g ON g.route_variant = s.route_variant
+                   AND g.event_type = s.event_type
+                   AND g.time_slot_id = s.time_slot_id
+                   AND g.stop_index = s.stop_index
+        LEFT JOIN d ON d.route_type = s.route_type
+                   AND d.route_section = s.route_section
+                   AND d.event_type = s.event_type
+                   AND d.time_slot_id = CASE WHEN s.time_slot_id = 12 THEN 1
+                                             ELSE s.time_slot_id END
+        WHERE COALESCE(g.g_json, d.d_json) IS NOT NULL)
+      SELECT 'graft' AS source, event_type, stop_id,
+             epoch(scheduled_ts) + ROUND(min_x, 6) AS prediction_min,
+             epoch(scheduled_ts) + ROUND(max_x, 6) AS prediction_max,
+             route_id, trip_id, trip_start_date, trip_start_time, stop_sequence,
+             precision_type, 2 AS origin_type, sample_size, prediction_curve,
+             'graft_schedule' AS schedule_file_name
+      FROM sel ORDER BY trip_id, stop_sequence, event_type""",
+    // Visual-schedule line data: the distributed joins + projection over the
+    // driver-built (variant, stop) → (primary, y) map (visual_schedule.rs
+    // greedy grouping, pinned by VisualScheduleSpec).
+    "gtfs_visual_schedule" -> """
+      SELECT tr.route_id, vp.primary_variant, tr.route_variant, st.trip_id,
+             st.stop_sequence, st.stop_id, vp.y_index,
+             st.arrival_secs, st.departure_secs
+      FROM read_parquet('__VOUT__/_aux/sched_stop_times/*.parquet') st
+      JOIN read_parquet('__VOUT__/_aux/sched_trips/*.parquet') tr
+        ON tr.trip_id = st.trip_id
+      JOIN read_parquet('__VOUT__/_aux/variant_primary/*.parquet') vp
+        ON vp.route_id = tr.route_id AND vp.route_variant = tr.route_variant
+       AND vp.stop_id = st.stop_id
+      ORDER BY tr.route_id, vp.primary_variant, tr.route_variant, st.trip_id,
+               st.stop_sequence""",
     // A1's rt-file half against the independent java.nio listing.
     "gtfs_file_stats" -> """
       SELECT strptime(regexp_extract(file_name, '(\d{4}-\d{2}-\d{2})', 1),
