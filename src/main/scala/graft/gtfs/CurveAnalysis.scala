@@ -36,7 +36,7 @@ final case class DefaultCurveRow(
     route_type: Int, route_section: String, time_slot_id: Int, event_type: Int,
     curve: Seq[CPoint], precision_type: Int, sample_size: Int)
 
-private final case class VariantCurve(
+final case class VariantCurve(
     route_type: Int, route_section: String, time_slot_id: Int, event_type: Int,
     route_variant: Long, curve: Seq[CPoint], sample_size: Int)
 
@@ -89,6 +89,28 @@ object CurveAnalysis {
   }
 
   /** Adds per-event-type scheduled datetimes and TimeSlot ids. */
+  /** The A7 per-event observation rows ((route, variant, event, slot, stop)
+    * → delay) feeding the general-curve aggregation — exposed so the
+    * curve-invariant driver query can recompute every kept curve point's
+    * ECDF value from the same observations through an independent
+    * (window-function) path. */
+  def generalObservations(records: DataFrame, schedule: GtfsSchedule): DataFrame =
+    generalCurveInput(withSlots(gapFill(records, schedule)))
+
+  private def generalCurveInput(filled: DataFrame): DataFrame = filled
+    .select(col("route_id"), col("route_variant"), col("stop_index"),
+      explode(array(
+        struct(lit(EventArrival).as("event_type"),
+          col("delay_arrival").as("delay"), col("slot_arrival").as("slot")),
+        struct(lit(EventDeparture).as("event_type"),
+          col("delay_departure").as("delay"), col("slot_departure").as("slot"))))
+        .as("ev"))
+    .filter(col("ev.delay").isNotNull)
+    .select(col("route_id"), col("route_variant"),
+      col("ev.event_type").as("event_type"),
+      explode(array(col("ev.slot"), lit(DefaultTimeSlot))).as("time_slot_id"),
+      col("stop_index"), col("ev.delay").cast("float").as("delay"))
+
   private def withSlots(df: DataFrame): DataFrame =
     df.withColumn("slot_arrival",
         TimeSlots.slotIdCol(GtfsTime.dateAndTime(col("trip_start_date"), col("arrival_secs"))))
@@ -109,19 +131,7 @@ object CurveAnalysis {
     // reference's loop over TIME_SLOTS_WITH_DEFAULT. Pure Column explodes
     // (no typed flatMap): the prep of billions of observation rows stays
     // inside whole-stage codegen with zero per-row object churn.
-    val generalInput = filled
-      .select(col("route_id"), col("route_variant"), col("stop_index"),
-        explode(array(
-          struct(lit(EventArrival).as("event_type"),
-            col("delay_arrival").as("delay"), col("slot_arrival").as("slot")),
-          struct(lit(EventDeparture).as("event_type"),
-            col("delay_departure").as("delay"), col("slot_departure").as("slot"))))
-          .as("ev"))
-      .filter(col("ev.delay").isNotNull)
-      .select(col("route_id"), col("route_variant"),
-        col("ev.event_type").as("event_type"),
-        explode(array(col("ev.slot"), lit(DefaultTimeSlot))).as("time_slot_id"),
-        col("stop_index"), col("ev.delay").cast("float").as("delay"))
+    val generalInput = generalCurveInput(filled)
 
     // ECDF via the partial Aggregator (graft.functions.EcdfAggregator):
     // map-side combine shuffles (value → count) maps, not raw delay rows —
@@ -213,8 +223,11 @@ object CurveAnalysis {
     * (route_type, event_type) [FallbackGeneral] → global [SuperGeneral];
     * every one of the 11×3×11×2 cells gets the most specific available curve
     * (default_curves.rs:42-248). */
-  def defaultCurves(spark: SparkSession, records: DataFrame,
-                    schedule: GtfsSchedule): Dataset[DefaultCurveRow] = {
+  /** The per-variant ECDF curves the A8/A9 default rollups average —
+    * exposed so the curve-invariant driver query can recompute every
+    * default-curve point as the mean of its contributors' evaluations. */
+  def variantCurves(spark: SparkSession, records: DataFrame,
+                    schedule: GtfsSchedule): Dataset[VariantCurve] = {
     import spark.implicits._
 
     val routeTypes = schedule.trips
@@ -229,7 +242,7 @@ object CurveAnalysis {
       .withColumn("slot", TimeSlots.slotIdCol(GtfsTime.dateAndTime(
         col("trip_start_date"), coalesce(col("arrival_secs"), col("departure_secs")))))
 
-    val variantCurves: Dataset[VariantCurve] = withMeta
+    withMeta
       .select(col("route_type"), col("route_section"),
         col("slot").as("time_slot_id"), col("route_variant"),
         explode(array( // Column explode, not typed flatMap — stays codegen'd
@@ -247,10 +260,16 @@ object CurveAnalysis {
         count(lit(1)).cast("int").as("sample_size"))
       .filter(size(col("curve")) >= 2)
       .as[VariantCurve]
+  }
+
+  def defaultCurves(spark: SparkSession, records: DataFrame,
+                    schedule: GtfsSchedule): Dataset[DefaultCurveRow] = {
+    import spark.implicits._
+    val vCurves: Dataset[VariantCurve] = variantCurves(spark, records, schedule)
 
     // The curve sets are tiny (≤ variants × 66 cells) — the three average
     // levels run as small shuffles over them.
-    val general = variantCurves
+    val general = vCurves
       .groupByKey(v => (v.route_type, v.route_section, v.time_slot_id, v.event_type))
       .mapGroups { (key: (Int, String, Int, Int), vs: Iterator[VariantCurve]) =>
         val (rt, rs, ts, et) = key
@@ -261,7 +280,7 @@ object CurveAnalysis {
           (list.map(_.sample_size.toLong).sum / list.length).toInt)
       }
 
-    val fallback = variantCurves
+    val fallback = vCurves
       .groupByKey(v => (v.route_type, v.event_type))
       .mapGroups { (key: (Int, Int), vs: Iterator[VariantCurve]) =>
         val (rt, et) = key
@@ -272,7 +291,7 @@ object CurveAnalysis {
           (list.map(_.sample_size.toLong).sum / list.length).toInt)
       }
 
-    val superGeneral = variantCurves
+    val superGeneral = vCurves
       .groupByKey(_ => 1)
       .mapGroups { (_: Int, vs: Iterator[VariantCurve]) =>
         val list = vs.toArray

@@ -144,6 +144,88 @@ object GtfsPack extends QueryPack {
         "stop_sequence")
   }
 
+  /** Curve-construction invariant (driver-checkable, must be 0 rows): every
+    * kept point of every GENERAL specific curve must sit on the weighted
+    * ECDF of its group's observations — y = (#obs < x + 1) / n for interior
+    * points (the makeCurve first-occurrence rule), exactly 0/1 at the ends —
+    * with the observations re-derived through an independent window-function
+    * path rather than the EcdfAggregator. Catches aggregator merge bugs,
+    * simplify y-corruption and grouping mistakes; matched against a
+    * WHERE-false DuckDB oracle. */
+  private def generalPointsCheck(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (sched, recs) = pipeline(s)
+    val keys = Seq("route_id", "route_variant", "event_type", "time_slot_id", "stop_index")
+    val cells = CurveAnalysis.generalObservations(recs, sched)
+      .groupBy((keys :+ "delay").map(col): _*).agg(count(lit(1)).as("c"))
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val cum = cells
+      .withColumn("cum_before", coalesce(sum("c").over(
+        byKey.orderBy("delay").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("c").over(byKey))
+      .withColumn("y_exp", (col("cum_before") + 1).cast("double") / col("n"))
+      .select((keys.map(col) :+ col("delay").as("x") :+ col("y_exp")): _*)
+    val pts = curves(s)._1.toDF().filter(col("curve_kind") === "general")
+      .withColumn("stop_index", col("end_stop_index"))
+      .withColumn("npts", size(col("curve")))
+      .select((keys.map(col) :+ col("npts") :+ posexplode(col("curve"))): _*)
+      .select((keys.map(col) ++ Seq(col("npts"), col("pos").as("idx"),
+        col("col.x").as("x"), col("col.y").cast("double").as("y"))): _*)
+    pts.join(cum, keys :+ "x", "left")
+      .filter(
+        (col("idx") === 0 && abs(col("y")) > 1e-6)
+          || (col("idx") === col("npts") - 1 && abs(col("y") - 1) > 1e-6)
+          || (col("idx") > 0 && col("idx") < col("npts") - 1
+            && (col("y_exp").isNull || abs(col("y") - col("y_exp")) > 1e-4)))
+      .select((keys.map(col) ++ Seq(col("idx"), col("x"), col("y"), col("y_exp"))): _*)
+      .orderBy((keys :+ "idx").map(col): _*)
+  }
+
+  /** Default-curve invariant (0 rows): every point of every default grid
+    * curve must equal the MEAN of its contributor variant curves evaluated
+    * at that x — contributors chosen by the row's precision level (General:
+    * same (type, section, slot, event); FallbackGeneral: same (type, event);
+    * SuperGeneral: all variants, pre-simplified ε=0.01). Pins the A8/A9
+    * rollup averaging at the full grid. */
+  private def defaultPointsCheck(s: SparkSession, dir: String): DataFrame = {
+    val (sched, recs) = pipeline(s)
+    val toArr = (pts: Seq[org.apache.spark.sql.Row]) =>
+      pts.map(r => graft.curves.CPoint(r.getFloat(0), r.getFloat(1))).toArray
+    val yAtX = udf { (pts: Seq[org.apache.spark.sql.Row], x: Double) =>
+      graft.curves.Curves.yAtX(toArr(pts), x.toFloat).toDouble }
+    val simp01 = udf { (pts: Seq[org.apache.spark.sql.Row]) =>
+      graft.curves.Curves.simplify(toArr(pts), 0.01f).toSeq }
+    val vc = CurveAnalysis.variantCurves(s, recs, sched).toDF()
+      .select(col("route_type").as("v_rt"), col("route_section").as("v_rs"),
+        col("time_slot_id").as("v_ts"), col("event_type").as("v_et"),
+        col("curve").as("v_curve"))
+    val gkeys = Seq("route_type", "route_section", "time_slot_id", "event_type")
+    val pts = curves(s)._2.toDF()
+      .select((gkeys.map(col) ++ Seq(col("precision_type"),
+        posexplode(col("curve")))): _*)
+      .select((gkeys.map(col) ++ Seq(col("precision_type"),
+        col("pos").as("idx"), col("col.x").cast("double").as("x"),
+        col("col.y").cast("double").as("y"))): _*)
+    val contrib = pts
+      .join(broadcast(vc),
+        when(col("precision_type") === Codes.PrecisionGeneral,
+          col("v_rt") === col("route_type") && col("v_rs") === col("route_section")
+            && col("v_ts") === col("time_slot_id") && col("v_et") === col("event_type"))
+          .when(col("precision_type") === Codes.PrecisionFallbackGeneral,
+            col("v_rt") === col("route_type") && col("v_et") === col("event_type"))
+          .otherwise(lit(true)))
+      .withColumn("v_eval", yAtX(
+        when(col("precision_type") === Codes.PrecisionSuperGeneral,
+          simp01(col("v_curve"))).otherwise(col("v_curve")), col("x")))
+    contrib
+      .groupBy((gkeys ++ Seq("precision_type", "idx", "x", "y")).map(col): _*)
+      .agg(avg(col("v_eval")).as("y_exp"))
+      .filter(abs(col("y") - col("y_exp")) > 1e-4)
+      .select((gkeys.map(col) ++ Seq(col("precision_type"), col("idx"),
+        col("x"), col("y"), col("y_exp"))): _*)
+      .orderBy((gkeys ++ Seq("idx")).map(col): _*)
+  }
+
   /** A1's rt-file half (count.rs:41-70): per-day file count + byte size of
     * the fixture rt directory listing. */
   private def fileStats(s: SparkSession, dir: String): DataFrame = {
@@ -220,7 +302,9 @@ object GtfsPack extends QueryPack {
     "gtfs_specific_curves" -> (specific _),
     "gtfs_default_curves" -> (defaults _),
     "gtfs_predictions" -> (predictions _),
-    "gtfs_stream_records" -> (streamedRecords _)
+    "gtfs_stream_records" -> (streamedRecords _),
+    "gtfs_general_points_check" -> (generalPointsCheck _),
+    "gtfs_default_points_check" -> (defaultPointsCheck _)
   )
 
   /** The records-table reconstruction shared by the batch and streaming
@@ -303,6 +387,24 @@ object GtfsPack extends QueryPack {
              CASE WHEN obs THEN o_dd ELSE donor.dd END AS delay_departure,
              COALESCE(obs, FALSE) AS observed
       FROM w WHERE donor IS NOT NULL""",
+    // Curve-construction invariants: the Spark side recomputes every kept
+    // curve point through an independent path and emits VIOLATIONS — the
+    // result must be empty (WHERE-false oracles; non-vacuous: the fixture
+    // produces hundreds of checked points).
+    "gtfs_general_points_check" -> """
+      SELECT CAST(NULL AS VARCHAR) AS route_id, CAST(NULL AS BIGINT) AS route_variant,
+             CAST(NULL AS INT) AS event_type, CAST(NULL AS INT) AS time_slot_id,
+             CAST(NULL AS INT) AS stop_index, CAST(NULL AS INT) AS idx,
+             CAST(NULL AS REAL) AS x, CAST(NULL AS DOUBLE) AS y,
+             CAST(NULL AS DOUBLE) AS y_exp
+      WHERE 1 = 0""",
+    "gtfs_default_points_check" -> """
+      SELECT CAST(NULL AS INT) AS route_type, CAST(NULL AS VARCHAR) AS route_section,
+             CAST(NULL AS INT) AS time_slot_id, CAST(NULL AS INT) AS event_type,
+             CAST(NULL AS INT) AS precision_type, CAST(NULL AS INT) AS idx,
+             CAST(NULL AS DOUBLE) AS x, CAST(NULL AS DOUBLE) AS y,
+             CAST(NULL AS DOUBLE) AS y_exp
+      WHERE 1 = 0""",
     // Batch prediction (ST4 join form): targets re-derived from the schedule
     // dumps (event fan-out, GTFS noon-anchored time, time slot, service-day
     // scoping), then the general→default fallback joins — the curve strings

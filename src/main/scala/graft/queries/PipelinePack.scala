@@ -81,11 +81,34 @@ object PipelinePack extends QueryPack {
       tbl <- 0 until 12
       (plane, idx) <- Similarity.hyperplanes(64, 4, seed = 42L + tbl).zipWithIndex
     } yield (tbl, idx, plane.toSeq)
+    // Multimodal decode truth: per synthesized asset, the metadata DECLARED
+    // at encode time (width/height/rate/duration before the bytes were laid
+    // down) plus payload stats recomputed by an independent fold — the
+    // mm_features oracle selects straight from this table, so the header
+    // decode must round-trip every declared value to pass.
+    val mmTruth = graft.ops.Multimodal
+      .synthesizeAssets(s, t(s, dir, "documents")).map { a =>
+        val n = a.payload.length
+        val f0 = if (n == 0) 0f
+                 else a.payload.count(b => ((b & 0xff) >> 4) == 0).toFloat / n
+        val frames = if (n == 0) 0 else (n + 31) / 32
+        val (dw, dh, rate, dur) = a.mime match {
+          case "image/png" => (a.width, a.height, -1, -1L)
+          case "audio/wav" => (-1, -1, 8000, a.duration_ms)
+          case _           => (-1, -1, -1, a.duration_ms)
+        }
+        (a.asset_id, a.mime, n, frames,
+          BigDecimal(f0.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          dw, dh, rate, dur, true)
+      }.toDF("asset_id", "mime", "n_bytes", "frames_sampled", "feat_0",
+        "decoded_width", "decoded_height", "sample_rate", "decoded_duration_ms",
+        "parse_ok")
     Map(
       "shingles" -> sh.select("doc", "shingle"),
       "minhash_seeded" -> seeded,
       "doc_token_hashes" -> tokenHashes,
-      "ann_planes" -> planes.toDF("tbl", "plane_idx", "plane"))
+      "ann_planes" -> planes.toDF("tbl", "plane_idx", "plane"),
+      "mm_truth" -> mmTruth)
   }
 
   // ---- dedup -------------------------------------------------------------
@@ -170,7 +193,7 @@ object PipelinePack extends QueryPack {
     val assets = Multimodal.synthesizeAssets(s, t(s, dir, "documents"))
     Multimodal.decodeFeatures(s, assets).toDF()
       .select(col("asset_id"), col("mime"), col("n_bytes"), col("frames_sampled"),
-        round(element_at(col("feature"), 1), 4).as("feat_0"),
+        round(element_at(col("feature"), 1).cast("double"), 4).as("feat_0"),
         col("decoded_width"), col("decoded_height"), col("sample_rate"),
         col("decoded_duration_ms"), col("parse_ok"))
       .orderBy("asset_id")
@@ -229,6 +252,13 @@ object PipelinePack extends QueryPack {
       Dedup.duckDbMinhashLshSql(numHashes = 32, bands = 8, threshold = 0.5),
     "dedup_simhash" -> Dedup.duckDbSimhashSql(maxHamming = 3),
     "ann_lsh_topk" ->
-      Similarity.duckDbLshTopKSql("embeddings", QueryIds, 10, "vec_id", "embedding")
+      Similarity.duckDbLshTopKSql("embeddings", QueryIds, 10, "vec_id", "embedding"),
+    // the decode must reproduce the encode-time declarations (see mm_truth)
+    "mm_features" -> """
+      SELECT asset_id, mime, n_bytes, frames_sampled, feat_0,
+             decoded_width, decoded_height, sample_rate, decoded_duration_ms,
+             parse_ok
+      FROM read_parquet('__VOUT__/_aux/mm_truth/*.parquet')
+      ORDER BY asset_id"""
   )
 }
