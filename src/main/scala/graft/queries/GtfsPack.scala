@@ -126,13 +126,26 @@ object GtfsPack extends QueryPack {
   }
 
   /** Realtime-conditioned predictions (3.1 step 5): vehicles observed on
-    * 2024-01-15 predicted forward through the conditional curve sets. */
+    * 2024-01-15 predicted forward through the conditional curve sets.
+    * Output is one row per CURVE POINT (scalar columns only): the oracle
+    * re-derives the basis selection, target fan-out, slot-ranked curve-set
+    * choice and the f32 union-grid interpolation numerically — a JSON
+    * string compare would founder on float formatting differences. */
   private def predictionsRealtime(s: SparkSession, dir: String): DataFrame = {
     val (sched, recs) = pipeline(s)
     val (sc, _) = curves(s)
+    val meta = Seq("source", "event_type", "stop_id", "route_id", "trip_id",
+      "trip_start_date", "trip_start_time", "stop_sequence", "precision_type",
+      "origin_type", "sample_size", "prediction_min", "prediction_max",
+      "schedule_file_name")
     Predictor.batchPredictRealtime(s, sched, recs, "2024-01-15", "graft", sc)
-      .withColumn("prediction_curve", to_json(col("prediction_curve")))
-      .orderBy("trip_id", "stop_sequence", "event_type")
+      .withColumn("prediction_min", col("prediction_min").cast("double"))
+      .withColumn("prediction_max", col("prediction_max").cast("double"))
+      .select(meta.map(col) :+ posexplode(col("prediction_curve")): _*)
+      .select(meta.map(col) ++ Seq(col("pos").as("idx"),
+        col("col.x").cast("double").as("x"),
+        round(col("col.y").cast("double"), 5).as("y")): _*)
+      .orderBy("trip_id", "stop_sequence", "event_type", "idx")
   }
 
   /** Visual-schedule line dataset on the fixture schedule (X15's data half;
@@ -226,6 +239,40 @@ object GtfsPack extends QueryPack {
       .orderBy((gkeys ++ Seq("idx")).map(col): _*)
   }
 
+  /** Structural invariant for the conditional curve-SET rows (0 rows): the
+    * marker recursion itself is not SQL-reproducible, but every emitted
+    * curve must be a well-formed CDF — endpoints exactly 0/1, x strictly
+    * increasing and y non-decreasing, span ≥ 13 s, x a 12 s-quantized delay
+    * within ±3000 (F2/F3 bounds). */
+  private def curvesetShapeCheck(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("route_id", "route_variant", "event_type", "time_slot_id",
+      "start_stop_index", "end_stop_index", "focus_delay")
+    val pts = curves(s)._1.toDF().filter(col("curve_kind") === "curveset")
+      .withColumn("npts", size(col("curve")))
+      .select(keys.map(col) ++ Seq(col("npts"), posexplode(col("curve"))): _*)
+      .select(keys.map(col) ++ Seq(col("npts"), col("pos").as("idx"),
+        col("col.x").cast("double").as("x"), col("col.y").cast("double").as("y")): _*)
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    pts
+      .withColumn("prev_x", lag("x", 1).over(byKey.orderBy("idx")))
+      .withColumn("prev_y", lag("y", 1).over(byKey.orderBy("idx")))
+      .withColumn("span", max("x").over(byKey) - min("x").over(byKey))
+      .withColumn("reason",
+        when(col("idx") === 0 && abs(col("y")) > 1e-6, "first_y_not_zero")
+          .when(col("idx") === col("npts") - 1 && abs(col("y") - 1) > 1e-6,
+            "last_y_not_one")
+          .when(col("prev_x").isNotNull && col("x") <= col("prev_x"), "x_not_increasing")
+          .when(col("prev_y").isNotNull && col("y") < col("prev_y"), "y_decreasing")
+          .when(abs(col("x")) > 3000, "x_out_of_range")
+          .when(col("x") =!= (col("x") / 12).cast("int").cast("double") * 12,
+            "x_not_quantized")
+          .when(col("span") < 13.0, "span_below_13"))
+      .filter(col("reason").isNotNull)
+      .select(keys.map(col) ++ Seq(col("reason"), col("idx"), col("x"), col("y")): _*)
+      .orderBy((keys :+ "idx").map(col): _*)
+  }
+
   /** A1's rt-file half (count.rs:41-70): per-day file count + byte size of
     * the fixture rt directory listing. */
   private def fileStats(s: SparkSession, dir: String): DataFrame = {
@@ -288,9 +335,19 @@ object GtfsPack extends QueryPack {
       "rt_files" -> listing.toDF("file_name", "length"),
       "trips_for_date" -> ServiceCalendar
         .tripsForDate(s, sched, "2024-03-04").select("trip_id"),
+      "trips_for_date_rt" -> ServiceCalendar
+        .tripsForDate(s, sched, "2024-01-15").select("trip_id"),
       "variant_primary" -> VisualSchedule.variantIndexMap(s, sched),
       "gen_curves" -> genCurves,
-      "dft_curves" -> dftCurves)
+      "dft_curves" -> dftCurves,
+      "cs_points" -> sc.toDF().filter(col("curve_kind") === "curveset")
+        .select(col("route_variant"), col("event_type"), col("time_slot_id"),
+          col("start_stop_index"), col("end_stop_index"), col("focus_delay"),
+          col("sample_size"), posexplode(col("curve")))
+        .select(col("route_variant"), col("event_type"), col("time_slot_id"),
+          col("start_stop_index"), col("end_stop_index"), col("focus_delay"),
+          col("sample_size"), col("pos").as("pidx"),
+          col("col.x").as("x"), col("col.y").as("y")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -304,8 +361,149 @@ object GtfsPack extends QueryPack {
     "gtfs_predictions" -> (predictions _),
     "gtfs_stream_records" -> (streamedRecords _),
     "gtfs_general_points_check" -> (generalPointsCheck _),
-    "gtfs_default_points_check" -> (defaultPointsCheck _)
+    "gtfs_default_points_check" -> (defaultPointsCheck _),
+    "gtfs_curveset_shape_check" -> (curvesetShapeCheck _)
   )
+
+  // vehicle key of a prediction row
+  private val Vk = Seq("trip_id", "trip_start_date", "trip_start_time",
+    "route_id", "stop_sequence", "stop_id", "event_type")
+  private def vkCols(p: String = ""): String =
+    Vk.map(c => if (p.isEmpty) c else s"$p.$c").mkString(", ")
+  private def vkJoin(a: String, b: String): String =
+    Vk.map(c => s"$a.$c = $b.$c").mkString(" AND ")
+
+  private def realtimePredictionSql: String = s"""
+    WITH recs AS (SELECT * FROM read_parquet('__VOUT__/gtfs_records/*.parquet')),
+    basis AS (
+      SELECT trip_id, trip_start_date, trip_start_time,
+             stop_index AS basis_idx, delay_departure AS basis_delay
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY trip_id, trip_start_date, trip_start_time
+                   ORDER BY stop_sequence DESC, time_of_recording DESC) AS rn
+            FROM recs
+            WHERE delay_departure IS NOT NULL AND trip_start_date = DATE '2024-01-15')
+      WHERE rn = 1),
+    st AS (SELECT * FROM read_parquet('__VOUT__/_aux/sched_stop_times/*.parquet')),
+    tfd AS (SELECT trip_id FROM read_parquet('__VOUT__/_aux/trips_for_date_rt/*.parquet')),
+    tr AS (SELECT * FROM read_parquet('__VOUT__/_aux/sched_trips/*.parquet')),
+    ev AS (
+      SELECT trip_id, stop_sequence, stop_id, stop_index,
+             1 AS event_type, arrival_secs AS event_secs
+      FROM st WHERE arrival_secs IS NOT NULL
+      UNION ALL
+      SELECT trip_id, stop_sequence, stop_id, stop_index,
+             2 AS event_type, departure_secs AS event_secs
+      FROM st WHERE departure_secs IS NOT NULL),
+    base AS (
+      SELECT ev.*, tr.route_id, tr.route_variant,
+             DATE '2024-01-15' AS trip_start_date,
+             ${GtfsTime.duckDbDateAndTimeSql("DATE '2024-01-15'", "ev.event_secs")} AS scheduled_ts
+      FROM ev JOIN tfd ON tfd.trip_id = ev.trip_id JOIN tr ON tr.trip_id = ev.trip_id),
+    slotted AS (SELECT *, ${TimeSlots.duckDbSlotIdSql("scheduled_ts")} AS time_slot_id FROM base),
+    tgt AS (SELECT s.*, b.trip_start_time, b.basis_idx, b.basis_delay
+            FROM slotted s JOIN basis b
+              ON b.trip_id = s.trip_id AND b.trip_start_date = s.trip_start_date
+            WHERE s.stop_index > b.basis_idx),
+    cs AS (SELECT * FROM read_parquet('__VOUT__/_aux/cs_points/*.parquet')),
+    cskeys AS (SELECT DISTINCT route_variant, event_type, time_slot_id,
+                      start_stop_index, end_stop_index, focus_delay, sample_size FROM cs),
+    matched AS (
+      SELECT ${vkCols("t")}, t.scheduled_ts, t.basis_delay,
+             k.time_slot_id AS cs_slot, k.focus_delay, k.sample_size,
+             k.route_variant, k.start_stop_index, k.end_stop_index,
+             CASE WHEN k.time_slot_id = t.time_slot_id THEN 0 ELSE 1 END AS slot_rank
+      FROM tgt t JOIN cskeys k
+        ON k.route_variant = t.route_variant AND k.event_type = t.event_type
+       AND k.start_stop_index = t.basis_idx AND k.end_stop_index = t.stop_index
+       AND (k.time_slot_id = t.time_slot_id OR k.time_slot_id = ${Codes.DefaultTimeSlot})),
+    best AS (SELECT *, MIN(slot_rank) OVER (PARTITION BY ${vkCols()}) AS best_rank FROM matched),
+    chosen AS (SELECT * FROM best WHERE slot_rank = best_rank),
+    bracket AS (
+      SELECT ${vkCols()}, scheduled_ts, basis_delay, cs_slot, sample_size, slot_rank,
+             route_variant, start_stop_index, end_stop_index,
+             MIN(focus_delay) AS fmin, MAX(focus_delay) AS fmax,
+             MAX(CASE WHEN focus_delay < CAST(basis_delay AS REAL)
+                      THEN focus_delay END) AS f0,
+             MIN(CASE WHEN focus_delay >= CAST(basis_delay AS REAL)
+                      THEN focus_delay END) AS f1
+      FROM chosen
+      GROUP BY ${vkCols()}, scheduled_ts, basis_delay, cs_slot, sample_size, slot_rank,
+               route_variant, start_stop_index, end_stop_index),
+    clamped AS (
+      SELECT b.*, CASE WHEN CAST(b.basis_delay AS REAL) <= b.fmin THEN b.fmin
+                       ELSE b.fmax END AS the_focus
+      FROM bracket b
+      WHERE CAST(b.basis_delay AS REAL) <= b.fmin OR CAST(b.basis_delay AS REAL) >= b.fmax),
+    clamped_pts AS (
+      SELECT ${vkCols("c")}, c.scheduled_ts, c.slot_rank, c.sample_size,
+             cs.pidx AS idx, cs.x, cs.y
+      FROM clamped c JOIN cs
+        ON cs.route_variant = c.route_variant AND cs.event_type = c.event_type
+       AND cs.time_slot_id = c.cs_slot AND cs.start_stop_index = c.start_stop_index
+       AND cs.end_stop_index = c.end_stop_index AND cs.focus_delay = c.the_focus),
+    interp AS (
+      SELECT b.*, CAST(CAST(CAST(b.basis_delay AS REAL) - b.f0 AS REAL)
+                       / CAST(b.f1 - b.f0 AS REAL) AS REAL) AS t
+      FROM bracket b
+      WHERE CAST(b.basis_delay AS REAL) > b.fmin AND CAST(b.basis_delay AS REAL) < b.fmax),
+    grid AS (
+      SELECT DISTINCT ${vkCols("i")}, cs.x AS gx
+      FROM interp i JOIN cs
+        ON cs.route_variant = i.route_variant AND cs.event_type = i.event_type
+       AND cs.time_slot_id = i.cs_slot AND cs.start_stop_index = i.start_stop_index
+       AND cs.end_stop_index = i.end_stop_index AND cs.focus_delay IN (i.f0, i.f1)),
+    sides AS (SELECT i.*, s.side, CASE WHEN s.side = 0 THEN i.f0 ELSE i.f1 END AS sfocus
+              FROM interp i CROSS JOIN (SELECT UNNEST([0, 1]) AS side) s),
+    spts AS (
+      SELECT ${vkCols("sd")}, sd.side, sd.t, g.gx, cs.pidx, cs.x, cs.y,
+             LAG(cs.x) OVER w AS px, LAG(cs.y) OVER w AS py,
+             MIN(cs.x) OVER wk AS cminx, MAX(cs.x) OVER wk AS cmaxx,
+             MIN_BY(cs.y, cs.pidx) OVER wk AS cfy, MAX_BY(cs.y, cs.pidx) OVER wk AS cly
+      FROM sides sd
+      JOIN cs ON cs.route_variant = sd.route_variant AND cs.event_type = sd.event_type
+             AND cs.time_slot_id = sd.cs_slot AND cs.start_stop_index = sd.start_stop_index
+             AND cs.end_stop_index = sd.end_stop_index AND cs.focus_delay = sd.sfocus
+      JOIN grid g ON ${vkJoin("g", "sd")}
+      WINDOW w AS (PARTITION BY ${vkCols("sd")}, sd.side, g.gx ORDER BY cs.pidx),
+             wk AS (PARTITION BY ${vkCols("sd")}, sd.side, g.gx)),
+    evals AS (
+      SELECT ${vkCols()}, side, t, gx,
+             CASE WHEN gx <= cminx THEN cfy
+                  WHEN gx >= cmaxx THEN cly
+                  ELSE MAX(CASE WHEN x >= gx AND px IS NOT NULL AND px < gx THEN
+                         CASE WHEN x = px THEN y
+                              ELSE CAST(py + CAST(CAST(y - py AS REAL)
+                                     * CAST(CAST(gx - px AS REAL) / CAST(x - px AS REAL) AS REAL)
+                                     AS REAL) AS REAL) END END) END AS ey
+      FROM spts
+      GROUP BY ${vkCols()}, side, t, gx, cminx, cmaxx, cfy, cly),
+    interp_pts AS (
+      SELECT ${vkCols()},
+             ROW_NUMBER() OVER (PARTITION BY ${vkCols()} ORDER BY gx) - 1 AS idx, gx AS x,
+             CAST(CAST(MAX(CASE WHEN side = 0 THEN ey END)
+                       * CAST(1 - t AS REAL) AS REAL)
+                  + CAST(MAX(CASE WHEN side = 1 THEN ey END) * t AS REAL) AS REAL) AS y
+      FROM evals GROUP BY ${vkCols()}, t, gx),
+    ipmeta AS (
+      SELECT i.*, p.idx, p.x, p.y FROM interp i JOIN interp_pts p ON ${vkJoin("p", "i")}),
+    allpts AS (
+      SELECT ${vkCols()}, scheduled_ts, slot_rank, sample_size, idx, x, y FROM clamped_pts
+      UNION ALL
+      SELECT ${vkCols()}, scheduled_ts, slot_rank, sample_size, idx, x, y FROM ipmeta),
+    agg AS (
+      SELECT *, MIN(x) OVER (PARTITION BY ${vkCols()}) AS min_x,
+                MAX(x) OVER (PARTITION BY ${vkCols()}) AS max_x
+      FROM allpts)
+    SELECT 'graft' AS source, event_type, stop_id, route_id, trip_id,
+           trip_start_date, trip_start_time, stop_sequence,
+           CASE WHEN slot_rank = 0 THEN ${Codes.PrecisionSpecific}
+                ELSE ${Codes.PrecisionFallbackSpecific} END AS precision_type,
+           ${Codes.OriginRealtime} AS origin_type, sample_size,
+           epoch(scheduled_ts) + ROUND(min_x::DOUBLE, 6) AS prediction_min,
+           epoch(scheduled_ts) + ROUND(max_x::DOUBLE, 6) AS prediction_max,
+           'graft_schedule' AS schedule_file_name,
+           idx, x::DOUBLE AS x, ROUND(y::DOUBLE, 5) AS y
+    FROM agg ORDER BY trip_id, stop_sequence, event_type, idx"""
 
   /** The records-table reconstruction shared by the batch and streaming
     * oracles: decode dump → trips/stop_times joins (J1/J2) → GTFS start-time
@@ -405,6 +603,14 @@ object GtfsPack extends QueryPack {
              CAST(NULL AS DOUBLE) AS x, CAST(NULL AS DOUBLE) AS y,
              CAST(NULL AS DOUBLE) AS y_exp
       WHERE 1 = 0""",
+    "gtfs_curveset_shape_check" -> """
+      SELECT CAST(NULL AS VARCHAR) AS route_id, CAST(NULL AS BIGINT) AS route_variant,
+             CAST(NULL AS INT) AS event_type, CAST(NULL AS INT) AS time_slot_id,
+             CAST(NULL AS INT) AS start_stop_index, CAST(NULL AS INT) AS end_stop_index,
+             CAST(NULL AS REAL) AS focus_delay, CAST(NULL AS VARCHAR) AS reason,
+             CAST(NULL AS INT) AS idx, CAST(NULL AS DOUBLE) AS x,
+             CAST(NULL AS DOUBLE) AS y
+      WHERE 1 = 0""",
     // Batch prediction (ST4 join form): targets re-derived from the schedule
     // dumps (event fan-out, GTFS noon-anchored time, time slot, service-day
     // scoping), then the general→default fallback joins — the curve strings
@@ -475,6 +681,12 @@ object GtfsPack extends QueryPack {
        AND vp.stop_id = st.stop_id
       ORDER BY tr.route_id, vp.primary_variant, tr.route_variant, st.trip_id,
                st.stop_sequence""",
+    // Realtime-conditioned predictions: basis selection (W3 over the records
+    // dump), target fan-out, slot-ranked curve-set choice and the f32
+    // union-grid interpolation of curve_at_x_with_continuation — all
+    // replayed in SQL over the exploded curve-set points
+    // (per_schedule_importer.rs:320-366, predictor/mod.rs:299-324).
+    "gtfs_predictions_realtime" -> realtimePredictionSql,
     // A1's rt-file half against the independent java.nio listing.
     "gtfs_file_stats" -> """
       SELECT strptime(regexp_extract(file_name, '(\d{4}-\d{2}-\d{2})', 1),
