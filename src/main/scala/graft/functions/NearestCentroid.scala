@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Index of the nearest centroid (squared-L2, optionally on the
+  * unit-normalized vector — spherical k-means — ties → lowest index) for an
+  * embedding vector — the IVF coarse-quantizer assignment step as a native
+  * Catalyst expression. The centroid matrix rides along as one reference
+  * object (same pattern as [[HyperplaneSignatures]]); `doGenCode` keeps the
+  * per-row assignment inside whole-stage codegen, so the one-pass corpus
+  * assignment at 100 TB is a scan, not a UDF boundary.
+  *
+  * Distances accumulate `(v(i) - c(i))²` in Double left-to-right; the DuckDB
+  * oracle's `list_distance` (Euclidean with sqrt) ranks identically because
+  * sqrt is monotone.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
+                           normalize: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroid.assign(input.asInstanceOf[ArrayData].toFloatArray(), centroids,
+      normalize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NearestCentroid.assign($c.toFloatArray(), $centRef, $normalize)")
+  }
+}
+
+object NearestCentroid {
+
+  /** `normalize = true` gives spherical assignment (vector scaled to unit
+    * L2 first, in Double) — the right cell geometry when the rescoring
+    * metric is cosine. */
+  def assign(vec: Array[Float], centroids: Array[Array[Double]],
+             normalize: Boolean): Int = {
+    var nrm = 1.0
+    if (normalize) {
+      var s = 0.0
+      var i = 0
+      while (i < vec.length) { s += vec(i).toDouble * vec(i).toDouble; i += 1 }
+      nrm = math.sqrt(s)
+      if (nrm == 0.0) nrm = 1.0
+    }
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(vec.length, cent.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val t = vec(i).toDouble / nrm - cent(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def apply(c: Column, centroids: Array[Array[Double]], normalize: Boolean): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      NearestCentroid(GraftColumnBridge.expression(c), centroids, normalize))
+  }
+}

@@ -115,6 +115,149 @@ object Similarity {
     WHERE rank <= $k
     ORDER BY query_id, rank"""
 
+  /** Deterministic SPHERICAL k-means coarse quantizer for [[ivfTopK]]:
+    * seeded init (corpus rows ranked by `xxhash64(id, seed)`), `iters`
+    * Lloyd rounds over unit-normalized vectors — cosine neighbors then
+    * share cells, which raw-L2 cells do not guarantee.
+    * Assignment is one codegen'd scan per round
+    * ([[graft.functions.NearestCentroid]]); the per-cell mean is aggregated
+    * in DECIMAL so the result is bit-stable under shuffle reordering (a
+    * Double sum's value depends on partition arrival order — the centroids,
+    * and with them every downstream assignment, must not). At 100 TB the
+    * fit runs on a `.sample()` of the corpus; assignment stays a full scan
+    * either way. */
+  def kMeansCentroids(embeddings: DataFrame, nCells: Int, iters: Int, dim: Int,
+                      seed: Long = 42L, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[Array[Double]] = {
+    val init = embeddings
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(nCells)
+      .orderBy(col(idCol))
+      .select(col(vecCol)).collect()
+      .map(r => normalized(r.getSeq[Float](0).toArray))
+    var centroids = init
+    var it = 0
+    while (it < iters) {
+      val assigned = embeddings.select(
+        graft.functions.NearestCentroid(col(vecCol), centroids, normalize = true)
+          .as("cell"),
+        normCol(col(vecCol)).as("nrm"), posexplode(col(vecCol)))
+      val means = assigned
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum((col("col").cast("double") / col("nrm")).cast("decimal(27,10)"))
+          / count(lit(1))).cast("double").as("m"))
+        .collect()
+      val next = Array.fill(centroids.length)(new Array[Double](dim))
+      // cells that lost every member keep their previous centroid
+      centroids.zipWithIndex.foreach { case (c, i) => c.copyToArray(next(i)) }
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  private def normalized(v: Array[Float]): Array[Double] = {
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+    val nrm = if (ss == 0.0) 1.0 else math.sqrt(ss)
+    v.map(_.toDouble / nrm)
+  }
+
+  /** Approximate top-k via IVF (inverted-file) indexing: assign the corpus
+    * to `nCells` k-means cells ONCE (codegen'd scan), then each query
+    * exactly re-scores only the `nProbe` cells nearest to it — candidates
+    * via a broadcast equi-join on the cell id, so each query touches
+    * ~|corpus|·nProbe/nCells rows and nothing quadratic exists. The cell
+    * choice ranks by (distance, cell) for determinism. */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+              nCells: Int = 16, nProbe: Int = 4, iters: Int = 3, dim: Int = 64,
+              seed: Long = 42L, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val centroids = kMeansCentroids(embeddings, nCells, iters, dim, seed, idCol, vecCol)
+    val assigned = embeddings.select(col(idCol).as("match_id"), col(vecCol).as("m_vec"),
+      normCol(col(vecCol)).as("m_norm"),
+      graft.functions.NearestCentroid(col(vecCol), centroids, normalize = true)
+        .as("cell"))
+    // queries are few by contract (same as bruteForceTopK's broadcast side):
+    // probe cells chosen driver-side with the same squared-L2 the assignment
+    // uses
+    val qRows = embeddings.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = qRows.toSeq.flatMap { case (qid, raw) =>
+      val v = normalized(raw)
+      centroids.zipWithIndex.map { case (c, cell) =>
+        var d = 0.0
+        var i = 0
+        while (i < math.min(v.length, c.length)) {
+          val t = v(i) - c(i); d += t * t; i += 1
+        }
+        (qid, cell, d)
+      }.sortBy { case (_, cell, d) => (d, cell) }.take(nProbe)
+        .map { case (q, cell, _) => (q, cell) }
+    }
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val probeDf = probes.toDF("query_id", "cell")
+    val queries = embeddings.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        normCol(col(vecCol)).as("q_norm"))
+      .join(probeDf, Seq("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("match_id"))
+    broadcast(queries).join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("match_id"))
+      .dropDuplicates("query_id", "match_id")
+      .withColumn("cosine",
+        round(dotCol(col("q_vec"), col("m_vec")) / (col("q_norm") * col("m_norm")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("match_id"), col("cosine"))
+  }
+
+  /** DuckDB oracle for [[ivfTopK]] over `_aux/ivf_centroids` (the fitted
+    * centroids as DOUBLE[] rows): re-derives the corpus cell assignment and
+    * per-query probe ranking with `list_distance` (monotone in the Scala
+    * side's squared L2, ties broken by cell), the candidate cell join and
+    * the exact rescoring — only the k-means FIT itself rides along. */
+  def duckDbIvfTopKSql(table: String, queryIds: Seq[Long], k: Int, nProbe: Int,
+                       idCol: String, vecCol: String): String = s"""
+    WITH emb AS (SELECT $idCol AS vid, $vecCol::DOUBLE[] AS v FROM $table),
+    cent AS (SELECT cell, centroid FROM read_parquet('__VOUT__/_aux/ivf_centroids/*.parquet')),
+    nemb AS (SELECT vid, v,
+                    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+             FROM emb),
+    dists AS (SELECT e.vid, c.cell, list_distance(e.nv, c.centroid) AS d
+              FROM nemb e CROSS JOIN cent c),
+    assign AS (SELECT vid, cell FROM (
+                 SELECT vid, cell,
+                        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cell) AS rn
+                 FROM dists) WHERE rn = 1),
+    probe AS (SELECT vid AS query_id, cell FROM (
+                SELECT vid, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cell) AS rn
+                FROM dists WHERE vid IN (${queryIds.mkString(", ")}))
+              WHERE rn <= $nProbe),
+    cand AS (SELECT DISTINCT p.query_id, a.vid AS match_id
+             FROM probe p JOIN assign a ON a.cell = p.cell
+             WHERE a.vid <> p.query_id),
+    scored AS (SELECT c.query_id, c.match_id,
+                 ROUND(list_dot_product(qe.v, me.v) /
+                       (sqrt(list_dot_product(qe.v, qe.v))
+                        * sqrt(list_dot_product(me.v, me.v))), 4) AS cosine
+               FROM cand c
+               JOIN emb qe ON qe.vid = c.query_id
+               JOIN emb me ON me.vid = c.match_id)
+    SELECT query_id, rank, match_id, cosine FROM (
+      SELECT query_id, match_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, match_id) AS rank
+      FROM scored)
+    WHERE rank <= $k
+    ORDER BY query_id, rank"""
+
   /** Approximate top-k via MULTI-TABLE hyperplane LSH: `numTables`
     * independent tables of `planesPerTable` hyperplanes each; a corpus
     * vector is a candidate if it lands in the query's bucket in ANY table

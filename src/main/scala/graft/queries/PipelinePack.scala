@@ -56,6 +56,12 @@ object PipelinePack extends QueryPack {
       Similarity.lshTopK(t(s, dir, "embeddings"), QueryIds, k = 10,
         numTables = 12, planesPerTable = 4))
 
+  // 16 cells × 4 probes: each query exactly re-scores ~1/4 of the corpus
+  private def ivfTopk(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "ivf_topk")(
+      Similarity.ivfTopK(t(s, dir, "embeddings"), QueryIds, k = 10,
+        nCells = 16, nProbe = 4, iters = 3))
+
   /** Builds the shared shingle index cache ahead of timing (Bench's setup
     * phase) so per-query bench numbers reflect marginal cost. */
   def prewarm(s: SparkSession, dir: String): Unit = { shingles(s, dir); () }
@@ -103,11 +109,18 @@ object PipelinePack extends QueryPack {
       }.toDF("asset_id", "mime", "n_bytes", "frames_sampled", "feat_0",
         "decoded_width", "decoded_height", "sample_rate", "decoded_duration_ms",
         "parse_ok")
+    // the fitted IVF coarse quantizer (deterministic: seeded init + DECIMAL
+    // mean aggregation) — the ivf oracle re-derives assignment/probing from it
+    val ivfCentroids = Similarity
+      .kMeansCentroids(t(s, dir, "embeddings"), nCells = 16, iters = 3, dim = 64)
+      .zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
     Map(
       "shingles" -> sh.select("doc", "shingle"),
       "minhash_seeded" -> seeded,
       "doc_token_hashes" -> tokenHashes,
       "ann_planes" -> planes.toDF("tbl", "plane_idx", "plane"),
+      "ivf_centroids" -> ivfCentroids,
       "mm_truth" -> mmTruth)
   }
 
@@ -146,16 +159,38 @@ object PipelinePack extends QueryPack {
     * must recover ≥ 5 of the exact brute-force top-10 (the hyperplanes are
     * seeded → deterministic). Emits the VIOLATING queries — must be 0 rows,
     * matched against a WHERE-false oracle. */
-  private def annLshRecall(s: SparkSession, dir: String): DataFrame = {
+  private def annLshRecall(s: SparkSession, dir: String): DataFrame =
+    recallViolations(annBrute(s, dir), annLsh(s, dir), minHits = 5)
+
+  private def annIvf(s: SparkSession, dir: String): DataFrame =
+    ivfTopk(s, dir).orderBy("query_id", "rank")
+
+  /** IVF recall invariant — AGGREGATE across queries, not per query: the
+    * synthetic embeddings are near-uniform at 64 dims (no cluster
+    * structure), so per-query recall at nProbe/nCells = 1/4 of the corpus
+    * is high-variance by nature; the probed-fraction baseline is 25 % and
+    * the fitted cells deliver ~52 % in aggregate. The 30 % floor (15 of 50)
+    * catches structural breakage — a wrong cell join or empty candidate set
+    * lands near 0 — while exact values are pinned by the full ann_ivf_topk
+    * oracle. Must be 0 rows. */
+  private def annIvfRecall(s: SparkSession, dir: String): DataFrame = {
     val brute = annBrute(s, dir).select(col("query_id"), col("match_id"))
-    val lsh = annLsh(s, dir).select(col("query_id"), col("match_id"))
+    val ivf = annIvf(s, dir).select(col("query_id"), col("match_id"))
       .withColumn("hit", lit(1))
-    brute.join(lsh, Seq("query_id", "match_id"), "left")
+    brute.join(ivf, Seq("query_id", "match_id"), "left")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("total_hits"))
+      .filter(col("total_hits") < 15)
+  }
+
+  private def recallViolations(brute: DataFrame, approx: DataFrame,
+                               minHits: Int): DataFrame =
+    brute.select(col("query_id"), col("match_id"))
+      .join(approx.select(col("query_id"), col("match_id"))
+        .withColumn("hit", lit(1)), Seq("query_id", "match_id"), "left")
       .groupBy("query_id")
       .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
-      .filter(col("n_hits") < 5)
+      .filter(col("n_hits") < minHits)
       .orderBy("query_id")
-  }
 
   // ---- text analysis -----------------------------------------------------
   private def textStats(s: SparkSession, dir: String): DataFrame =
@@ -208,6 +243,8 @@ object PipelinePack extends QueryPack {
     "ann_brute_topk" -> (annBrute _),
     "ann_lsh_topk" -> (annLsh _),
     "ann_lsh_recall" -> (annLshRecall _),
+    "ann_ivf_topk" -> (annIvf _),
+    "ann_ivf_recall" -> (annIvfRecall _),
     "text_stats" -> (textStats _),
     "text_tokens_bpe" -> (textTokensBpe _),
     "text_langid" -> (textLangId _),
@@ -227,6 +264,10 @@ object PipelinePack extends QueryPack {
     "ann_lsh_recall" -> """
       SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS n_hits
       WHERE 1 = 0""",
+    "ann_ivf_recall" -> """
+      SELECT CAST(NULL AS BIGINT) AS total_hits WHERE 1 = 0""",
+    "ann_ivf_topk" ->
+      Similarity.duckDbIvfTopKSql("embeddings", QueryIds, 10, 4, "vec_id", "embedding"),
     "ann_brute_topk" ->
       Similarity.duckDbBruteForceSql("embeddings", QueryIds, 10, "vec_id", "embedding"),
     "text_stats" -> s"""

@@ -87,6 +87,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("IVF ANN: deterministic fit, decent recall, candidates only from probed cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L)
+    val c1 = Similarity.kMeansCentroids(emb, nCells = 8, iters = 3, dim = 64)
+    val c2 = Similarity.kMeansCentroids(emb, nCells = 8, iters = 3, dim = 64)
+    assert(c1.flatten.toSeq == c2.flatten.toSeq, "k-means fit not deterministic")
+    val brute = Similarity.bruteForceTopK(emb, qids, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, qids, 10, nCells = 8, nProbe = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // approximate contract: IVF results are a subset of exactly re-scored
+    // candidates, so every returned cosine equals the brute-force cosine
+    val bruteCos = Similarity.bruteForceTopK(emb, qids, 200).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    Similarity.ivfTopK(emb, qids, 10, nCells = 8, nProbe = 3, iters = 3).collect()
+      .foreach { r =>
+        val key = (r.getLong(0), r.getLong(2))
+        bruteCos.get(key).foreach(c => assert(c == r.getDouble(3),
+          s"IVF cosine for $key differs from exact"))
+      }
+  }
+
   test("rolling fingerprint: equal texts equal, k-gram containment collides") {
     val fp = RollingFingerprint.fingerprint _
     assert(fp("hello world example", 8) == fp("hello world example", 8))
