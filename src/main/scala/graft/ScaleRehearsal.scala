@@ -115,6 +115,32 @@ object ScaleRehearsal {
         f"spill=${(meter.spillBytes.get - s0) / 1e6}%.0fMB")
     }
 
+    if (mode == "ann") {
+      // ---- similarity search at corpus scale: 1M × 64-dim vectors ----
+      val n = sys.env.getOrElse("SPARK_GRAFT_SR_VECS", "1000000").toLong
+      val embDir = java.nio.file.Files.createTempDirectory("sr_emb").toString + "/embeddings"
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => (pmod(xxhash64(col("id"), i), lit(2000)).cast("float") - 1000f) / 1000f)
+          .cast("array<float>") // the arithmetic promotes to double
+          .as("embedding"))
+        .write.mode("overwrite").parquet(embDir)
+      val emb = spark.read.parquet(embDir)
+      println(f"[scale] embeddings: rows=${emb.count()} parquet=${
+        new java.io.File(embDir).listFiles().map(_.length).sum / 1e6}%.0fMB")
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      runTimed("ann_brute")(
+        graft.ops.Similarity.bruteForceTopK(emb, qids, 10).count())
+      runTimed("ann_lsh")(
+        graft.ops.Similarity.lshTopK(emb, qids, 10, numTables = 12,
+          planesPerTable = 8).count())
+      runTimed("ann_ivf_fit+query")(
+        graft.ops.Similarity.ivfTopK(emb, qids, 10, nCells = 64, nProbe = 8,
+          fitSampleMod = 10).count())
+      spark.stop()
+      return
+    }
+
     if (mode == "docs") {
       // ---- training-data pipeline ops at corpus scale ----
       val docsDir = java.nio.file.Files.createTempDirectory("sr_docs").toString + "/documents"

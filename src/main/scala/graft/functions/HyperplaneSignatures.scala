@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** All hyperplane-LSH table signatures of an embedding vector in ONE pass,
   * as a native Catalyst expression.
@@ -35,23 +35,42 @@ case class HyperplaneSignatures(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSignatures =
     copy(child = newChild)
 
-  override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      HyperplaneSignatures.compute(input.asInstanceOf[ArrayData].toFloatArray(), planes))
+  // accept array<float> AND array<double> embeddings (a double-typed column
+  // must not be read through toFloatArray — parquet dictionary decode throws)
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val vec = if (isDouble) arr.toDoubleArray()
+              else HyperplaneSignatures.widen(arr.toFloatArray())
+    new GenericArrayData(HyperplaneSignatures.compute(vec, planes))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planes, "double[][][]")
+    val toVec = if (isDouble) (c: String) => s"$c.toDoubleArray()"
+                else (c: String) => s"graft.functions.HyperplaneSignatures.widen($c.toFloatArray())"
     defineCodeGen(ctx, ev, c =>
       s"""new org.apache.spark.sql.catalyst.util.GenericArrayData(
-            graft.functions.HyperplaneSignatures.compute($c.toFloatArray(), $planesRef))""")
+            graft.functions.HyperplaneSignatures.compute(${toVec(c)}, $planesRef))""")
   }
 }
 
 object HyperplaneSignatures {
 
+  def widen(v: Array[Float]): Array[Double] = {
+    val out = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = v(i).toDouble; i += 1 }
+    out
+  }
+
   /** One 64-bit sign-bit signature per table; loop order matches the
     * Column-composed left-to-right double fold exactly. */
-  def compute(vec: Array[Float], planes: Array[Array[Array[Double]]]): Array[Long] = {
+  def compute(vec: Array[Double], planes: Array[Array[Array[Double]]]): Array[Long] = {
     val out = new Array[Long](planes.length)
     var t = 0
     while (t < planes.length) {
@@ -63,7 +82,7 @@ object HyperplaneSignatures {
         val n = math.min(vec.length, plane.length)
         var acc = 0.0
         var i = 0
-        while (i < n) { acc += vec(i).toDouble * plane(i); i += 1 }
+        while (i < n) { acc += vec(i) * plane(i); i += 1 }
         if (acc > 0) sig |= 1L << p
         p += 1
       }

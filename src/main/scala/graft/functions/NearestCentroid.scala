@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Index of the nearest centroid (squared-L2, optionally on the
   * unit-normalized vector — spherical k-means — ties → lowest index) for an
@@ -28,14 +28,24 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
 
-  override def nullSafeEval(input: Any): Any =
-    NearestCentroid.assign(input.asInstanceOf[ArrayData].toFloatArray(), centroids,
-      normalize)
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val vec = if (isDouble) arr.toDoubleArray()
+              else HyperplaneSignatures.widen(arr.toFloatArray())
+    NearestCentroid.assign(vec, centroids, normalize)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val toVec = if (isDouble) (c: String) => s"$c.toDoubleArray()"
+                else (c: String) => s"graft.functions.HyperplaneSignatures.widen($c.toFloatArray())"
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.NearestCentroid.assign($c.toFloatArray(), $centRef, $normalize)")
+      s"graft.functions.NearestCentroid.assign(${toVec(c)}, $centRef, $normalize)")
   }
 }
 
@@ -44,13 +54,13 @@ object NearestCentroid {
   /** `normalize = true` gives spherical assignment (vector scaled to unit
     * L2 first, in Double) — the right cell geometry when the rescoring
     * metric is cosine. */
-  def assign(vec: Array[Float], centroids: Array[Array[Double]],
+  def assign(vec: Array[Double], centroids: Array[Array[Double]],
              normalize: Boolean): Int = {
     var nrm = 1.0
     if (normalize) {
       var s = 0.0
       var i = 0
-      while (i < vec.length) { s += vec(i).toDouble * vec(i).toDouble; i += 1 }
+      while (i < vec.length) { s += vec(i) * vec(i); i += 1 }
       nrm = math.sqrt(s)
       if (nrm == 0.0) nrm = 1.0
     }
@@ -62,7 +72,7 @@ object NearestCentroid {
       val n = math.min(vec.length, cent.length)
       var d = 0.0
       var i = 0
-      while (i < n) { val t = vec(i).toDouble / nrm - cent(i); d += t * t; i += 1 }
+      while (i < n) { val t = vec(i) / nrm - cent(i); d += t * t; i += 1 }
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }

@@ -128,8 +128,15 @@ object Similarity {
     * either way. */
   def kMeansCentroids(embeddings: DataFrame, nCells: Int, iters: Int, dim: Int,
                       seed: Long = 42L, idCol: String = "vec_id",
-                      vecCol: String = "embedding"): Array[Array[Double]] = {
-    val init = embeddings
+                      vecCol: String = "embedding",
+                      fitSampleMod: Int = 1): Array[Array[Double]] = {
+    // deterministic 1/fitSampleMod sample for the Lloyd rounds (hash-gated,
+    // so the fit is reproducible run to run — .sample() is not); the final
+    // corpus ASSIGNMENT in ivfTopK always scans everything
+    val fit = if (fitSampleMod <= 1) embeddings
+              else embeddings.filter(
+                pmod(xxhash64(col(idCol), lit(seed + 1)), lit(fitSampleMod)) === 0)
+    val init = fit
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
       .limit(nCells)
       .orderBy(col(idCol))
@@ -138,7 +145,7 @@ object Similarity {
     var centroids = init
     var it = 0
     while (it < iters) {
-      val assigned = embeddings.select(
+      val assigned = fit.select(
         graft.functions.NearestCentroid(col(vecCol), centroids, normalize = true)
           .as("cell"),
         normCol(col(vecCol)).as("nrm"), posexplode(col(vecCol)))
@@ -174,8 +181,9 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
               nCells: Int = 16, nProbe: Int = 4, iters: Int = 3, dim: Int = 64,
               seed: Long = 42L, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val centroids = kMeansCentroids(embeddings, nCells, iters, dim, seed, idCol, vecCol)
+              vecCol: String = "embedding", fitSampleMod: Int = 1): DataFrame = {
+    val centroids = kMeansCentroids(embeddings, nCells, iters, dim, seed, idCol,
+      vecCol, fitSampleMod)
     val assigned = embeddings.select(col(idCol).as("match_id"), col(vecCol).as("m_vec"),
       normCol(col(vecCol)).as("m_norm"),
       graft.functions.NearestCentroid(col(vecCol), centroids, normalize = true)
