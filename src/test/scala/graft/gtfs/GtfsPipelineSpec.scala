@@ -189,4 +189,24 @@ class GtfsPipelineSpec extends AnyFunSuite {
     assert(!pmax.before(pmin))
     assert(row.getAs[Int]("origin_type") == Codes.OriginSchedule)
   }
+
+  test("prediction curves are capped at 120 evenly-index-spaced points incl. endpoints") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val big = (0 until 300).map(i => graft.curves.CPoint(i.toFloat, i / 299f))
+    val out = Seq(Tuple1(big)).toDF("curve")
+      .select(Predictor.capCurve(col("curve")).as("capped"))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getFloat(0), r.getFloat(1)))
+    assert(out.size == Predictor.MaxCurvePoints)
+    assert(out.head._1 == 0f && out.last._1 == 299f, "endpoints must survive the cap")
+    assert(out.map(_._1.toInt) == (0 until 120).map(i => i * 299 / 119),
+      "points must be evenly index-spaced")
+    // curves at or under the cap pass through untouched
+    val small = (0 until 5).map(i => graft.curves.CPoint(i.toFloat, i / 4f))
+    val kept = Seq(Tuple1(small)).toDF("curve")
+      .select(Predictor.capCurve(col("curve")).as("capped"))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(kept.size == 5)
+  }
 }
