@@ -137,6 +137,32 @@ object MonitorPack extends QueryPack {
       Monitor.RideLeg("T1sub", "2024-03-04", 10 * 3600 + 30, boardStopSeq = 40, alightStopSeq = 50)))
   }
 
+  /** Probability invariants for the two convolution-bearing queries (X10/X11
+    * are procedural — step-discretized convolution with a data-dependent
+    * break — so no SQL reconstruction exists; CurvesSpec pins the math on
+    * hand-computed cases). Violations must be 0 rows: journey reach
+    * probability starts at 1, stays within [0,1], never increases, and
+    * carries unchanged over walk legs; transfer rows honour the F8 ≥5 %
+    * suppression and the 300 m platform-group radius. */
+  private def probCheck(s: SparkSession, dir: String): DataFrame = {
+    val j = journeyQ(s, dir)
+      .withColumn("prev_prob",
+        lag("reach_prob", 1).over(Window.orderBy("component_idx")))
+    val jviol = j.filter(
+      col("reach_prob") < 0 || col("reach_prob") > 1
+        || (col("component_idx") === 0 && col("reach_prob") =!= 1.0)
+        || (col("prev_prob").isNotNull && col("reach_prob") > col("prev_prob") + 1e-9)
+        || (col("kind") === "walk" && col("prev_prob").isNotNull
+          && col("reach_prob") =!= col("prev_prob")))
+      .select(lit("journey").as("page"),
+        col("component_idx").cast("string").as("row_key"))
+    val tviol = stopPageTransfer(s, dir)
+      .filter(col("transfer_prob") < 0.05 || col("transfer_prob") > 1
+        || col("dist_m") >= 300)
+      .select(lit("transfer").as("page"), col("trip_id").as("row_key"))
+    jviol.union(tviol).orderBy("page", "row_key")
+  }
+
   private def j8ResolveTrip(s: SparkSession, dir: String): DataFrame = {
     val (sched, _) = GtfsPack.predictionState(s)
     Monitor.resolveTrip(sched, "Downtown", "10", 3, "Stop 1", 8 * 3600 + 30)
@@ -243,7 +269,8 @@ object MonitorPack extends QueryPack {
     "monitor_journey" -> (journeyQ _),
     "w8_percentiles" -> (w8Percentiles _),
     "x9_walk_curves" -> (x9WalkCurves _),
-    "j8_resolve_trip" -> (j8ResolveTrip _)
+    "j8_resolve_trip" -> (j8ResolveTrip _),
+    "monitor_prob_check" -> (probCheck _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -279,6 +306,9 @@ object MonitorPack extends QueryPack {
              printf('%d:%02d Min.', (event_id % 100) // 60, (event_id % 100) % 60)
                AS duration_label
       FROM events ORDER BY event_id""",
+    "monitor_prob_check" -> """
+      SELECT CAST(NULL AS VARCHAR) AS page, CAST(NULL AS VARCHAR) AS row_key
+      WHERE 1 = 0""",
     // W8 percentile extraction, recomputed from the exploded curve points.
     "w8_percentiles" -> s"""
       WITH $quantCtes
