@@ -111,6 +111,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("HyperplaneSignatures expression equals the Column-composed signatures") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val planes = (0 until 4).map(t =>
+      Similarity.hyperplanes(64, 4, seed = 42L + t)).toArray
+    val viaExpr = emb.select(col("vec_id"),
+      graft.functions.HyperplaneSignatures(col("embedding"), planes).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = emb.select(col("vec_id") +:
+      planes.zipWithIndex.map { case (p, t) =>
+        Similarity.signatureCol(col("embedding"), p).as(s"s$t") }: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    assert(viaExpr.keySet == composed.keySet)
+    viaExpr.foreach { case (id, sigs) =>
+      assert(sigs == composed(id), s"signature mismatch for vec $id") }
+  }
+
+  test("NearestCentroid expression equals a driver-side recompute") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val cents = Similarity.kMeansCentroids(emb, nCells = 4, iters = 1, dim = 64)
+    val viaExpr = emb.select(col("vec_id"),
+      graft.functions.NearestCentroid(col("embedding"), cents, normalize = true)
+        .as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    emb.select(col("vec_id"), col("embedding")).collect().foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val vd = graft.functions.HyperplaneSignatures.widen(v)
+      val expect = graft.functions.NearestCentroid.assign(vd, cents, normalize = true)
+      assert(viaExpr(r.getLong(0)) == expect)
+    }
+  }
+
   test("rolling fingerprint: equal texts equal, k-gram containment collides") {
     val fp = RollingFingerprint.fingerprint _
     assert(fp("hello world example", 8) == fp("hello world example", 8))
