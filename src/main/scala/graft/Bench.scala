@@ -20,8 +20,10 @@ object Bench {
     // of name order
     val s0 = System.nanoTime()
     graft.queries.GtfsPack.predictionState(spark)
+    val gtfsSetup = (System.nanoTime() - s0) / 1e9
     graft.queries.PipelinePack.prewarm(spark, sfDir)
     val setup = (System.nanoTime() - s0) / 1e9
+    val shingleSetup = setup - gtfsSetup
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -33,7 +35,9 @@ object Bench {
     // the metric line must stay the ONLY stdout line (driver parses stdout);
     // also persisted to a file because sbt prefixes program stdout with
     // "[info] " in some invocation modes
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","setup":$setup,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","setup":$setup,""" +
+      s""""setup_detail":{"gtfs_fixture_pipeline":$gtfsSetup,"shingle_index":$shingleSetup},""" +
+      s""""queries":$qs,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
