@@ -115,6 +115,62 @@ object Similarity {
     WHERE rank <= $k
     ORDER BY query_id, rank"""
 
+  /** Embedding-cosine near-duplicate PAIRS (the dedup-flavoured use of the
+    * ANN machinery): hyperplane-LSH buckets generate candidate pairs — a
+    * bucket equi-SELF-join, shuffled on (table, signature) keys only, never
+    * a cross join — and every candidate is exactly re-scored; pairs with
+    * cosine ≥ `threshold` survive, `a < b` canonical. Recall follows the
+    * multi-table union bound; precision is exact (candidates are verified). */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+                         numTables: Int = 12, planesPerTable: Int = 4,
+                         dim: Int = 64, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val planes: Array[Array[Array[Double]]] =
+      (0 until numTables).map(t => hyperplanes(dim, planesPerTable, seed = 42L + t)).toArray
+    val signed = embeddings
+      .select(col(idCol), col(vecCol),
+        posexplode(graft.functions.HyperplaneSignatures(col(vecCol), planes)))
+      .select(col(idCol), col(vecCol), normCol(col(vecCol)).as("nrm"),
+        struct(col("pos").as("table"), col("col").as("sig")).as("bucket"))
+    val left = signed.select(col(idCol).as("a"), col(vecCol).as("a_vec"),
+      col("nrm").as("a_norm"), col("bucket"))
+    val right = signed.select(col(idCol).as("b"), col(vecCol).as("b_vec"),
+      col("nrm").as("b_norm"), col("bucket"))
+    left.join(right, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("cosine",
+        round(dotCol(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
+  /** DuckDB oracle for [[cosineNearDupPairs]] over `_aux/ann_planes`
+    * (first `numTables` tables): reproduces the signature computation, the
+    * bucket self-join, pair dedup and the exact cosine verification. */
+  def duckDbCosineNearDupSql(table: String, threshold: Double, numTables: Int,
+                             idCol: String, vecCol: String): String = s"""
+    WITH emb AS (SELECT $idCol AS vid, $vecCol::DOUBLE[] AS v FROM $table),
+    pl AS (SELECT tbl, plane_idx, plane
+           FROM read_parquet('__VOUT__/_aux/ann_planes/*.parquet')
+           WHERE tbl < $numTables),
+    sigs AS (SELECT e.vid, p.tbl,
+               SUM(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                        THEN (1::BIGINT << p.plane_idx) ELSE 0 END) AS sig
+             FROM emb e CROSS JOIN pl p GROUP BY e.vid, p.tbl),
+    cand AS (SELECT DISTINCT s1.vid AS a, s2.vid AS b
+             FROM sigs s1 JOIN sigs s2
+               ON s1.tbl = s2.tbl AND s1.sig = s2.sig AND s1.vid < s2.vid),
+    scored AS (SELECT c.a, c.b,
+                 ROUND(list_dot_product(ae.v, be.v) /
+                       (sqrt(list_dot_product(ae.v, ae.v))
+                        * sqrt(list_dot_product(be.v, be.v))), 4) AS cosine
+               FROM cand c
+               JOIN emb ae ON ae.vid = c.a
+               JOIN emb be ON be.vid = c.b)
+    SELECT a, b, cosine FROM scored WHERE cosine >= $threshold
+    ORDER BY a, b"""
+
   /** Deterministic SPHERICAL k-means coarse quantizer for [[ivfTopK]]:
     * seeded init (corpus rows ranked by `xxhash64(id, seed)`), `iters`
     * Lloyd rounds over unit-normalized vectors — cosine neighbors then

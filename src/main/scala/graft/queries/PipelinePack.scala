@@ -165,6 +165,14 @@ object PipelinePack extends QueryPack {
   private def annIvf(s: SparkSession, dir: String): DataFrame =
     ivfTopk(s, dir).orderBy("query_id", "rank")
 
+  /** Embedding-cosine near-dup pairs (dedup family, over the same LSH
+    * tables the ANN path uses; 0.4 is well inside the non-vacuous range on
+    * the synthetic embeddings — ~50 exact pairs at sf0.01). */
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "dedup_embedding")(
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4))
+      .orderBy("a", "b")
+
   /** IVF recall invariant — AGGREGATE across queries, not per query: the
     * synthetic embeddings are near-uniform at 64 dims (no cluster
     * structure), so per-query recall at nProbe/nCells = 1/4 of the corpus
@@ -245,6 +253,7 @@ object PipelinePack extends QueryPack {
     "ann_lsh_recall" -> (annLshRecall _),
     "ann_ivf_topk" -> (annIvf _),
     "ann_ivf_recall" -> (annIvfRecall _),
+    "dedup_embedding" -> (dedupEmbedding _),
     "text_stats" -> (textStats _),
     "text_tokens_bpe" -> (textTokensBpe _),
     "text_langid" -> (textLangId _),
@@ -268,6 +277,8 @@ object PipelinePack extends QueryPack {
       SELECT CAST(NULL AS BIGINT) AS total_hits WHERE 1 = 0""",
     "ann_ivf_topk" ->
       Similarity.duckDbIvfTopKSql("embeddings", QueryIds, 10, 4, "vec_id", "embedding"),
+    "dedup_embedding" ->
+      Similarity.duckDbCosineNearDupSql("embeddings", 0.4, 12, "vec_id", "embedding"),
     "ann_brute_topk" ->
       Similarity.duckDbBruteForceSql("embeddings", QueryIds, 10, "vec_id", "embedding"),
     "text_stats" -> s"""
