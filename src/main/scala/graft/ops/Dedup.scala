@@ -227,6 +227,82 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  // ---- Near-dup clustering (connected components) -------------------------
+
+  /** Near-dup clusters: connected components over a (a, b) pair graph.
+    * Every document is labeled with the minimum doc id reachable through
+    * pairs (singletons label themselves); the canonical representative of a
+    * cluster is the member equal to the label. A dedup pipeline keeps the
+    * `is_kept` rows and drops the rest — the standard "collapse near-dup
+    * clusters to one exemplar" step downstream of MinHash/Jaccard pair
+    * finding.
+    *
+    * Scale shape: iterative min-label propagation. Each round is one
+    * equi-join + one map-side-combinable `min` aggregation over (BIGINT,
+    * BIGINT) rows, `localCheckpoint` truncates the lineage so round N does
+    * not replay rounds 1..N−1, and the loop exits as soon as a round lowers
+    * nothing (label sums are strictly decreasing until the fixpoint). Only
+    * nodes that appear in a pair enter the loop — the corpus joins back in
+    * once at the end — so per-round shuffles scale with the PAIR graph, not
+    * the corpus. Rounds needed = graph diameter, which for near-dup
+    * components is small (LSH/Jaccard clusters are near-cliques of mutual
+    * matches, not long chains); `maxIters` bounds the adversarial case.
+    */
+  def clusters(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+               maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var checksum = labels.agg(sum("label")).head.get(0)
+    var converged = checksum == null // empty pair graph: nothing to propagate
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prop = edges.join(labels, edges("a") === labels("node"))
+        .select(edges("b").as("node"), col("label"))
+      labels = labels.union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      val next = labels.agg(sum("label")).head.get(0)
+      converged = next == checksum
+      checksum = next
+      iter += 1
+    }
+    edges.unpersist()
+    val comp = labels.withColumnRenamed("node", idCol)
+    docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("is_kept", col(idCol) === col("cluster_id"))
+  }
+
+  /** DuckDB oracle twin of [[clusters]] over the n-gram Jaccard pair graph:
+    * transitive closure by recursive CTE (min reachable id ≡ the propagated
+    * min label), then the same corpus left-join / size / keep-flag step. */
+  def duckDbClustersSql(table: String, n: Int, threshold: Double, maxDf: Int,
+                        idCol: String, textCol: String): String = s"""
+    WITH RECURSIVE
+    pairs AS (SELECT a, b FROM (
+      ${duckDbNgramJaccardSql(table, n, threshold, maxDf, idCol, textCol)})),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+    comp AS (SELECT src, LEAST(src, MIN(dst)) AS cluster_id
+             FROM reach GROUP BY src),
+    lab AS (SELECT d.$idCol AS doc_id,
+                   COALESCE(c.cluster_id, d.$idCol) AS cluster_id
+            FROM $table d LEFT JOIN comp c ON c.src = d.$idCol)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           (doc_id = cluster_id) AS is_kept
+    FROM lab ORDER BY doc_id"""
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash per doc: sign-sum of token-hash bits. Computed without a

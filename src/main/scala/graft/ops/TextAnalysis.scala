@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -82,6 +82,31 @@ object TextAnalysis {
     val wordScore = lit(1.0) - least(abs(avgTokenLenCol(text) - 5.0) / 10.0, lit(1.0))
     floor((lenScore * 0.5 + wordScore * 0.5) * (lit(1.0) - punctRatioCol(text)) * 10000) / 10000
   }
+
+  // ---- corpus vocabulary --------------------------------------------------
+
+  /** Corpus vocabulary: top-N tokens by term frequency with document
+    * frequency. The workhorse behind tokenizer training, stopword mining and
+    * corpus drift checks. Scale shape: explode + groupBy(token) is
+    * map-side-combinable partial aggregation; the distinct-doc count rides
+    * the same shuffle via Spark's distinct-aggregate rewrite; top-N is a
+    * TakeOrdered (per-partition heap + driver merge of N rows), never a full
+    * sort. (tf DESC, token) is a total order, so the cut is deterministic. */
+  def vocabulary(docs: DataFrame, topN: Int = 100, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc"), explode(tokensCol(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc")).as("df"))
+      .orderBy(desc("tf"), asc("token"))
+      .limit(topN)
+
+  /** DuckDB oracle twin of [[vocabulary]]. */
+  def duckDbVocabularySql(table: String, topN: Int, idCol: String,
+                          textCol: String): String = s"""
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc) AS df FROM (
+      SELECT $idCol AS doc, unnest(${duckDbTokensSql(textCol)}) AS token
+      FROM $table)
+    GROUP BY token ORDER BY tf DESC, token LIMIT $topN"""
 
   def duckDbQualitySql(textExpr: String): String = {
     val toks = duckDbTokensSql(textExpr)

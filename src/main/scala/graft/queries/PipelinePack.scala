@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis, Multimodal}
 import graft.functions.RollingFingerprint
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
@@ -200,6 +200,23 @@ object PipelinePack extends QueryPack {
       .filter(col("n_hits") < minHits)
       .orderBy("query_id")
 
+  /** Near-dup clusters over the n-gram Jaccard pair graph (reuses the
+    * cached pair set the sibling queries built). */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(t(s, dir, "documents"), ngramPairs(s, dir))
+      .orderBy("doc_id")
+
+  /** English is the dominant stratum on the synthetic corpus — downsample it
+    * to 40 %, keep everything else, and assign 80/10/10 splits. */
+  private val StratumRates = Map("en" -> 40)
+  private def sampleSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.assign(t(s, dir, "documents"),
+        TextAnalysis.langIdCol(col("text")), StratumRates, defaultPct = 100)
+      .orderBy("doc_id")
+
+  private def textVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(t(s, dir, "documents"), topN = 100)
+
   // ---- text analysis -----------------------------------------------------
   private def textStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -248,6 +265,9 @@ object PipelinePack extends QueryPack {
     "dedup_minhash_lsh" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_lsh_vs_exact" -> (dedupLshVsExact _),
+    "dedup_clusters" -> (dedupClusters _),
+    "sample_split" -> (sampleSplit _),
+    "text_vocab" -> (textVocab _),
     "ann_brute_topk" -> (annBrute _),
     "ann_lsh_topk" -> (annLsh _),
     "ann_lsh_recall" -> (annLshRecall _),
@@ -267,6 +287,17 @@ object PipelinePack extends QueryPack {
       FROM documents GROUP BY text ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       Dedup.duckDbNgramJaccardSql("documents", 3, 0.5, 100, "doc_id", "text"),
+    "dedup_clusters" ->
+      Dedup.duckDbClustersSql("documents", 3, 0.5, 100, "doc_id", "text"),
+    "sample_split" -> s"""
+      SELECT doc_id,
+             ${TextAnalysis.duckDbLangIdSql("text")} AS stratum,
+             ${Sampling.duckDbSplitSql("doc_id")} AS split,
+             ${Sampling.duckDbStratifiedKeepSql("doc_id",
+                 TextAnalysis.duckDbLangIdSql("text"), StratumRates, 100)} AS sampled
+      FROM documents ORDER BY doc_id""",
+    "text_vocab" ->
+      TextAnalysis.duckDbVocabularySql("documents", 100, "doc_id", "text"),
     // soundness invariants: the Spark side must produce ZERO rows
     "dedup_lsh_vs_exact" -> """
       SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE 1 = 0""",

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.when
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.RollingFingerprint
 
@@ -163,6 +164,78 @@ class PipelineOpsSpec extends AnyFunSuite {
     val withFp = docs.select($"doc_id", RollingFingerprint($"text", 16).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     for (i <- 5L until 8L) assert(withFp(i) == withFp(i + 200))
+  }
+
+  test("clusters match brute-force union-find over the same pair graph") {
+    val pairs = Dedup.ngramJaccard(docs, 3, 0.5, 100)
+    val collected = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reference union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    collected.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Dedup.clusters(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("clusters propagate across multi-hop chains") {
+    // 1-2-3-4-5 is a 4-hop chain (diameter > 1 forces real iteration);
+    // 10-11 a separate component; 20 a singleton
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a", "b")
+    val corpus = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L)).toDF("doc_id")
+    val out = Dedup.clusters(corpus, chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out.map(t => t._1 -> t._2).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L))
+    assert(out.filter(_._2 == 1L).forall(_._3 == 5L), "chain cluster size 5")
+    assert(out.count(_._4) == 3, "one kept representative per cluster")
+  }
+
+  test("sampling: deterministic splits and stratified keep rates") {
+    val n = 10000L
+    val ids = spark.range(n).withColumnRenamed("id", "doc_id")
+    val splits = Sampling.assign(ids, when($"doc_id" % 3 === 0, "en").otherwise("other"),
+      Map("en" -> 40), defaultPct = 100)
+    val rows = splits.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    // deterministic: second evaluation identical
+    val again = splits.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    assert(rows.sameElements(again))
+    // split shares near 80/10/10 (hash quality, not exact)
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(math.abs(bySplit("train") - 8000) < 300, s"train=${bySplit("train")}")
+    assert(math.abs(bySplit("valid") - 1000) < 150, s"valid=${bySplit("valid")}")
+    assert(math.abs(bySplit("test") - 1000) < 150, s"test=${bySplit("test")}")
+    // stratified keep: ~40% of en, 100% of everything else
+    val en = rows.filter(_._2 == "en")
+    val keptEn = en.count(_._4)
+    assert(math.abs(keptEn.toDouble / en.length - 0.4) < 0.05)
+    assert(rows.filter(_._2 == "other").forall(_._4), "default stratum keeps all")
+    // keep decision independent of the split channel (salted hash): kept
+    // fraction inside train ≈ kept fraction overall
+    val enTrain = en.filter(_._3 == "train")
+    assert(math.abs(enTrain.count(_._4).toDouble / enTrain.length -
+      keptEn.toDouble / en.length) < 0.06)
+  }
+
+  test("vocabulary: counts and deterministic top-N on a tiny corpus") {
+    val tiny = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b c")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(tiny, topN = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.toSeq == Seq(("a", 3L, 2L), ("b", 3L, 2L)),
+      "tf desc then token asc; df = distinct docs")
   }
 
   test("multimodal plumbing: binary payloads, fixed-shape features, frames") {
