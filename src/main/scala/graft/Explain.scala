@@ -24,7 +24,8 @@ object Explain {
       "j3_pair_join", "j7_geo_join", "w2_last_writer", "ann_brute_topk",
       "dedup_exact", "text_stats", "a8_curve_average", "dedup_lsh_vs_exact",
       "ann_lsh_recall", "gtfs_visual_schedule", "gtfs_file_stats",
-      "monitor_trip_page", "ann_ivf_topk", "gtfs_predictions_realtime", "dedup_embedding")
+      "monitor_trip_page", "ann_ivf_topk", "gtfs_predictions_realtime",
+      "dedup_embedding", "sample_split", "text_vocab")
 
     audit.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

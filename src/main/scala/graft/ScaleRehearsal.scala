@@ -154,6 +154,16 @@ object ScaleRehearsal {
       runTimed("minhash_lsh")(
         graft.ops.Dedup.minhashLshFromShingles(sh, 32, 8, 0.5).count())
       runTimed("simhash")(graft.ops.Dedup.simhashPairs(docs, 3).count())
+      val pairs = graft.ops.Dedup.ngramJaccardFromShingles(sh, 0.5).cache()
+      runTimed("ngram_pairs")(pairs.count())
+      runTimed("clusters")(
+        graft.ops.Dedup.clusters(docs, pairs).filter(!col("is_kept")).count())
+      runTimed("sample_split")(
+        graft.ops.Sampling.assign(docs,
+          graft.ops.TextAnalysis.langIdCol(col("text")), Map("en" -> 40), 100)
+          .filter(col("sampled")).count())
+      runTimed("vocabulary")(
+        graft.ops.TextAnalysis.vocabulary(docs, 100).count())
       spark.stop()
       return
     }
