@@ -53,9 +53,14 @@ object Dedup {
       .select(col(idCol).as("doc"), explode(array_distinct(grams)).as("shingle"))
     // cap document frequency: a shingle appearing in >maxDf docs contributes
     // O(df²) candidate pairs — drop it (standard near-dup practice; the same
-    // cap is applied in the DuckDB oracle).
-    val dfCounts = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
-    exploded.join(dfCounts.filter(col("df") <= maxDf).select("shingle"), "shingle")
+    // cap is applied in the DuckDB oracle). maxDf ≤ 0 disables the cap (and
+    // its df-count shuffle) for consumers that want hot shingles too, e.g.
+    // contamination sweeps.
+    if (maxDf <= 0) exploded
+    else {
+      val dfCounts = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+      exploded.join(dfCounts.filter(col("df") <= maxDf).select("shingle"), "shingle")
+    }
   }
 
   /** n-gram Jaccard near-dup pairs: |A∩B| via the shingle inverted index,
@@ -226,6 +231,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
+
+  // ---- Benchmark decontamination ------------------------------------------
+
+  /** Decontamination: flag corpus documents sharing at least one word
+    * n-gram with a held-out benchmark set (the standard eval-contamination
+    * sweep before training). Returns (doc_id, n_shared_ngrams) for flagged
+    * docs only.
+    *
+    * Scale shape: the benchmark's distinct shingle set is orders of
+    * magnitude smaller than the corpus (eval sets are MBs against TBs), so
+    * the inner join broadcasts the benchmark side — the corpus-side shingle
+    * stream never shuffles; the only wide exchange is the per-doc count of
+    * matches, which carries only flagged (doc, count) rows. maxDf ≤ 0 skips
+    * the frequency cap (contamination wants hot n-grams too). */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val c = shingles(corpus, idCol, textCol, n, maxDf = 0)
+    val b = shingles(benchmark, idCol, textCol, n, maxDf = 0)
+      .select("shingle").distinct()
+    c.join(broadcast(b), "shingle")
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .select(col(idCol), col("n_shared_ngrams"))
+  }
+
+  /** DuckDB oracle twin of [[contamination]] for a benchmark defined by a
+    * predicate over the same table (string shingles; hash equality ⟺
+    * string equality up to negligible 64-bit collisions). */
+  def duckDbContaminationSql(table: String, corpusPred: String,
+                             benchmarkPred: String, n: Int,
+                             idCol: String, textCol: String): String = s"""
+    WITH toks AS (
+      SELECT $idCol AS doc, $corpusPred AS is_corpus, $benchmarkPred AS is_bench,
+             ${TextAnalysis.duckDbTokensSql(textCol)} AS t
+      FROM $table),
+    series AS (SELECT i FROM generate_series(0, 4000) AS g(i)),
+    sh AS (
+      SELECT DISTINCT doc, is_corpus, is_bench,
+             array_to_string(t[i+1:i+$n], ' ') AS shingle
+      FROM toks JOIN series ON i <= len(t) - $n),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE is_bench)
+    SELECT doc AS $idCol, COUNT(*) AS n_shared_ngrams
+    FROM sh JOIN bench USING (shingle)
+    WHERE is_corpus
+    GROUP BY doc ORDER BY doc"""
 
   // ---- Near-dup clustering (connected components) -------------------------
 

@@ -77,11 +77,62 @@ object TextAnalysis {
     * rounded) to 4 decimals: ROUND diverges between engines on exact .5
     * boundaries (Spark rounds the decimal string, DuckDB the binary value),
     * while FLOOR of the identical double is deterministic everywhere. */
-  def qualityScoreCol(text: Column): Column = {
+  /** Quality in integer basis points (raw score × 10000, floored) — the
+    * exact-arithmetic form aggregations should sum (averaging the
+    * 4-decimal doubles directly diverges across engines with summation
+    * order; averaging exact integers cannot). */
+  def qualityBpCol(text: Column): Column = {
     val lenScore = least(tokenCountCol(text).cast("double") / 50.0, lit(1.0))
     val wordScore = lit(1.0) - least(abs(avgTokenLenCol(text) - 5.0) / 10.0, lit(1.0))
-    floor((lenScore * 0.5 + wordScore * 0.5) * (lit(1.0) - punctRatioCol(text)) * 10000) / 10000
+    floor((lenScore * 0.5 + wordScore * 0.5) * (lit(1.0) - punctRatioCol(text)) * 10000)
+      .cast("long")
   }
+
+  def qualityScoreCol(text: Column): Column =
+    qualityBpCol(text).cast("double") / 10000
+
+  // ---- within-doc repetition (Gopher-style quality filter) ----------------
+
+  /** Fraction of duplicated word n-grams within a document — the classic
+    * repetition signal for filtering boilerplate/spam (high value = the doc
+    * repeats itself). 0 when the doc has fewer than n tokens. Pure Column
+    * arithmetic (array ops in codegen, no shuffle, no UDF); n-grams are
+    * compared via `xxhash64` of the token window, same trick as the shingle
+    * index (string n-grams never materialize). */
+  /** Repetition in integer basis points (fraction × 10000, floored) — see
+    * [[qualityBpCol]] for why aggregations want the integer form. */
+  def dupNgramBpCol(text: Column, n: Int = 3): Column = {
+    val toks = tokensCol(text)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<bigint>"))
+    when(size(grams) > 0,
+      floor((size(grams) - size(array_distinct(grams))).cast("double") * 10000 /
+        size(grams)).cast("long"))
+      .otherwise(lit(0L))
+  }
+
+  def dupNgramFracCol(text: Column, n: Int = 3): Column =
+    dupNgramBpCol(text, n).cast("double") / 10000
+
+  /** DuckDB twin of [[dupNgramBpCol]] (string n-grams — hash equality ⟺
+    * string equality up to negligible 64-bit collisions). */
+  def duckDbDupNgramBpSql(textExpr: String, n: Int = 3): String = {
+    val toks = duckDbTokensSql(textExpr)
+    val grams = s"""(CASE WHEN len($toks) >= $n THEN
+      list_transform(range(len($toks) - $n + 1),
+        i -> array_to_string(($toks)[i+1:i+$n], ' '))
+      ELSE []::VARCHAR[] END)"""
+    s"""(CASE WHEN len($grams) > 0 THEN
+      CAST(FLOOR((len($grams) - len(list_distinct($grams))) * 10000.0
+        / len($grams)) AS BIGINT)
+      ELSE 0 END)"""
+  }
+
+  /** DuckDB oracle twin of [[dupNgramFracCol]]. */
+  def duckDbDupNgramFracSql(textExpr: String, n: Int = 3): String =
+    s"(${duckDbDupNgramBpSql(textExpr, n)} / 10000.0)"
 
   // ---- corpus vocabulary --------------------------------------------------
 
@@ -100,6 +151,45 @@ object TextAnalysis {
       .orderBy(desc("tf"), asc("token"))
       .limit(topN)
 
+  /** Per-(lang, source) corpus report: the standard pipeline health check
+    * after every filter stage — doc counts, token volume, mean quality,
+    * median doc length, mean repetition. One map-side-combinable groupBy
+    * over rowwise codegen'd inputs (the median is the only sort-based
+    * aggregate, computed per tiny group). */
+  /** Per-(lang, source) corpus report: the standard pipeline health check
+    * after every filter stage — doc counts, token volume, mean quality,
+    * median doc length, mean repetition. One map-side-combinable groupBy
+    * over rowwise codegen'd inputs (the median is the only sort-based
+    * aggregate, computed per group). Quality/repetition average their exact
+    * integer basis points — summing engine-rounded doubles diverges with
+    * summation order, summing integers cannot; the one double division per
+    * group is bit-identical everywhere, and FLOOR of identical doubles
+    * agrees. The median of integers is k or k+0.5 — exactly representable,
+    * so its 1-decimal rounding is also engine-stable. */
+  def corpusReport(docs: DataFrame, langCol: String = "lang",
+                   sourceCol: String = "source", textCol: String = "text"): DataFrame =
+    docs.select(col(langCol).as("lang"), col(sourceCol).as("source"),
+        tokenCountCol(col(textCol)).as("n_tok"),
+        qualityBpCol(col(textCol)).as("q_bp"),
+        dupNgramBpCol(col(textCol)).as("rep_bp"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        (floor(avg("q_bp")) / 10000).as("avg_quality"),
+        round(percentile(col("n_tok"), lit(0.5)), 1).as("med_tokens"),
+        (floor(avg("rep_bp")) / 10000).as("avg_repetition"))
+
+  /** DuckDB oracle twin of [[corpusReport]]. */
+  def duckDbCorpusReportSql(table: String, langCol: String, sourceCol: String,
+                            textCol: String): String = s"""
+    SELECT $langCol AS lang, $sourceCol AS source,
+           COUNT(*) AS n_docs,
+           SUM(len(${duckDbTokensSql(textCol)})) AS n_tokens,
+           FLOOR(AVG(${duckDbQualityBpSql(textCol)})) / 10000 AS avg_quality,
+           ROUND(quantile_cont(len(${duckDbTokensSql(textCol)}), 0.5), 1) AS med_tokens,
+           FLOOR(AVG(${duckDbDupNgramBpSql(textCol)})) / 10000 AS avg_repetition
+    FROM $table GROUP BY 1, 2"""
+
   /** DuckDB oracle twin of [[vocabulary]]. */
   def duckDbVocabularySql(table: String, topN: Int, idCol: String,
                           textCol: String): String = s"""
@@ -108,13 +198,17 @@ object TextAnalysis {
       FROM $table)
     GROUP BY token ORDER BY tf DESC, token LIMIT $topN"""
 
-  def duckDbQualitySql(textExpr: String): String = {
+  /** DuckDB twin of [[qualityBpCol]] (integer basis points). */
+  def duckDbQualityBpSql(textExpr: String): String = {
     val toks = duckDbTokensSql(textExpr)
     val nTok = s"greatest(len($toks), 1)"
     val punct = s"((length($textExpr) - length(regexp_replace($textExpr, '[,.!?;:]', '', 'g'))) * 1.0 / greatest(length($textExpr), 1))"
     val avgLen = s"(length(regexp_replace(trim($textExpr), '\\s', '', 'g')) * 1.0 / $nTok)"
-    s"""FLOOR((least($nTok * 1.0 / 50.0, 1.0) * 0.5
+    s"""CAST(FLOOR((least($nTok * 1.0 / 50.0, 1.0) * 0.5
          + (1.0 - least(abs($avgLen - 5.0) / 10.0, 1.0)) * 0.5)
-         * (1.0 - $punct) * 10000) / 10000"""
+         * (1.0 - $punct) * 10000) AS BIGINT)"""
   }
+
+  def duckDbQualitySql(textExpr: String): String =
+    s"(${duckDbQualityBpSql(textExpr)} / 10000.0)"
 }

@@ -217,6 +217,24 @@ object PipelinePack extends QueryPack {
   private def textVocab(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(t(s, dir, "documents"), topN = 100)
 
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.dupNgramFracCol(col("text"), 3).as("dup_3gram_frac"))
+      .orderBy("doc_id")
+
+  private def corpusReport(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusReport(t(s, dir, "documents"))
+      .orderBy("lang", "source")
+
+  /** Decontamination sweep: src0 plays the held-out benchmark; every other
+    * doc sharing an 8-gram with it gets flagged. */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contamination(docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), n = 8)
+      .orderBy("doc_id")
+  }
+
   // ---- text analysis -----------------------------------------------------
   private def textStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -268,6 +286,9 @@ object PipelinePack extends QueryPack {
     "dedup_clusters" -> (dedupClusters _),
     "sample_split" -> (sampleSplit _),
     "text_vocab" -> (textVocab _),
+    "text_repetition" -> (textRepetition _),
+    "corpus_report" -> (corpusReport _),
+    "decontaminate" -> (decontaminate _),
     "ann_brute_topk" -> (annBrute _),
     "ann_lsh_topk" -> (annLsh _),
     "ann_lsh_recall" -> (annLshRecall _),
@@ -298,6 +319,15 @@ object PipelinePack extends QueryPack {
       FROM documents ORDER BY doc_id""",
     "text_vocab" ->
       TextAnalysis.duckDbVocabularySql("documents", 100, "doc_id", "text"),
+    "text_repetition" -> s"""
+      SELECT doc_id, ${TextAnalysis.duckDbDupNgramFracSql("text", 3)} AS dup_3gram_frac
+      FROM documents ORDER BY doc_id""",
+    "corpus_report" ->
+      (TextAnalysis.duckDbCorpusReportSql("documents", "lang", "source", "text")
+        + " ORDER BY lang, source"),
+    "decontaminate" ->
+      Dedup.duckDbContaminationSql("documents", "source <> 'src0'",
+        "source = 'src0'", 8, "doc_id", "text"),
     // soundness invariants: the Spark side must produce ZERO rows
     "dedup_lsh_vs_exact" -> """
       SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE 1 = 0""",

@@ -230,6 +230,47 @@ class PipelineOpsSpec extends AnyFunSuite {
       keptEn.toDouble / en.length) < 0.06)
   }
 
+  test("repetition: duplicated-ngram fraction on constructed docs") {
+    import org.apache.spark.sql.functions.col
+    val tiny = Seq(
+      (1L, "a b a b a b"),       // 4 trigrams, 2 distinct -> 0.5
+      (2L, "w x y z"),           // 2 trigrams, both distinct -> 0.0
+      (3L, "a b"),               // < 3 tokens -> 0.0
+      (4L, "r r r r r")          // 3 trigrams, 1 distinct -> floor(2/3) = 0.6666
+    ).toDF("doc_id", "text")
+    val out = tiny.select(col("doc_id"),
+        TextAnalysis.dupNgramFracCol(col("text"), 3).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 0.5, 2L -> 0.0, 3L -> 0.0, 4L -> 0.6666))
+  }
+
+  test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text with no overlap at all here now"),
+      (3L, "something quick brown fox jumps over the lazy dog variant")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "xx quick brown fox jumps over the lazy dog yy"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, bench, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1 and 3 share the 8-gram "quick brown fox jumps over the lazy dog"
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) >= 1 && out(3L) >= 1)
+  }
+
+  test("corpus report aggregates per stratum") {
+    val withMeta = docs
+      .withColumn("lang", when($"doc_id" % 2 === 0, "en").otherwise("de"))
+      .withColumn("source", when($"doc_id" < 40, "web").otherwise("planted"))
+    val rep = TextAnalysis.corpusReport(withMeta).collect()
+    assert(rep.map(_.getLong(2)).sum == 48, "every doc counted once")
+    rep.foreach { r =>
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1, "quality in [0,1]")
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1, "repetition in [0,1]")
+    }
+  }
+
   test("vocabulary: counts and deterministic top-N on a tiny corpus") {
     val tiny = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b c")).toDF("doc_id", "text")
     val v = TextAnalysis.vocabulary(tiny, topN = 2).collect()
