@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.RollingFingerprint
+import graft.ops.{Sampling, TextAnalysis}
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftFunctions.register(s)
+    s
+  }
+
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox and the lazy dog for it is that"),
+    (2L, "der hund und die katze und der vogel und das haus ist"),
+    (3L, "a b a b a b a b"),
+    (4L, "x")).toDF("doc_id", "text")
+
+  test("SQL functions equal the Column API expressions") {
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql("""
+      SELECT doc_id,
+             graft_fingerprint(text, 4) AS fp,
+             graft_quality(text) AS q,
+             graft_langid(text) AS lang,
+             graft_token_count(text) AS n_tok,
+             graft_dup_ngram_frac(text, 3) AS rep,
+             graft_bucket(doc_id, 100) AS bucket,
+             graft_split(doc_id) AS split
+      FROM ext_docs ORDER BY doc_id""").collect()
+    val viaCols = docs.select(col("doc_id"),
+        RollingFingerprint(col("text"), 4).as("fp"),
+        TextAnalysis.qualityScoreCol(col("text")).as("q"),
+        TextAnalysis.langIdCol(col("text")).as("lang"),
+        TextAnalysis.tokenCountCol(col("text")).as("n_tok"),
+        TextAnalysis.dupNgramFracCol(col("text"), 3).as("rep"),
+        Sampling.bucketCol(col("doc_id"), 100).as("bucket"),
+        Sampling.splitCol(col("doc_id")).as("split"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.toSeq == viaCols.toSeq)
+    // spot semantics: en/de markers hit, bucket within range
+    assert(viaSql(0).getString(3) == "en" && viaSql(1).getString(3) == "de")
+    assert(viaSql.forall(r => r.getLong(6) >= 0 && r.getLong(6) < 100))
+  }
+
+  test("config-time injection via GraftExtensions resolves the same functions") {
+    // a sibling session over the same context, built WITH the extension
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val out = Seq((7L, "the of and to in a")).toDF("doc_id", "text")
+      out.createOrReplaceTempView("ext_docs2")
+      val r = s2.sql(
+        "SELECT graft_langid(text) AS lang, graft_token_count(text) AS n FROM ext_docs2")
+        .head
+      assert(r.getString(0) == "en" && r.getInt(1) == 6)
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+}
