@@ -306,7 +306,13 @@ object Dedup {
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
-    var checksum = labels.agg(sum("label")).head.get(0)
+    // convergence probe: labels only ever decrease, so the label sum is
+    // strictly decreasing until the fixpoint. Summed as DECIMAL(38,0) —
+    // a BIGINT sum overflows (and under ANSI, throws) once node-count ×
+    // id-magnitude passes 2^63, which a 100 TB corpus does easily.
+    def labelSum(df: DataFrame) =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.get(0)
+    var checksum = labelSum(labels)
     var converged = checksum == null // empty pair graph: nothing to propagate
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -315,7 +321,7 @@ object Dedup {
       labels = labels.union(prop)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
-      val next = labels.agg(sum("label")).head.get(0)
+      val next = labelSum(labels)
       converged = next == checksum
       checksum = next
       iter += 1

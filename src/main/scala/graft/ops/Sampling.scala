@@ -18,9 +18,14 @@ object Sampling {
 
   /** 32-bit multiply-xorshift mixer → bucket in [0, nBuckets).
     * Constants: Knuth 2654435761 (golden-ratio multiplier), LCG 69069.
-    * Intermediate values stay < 2^63 for any id < 2^31·2 (ANSI-safe). */
+    * The id is first folded to 31 bits (high bits XORed in, not dropped) so
+    * every later multiply stays < 2^62 — no ANSI overflow for ANY BIGINT
+    * id, which matters once doc ids pass ~3.4e9 (a trillion-doc corpus). */
   def bucketCol(id: Column, nBuckets: Int, salt: Int = 0): Column = {
-    val h0 = pmod((id + lit(salt.toLong)) * lit(2654435761L), lit(4294967296L))
+    // XOR the salt in (addition could overflow at Long.MaxValue under ANSI)
+    val s = id.bitwiseXOR(lit(salt.toLong))
+    val folded = pmod(s.bitwiseXOR(shiftrightunsigned(s, 31)), lit(2147483648L))
+    val h0 = pmod(folded * lit(2654435761L), lit(4294967296L))
     val h1 = h0.bitwiseXOR(shiftrightunsigned(h0, 16))
     val h2 = pmod(h1 * lit(69069L), lit(4294967296L))
     val h3 = h2.bitwiseXOR(shiftrightunsigned(h2, 13))
@@ -29,7 +34,9 @@ object Sampling {
 
   /** DuckDB twin of [[bucketCol]] (same constants, same operation order). */
   def duckDbBucketSql(idExpr: String, nBuckets: Int, salt: Int = 0): String = {
-    val h0 = s"((($idExpr + $salt) * 2654435761) % 4294967296)"
+    val s = s"xor($idExpr, $salt)"
+    val folded = s"(xor($s, $s // 2147483648) % 2147483648)"
+    val h0 = s"(($folded * 2654435761) % 4294967296)"
     val h1 = s"xor($h0, $h0 // 65536)"
     val h2 = s"(($h1 * 69069) % 4294967296)"
     val h3 = s"xor($h2, $h2 // 8192)"

@@ -228,6 +228,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     val enTrain = en.filter(_._3 == "train")
     assert(math.abs(enTrain.count(_._4).toDouble / enTrain.length -
       keptEn.toDouble / en.length) < 0.06)
+    // huge ids: no ANSI overflow, bucket in range, high bits still matter
+    val big = Seq(Long.MaxValue, Long.MaxValue - 1, 1L << 62, (1L << 40) + 7)
+      .toDF("doc_id")
+    val bb = big.select(Sampling.bucketCol($"doc_id", 100).as("b"),
+        Sampling.bucketCol($"doc_id", 100, salt = 7919).as("bs")).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+    assert(bb.forall(b => b >= 0 && b < 100))
+    val lowSame = Seq(5L, 5L + (1L << 45)).toDF("doc_id")
+      .select(Sampling.bucketCol($"doc_id", 1000000).as("b")).collect()
+      .map(_.getLong(0))
+    assert(lowSame(0) != lowSame(1), "ids differing only in high bits split")
   }
 
   test("repetition: duplicated-ngram fraction on constructed docs") {
