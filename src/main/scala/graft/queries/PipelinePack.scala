@@ -266,6 +266,31 @@ object PipelinePack extends QueryPack {
       col("doc_id"), RollingFingerprint(col("text"), 16).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Streaming exact dedup run to completion over the documents table
+    * (AvailableNow). Which COPY of a duplicate text survives depends on
+    * partition arrival order, so the checkable output is the distinct-text
+    * md5 set — identical no matter which copy won. */
+  private def dedupStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = t(s, dir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    val srcDir = base.toString + "/src"
+    docs.write.mode("overwrite").parquet(srcDir)
+    // synthetic event time, offset well past epoch: the initial watermark is
+    // epoch-0 and a row timestamped exactly at it is dropped as late
+    val stream = s.readStream.schema(docs.schema).parquet(srcDir)
+      .withColumn("ts", timestamp_micros(col("doc_id") + lit(1700000000000000L)))
+    val sinkName = "dedup_stream_sink_" + java.util.UUID.randomUUID
+      .toString.replace("-", "")
+    val q = graft.streaming.StreamingDedup.exactStream(stream)
+      .select(md5(col("text")).as("text_md5"))
+      .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", base.toString + "/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    s.table(sinkName).orderBy("text_md5")
+  }
+
   // ---- multimodal (real container-header decode) -------------------------
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     val assets = Multimodal.synthesizeAssets(s, t(s, dir, "documents"))
@@ -289,6 +314,7 @@ object PipelinePack extends QueryPack {
     "text_repetition" -> (textRepetition _),
     "corpus_report" -> (corpusReport _),
     "decontaminate" -> (decontaminate _),
+    "dedup_stream" -> (dedupStream _),
     "ann_brute_topk" -> (annBrute _),
     "ann_lsh_topk" -> (annLsh _),
     "ann_lsh_recall" -> (annLshRecall _),
@@ -328,6 +354,8 @@ object PipelinePack extends QueryPack {
     "decontaminate" ->
       Dedup.duckDbContaminationSql("documents", "source <> 'src0'",
         "source = 'src0'", 8, "doc_id", "text"),
+    "dedup_stream" -> """
+      SELECT DISTINCT md5(text) AS text_md5 FROM documents ORDER BY text_md5""",
     // soundness invariants: the Spark side must produce ZERO rows
     "dedup_lsh_vs_exact" -> """
       SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE 1 = 0""",

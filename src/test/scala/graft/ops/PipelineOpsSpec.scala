@@ -202,6 +202,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.count(_._4) == 3, "one kept representative per cluster")
   }
 
+  test("clusters equal union-find on random graphs (seeded property sweep)") {
+    // long chains, cliques, stars, isolated nodes — all shapes in one sweep
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(1000 + seed)
+      val nNodes = 30 + rnd.nextInt(40)
+      val nEdges = rnd.nextInt(nNodes)
+      val edges = Seq.fill(nEdges) {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(v: Long): Long = {
+        val p = parent.getOrElse(v, v)
+        if (p == v) v else { val r = find(p); parent(v) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0L until nNodes).map(v => v -> find(v)).toMap
+      val corpus = (0L until nNodes).toDF("doc_id")
+      val pairDf = if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b")
+                   else edges.toDF("a", "b")
+      val got = Dedup.clusters(corpus, pairDf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed: nodes=$nNodes edges=${edges.length}")
+    }
+  }
+
   test("sampling: deterministic splits and stratified keep rates") {
     val n = 10000L
     val ids = spark.range(n).withColumnRenamed("id", "doc_id")

@@ -36,6 +36,33 @@ class StreamingImportSpec extends AnyFunSuite {
     assert(d0.getInt(0) == 444)
   }
 
+  test("streaming exact dedup drops within-watermark duplicates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val deduped = StreamingDedup.exactStream(
+      mem.toDS().toDF("doc_id", "text", "ts"), watermark = "30 minutes")
+    val sink = deduped.writeStream.format("memory")
+      .queryName("dedup_stream_test").outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        Files.createTempDirectory("dedup_ckpt").toString)
+      .start()
+    mem.addData((1L, "alpha beta", ts(0)), (2L, "gamma delta", ts(1)))
+    sink.processAllAvailable()
+    // batch 2: one duplicate text (different id), one new
+    mem.addData((3L, "alpha beta", ts(5)), (4L, "epsilon", ts(6)))
+    sink.processAllAvailable()
+    sink.stop()
+    val out = spark.table("dedup_stream_test")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.map(_._2).sorted.toSeq == Seq("alpha beta", "epsilon", "gamma delta"),
+      "one row per distinct text")
+    assert(out.exists(_ == (1L, "alpha beta")) && !out.exists(_ == (3L, "alpha beta")),
+      "the FIRST occurrence survives")
+  }
+
   test("watermarked windowed delay stats: late data beyond the watermark is dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
