@@ -127,18 +127,28 @@ object Similarity {
                          vecCol: String = "embedding"): DataFrame = {
     val planes: Array[Array[Array[Double]]] =
       (0 until numTables).map(t => hyperplanes(dim, planesPerTable, seed = 42L + t)).toArray
+    // candidate generation and dedup run on (BIGINT, BIGINT) ids ONLY — the
+    // bucket self-join fans out to many duplicate candidates, and dragging
+    // two 64-double vectors per row through that shuffle is the cost center;
+    // vectors join back in AFTER dedup, against the (comparatively tiny)
+    // embedding table itself.
     val signed = embeddings
-      .select(col(idCol), col(vecCol),
+      .select(col(idCol),
         posexplode(graft.functions.HyperplaneSignatures(col(vecCol), planes)))
-      .select(col(idCol), col(vecCol), normCol(col(vecCol)).as("nrm"),
+      .select(col(idCol),
         struct(col("pos").as("table"), col("col").as("sig")).as("bucket"))
-    val left = signed.select(col(idCol).as("a"), col(vecCol).as("a_vec"),
-      col("nrm").as("a_norm"), col("bucket"))
-    val right = signed.select(col(idCol).as("b"), col(vecCol).as("b_vec"),
-      col("nrm").as("b_norm"), col("bucket"))
-    left.join(right, Seq("bucket"))
+    val cands = signed.select(col(idCol).as("a"), col("bucket"))
+      .join(signed.select(col(idCol).as("b"), col("bucket")), Seq("bucket"))
       .filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"))
+      .distinct()
+    val vecs = embeddings
+      .select(col(idCol), col(vecCol), normCol(col(vecCol)).as("nrm"))
+    cands
+      .join(vecs.select(col(idCol).as("a"), col(vecCol).as("a_vec"),
+        col("nrm").as("a_norm")), Seq("a"))
+      .join(vecs.select(col(idCol).as("b"), col(vecCol).as("b_vec"),
+        col("nrm").as("b_norm")), Seq("b"))
       .withColumn("cosine",
         round(dotCol(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")), 4))
       .filter(col("cosine") >= threshold)
