@@ -281,11 +281,15 @@ object Similarity {
       .join(probeDf, Seq("query_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("match_id"))
+    // score before the safety dedup (a match lives in exactly one cell, but
+    // the dedup still forces a shuffle — let it carry (ids, cosine), not
+    // two 64-double vectors per candidate)
     broadcast(queries).join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("match_id"))
-      .dropDuplicates("query_id", "match_id")
       .withColumn("cosine",
         round(dotCol(col("q_vec"), col("m_vec")) / (col("q_norm") * col("m_norm")), 4))
+      .select("query_id", "match_id", "cosine")
+      .dropDuplicates("query_id", "match_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("match_id"), col("cosine"))
@@ -358,15 +362,18 @@ object Similarity {
         normCol(col(vecCol)).as("q_norm"), col("bucket"))
     val corpus = signed.select(col(idCol).as("match_id"), col(vecCol).as("m_vec"),
       normCol(col(vecCol)).as("m_norm"), col("bucket"))
-    val candidates = broadcast(queries).join(corpus, Seq("bucket"))
-      .filter(col("query_id") =!= col("match_id"))
-      .select("query_id", "q_vec", "q_norm", "match_id", "m_vec", "m_norm")
-      .dropDuplicates("query_id", "match_id")
+    // cosine is computed BEFORE the candidate dedup: a pair surfacing from
+    // several tables scores identically each time, so scoring map-side (64
+    // codegen'd multiplies on rows already in hand) lets the dedup shuffle
+    // carry (ids, cosine) instead of two 64-double vectors per row
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("match_id"))
-    candidates
+    broadcast(queries).join(corpus, Seq("bucket"))
+      .filter(col("query_id") =!= col("match_id"))
       .withColumn("cosine",
         round(dotCol(col("q_vec"), col("m_vec")) / (col("q_norm") * col("m_norm")), 4))
+      .select("query_id", "match_id", "cosine")
+      .dropDuplicates("query_id", "match_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("match_id"), col("cosine"))
