@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards for the pipeline operators' scale
+  * properties — the shapes SCALE.md documents (no cartesian blowups, the
+  * intended broadcasts, shuffle-free rowwise paths, heap-based top-N) must
+  * survive refactors, not just the output values. AQE is disabled so the
+  * static plan is inspectable (same trick as graft.Explain). */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  import spark.implicits._
+
+  lazy val docs = (0L until 200L)
+    .map(i => (i, s"tok${i % 7} tok${(i + 1) % 5} tok${(i + 2) % 3} end$i"))
+    .toDF("doc_id", "text")
+  lazy val embeddings = (0L until 100L)
+    .map(i => (i, Array.tabulate(8)(d => ((i * 31 + d) % 17).toFloat / 17f)))
+    .toDF("vec_id", "embedding")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("sampling assign is a single codegen'd projection - no exchange, no join") {
+    val p = plan(Sampling.assign(docs, lit("x"), Map("x" -> 50), 100))
+    assert(!p.contains("Exchange"), s"rowwise path must not shuffle:\n$p")
+    assert(!p.contains("Join"), "no join in the hash-assign path")
+  }
+
+  test("vocabulary top-N is a TakeOrdered, never a global sort") {
+    val p = plan(TextAnalysis.vocabulary(docs, 10))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+
+  test("cosine near-dup pairs: keyed joins only, vectors fetched after dedup") {
+    val p = plan(Similarity.cosineNearDupPairs(embeddings, 0.8, dim = 8))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucket join must stay keyed:\n$p")
+    // the candidate dedup aggregates (a, b) ids only — vectors join back later,
+    // so no exchange in the plan carries an embedding column
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l => !l.contains("embedding") && !l.contains("_vec")),
+      s"no shuffle may carry vectors:\n$p")
+  }
+
+  test("contamination broadcasts the benchmark shingle set") {
+    val p = plan(Dedup.contamination(
+      docs.filter($"doc_id" > 10), docs.filter($"doc_id" <= 10), n = 2))
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("clusters first-round plan: keyed equi-joins only") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = plan(Dedup.clusters(docs.select("doc_id"), pairs))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"label propagation must stay keyed:\n$p")
+  }
+
+  test("streaming exact dedup state key is the hash triple, not the text") {
+    implicit val sqlCtx = spark.sqlContext
+    val sdf = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+      .toDS().toDF("doc_id", "text", "ts")
+    val deduped = graft.streaming.StreamingDedup.exactStream(sdf)
+    val analyzed = deduped.queryExecution.analyzed.toString
+    assert(analyzed.contains("dropDuplicatesWithinWatermark")
+      || analyzed.contains("DeduplicateWithinWatermark"), s"state op present:\n$analyzed")
+    assert(analyzed.contains("h64") && analyzed.contains("h128"),
+      "dedup keys are the hash columns")
+  }
+}
