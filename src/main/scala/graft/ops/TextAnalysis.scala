@@ -15,6 +15,15 @@ object TextAnalysis {
     * empty tokens. */
   def tokensCol(text: Column): Column = split(trim(text), "\\s+")
 
+  /** `let`-binding for Column expressions: evaluates `bound` ONCE and feeds
+    * it to `body` as a lambda variable. Without it, a composed expression
+    * that references e.g. `tokensCol(text)` k times — or worse, inside a
+    * `transform` lambda, once per element — re-executes the regex split
+    * every time (measured: the bigram scan spent ~95 % of its time
+    * re-splitting text per pair). */
+  private[ops] def letCol(bound: Column)(body: Column => Column): Column =
+    element_at(transform(array(bound), body), 1)
+
   def duckDbTokensSql(textExpr: String): String =
     s"string_split_regex(trim($textExpr), '\\s+')"
 
@@ -31,8 +40,7 @@ object TextAnalysis {
     size(filter(tokens, t => t.isInCollection(words)))
 
   /** Argmax of marker counts with fixed tie order; "und" when no marker hits. */
-  def langIdCol(text: Column): Column = {
-    val toks = tokensCol(text)
+  def langIdCol(text: Column): Column = letCol(tokensCol(text)) { toks =>
     val scores = LangMarkers.map { case (lang, words) => lang -> markerCount(toks, words) }
     val Seq(en, de, es, fr) = scores.map(_._2)
     when(en >= de && en >= es && en >= fr && en > 0, "en")
@@ -81,9 +89,12 @@ object TextAnalysis {
     * exact-arithmetic form aggregations should sum (averaging the
     * 4-decimal doubles directly diverges across engines with summation
     * order; averaging exact integers cannot). */
-  def qualityBpCol(text: Column): Column = {
-    val lenScore = least(tokenCountCol(text).cast("double") / 50.0, lit(1.0))
-    val wordScore = lit(1.0) - least(abs(avgTokenLenCol(text) - 5.0) / 10.0, lit(1.0))
+  def qualityBpCol(text: Column): Column = letCol(tokensCol(text)) { toks =>
+    val nTok = size(toks)
+    val avgLen = length(regexp_replace(trim(text), "\\s", "")).cast("double") /
+      greatest(nTok, lit(1))
+    val lenScore = least(nTok.cast("double") / 50.0, lit(1.0))
+    val wordScore = lit(1.0) - least(abs(avgLen - 5.0) / 10.0, lit(1.0))
     floor((lenScore * 0.5 + wordScore * 0.5) * (lit(1.0) - punctRatioCol(text)) * 10000)
       .cast("long")
   }
@@ -101,17 +112,18 @@ object TextAnalysis {
     * index (string n-grams never materialize). */
   /** Repetition in integer basis points (fraction × 10000, floored) — see
     * [[qualityBpCol]] for why aggregations want the integer form. */
-  def dupNgramBpCol(text: Column, n: Int = 3): Column = {
-    val toks = tokensCol(text)
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => xxhash64(slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<bigint>"))
-    when(size(grams) > 0,
-      floor((size(grams) - size(array_distinct(grams))).cast("double") * 10000 /
-        size(grams)).cast("long"))
-      .otherwise(lit(0L))
-  }
+  def dupNgramBpCol(text: Column, n: Int = 3): Column =
+    letCol(tokensCol(text)) { toks =>
+      letCol(when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => xxhash64(slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<bigint>"))) { grams =>
+        when(size(grams) > 0,
+          floor((size(grams) - size(array_distinct(grams))).cast("double") * 10000 /
+            size(grams)).cast("long"))
+          .otherwise(lit(0L))
+      }
+    }
 
   def dupNgramFracCol(text: Column, n: Int = 3): Column =
     dupNgramBpCol(text, n).cast("double") / 10000
@@ -189,6 +201,71 @@ object TextAnalysis {
            ROUND(quantile_cont(len(${duckDbTokensSql(textCol)}), 0.5), 1) AS med_tokens,
            FLOOR(AVG(${duckDbDupNgramBpSql(textCol)})) / 10000 AS avg_repetition
     FROM $table GROUP BY 1, 2"""
+
+  /** Adjacent-token-pair counts, top-N — the first merge-candidate scan of
+    * BPE tokenizer training. Same scale shape as [[vocabulary]]: rowwise
+    * explode, map-side-combinable count, TakeOrdered cut on the total order
+    * (cnt DESC, pair). */
+  def bigramPairs(docs: DataFrame, topN: Int = 50, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    // tokens materialize as a column BEFORE the pair lambda — embedding
+    // tokensCol in the lambda body re-runs the regex split per element
+    val toks = col("__toks")
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("tok_a"),
+          element_at(toks, i + 2).as("tok_b"))))
+      .otherwise(array().cast("array<struct<tok_a:string,tok_b:string>>"))
+    docs.select(tokensCol(col(textCol)).as("__toks"))
+      .select(explode(pairs).as("p"))
+      .select(col("p.tok_a"), col("p.tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok_a"), asc("tok_b"))
+      .limit(topN)
+  }
+
+  /** DuckDB oracle twin of [[bigramPairs]]. */
+  def duckDbBigramPairsSql(table: String, topN: Int, idCol: String,
+                           textCol: String): String = s"""
+    WITH toks AS (SELECT $idCol AS doc, ${duckDbTokensSql(textCol)} AS t FROM $table),
+    series AS (SELECT i FROM generate_series(0, 4000) AS g(i)),
+    pairs AS (SELECT t[i+1] AS tok_a, t[i+2] AS tok_b
+              FROM toks JOIN series ON i <= len(t) - 2)
+    SELECT tok_a, tok_b, COUNT(*) AS cnt FROM pairs
+    GROUP BY tok_a, tok_b ORDER BY cnt DESC, tok_a, tok_b LIMIT $topN"""
+
+  /** Common-token ratio in integer basis points: the fraction of a doc's
+    * tokens that fall in the corpus's top-`vocabN` vocabulary — the
+    * transcendental-free stand-in for LM-perplexity filtering (low ratio =
+    * rare-token-heavy doc). Two-stage: the tiny top-N vocab broadcasts back
+    * against the exploded token stream, so the corpus side never shuffles
+    * tokens; the per-doc ratio is one map-side-combinable count pair. */
+  def commonTokenBpCol(docs: DataFrame, vocabN: Int = 100,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val vocab = broadcast(vocabulary(docs, vocabN, idCol, textCol)
+      .select(col("token"), lit(1).as("in_vocab")))
+    docs.select(col(idCol), explode(tokensCol(col(textCol))).as("token"))
+      .join(vocab, Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("in_vocab"), lit(0))).as("n_common"))
+      .select(col(idCol),
+        floor(col("n_common").cast("double") * 10000 / col("n_tok"))
+          .cast("long").as("common_bp"))
+  }
+
+  /** DuckDB oracle twin of [[commonTokenBpCol]]. */
+  def duckDbCommonTokenBpSql(table: String, vocabN: Int, idCol: String,
+                             textCol: String): String = s"""
+    WITH vocab AS (SELECT token FROM (
+      ${duckDbVocabularySql(table, vocabN, idCol, textCol)})),
+    tok AS (SELECT $idCol AS doc, unnest(${duckDbTokensSql(textCol)}) AS token
+            FROM $table)
+    SELECT doc AS $idCol,
+           CAST(FLOOR(SUM(CASE WHEN token IN (SELECT token FROM vocab)
+                               THEN 1 ELSE 0 END) * 10000.0 / COUNT(*)) AS BIGINT)
+             AS common_bp
+    FROM tok GROUP BY doc ORDER BY doc"""
 
   /** DuckDB oracle twin of [[vocabulary]]. */
   def duckDbVocabularySql(table: String, topN: Int, idCol: String,

@@ -223,6 +223,13 @@ object PipelinePack extends QueryPack {
   private def textVocab(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(t(s, dir, "documents"), topN = 100)
 
+  private def textBigrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramPairs(t(s, dir, "documents"), topN = 50)
+
+  private def textCommonRatio(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.commonTokenBpCol(t(s, dir, "documents"), vocabN = 100)
+      .orderBy("doc_id")
+
   private def textRepetition(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.dupNgramFracCol(col("text"), 3).as("dup_3gram_frac"))
@@ -324,6 +331,8 @@ object PipelinePack extends QueryPack {
     "sample_split" -> (sampleSplit _),
     "text_vocab" -> (textVocab _),
     "text_repetition" -> (textRepetition _),
+    "text_bigrams" -> (textBigrams _),
+    "text_common_ratio" -> (textCommonRatio _),
     "corpus_report" -> (corpusReport _),
     "decontaminate" -> (decontaminate _),
     "dedup_stream" -> (dedupStream _),
@@ -361,6 +370,10 @@ object PipelinePack extends QueryPack {
     "text_repetition" -> s"""
       SELECT doc_id, ${TextAnalysis.duckDbDupNgramFracSql("text", 3)} AS dup_3gram_frac
       FROM documents ORDER BY doc_id""",
+    "text_bigrams" ->
+      TextAnalysis.duckDbBigramPairsSql("documents", 50, "doc_id", "text"),
+    "text_common_ratio" ->
+      TextAnalysis.duckDbCommonTokenBpSql("documents", 100, "doc_id", "text"),
     "corpus_report" ->
       (TextAnalysis.duckDbCorpusReportSql("documents", "lang", "source", "text")
         + " ORDER BY lang, source"),

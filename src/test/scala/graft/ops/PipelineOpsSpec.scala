@@ -271,6 +271,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lowSame(0) != lowSame(1), "ids differing only in high bits split")
   }
 
+  test("bigram pairs and common-token ratio on a tiny corpus") {
+    val tiny = Seq((1L, "a b a"), (2L, "a c"), (3L, "b a z")).toDF("doc_id", "text")
+    val bg = TextAnalysis.bigramPairs(tiny, topN = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // (a,b)=1 (b,a)=2 (a,c)=1 (a,z)=1 -> top3: (b,a,2),(a,b,1),(a,c,1)
+    assert(bg.toSeq == Seq(("b", "a", 2L), ("a", "b", 1L), ("a", "c", 1L)))
+    // top-2 vocab = a(4,3), b(2,2); doc 3 has 1 of 3 tokens outside it
+    val cr = TextAnalysis.commonTokenBpCol(tiny, vocabN = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cr == Map(1L -> 10000L, 2L -> 5000L, 3L -> 6666L))
+  }
+
   test("repetition: duplicated-ngram fraction on constructed docs") {
     import org.apache.spark.sql.functions.col
     val tiny = Seq(
