@@ -13,6 +13,16 @@ import graft.gtfs._
 object MonitorPack extends QueryPack {
   import Tables.t
 
+  // fixture-page results consumed by more than one query (the page itself
+  // and the probability-invariant check) — computed once per session, like
+  // PipelinePack's shared pair caches
+  private val memo =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+  private def cached(s: SparkSession, key: String)
+                    (build: => DataFrame): DataFrame = synchronized {
+    memo.getOrElseUpdate((s, key), { val df = build.cache(); df.count(); df })
+  }
+
   // ---- F5 interval-overlap filter (oracle-checked) -----------------------
   // predictions-shaped intervals from orders: [orderdate, orderdate+7d]
   private def f5WindowOverlap(s: SparkSession, dir: String): DataFrame =
@@ -101,15 +111,16 @@ object MonitorPack extends QueryPack {
 
   /** Journey-context stop page (F8): arriving at Stop 2 around 07:55 with a
     * ±60 s arrival curve, which departures are catchable with ≥5 % chance. */
-  private def stopPageTransfer(s: SparkSession, dir: String): DataFrame = {
-    val (sched, preds) = GtfsPack.predictionState(s)
-    val arrivalEpoch = s.sql(
-      "SELECT unix_timestamp(to_timestamp('2024-03-04 07:55:00'))").head.getLong(0).toDouble
-    Monitor.stopPageWithArrival(s, preds, sched, "Stop 2",
-      "2024-03-04 00:00:00", "2024-03-05 00:00:00",
-      Array(graft.curves.CPoint(-60f, 0f), graft.curves.CPoint(60f, 1f)),
-      arrivalEpoch)
-  }
+  private def stopPageTransfer(s: SparkSession, dir: String): DataFrame =
+    cached(s, "stop_page_transfer") {
+      val (sched, preds) = GtfsPack.predictionState(s)
+      val arrivalEpoch = s.sql(
+        "SELECT unix_timestamp(to_timestamp('2024-03-04 07:55:00'))").head.getLong(0).toDouble
+      Monitor.stopPageWithArrival(s, preds, sched, "Stop 2",
+        "2024-03-04 00:00:00", "2024-03-05 00:00:00",
+        Array(graft.curves.CPoint(-60f, 0f), graft.curves.CPoint(60f, 1f)),
+        arrivalEpoch)
+    }
 
   /** Trip page for fixture trip T1 (departs 08:00:30 → trip_start_time
     * 28830), boarding at the first stop (seq 10). */
@@ -127,15 +138,16 @@ object MonitorPack extends QueryPack {
   /** 3-leg fixture journey: S1 →(T1)→ S3 →(walk ~260 m)→ S4 →(T1sub)→ S5.
     * T1sub departs S4 at 10:10:30, ~2 h after T1 arrives S3 — the first
     * transfer succeeds with certainty, exercising X10/X11 end to end. */
-  private def journeyQ(s: SparkSession, dir: String): DataFrame = {
-    val (sched, preds) = GtfsPack.predictionState(s)
-    val start = s.sql("SELECT unix_timestamp(to_timestamp('2024-03-04 07:55:00'))")
-      .head.getLong(0).toDouble
-    Monitor.journey(s, preds, sched, start, Seq(
-      Monitor.RideLeg("T1", "2024-03-04", 8 * 3600 + 30, boardStopSeq = 10, alightStopSeq = 30),
-      Monitor.WalkLeg(261f),
-      Monitor.RideLeg("T1sub", "2024-03-04", 10 * 3600 + 30, boardStopSeq = 40, alightStopSeq = 50)))
-  }
+  private def journeyQ(s: SparkSession, dir: String): DataFrame =
+    cached(s, "journey") {
+      val (sched, preds) = GtfsPack.predictionState(s)
+      val start = s.sql("SELECT unix_timestamp(to_timestamp('2024-03-04 07:55:00'))")
+        .head.getLong(0).toDouble
+      Monitor.journey(s, preds, sched, start, Seq(
+        Monitor.RideLeg("T1", "2024-03-04", 8 * 3600 + 30, boardStopSeq = 10, alightStopSeq = 30),
+        Monitor.WalkLeg(261f),
+        Monitor.RideLeg("T1sub", "2024-03-04", 10 * 3600 + 30, boardStopSeq = 40, alightStopSeq = 50)))
+    }
 
   /** Probability invariants for the two convolution-bearing queries (X10/X11
     * are procedural — step-discretized convolution with a data-dependent
