@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{Dedup, Packing, Sampling, Similarity, TextAnalysis, Multimodal}
 import graft.functions.RollingFingerprint
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
@@ -234,6 +234,11 @@ object PipelinePack extends QueryPack {
     TextAnalysis.commonTokenBpCol(t(s, dir, "documents"), vocabN = 100)
       .orderBy("doc_id")
 
+  /** Concat-and-chunk packing into 2048-token training sequences. */
+  private def packSequences(s: SparkSession, dir: String): DataFrame =
+    Packing.concatChunkPack(t(s, dir, "documents"), budget = 2048)
+      .orderBy("doc_id")
+
   private def textRepetition(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.dupNgramFracCol(col("text"), 3).as("dup_3gram_frac"))
@@ -337,6 +342,7 @@ object PipelinePack extends QueryPack {
     "text_repetition" -> (textRepetition _),
     "text_bigrams" -> (textBigrams _),
     "text_common_ratio" -> (textCommonRatio _),
+    "pack_sequences" -> (packSequences _),
     "corpus_report" -> (corpusReport _),
     "decontaminate" -> (decontaminate _),
     "dedup_stream" -> (dedupStream _),
@@ -378,6 +384,8 @@ object PipelinePack extends QueryPack {
       TextAnalysis.duckDbBigramPairsSql("documents", 50, "doc_id", "text"),
     "text_common_ratio" ->
       TextAnalysis.duckDbCommonTokenBpSql("documents", 100, "doc_id", "text"),
+    "pack_sequences" ->
+      Packing.duckDbConcatChunkPackSql("documents", 2048, "doc_id", "text"),
     "corpus_report" ->
       (TextAnalysis.duckDbCorpusReportSql("documents", "lang", "source", "text")
         + " ORDER BY lang, source"),

@@ -271,6 +271,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lowSame(0) != lowSame(1), "ids differing only in high bits split")
   }
 
+  test("sequence packing: serial recompute parity, partition-count independence") {
+    // token counts: doc i has (i % 7) + 1 tokens
+    val corpus = (0L until 300L)
+      .map(i => (i, Seq.fill((i % 7).toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val budget = 10L
+    // serial reference
+    var cum = 0L
+    val expected = (0L until 300L).map { i =>
+      val n = (i % 7) + 1
+      val bin = cum / budget
+      val strad = bin != (cum + n - 1) / budget
+      cum += n
+      (i, n, bin, strad)
+    }
+    def run(p: Int) = Packing.concatChunkPack(corpus, budget, numPartitions = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(run(1) == expected, "single-partition matches serial recompute")
+    assert(run(7) == expected, "multi-partition prefix sum is identical")
+    // bins respect the budget: total tokens mapped into a bin never exceed
+    // budget except through a single straddling doc
+    val byBin = expected.groupBy(_._3)
+    byBin.foreach { case (_, ds) =>
+      val nonStrad = ds.filter(!_._4).map(_._2).sum
+      assert(nonStrad <= budget, "non-straddling tokens fit the budget")
+    }
+  }
+
   test("bigram pairs and common-token ratio on a tiny corpus") {
     val tiny = Seq((1L, "a b a"), (2L, "a c"), (3L, "b a z")).toDF("doc_id", "text")
     val bg = TextAnalysis.bigramPairs(tiny, topN = 3).collect()
