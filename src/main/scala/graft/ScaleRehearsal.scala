@@ -164,6 +164,9 @@ object ScaleRehearsal {
           .filter(col("sampled")).count())
       runTimed("vocabulary")(
         graft.ops.TextAnalysis.vocabulary(docs, 100).count())
+      runTimed("pack_sequences")(
+        graft.ops.Packing.concatChunkPack(docs, budget = 2048)
+          .filter(col("straddles")).count())
       spark.stop()
       return
     }
