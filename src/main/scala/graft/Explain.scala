@@ -25,7 +25,8 @@ object Explain {
       "dedup_exact", "text_stats", "a8_curve_average", "dedup_lsh_vs_exact",
       "ann_lsh_recall", "gtfs_visual_schedule", "gtfs_file_stats",
       "monitor_trip_page", "ann_ivf_topk", "gtfs_predictions_realtime",
-      "dedup_embedding", "sample_split", "text_vocab")
+      "dedup_embedding", "sample_split", "text_vocab", "text_bigrams",
+      "text_common_ratio", "corpus_report")
 
     audit.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

