@@ -30,6 +30,33 @@ class GtfsPipelineSpec extends AnyFunSuite {
     assert(back == msg)
   }
 
+  test("codec fuzz: adversarial bytes either decode or raise the typed error") {
+    import GtfsRtCodec._
+    val valid = encode(FeedMessage(Some(1700000000L), Seq(TripUpdate(
+      TripDescriptor(Some("T1"), Some("R1"), Some("08:00:00"), Some("20240101")),
+      Seq(StopTimeUpdate(Some(1), Some("S1"),
+        Some(StopTimeEvent(Some(5), None)), None))))))
+    val rnd = new scala.util.Random(99)
+    val cases =
+      // every truncation of a valid message
+      (0 until valid.length).map(valid.take) ++
+      // random garbage of assorted sizes
+      (0 until 200).map(_ => Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte)) ++
+      // valid message with random single-byte corruptions
+      (0 until 200).map { _ =>
+        val b = valid.clone(); b(rnd.nextInt(b.length)) = rnd.nextInt().toByte; b
+      }
+    cases.foreach { bytes =>
+      try { decode(bytes); () }
+      catch {
+        case _: MalformedProtobufException => () // the documented contract
+        case e: Throwable =>
+          fail(s"decode threw ${e.getClass.getSimpleName} on ${bytes.length} bytes" +
+            s" (importer only guards the typed error): $e")
+      }
+    }
+  }
+
   test("schedule load derives variants: same stop list = same variant") {
     val trips = schedule.trips.select("trip_id", "route_variant").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
