@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for training-data pipelines, each designed for
   * the 100 TB shape first:
@@ -332,12 +331,18 @@ object Dedup {
     }
     edges.unpersist()
     val comp = labels.withColumnRenamed("node", idCol)
-    docs.select(col(idCol))
+    val labeled = docs.select(col(idCol))
       .join(comp, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .withColumn("is_kept", col(idCol) === col("cluster_id"))
+    // sizes via partial-aggregated groupBy + equi-join, NOT a window over
+    // cluster_id: a window sorts each cluster in one partition, so a
+    // mega-cluster (the all-identical-boilerplate pathology) becomes one
+    // straggler task; the aggregate combines map-side and AQE skew-join
+    // handles the hot key on the way back
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        (col(idCol) === col("cluster_id")).as("is_kept"))
   }
 
   /** DuckDB oracle twin of [[clusters]] over the n-gram Jaccard pair graph:
