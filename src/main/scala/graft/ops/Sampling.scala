@@ -18,9 +18,11 @@ object Sampling {
 
   /** 32-bit multiply-xorshift mixer → bucket in [0, nBuckets).
     * Constants: Knuth 2654435761 (golden-ratio multiplier), LCG 69069.
-    * The id is first folded to 31 bits (high bits XORed in, not dropped) so
-    * every later multiply stays < 2^62 — no ANSI overflow for ANY BIGINT
-    * id, which matters once doc ids pass ~3.4e9 (a trillion-doc corpus). */
+    * The id (non-negative, as row ids are — DuckDB's floor division and
+    * Spark's logical shift disagree on negatives) is first folded to 31
+    * bits (high bits XORed in, not dropped) so every later multiply stays
+    * < 2^62 — no ANSI overflow for any non-negative BIGINT id, which
+    * matters once doc ids pass ~3.4e9 (a trillion-doc corpus). */
   def bucketCol(id: Column, nBuckets: Int, salt: Int = 0): Column = {
     // XOR the salt in (addition could overflow at Long.MaxValue under ANSI)
     val s = id.bitwiseXOR(lit(salt.toLong))
