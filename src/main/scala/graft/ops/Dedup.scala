@@ -42,18 +42,15 @@ object Dedup {
     * collisions, negligible at any realistic distinct-shingle count. */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
                n: Int, maxDf: Int): DataFrame = {
-    // tokens materialize as a column BEFORE the shingle lambda — embedding
-    // the split in the lambda body re-runs it per window (O(tokens²) regex)
-    val toks = col("__toks")
-    // guard: sequence(0, negative) would produce a DESCENDING range in Spark
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => xxhash64(slice(toks, i + 1, lit(n))))
-    ).otherwise(array().cast("array<bigint>"))
+    // one-pass native window hashing (graft.functions.ShingleHashes) — the
+    // transform(sequence)/xxhash64(slice) composition evaluated the lambda
+    // interpreted per window and broke whole-stage codegen on the dominant
+    // scan of the dedup family; values are bit-identical
     val exploded = docs
       .select(col(idCol).as("doc"),
         TextAnalysis.tokensCol(col(textCol)).as("__toks"))
-      .select(col("doc"), explode(array_distinct(grams)).as("shingle"))
+      .select(col("doc"), explode(array_distinct(
+        graft.functions.ShingleHashes(col("__toks"), n))).as("shingle"))
     // cap document frequency: a shingle appearing in >maxDf docs contributes
     // O(df²) candidate pairs — drop it (standard near-dup practice; the same
     // cap is applied in the DuckDB oracle). maxDf ≤ 0 disables the cap (and

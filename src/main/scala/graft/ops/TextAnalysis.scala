@@ -113,16 +113,11 @@ object TextAnalysis {
   /** Repetition in integer basis points (fraction × 10000, floored) — see
     * [[qualityBpCol]] for why aggregations want the integer form. */
   def dupNgramBpCol(text: Column, n: Int = 3): Column =
-    letCol(tokensCol(text)) { toks =>
-      letCol(when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => xxhash64(slice(toks, i + 1, lit(n)))))
-        .otherwise(array().cast("array<bigint>"))) { grams =>
-        when(size(grams) > 0,
-          floor((size(grams) - size(array_distinct(grams))).cast("double") * 10000 /
-            size(grams)).cast("long"))
-          .otherwise(lit(0L))
-      }
+    letCol(graft.functions.ShingleHashes(tokensCol(text), n)) { grams =>
+      when(size(grams) > 0,
+        floor((size(grams) - size(array_distinct(grams))).cast("double") * 10000 /
+          size(grams)).cast("long"))
+        .otherwise(lit(0L))
     }
 
   def dupNgramFracCol(text: Column, n: Int = 3): Column =

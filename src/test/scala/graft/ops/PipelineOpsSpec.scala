@@ -166,6 +166,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     for (i <- 5L until 8L) assert(withFp(i) == withFp(i + 200))
   }
 
+  test("ShingleHashes equals the transform/slice/xxhash64 composition") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 60).map { i =>
+      val nTok = rnd.nextInt(10) // includes docs shorter than the window
+      (i.toLong, Seq.fill(nTok)(s"w${rnd.nextInt(30)}").mkString(" "))
+    } :+ (999L, "")
+    val df = rows.toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.tokensCol($"text").as("t"))
+    for (n <- Seq(1, 3, 5)) {
+      val composed = df.select($"doc_id", when(size($"t") >= n,
+          transform(sequence(lit(0), size($"t") - n),
+            i => xxhash64(slice($"t", i + 1, lit(n)))))
+          .otherwise(array().cast("array<bigint>")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val native = df.select($"doc_id",
+          graft.functions.ShingleHashes($"t", n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native == composed, s"n=$n")
+    }
+  }
+
   test("clusters match brute-force union-find over the same pair graph") {
     val pairs = Dedup.ngramJaccard(docs, 3, 0.5, 100)
     val collected = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
