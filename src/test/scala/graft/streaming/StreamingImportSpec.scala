@@ -63,6 +63,37 @@ class StreamingImportSpec extends AnyFunSuite {
       "the FIRST occurrence survives")
   }
 
+  test("streaming exact dedup: a copy arriving beyond the watermark re-emits") {
+    // the WITHIN-watermark contract: state for a text expires once the
+    // watermark passes its event time, so a much-later recrawl is emitted
+    // again (bounded state means bounded memory, not global dedup)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val deduped = StreamingDedup.exactStream(
+      mem.toDS().toDF("doc_id", "text", "ts"), watermark = "30 minutes")
+    val sink = deduped.writeStream.format("memory")
+      .queryName("dedup_stream_late").outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        Files.createTempDirectory("dedup_ckpt2").toString)
+      .start()
+    mem.addData((1L, "alpha", ts(1)))
+    sink.processAllAvailable()
+    // advance the watermark far past ts(1) + 30 min
+    mem.addData((2L, "advance", ts(10)))
+    sink.processAllAvailable()
+    // same text, event time well past the expired state
+    mem.addData((3L, "alpha", ts(11)))
+    sink.processAllAvailable()
+    sink.stop()
+    val texts = spark.table("dedup_stream_late")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(texts.count(_._2 == "alpha") == 2,
+      s"expired state re-emits the text: $texts")
+  }
+
   test("watermarked windowed delay stats: late data beyond the watermark is dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
