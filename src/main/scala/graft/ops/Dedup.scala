@@ -192,13 +192,20 @@ object Dedup {
                              threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // the index arrives partitioned by SHINGLE (the df-cap join's key), so
+    // a doc's rows scatter across every partition and each doc-keyed
+    // aggregation below would emit ~(docs × partitions) partial rows — at
+    // 1M docs that was ~12 GB of partial-aggregate shuffle. One explicit
+    // 16-byte-row repartition by doc (~0.9 GB) lets BOTH aggregations run
+    // with their distribution already satisfied: no further exchange.
+    val shByDoc = sh.repartition(col("doc"))
     // signature: for each hash index i, min over shingles of the seeded
     // 64-bit hash xxhash64(i, shingle) — an independent hash family without
     // modular arithmetic (ANSI mode makes overflowing multiplies throw).
     val sigCols = (0 until numHashes).map { i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")
     }
-    val sigs = sh.groupBy(col("doc")).agg(sigCols.head, sigCols.tail: _*)
+    val sigs = shByDoc.groupBy(col("doc")).agg(sigCols.head, sigCols.tail: _*)
 
     // bands → bucket key; same (band, bucket) → candidate pair
     val bandCols = (0 until bands).map { bidx =>
@@ -215,17 +222,22 @@ object Dedup {
       .distinct()
 
     // exact verification of CANDIDATES only (the LSH contract: never compute
-    // pairwise similarity outside a shared bucket)
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
-    val inter = sh.as("s1")
-      .join(candidates, col("s1.doc") === col("a"))
-      .join(sh.as("s2"),
-        col("s2.doc") === col("b") && col("s1.shingle") === col("s2.shingle"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("n_shingles", "size_a"), "a")
-      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("n_shingles", "size_b"), "b")
+    // pairwise similarity outside a shared bucket). The shingle sets roll up
+    // to one array row per doc (partial-aggregated, index-row count → doc
+    // count), then the candidate ids broadcast against that table twice and
+    // the intersection runs map-side — the 53M-row index is never shuffled
+    // again for verification (it was: two self-join shuffles of the full
+    // index dominated the MinHash wall at 1M docs).
+    val docSets = shByDoc.groupBy("doc")
+      .agg(collect_set(col("shingle")).as("set"))
+      .select(col("doc"), col("set"), size(col("set")).as("n_shingles"))
+    val verified = docSets
+      .select(col("doc").as("a"), col("set").as("set_a"), col("n_shingles").as("size_a"))
+      .join(broadcast(candidates), Seq("a"))
+      .join(docSets.select(col("doc").as("b"), col("set").as("set_b"),
+        col("n_shingles").as("size_b")), Seq("b"))
+      .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))))
+    verified
       .withColumn("jaccard", round(col("n_common").cast("double") /
         (col("size_a") + col("size_b") - col("n_common")), 4))
       .filter(col("jaccard") >= threshold)
