@@ -27,10 +27,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 24g default: the bench/verify mains run local[32] with the shared caches
+// (shingle index, pair sets, ANN top-k, fixture pipeline) resident — 8g put
+// the old-gen near capacity and made bench totals swing ~±20 % with GC.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 // The test suite shares one SparkSession per forked JVM (getOrCreate) and
 // suites cache records/shingles/curve tables — 8g starves the unified
