@@ -315,6 +315,37 @@ object PipelinePack extends QueryPack {
     s.table(sinkName).orderBy("text_md5")
   }
 
+  /** The END-TO-END curation pipeline in one declarative plan — what a
+    * training-data user actually ships: keep real-language docs, gate on
+    * quality and repetition, collapse near-dup clusters to their canonical
+    * doc, drop eval-contaminated docs and the benchmark itself, then apply
+    * the stratified sample and split assignment. Every stage is an operator
+    * with its own oracle; this query proves they compose (one plan, shared
+    * caches, semi/anti joins instead of materialized intermediates). */
+  private def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kept = Dedup.clusters(docs, ngramPairs(s, dir))
+      .filter(col("is_kept")).select("doc_id")
+    val contaminated = Dedup.contamination(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), n = 8)
+      .select("doc_id")
+    docs
+      .withColumn("lang_pred", TextAnalysis.langIdCol(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScoreCol(col("text")))
+      .withColumn("repetition", TextAnalysis.dupNgramFracCol(col("text"), 3))
+      .filter(col("lang_pred") =!= "und")
+      .filter(col("quality") >= 0.2 && col("repetition") <= 0.5)
+      .filter(col("source") =!= "src0") // the benchmark is not training data
+      .join(kept, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("split", Sampling.splitCol(col("doc_id")))
+      .filter(Sampling.stratifiedKeepCol(col("doc_id"), col("lang_pred"),
+        StratumRates, defaultPct = 100))
+      .select("doc_id", "lang_pred", "quality", "repetition", "split")
+      .orderBy("doc_id")
+  }
+
   // ---- multimodal (real container-header decode) -------------------------
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     val assets = Multimodal.synthesizeAssets(s, t(s, dir, "documents"))
@@ -345,6 +376,7 @@ object PipelinePack extends QueryPack {
     "text_bigrams" -> (textBigrams _),
     "text_common_ratio" -> (textCommonRatio _),
     "pack_sequences" -> (packSequences _),
+    "pipeline_curate" -> (pipelineCurate _),
     "corpus_report" -> (corpusReport _),
     "decontaminate" -> (decontaminate _),
     "dedup_stream" -> (dedupStream _),
@@ -388,6 +420,26 @@ object PipelinePack extends QueryPack {
       TextAnalysis.duckDbCommonTokenBpSql("documents", 100, "doc_id", "text"),
     "pack_sequences" ->
       Packing.duckDbConcatChunkPackSql("documents", 2048, "doc_id", "text"),
+    "pipeline_curate" -> s"""
+      SELECT doc_id,
+             ${TextAnalysis.duckDbLangIdSql("text")} AS lang_pred,
+             ${TextAnalysis.duckDbQualitySql("text")} AS quality,
+             ${TextAnalysis.duckDbDupNgramFracSql("text", 3)} AS repetition,
+             ${Sampling.duckDbSplitSql("doc_id")} AS split
+      FROM documents
+      WHERE ${TextAnalysis.duckDbLangIdSql("text")} <> 'und'
+        AND ${TextAnalysis.duckDbQualitySql("text")} >= 0.2
+        AND ${TextAnalysis.duckDbDupNgramFracSql("text", 3)} <= 0.5
+        AND source <> 'src0'
+        AND doc_id IN (SELECT doc_id FROM (
+              ${Dedup.duckDbClustersSql("documents", 3, 0.5, 100, "doc_id", "text")})
+              WHERE is_kept)
+        AND doc_id NOT IN (SELECT doc_id FROM (
+              ${Dedup.duckDbContaminationSql("documents", "source <> 'src0'",
+                  "source = 'src0'", 8, "doc_id", "text")}))
+        AND ${Sampling.duckDbStratifiedKeepSql("doc_id",
+              TextAnalysis.duckDbLangIdSql("text"), StratumRates, 100)}
+      ORDER BY doc_id""",
     "corpus_report" ->
       (TextAnalysis.duckDbCorpusReportSql("documents", "lang", "source", "text")
         + " ORDER BY lang, source"),
