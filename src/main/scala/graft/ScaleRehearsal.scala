@@ -167,6 +167,28 @@ object ScaleRehearsal {
       runTimed("pack_sequences")(
         graft.ops.Packing.concatChunkPack(docs, budget = 2048)
           .filter(col("straddles")).count())
+      // the full curation chain (language/quality/repetition gates, near-dup
+      // collapse, decontamination vs a 1/97 benchmark slice, stratified
+      // sample) composed over the cached pair set — the pipeline_curate
+      // query's shape at corpus scale
+      runTimed("pipeline_curate") {
+        import graft.ops.{Dedup, Sampling, TextAnalysis}
+        val kept = Dedup.clusters(docs, pairs).filter(col("is_kept")).select("doc_id")
+        val contaminated = Dedup.contamination(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0), n = 8).select("doc_id")
+        docs
+          .withColumn("lang_pred", TextAnalysis.langIdCol(col("text")))
+          .withColumn("quality", TextAnalysis.qualityScoreCol(col("text")))
+          .withColumn("repetition", TextAnalysis.dupNgramFracCol(col("text"), 3))
+          .filter(col("quality") >= 0.2 && col("repetition") <= 0.5)
+          .filter(col("doc_id") % 97 =!= 0)
+          .join(kept, Seq("doc_id"), "left_semi")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .filter(Sampling.stratifiedKeepCol(col("doc_id"), col("lang_pred"),
+            Map("en" -> 40), defaultPct = 100))
+          .count()
+      }
       spark.stop()
       return
     }
