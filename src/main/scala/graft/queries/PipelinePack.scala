@@ -346,6 +346,30 @@ object PipelinePack extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** The SQL predicate every curation stage contributes — shared between the
+    * pipeline_curate oracle and the curate→pack composition. */
+  private def curateWhereSql: String = s"""
+        ${TextAnalysis.duckDbLangIdSql("text")} <> 'und'
+        AND ${TextAnalysis.duckDbQualitySql("text")} >= 0.2
+        AND ${TextAnalysis.duckDbDupNgramFracSql("text", 3)} <= 0.5
+        AND source <> 'src0'
+        AND doc_id IN (SELECT doc_id FROM (
+              ${Dedup.duckDbClustersSql("documents", 3, 0.5, 100, "doc_id", "text")})
+              WHERE is_kept)
+        AND doc_id NOT IN (SELECT doc_id FROM (
+              ${Dedup.duckDbContaminationSql("documents", "source <> 'src0'",
+                  "source = 'src0'", 8, "doc_id", "text")}))
+        AND ${Sampling.duckDbStratifiedKeepSql("doc_id",
+              TextAnalysis.duckDbLangIdSql("text"), StratumRates, 100)}"""
+
+  /** Curate → pack: the pipeline's end product — curated docs chunked into
+    * 2048-token training sequences. */
+  private def pipelineCuratePack(s: SparkSession, dir: String): DataFrame = {
+    val curatedIds = pipelineCurate(s, dir).select("doc_id")
+    val curated = t(s, dir, "documents").join(curatedIds, Seq("doc_id"), "left_semi")
+    Packing.concatChunkPack(curated, budget = 2048).orderBy("doc_id")
+  }
+
   // ---- multimodal (real container-header decode) -------------------------
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     val assets = Multimodal.synthesizeAssets(s, t(s, dir, "documents"))
@@ -377,6 +401,7 @@ object PipelinePack extends QueryPack {
     "text_common_ratio" -> (textCommonRatio _),
     "pack_sequences" -> (packSequences _),
     "pipeline_curate" -> (pipelineCurate _),
+    "pipeline_curate_pack" -> (pipelineCuratePack _),
     "corpus_report" -> (corpusReport _),
     "decontaminate" -> (decontaminate _),
     "dedup_stream" -> (dedupStream _),
@@ -427,19 +452,12 @@ object PipelinePack extends QueryPack {
              ${TextAnalysis.duckDbDupNgramFracSql("text", 3)} AS repetition,
              ${Sampling.duckDbSplitSql("doc_id")} AS split
       FROM documents
-      WHERE ${TextAnalysis.duckDbLangIdSql("text")} <> 'und'
-        AND ${TextAnalysis.duckDbQualitySql("text")} >= 0.2
-        AND ${TextAnalysis.duckDbDupNgramFracSql("text", 3)} <= 0.5
-        AND source <> 'src0'
-        AND doc_id IN (SELECT doc_id FROM (
-              ${Dedup.duckDbClustersSql("documents", 3, 0.5, 100, "doc_id", "text")})
-              WHERE is_kept)
-        AND doc_id NOT IN (SELECT doc_id FROM (
-              ${Dedup.duckDbContaminationSql("documents", "source <> 'src0'",
-                  "source = 'src0'", 8, "doc_id", "text")}))
-        AND ${Sampling.duckDbStratifiedKeepSql("doc_id",
-              TextAnalysis.duckDbLangIdSql("text"), StratumRates, 100)}
+      WHERE $curateWhereSql
       ORDER BY doc_id""",
+    "pipeline_curate_pack" ->
+      Packing.duckDbConcatChunkPackSql(
+        s"(SELECT * FROM documents WHERE $curateWhereSql) AS curated",
+        2048, "doc_id", "text"),
     "corpus_report" ->
       (TextAnalysis.duckDbCorpusReportSql("documents", "lang", "source", "text")
         + " ORDER BY lang, source"),
