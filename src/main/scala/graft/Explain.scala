@@ -26,7 +26,7 @@ object Explain {
       "ann_lsh_recall", "gtfs_visual_schedule", "gtfs_file_stats",
       "monitor_trip_page", "ann_ivf_topk", "gtfs_predictions_realtime",
       "dedup_embedding", "sample_split", "text_vocab", "text_bigrams",
-      "text_common_ratio", "corpus_report")
+      "text_common_ratio", "corpus_report", "pipeline_curate")
 
     audit.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
