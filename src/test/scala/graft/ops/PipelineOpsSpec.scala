@@ -383,6 +383,56 @@ class PipelineOpsSpec extends AnyFunSuite {
       "tf desc then token asc; df = distinct docs")
   }
 
+  test("curation chain: survivors pass every stage, drops have a reason") {
+    import org.apache.spark.sql.functions._
+    // stage the corpus with metadata the chain reads
+    val corpus = docs
+      .withColumn("lang", lit("en"))
+      .withColumn("source",
+        when($"doc_id" % 11 === 0, "bench").otherwise("web"))
+    val pairs = Dedup.ngramJaccard(corpus, 3, 0.5, 100)
+    val kept = Dedup.clusters(corpus, pairs).filter($"is_kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = Dedup.contamination(
+      corpus.filter($"source" =!= "bench"),
+      corpus.filter($"source" === "bench"), n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gates = corpus.select($"doc_id", $"source",
+        TextAnalysis.langIdCol($"text").as("lang_pred"),
+        TextAnalysis.qualityScoreCol($"text").as("q"),
+        TextAnalysis.dupNgramFracCol($"text", 3).as("rep"),
+        Sampling.stratifiedKeepCol($"doc_id", lit("en"), Map("en" -> 70), 100)
+          .as("sampled"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    // the composed chain, mirroring pipeline_curate's stages
+    val survivors = corpus
+      .withColumn("lang_pred", TextAnalysis.langIdCol($"text"))
+      .filter(TextAnalysis.qualityScoreCol($"text") >= 0.0)
+      .filter(TextAnalysis.dupNgramFracCol($"text", 3) <= 0.9)
+      .filter($"source" =!= "bench")
+      .join(corpus.sparkSession.createDataFrame(
+        kept.toSeq.map(Tuple1(_))).toDF("doc_id"), Seq("doc_id"), "left_semi")
+      .join(corpus.sparkSession.createDataFrame(
+        contaminated.toSeq.map(Tuple1(_))).toDF("doc_id"), Seq("doc_id"), "left_anti")
+      .filter(Sampling.stratifiedKeepCol($"doc_id", lit("en"), Map("en" -> 70), 100))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.nonEmpty, "some docs survive")
+    survivors.foreach { id =>
+      val (src, _, q, rep, sampled) = gates(id)
+      assert(src != "bench" && q >= 0.0 && rep <= 0.9 && sampled
+        && kept(id) && !contaminated(id), s"survivor $id passes every stage")
+    }
+    // every dropped doc fails at least one stage
+    val all = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    (all -- survivors).foreach { id =>
+      val (src, _, q, rep, sampled) = gates(id)
+      assert(src == "bench" || q < 0.0 || rep > 0.9 || !sampled
+        || !kept(id) || contaminated(id), s"dropped $id has a reason")
+    }
+  }
+
   test("multimodal plumbing: binary payloads, fixed-shape features, frames") {
     val assets = Multimodal.synthesizeAssets(spark, docs)
     val feats = Multimodal.decodeFeatures(spark, assets).collect()
