@@ -39,16 +39,20 @@ object TextAnalysis {
   private def markerCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isInCollection(words)))
 
-  /** Argmax of marker counts with fixed tie order; "und" when no marker hits. */
-  def langIdCol(text: Column): Column = letCol(tokensCol(text)) { toks =>
-    val scores = LangMarkers.map { case (lang, words) => lang -> markerCount(toks, words) }
-    val Seq(en, de, es, fr) = scores.map(_._2)
-    when(en >= de && en >= es && en >= fr && en > 0, "en")
-      .when(de >= es && de >= fr && de > 0, "de")
-      .when(es >= fr && es > 0, "es")
-      .when(fr > 0, "fr")
-      .otherwise("und")
-  }
+  /** Argmax of marker counts with fixed tie order; "und" when no marker
+    * hits. Counts come from [[graft.functions.MarkerCounts]] — one native
+    * codegen'd pass over the tokens instead of four interpreted
+    * `filter(…, isInCollection)` lambdas (higher-order functions never
+    * code-generate); count semantics identical. */
+  def langIdCol(text: Column): Column =
+    letCol(graft.functions.MarkerCounts(tokensCol(text), LangMarkers.map(_._2))) { cnt =>
+      val Seq(en, de, es, fr) = (1 to 4).map(i => element_at(cnt, i))
+      when(en >= de && en >= es && en >= fr && en > 0, "en")
+        .when(de >= es && de >= fr && de > 0, "de")
+        .when(es >= fr && es > 0, "es")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    }
 
   def duckDbLangIdSql(textExpr: String): String = {
     val toks = duckDbTokensSql(textExpr)

@@ -322,6 +322,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("MarkerCounts equals the filter/isInCollection composition") {
+    import org.apache.spark.sql.functions._
+    val markers = TextAnalysis.LangMarkers.map(_._2)
+    val rnd = new scala.util.Random(5)
+    val pool = markers.flatten ++ Seq("zzz", "qqq", "na", "")
+    val rows = (0 until 80).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(20))(pool(rnd.nextInt(pool.size))).mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.tokensCol($"text").as("t"))
+    val composed = df.select($"doc_id", array(markers.map(words =>
+        size(filter($"t", tok => tok.isInCollection(words)))): _*).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val native = df.select($"doc_id",
+        graft.functions.MarkerCounts($"t", markers).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native == composed)
+  }
+
   test("bigram pairs and common-token ratio on a tiny corpus") {
     val tiny = Seq((1L, "a b a"), (2L, "a c"), (3L, "b a z")).toDF("doc_id", "text")
     val bg = TextAnalysis.bigramPairs(tiny, topN = 3).collect()
