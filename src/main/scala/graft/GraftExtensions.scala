@@ -37,10 +37,10 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException(s"$fn: argument must be a literal")
   }
 
-  // the simple (className, name) constructor — the long form validates
-  // group/source against Spark's built-in catalogs
+  // the five-arg constructor carries the usage string into DESCRIBE
+  // FUNCTION without triggering the long form's group/source validation
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(GraftFunctions.getClass.getName, name)
+    new ExpressionInfo(GraftFunctions.getClass.getName, null, name, usage, "")
 
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_fingerprint",

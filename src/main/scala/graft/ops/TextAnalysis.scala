@@ -195,7 +195,7 @@ object TextAnalysis {
                             textCol: String): String = s"""
     SELECT $langCol AS lang, $sourceCol AS source,
            COUNT(*) AS n_docs,
-           SUM(len(${duckDbTokensSql(textCol)})) AS n_tokens,
+           SUM(len(${duckDbTokensSql(textCol)}))::BIGINT AS n_tokens,
            FLOOR(AVG(${duckDbQualityBpSql(textCol)})) / 10000 AS avg_quality,
            ROUND(quantile_cont(len(${duckDbTokensSql(textCol)}), 0.5), 1) AS med_tokens,
            FLOOR(AVG(${duckDbDupNgramBpSql(textCol)})) / 10000 AS avg_repetition

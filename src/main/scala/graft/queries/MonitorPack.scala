@@ -20,6 +20,9 @@ object MonitorPack extends QueryPack {
     scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
   private def cached(s: SparkSession, key: String)
                     (build: => DataFrame): DataFrame = synchronized {
+    // long-lived JVMs (tests, bench) create several sessions — drop entries
+    // whose session is gone so the map can't leak plans across sessions
+    memo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     memo.getOrElseUpdate((s, key), { val df = build.cache(); df.count(); df })
   }
 

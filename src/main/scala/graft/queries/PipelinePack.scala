@@ -311,8 +311,17 @@ object PipelinePack extends QueryPack {
       .writeStream.format("memory").queryName(sinkName)
       .option("checkpointLocation", base.toString + "/ckpt")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
-    s.table(sinkName).orderBy("text_md5")
+    assert(q.awaitTermination(300000), "dedup stream did not finish in 5 min")
+    // materialize the bounded result (distinct text hashes) on the driver so
+    // the temp source/checkpoint dirs and the memory sink can be torn down —
+    // repeated bench iterations must not accumulate stream state
+    val result = s.table(sinkName).orderBy("text_md5")
+    val schema = result.schema
+    val rows = result.collect().toIndexedSeq
+    s.catalog.dropTempView(sinkName)
+    import scala.jdk.CollectionConverters._
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    s.createDataFrame(rows.asJava, schema)
   }
 
   /** The END-TO-END curation pipeline in one declarative plan — what a
