@@ -149,9 +149,10 @@ object Dedup {
 
   /** DuckDB oracle for [[simhashPairs]] over `_aux/doc_token_hashes` (one row
     * per token OCCURRENCE with its 64-bit hash): recomputes the 64 bit-sum
-    * sign aggregation, reassembles the two's-complement signature, bands by
-    * the 4 16-bit chunks and verifies Hamming ≤ maxHamming via
-    * bit_count(xor) — everything downstream of the token hash itself. */
+    * sign aggregation, reassembles the two's-complement signature, then
+    * takes the ALL-PAIRS Hamming ≤ maxHamming result via bit_count(xor).
+    * Deliberately stronger than mirroring the banding: equality proves the
+    * Spark side's block-combination candidate generation loses no pair. */
   def duckDbSimhashSql(maxHamming: Int): String = {
     val bitSums = (0 until 64)
       .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
@@ -165,15 +166,10 @@ object Dedup {
     sigs AS (SELECT doc,
       CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
                 THEN su - 18446744073709551616::HUGEINT ELSE su END AS BIGINT) AS sig
-      FROM (SELECT doc, ($sigTerms) AS su FROM bits)),
-    chunks AS (
-      SELECT doc, sig, band, (sig >> (band * 16)) & 65535 AS chunk
-      FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band)),
-    pairs AS (SELECT DISTINCT c1.doc AS a, c2.doc AS b, c1.sig AS s_a, c2.sig AS s_b
-              FROM chunks c1 JOIN chunks c2
-                ON c1.band = c2.band AND c1.chunk = c2.chunk AND c1.doc < c2.doc)
-    SELECT a, b, bit_count(xor(s_a, s_b)) AS hamming
-    FROM pairs WHERE bit_count(xor(s_a, s_b)) <= $maxHamming
+      FROM (SELECT doc, ($sigTerms) AS su FROM bits))
+    SELECT s1.doc AS a, s2.doc AS b, bit_count(xor(s1.sig, s2.sig)) AS hamming
+    FROM sigs s1 JOIN sigs s2 ON s1.doc < s2.doc
+    WHERE bit_count(xor(s1.sig, s2.sig)) <= $maxHamming
     ORDER BY a, b"""
   }
 
@@ -224,16 +220,21 @@ object Dedup {
     // exact verification of CANDIDATES only (the LSH contract: never compute
     // pairwise similarity outside a shared bucket). The shingle sets roll up
     // to one array row per doc (partial-aggregated, index-row count → doc
-    // count), then the candidate ids broadcast against that table twice and
-    // the intersection runs map-side — the 53M-row index is never shuffled
-    // again for verification (it was: two self-join shuffles of the full
-    // index dominated the MinHash wall at 1M docs).
+    // count), then the candidate ids join against that table twice and the
+    // intersection runs map-side — the 53M-row index is never shuffled again
+    // for verification (it was: two self-join shuffles of the full index
+    // dominated the MinHash wall at 1M docs). The candidate set is
+    // data-dependent and unbounded (a hot bucket of k mutual near-dups emits
+    // O(k²) pairs), so it carries NO broadcast hint: AQE broadcasts it when
+    // it measures small, and above that only the 16-byte id pairs shuffle —
+    // docSets is already hash-partitioned by doc from the aggregation, so
+    // the array side never re-exchanges either way.
     val docSets = shByDoc.groupBy("doc")
       .agg(collect_set(col("shingle")).as("set"))
       .select(col("doc"), col("set"), size(col("set")).as("n_shingles"))
     val verified = docSets
       .select(col("doc").as("a"), col("set").as("set_a"), col("n_shingles").as("size_a"))
-      .join(broadcast(candidates), Seq("a"))
+      .join(candidates, Seq("a"))
       .join(docSets.select(col("doc").as("b"), col("set").as("set_b"),
         col("n_shingles").as("size_b")), Seq("b"))
       .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))))
@@ -308,7 +309,12 @@ object Dedup {
     * once at the end — so per-round shuffles scale with the PAIR graph, not
     * the corpus. Rounds needed = graph diameter, which for near-dup
     * components is small (LSH/Jaccard clusters are near-cliques of mutual
-    * matches, not long chains); `maxIters` bounds the adversarial case.
+    * matches, not long chains); each round also path-halves (label :=
+    * label-of-label, pointer doubling), so convergence needs only
+    * O(log diameter) rounds — threshold chaining CAN build long paths at
+    * corpus scale, and `maxIters` = 25 then covers diameter ~2²⁵. If the
+    * loop still exits unconverged it throws rather than silently returning
+    * labels that would keep several exemplars per cluster.
     */
   def clusters(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
                maxIters: Int = 25): DataFrame = {
@@ -330,8 +336,18 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val prop = edges.join(labels, edges("a") === labels("node"))
         .select(edges("b").as("node"), col("label"))
-      labels = labels.union(prop)
+      val propagated = labels.union(prop)
         .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint() // materialize once — the halving self-join reads it twice
+      // path halving: label := label(label). Labels are node ids with
+      // label(n) ≤ n invariant, so the lookup is total (coalesce guards the
+      // self-label rows the join keeps anyway) and strictly non-increasing —
+      // one hop per round becomes doubling, O(log diameter) rounds.
+      val lookup = propagated.select(col("node").as("ref_node"), col("label").as("ref_label"))
+      labels = propagated
+        .join(lookup, col("label") === col("ref_node"), "left")
+        .select(col("node"),
+          coalesce(col("ref_label"), col("label")).as("label"))
         .localCheckpoint()
       val next = labelSum(labels)
       converged = next == checksum
@@ -339,6 +355,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"near-dup clustering did not converge in $maxIters rounds " +
+          "(component diameter beyond ~2^25 — malformed pair graph?)")
     val comp = labels.withColumnRenamed("node", idCol)
     val labeled = docs.select(col(idCol))
       .join(comp, Seq(idCol), "left")
@@ -396,17 +416,48 @@ object Dedup {
     agg.select(col("doc"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs within `maxHamming` (≤3 with 4 bands): banded by
-    * the 4 16-bit chunks, verified by popcount of the XOR. */
+  /** The 6 bit-blocks (offset, width) covering the 64-bit signature for
+    * block-combination banding: 4×11 + 2×10 bits. */
+  private val simhashBlocks = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+
+  /** SimHash near-dup pairs within `maxHamming` (≤ 3).
+    *
+    * Candidate generation is the block-combination scheme of Manku et al.
+    * (WWW'07, "Detecting Near-Duplicates for Web Crawling"): split the
+    * signature into 6 blocks, and for each of the C(6,3) = 20 block
+    * combinations band on the concatenated 3-block value (~32 bits). A pair
+    * at Hamming distance d ≤ 3 has its differing bits in at most 3 blocks,
+    * so at least one combination consists of identical blocks — recall is
+    * guaranteed by pigeonhole, exactly as with 4 16-bit chunks. The
+    * difference is scale: 16-bit chunks give only 65,536 distinct keys per
+    * band, so a billion-doc corpus puts ~15 k docs in EVERY bucket and the
+    * bucket self-join goes quadratic before the Hamming filter; 32-bit
+    * combination keys give 2³² keys per band, so buckets hold only true
+    * near-dup clusters. Cost: 20× banding rows instead of 4× — a linear
+    * 5× on a 32-byte row stream, traded against the quadratic term.
+    * Verified by popcount of the XOR; the DuckDB oracle recomputes the
+    * ALL-PAIRS Hamming result, so it also proves the banding drops nothing. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // recall is guaranteed for maxHamming ≤ 3; above that, candidates must
+    // still share one 3-block combination (best effort — same contract the
+    // previous 4-chunk banding had above its own ≤3 guarantee)
     val sigs = simhashSignatures(docs, idCol, textCol).cache()
-    val chunks = sigs.select(col("doc"), col("simhash"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("band"),
-          shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("bc"))
-      .select(col("doc"), col("simhash"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    chunks.as("c1").join(chunks.as("c2"), Seq("band", "chunk"))
+    val blockVals = simhashBlocks.map { case (off, w) =>
+      shiftrightunsigned(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+    }
+    val bandStructs = simhashBlocks.indices.combinations(3).toSeq.zipWithIndex.map {
+      case (combo, ci) =>
+        val key = combo.foldLeft(lit(0L)) { (acc, bi) =>
+          shiftleft(acc, simhashBlocks(bi)._2).bitwiseOR(blockVals(bi))
+        }
+        struct(lit(ci).as("band"), key.as("bkey"))
+    }
+    val bands = sigs.select(col("doc"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    bands.as("c1").join(bands.as("c2"), Seq("band", "bkey"))
       .filter(col("c1.doc") < col("c2.doc"))
       .select(col("c1.doc").as("a"), col("c2.doc").as("b"),
         col("c1.simhash").as("sig_a"), col("c2.simhash").as("sig_b"))

@@ -69,7 +69,8 @@ object PipelinePack extends QueryPack {
     * invariant; every top-k by its result query AND its recall check). */
   def prewarm(s: SparkSession, dir: String): Unit = {
     shingles(s, dir); ngramPairs(s, dir); lshPairs(s, dir)
-    bruteTopk(s, dir); lshTopk(s, dir); ivfTopk(s, dir); ()
+    bruteTopk(s, dir); lshTopk(s, dir); ivfTopk(s, dir)
+    curatedDocs(s, dir); ()
   }
 
   /** Aux inputs for the outDir-based DuckDB oracles (written by Verify under
@@ -331,6 +332,9 @@ object PipelinePack extends QueryPack {
     * the stratified sample and split assignment. Every stage is an operator
     * with its own oracle; this query proves they compose (one plan, shared
     * caches, semi/anti joins instead of materialized intermediates). */
+  private def curatedDocs(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "pipeline_curate")(pipelineCurate(s, dir))
+
   private def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val kept = Dedup.clusters(docs, ngramPairs(s, dir))
@@ -374,7 +378,10 @@ object PipelinePack extends QueryPack {
   /** Curate → pack: the pipeline's end product — curated docs chunked into
     * 2048-token training sequences. */
   private def pipelineCuratePack(s: SparkSession, dir: String): DataFrame = {
-    val curatedIds = pipelineCurate(s, dir).select("doc_id")
+    // the curated corpus is shared with the pipeline_curate query through the
+    // memo — re-deriving it here would replay the whole iterative clustering
+    // chain (a sequence of Spark actions, not one lazy plan) per invocation
+    val curatedIds = curatedDocs(s, dir).select("doc_id")
     val curated = t(s, dir, "documents").join(curatedIds, Seq("doc_id"), "left_semi")
     Packing.concatChunkPack(curated, budget = 2048).orderBy("doc_id")
   }
@@ -409,7 +416,7 @@ object PipelinePack extends QueryPack {
     "text_bigrams" -> (textBigrams _),
     "text_common_ratio" -> (textCommonRatio _),
     "pack_sequences" -> (packSequences _),
-    "pipeline_curate" -> (pipelineCurate _),
+    "pipeline_curate" -> (curatedDocs _),
     "pipeline_curate_pack" -> (pipelineCuratePack _),
     "corpus_report" -> (corpusReport _),
     "decontaminate" -> (decontaminate _),

@@ -63,6 +63,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("minhash verification never force-broadcasts the candidate pair set") {
+    // candidates are data-dependent and unbounded (hot bucket of k mutual
+    // near-dups → O(k²) pairs); strategy choice must stay with AQE/planner
+    val sh = Dedup.shingles(docs, "doc_id", "text", 2, 100)
+    val df = Dedup.minhashLshFromShingles(sh, 8, 4, 0.3)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.toLowerCase.contains("hint"),
+      s"no broadcast/join hint may be forced in the minhash plan:\n$analyzed")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"verification joins must stay keyed:\n$p")
+  }
+
   test("clusters first-round plan: keyed equi-joins only") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     val p = plan(Dedup.clusters(docs.select("doc_id"), pairs))
