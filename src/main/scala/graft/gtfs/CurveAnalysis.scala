@@ -262,8 +262,14 @@ object CurveAnalysis {
       .as[VariantCurve]
   }
 
-  def defaultCurves(spark: SparkSession, records: DataFrame,
-                    schedule: GtfsSchedule): Dataset[DefaultCurveRow] = {
+  /** The three A8/A9 rollup levels (General / FallbackGeneral /
+    * SuperGeneral) BEFORE grid selection — exposed so the oracle aux dump
+    * can hand each level's points to the full-row reconstruction of
+    * `gtfs_default_curves` (the grid enumeration, precedence and sample
+    * means are re-derived in SQL; the averaged point values are pinned by
+    * the defaultPointsCheck contributor-mean invariant). */
+  def defaultRollups(spark: SparkSession, records: DataFrame, schedule: GtfsSchedule)
+      : (Dataset[DefaultCurveRow], Dataset[DefaultCurveRow], Dataset[DefaultCurveRow]) = {
     import spark.implicits._
     val vCurves: Dataset[VariantCurve] = variantCurves(spark, records, schedule)
 
@@ -301,6 +307,13 @@ object CurveAnalysis {
         DefaultCurveRow(0, "*", 0, 0, avg.toSeq, PrecisionSuperGeneral,
           (list.map(_.sample_size.toLong).sum / list.length).toInt)
       }
+    (general, fallback, superGeneral)
+  }
+
+  def defaultCurves(spark: SparkSession, records: DataFrame,
+                    schedule: GtfsSchedule): Dataset[DefaultCurveRow] = {
+    import spark.implicits._
+    val (general, fallback, superGeneral) = defaultRollups(spark, records, schedule)
 
     // Fill every (rt, rs, ts, et) cell with the most specific curve available
     // — the same fixed 11 GTFS route types the reference enumerates

@@ -70,20 +70,34 @@ object GtfsPack extends QueryPack {
       .orderBy("trip_start_date", "trip_id", "stop_index")
   }
 
-  // Curve arrays go out as JSON text: the driver harness hashes result
-  // columns with pandas, which cannot sort/factorize array<struct> cells —
-  // a scalar projection keeps the full curve content driver-checkable.
-  private def specific(s: SparkSession, dir: String): DataFrame =
+  // Curve tables go out as one scalar row per POINT (the driver harness
+  // hashes with pandas, which cannot sort/factorize array<struct> cells) —
+  // and the exploded form is what lets their oracles reconstruct the full
+  // row set value by value instead of comparing JSON strings.
+  private def specific(s: SparkSession, dir: String): DataFrame = {
+    val meta = Seq("route_id", "route_variant", "event_type", "time_slot_id",
+      "start_stop_index", "end_stop_index", "curve_kind", "focus_delay",
+      "precision_type", "sample_size")
     curves(s)._1.toDF()
-      .withColumn("focus_delay", col("focus_delay").cast("float"))
-      .withColumn("curve", to_json(col("curve")))
+      .withColumn("focus_delay", col("focus_delay").cast("double"))
+      .select(meta.map(col) :+ posexplode(col("curve")): _*)
+      .select(meta.map(col) ++ Seq(col("pos").as("idx"),
+        col("col.x").cast("double").as("x"),
+        round(col("col.y").cast("double"), 5).as("y")): _*)
       .orderBy("route_id", "route_variant", "event_type", "time_slot_id",
-        "start_stop_index", "end_stop_index", "focus_delay")
+        "start_stop_index", "end_stop_index", "curve_kind", "focus_delay", "idx")
+  }
 
-  private def defaults(s: SparkSession, dir: String): DataFrame =
+  private def defaults(s: SparkSession, dir: String): DataFrame = {
+    val meta = Seq("route_type", "route_section", "time_slot_id", "event_type",
+      "precision_type", "sample_size")
     curves(s)._2.toDF()
-      .withColumn("curve", to_json(col("curve")))
-      .orderBy("route_type", "route_section", "time_slot_id", "event_type")
+      .select(meta.map(col) :+ posexplode(col("curve")): _*)
+      .select(meta.map(col) ++ Seq(col("pos").as("idx"),
+        col("col.x").cast("double").as("x"),
+        round(col("col.y").cast("double"), 5).as("y")): _*)
+      .orderBy("route_type", "route_section", "time_slot_id", "event_type", "idx")
+  }
 
   private var predCache: Option[(SparkSession, DataFrame)] = None
 
@@ -290,7 +304,7 @@ object GtfsPack extends QueryPack {
   def oracleAux(s: SparkSession): Map[String, DataFrame] = {
     import s.implicits._
     val (_, rtDir) = dirs
-    val (sched, _) = pipeline(s)
+    val (sched, recs) = pipeline(s)
     val bin = s.read.format("binaryFile").option("pathGlobFilter", "*.pb").load(rtDir)
     val rtRows = Importer.decodeRtFiles(s, bin).toDF()
     val listing = {
@@ -323,7 +337,35 @@ object GtfsPack extends QueryPack {
         col("precision_type").as("d_precision"), col("sample_size").as("d_sample"),
         element_at(col("curve"), 1).getField("x").as("d_min_x"),
         element_at(col("curve"), -1).getField("x").as("d_max_x"))
+    // gtfs_specific_curves reconstruction inputs: for GENERAL curves only
+    // the kept x-coordinates are dumped (which points ε=0.01 simplify kept —
+    // the one recursive decision SQL can't replay); every y is recomputed in
+    // DuckDB from the observations as the f32 ECDF (cum_before+1)/n.
+    val genKept = sc.toDF().filter(col("curve_kind") === "general")
+      .withColumn("npts", size(col("curve")))
+      .select(col("route_id"), col("route_variant"), col("event_type"),
+        col("time_slot_id"), col("end_stop_index").as("stop_index"),
+        col("npts"), posexplode(col("curve")))
+      .select(col("route_id"), col("route_variant"), col("event_type"),
+        col("time_slot_id"), col("stop_index"), col("npts"),
+        col("pos").as("idx"), col("col.x").as("x"))
+    // gtfs_default_curves reconstruction inputs: the three rollup levels'
+    // POINTS (f32 contributor means — summation order makes them
+    // SQL-irreproducible bit-exactly; values pinned by defaultPointsCheck).
+    // Which level each grid cell gets, the precision codes and the sample
+    // means are all re-derived in SQL from the records output.
+    val (genRoll, fbRoll, sgRoll) = CurveAnalysis.defaultRollups(s, recs, sched)
+    def rollPts(ds: org.apache.spark.sql.Dataset[DefaultCurveRow],
+                keys: Seq[String]): DataFrame =
+      ds.toDF().select(keys.map(col) :+ posexplode(col("curve")): _*)
+        .select(keys.map(col) ++ Seq(col("pos").as("pidx"),
+          col("col.x").as("x"), col("col.y").as("y")): _*)
     Map(
+      "gen_kept" -> genKept,
+      "dft_gen_pts" -> rollPts(genRoll,
+        Seq("route_type", "route_section", "time_slot_id", "event_type")),
+      "dft_fb_pts" -> rollPts(fbRoll, Seq("route_type", "event_type")),
+      "dft_sg_pts" -> rollPts(sgRoll, Seq.empty),
       "rt_rows" -> rtRows,
       "sched_trips" -> sched.trips.select("trip_id", "route_id", "route_variant",
         "trip_start_time", "route_type", "trip_headsign", "service_id"),
@@ -589,6 +631,152 @@ object GtfsPack extends QueryPack {
     // curve point through an independent path and emits VIOLATIONS — the
     // result must be empty (WHERE-false oracles; non-vacuous: the fixture
     // produces hundreds of checked points).
+    // A7 + A5/A6 full-row reconstruction: observations re-derived from the
+    // (oracle-checked) gap-fill output — scheduled-time slots, the per-event
+    // explode and the slot∪DEFAULT duplication all in SQL — then every
+    // GENERAL curve point's y recomputed as the f32 ECDF (cum_before+1)/n
+    // with exact 0/1 endpoints, joined to the kept-x dump only for WHICH
+    // points ε=0.01 simplify retained. sample_size is the recomputed group
+    // count, not a pass-through. Curve-SET points ride along from cs_points
+    // (the marker recursion is not SQL-expressible; shape-pinned by
+    // gtfs_curveset_shape_check + hand-computed CurvesSpec cases), with
+    // their route_id re-resolved through the variant→route map.
+    "gtfs_specific_curves" -> s"""
+      WITH filled AS (SELECT * FROM read_parquet('__VOUT__/gtfs_gap_fill/*.parquet')),
+      sl AS (SELECT route_id, route_variant, stop_index, delay_arrival, delay_departure,
+               ${TimeSlots.duckDbSlotIdSql(
+                 GtfsTime.duckDbDateAndTimeSql("trip_start_date", "arrival_secs"))} AS slot_arr,
+               ${TimeSlots.duckDbSlotIdSql(
+                 GtfsTime.duckDbDateAndTimeSql("trip_start_date", "departure_secs"))} AS slot_dep
+             FROM filled),
+      ev AS (
+        SELECT route_id, route_variant, ${Codes.EventArrival} AS event_type,
+               slot_arr AS slot, stop_index, CAST(delay_arrival AS REAL) AS delay
+        FROM sl WHERE delay_arrival IS NOT NULL
+        UNION ALL
+        SELECT route_id, route_variant, ${Codes.EventDeparture}, slot_dep, stop_index,
+               CAST(delay_departure AS REAL)
+        FROM sl WHERE delay_departure IS NOT NULL),
+      obs AS (
+        SELECT route_id, route_variant, event_type, slot AS time_slot_id, stop_index, delay FROM ev
+        UNION ALL
+        SELECT route_id, route_variant, event_type, ${Codes.DefaultTimeSlot}, stop_index, delay FROM ev),
+      cells AS (SELECT route_id, route_variant, event_type, time_slot_id, stop_index,
+                       delay, COUNT(*) AS c
+                FROM obs GROUP BY ALL),
+      cum AS (SELECT *,
+                COALESCE(SUM(c) OVER (
+                  PARTITION BY route_id, route_variant, event_type, time_slot_id, stop_index
+                  ORDER BY delay ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+                SUM(c) OVER (
+                  PARTITION BY route_id, route_variant, event_type, time_slot_id, stop_index) AS n
+              FROM cells),
+      kept AS (SELECT * FROM read_parquet('__VOUT__/_aux/gen_kept/*.parquet')),
+      gen AS (
+        SELECT k.route_id, k.route_variant, k.event_type, k.time_slot_id,
+               k.stop_index AS start_stop_index, k.stop_index AS end_stop_index,
+               'general' AS curve_kind, CAST(NULL AS DOUBLE) AS focus_delay,
+               ${Codes.PrecisionSemiSpecific} AS precision_type,
+               CAST(u.n AS INT) AS sample_size, k.idx, CAST(k.x AS DOUBLE) AS x,
+               CASE WHEN k.idx = 0 THEN 0.0
+                    WHEN k.idx = k.npts - 1 THEN 1.0
+                    ELSE ROUND(CAST(CAST(u.cumb + 1 AS REAL) / CAST(u.n AS REAL) AS DOUBLE), 5)
+               END AS y
+        FROM kept k
+        JOIN cum u ON u.route_id = k.route_id AND u.route_variant = k.route_variant
+          AND u.event_type = k.event_type AND u.time_slot_id = k.time_slot_id
+          AND u.stop_index = k.stop_index AND u.delay = k.x),
+      vmap AS (SELECT DISTINCT route_variant, route_id
+               FROM read_parquet('__VOUT__/_aux/sched_trips/*.parquet')),
+      cs AS (SELECT * FROM read_parquet('__VOUT__/_aux/cs_points/*.parquet')),
+      csr AS (
+        SELECT m.route_id, cs.route_variant, cs.event_type, cs.time_slot_id,
+               cs.start_stop_index, cs.end_stop_index, 'curveset' AS curve_kind,
+               CAST(cs.focus_delay AS DOUBLE) AS focus_delay,
+               ${Codes.PrecisionSpecific} AS precision_type, cs.sample_size,
+               cs.pidx AS idx, CAST(cs.x AS DOUBLE) AS x,
+               ROUND(CAST(cs.y AS DOUBLE), 5) AS y
+        FROM cs JOIN vmap m ON m.route_variant = cs.route_variant)
+      SELECT * FROM gen UNION ALL SELECT * FROM csr
+      ORDER BY route_id, route_variant, event_type, time_slot_id, start_stop_index,
+               end_stop_index, curve_kind, focus_delay NULLS FIRST, idx""",
+    // A8/A9/A10 full-row reconstruction: variant survival (n ≥ 10 and ≥ 2
+    // emitted ECDF points, including the reference's min-delay-0 quirk), the
+    // per-cell / per-type / global sample means with integer division, the
+    // fixed 11×3×11×2 grid enumeration and the General → FallbackGeneral →
+    // SuperGeneral precedence are ALL re-derived in SQL from the records
+    // output; only the averaged point VALUES come from the rollup dumps
+    // (f32 contributor means, pinned by gtfs_default_points_check).
+    "gtfs_default_curves" -> s"""
+      WITH recs AS (SELECT * FROM read_parquet('__VOUT__/gtfs_records/*.parquet')),
+      tr AS (SELECT trip_id, route_type
+             FROM read_parquet('__VOUT__/_aux/sched_trips/*.parquet')
+             WHERE route_type IS NOT NULL),
+      base AS (SELECT r.route_variant, r.delay_arrival, r.delay_departure, tr.route_type,
+                 ${RouteSections.duckDbSectionSql("r.stop_index", "r.stop_count")} AS route_section,
+                 ${TimeSlots.duckDbSlotIdSql(GtfsTime.duckDbDateAndTimeSql(
+                   "r.trip_start_date", "COALESCE(r.arrival_secs, r.departure_secs)"))} AS time_slot_id
+               FROM recs r JOIN tr ON tr.trip_id = r.trip_id),
+      vobs AS (
+        SELECT route_type, route_section, time_slot_id, ${Codes.EventArrival} AS event_type,
+               route_variant, CAST(delay_arrival AS REAL) AS delay
+        FROM base WHERE delay_arrival IS NOT NULL
+        UNION ALL
+        SELECT route_type, route_section, time_slot_id, ${Codes.EventDeparture},
+               route_variant, CAST(delay_departure AS REAL)
+        FROM base WHERE delay_departure IS NOT NULL),
+      vstats AS (SELECT route_type, route_section, time_slot_id, event_type, route_variant,
+                        COUNT(*) AS n, COUNT(DISTINCT delay) AS nd, MIN(delay) AS mind
+                 FROM vobs GROUP BY ALL),
+      vsurv AS (SELECT * FROM vstats
+                WHERE n >= 10 AND nd - (CASE WHEN mind = 0 THEN 1 ELSE 0 END) >= 2),
+      genm AS (SELECT route_type, route_section, time_slot_id, event_type,
+                      CAST(SUM(n) // COUNT(*) AS INT) AS g_sample
+               FROM vsurv GROUP BY ALL),
+      fbm AS (SELECT route_type, event_type, CAST(SUM(n) // COUNT(*) AS INT) AS f_sample
+              FROM vsurv GROUP BY ALL),
+      sgm AS (SELECT CAST(SUM(n) // COUNT(*) AS INT) AS s_sample FROM vsurv),
+      grid AS (
+        SELECT rt.route_type, rs.route_section, ts.time_slot_id, et.event_type
+        FROM (SELECT UNNEST([0,1,2,3,4,5,6,7,200,1100,1500]) AS route_type) rt
+        CROSS JOIN (SELECT UNNEST(['Beginning','Middle','End']) AS route_section) rs
+        CROSS JOIN (SELECT UNNEST([1,2,3,4,5,6,7,8,9,10,11]) AS time_slot_id) ts
+        CROSS JOIN (SELECT UNNEST([${Codes.EventArrival},${Codes.EventDeparture}]) AS event_type) et),
+      sel AS (
+        SELECT g.route_type, g.route_section, g.time_slot_id, g.event_type,
+               CASE WHEN gm.g_sample IS NOT NULL THEN ${Codes.PrecisionGeneral}
+                    WHEN fm.f_sample IS NOT NULL THEN ${Codes.PrecisionFallbackGeneral}
+                    ELSE ${Codes.PrecisionSuperGeneral} END AS precision_type,
+               COALESCE(gm.g_sample, fm.f_sample, sm.s_sample) AS sample_size
+        FROM grid g
+        LEFT JOIN genm gm ON gm.route_type = g.route_type
+          AND gm.route_section = g.route_section
+          AND gm.time_slot_id = g.time_slot_id AND gm.event_type = g.event_type
+        LEFT JOIN fbm fm ON fm.route_type = g.route_type AND fm.event_type = g.event_type
+        CROSS JOIN sgm sm),
+      gp AS (SELECT * FROM read_parquet('__VOUT__/_aux/dft_gen_pts/*.parquet')),
+      fp AS (SELECT * FROM read_parquet('__VOUT__/_aux/dft_fb_pts/*.parquet')),
+      sp AS (SELECT * FROM read_parquet('__VOUT__/_aux/dft_sg_pts/*.parquet')),
+      pts AS (
+        SELECT s.route_type, s.route_section, s.time_slot_id, s.event_type,
+               s.precision_type, s.sample_size, p.pidx, p.x, p.y
+        FROM sel s JOIN gp p ON s.precision_type = ${Codes.PrecisionGeneral}
+          AND p.route_type = s.route_type AND p.route_section = s.route_section
+          AND p.time_slot_id = s.time_slot_id AND p.event_type = s.event_type
+        UNION ALL
+        SELECT s.route_type, s.route_section, s.time_slot_id, s.event_type,
+               s.precision_type, s.sample_size, p.pidx, p.x, p.y
+        FROM sel s JOIN fp p ON s.precision_type = ${Codes.PrecisionFallbackGeneral}
+          AND p.route_type = s.route_type AND p.event_type = s.event_type
+        UNION ALL
+        SELECT s.route_type, s.route_section, s.time_slot_id, s.event_type,
+               s.precision_type, s.sample_size, p.pidx, p.x, p.y
+        FROM sel s CROSS JOIN sp p WHERE s.precision_type = ${Codes.PrecisionSuperGeneral})
+      SELECT route_type, route_section, time_slot_id, event_type, precision_type,
+             sample_size, pidx AS idx, CAST(x AS DOUBLE) AS x,
+             ROUND(CAST(y AS DOUBLE), 5) AS y
+      FROM pts
+      ORDER BY route_type, route_section, time_slot_id, event_type, idx""",
     "gtfs_general_points_check" -> """
       SELECT CAST(NULL AS VARCHAR) AS route_id, CAST(NULL AS BIGINT) AS route_variant,
              CAST(NULL AS INT) AS event_type, CAST(NULL AS INT) AS time_slot_id,
