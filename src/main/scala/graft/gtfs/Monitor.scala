@@ -256,9 +256,13 @@ object Monitor {
     var curve: Array[CPoint] = Array(CPoint(-30f, 0f), CPoint(30f, 1f))
     var anchor: Double = startEpoch
     var prob: Float = 1f
-    val out = Seq.newBuilder[(Int, String, String, Double, Double, Double)]
+    // each row also carries the component's current relative-time curve —
+    // the journey QUERY drops it, but the oracle aux dump explodes it so the
+    // DuckDB reconstruction can replay the walk convolution's consumers
+    // (median + next transfer) without re-running the X10 recursion
+    val out = Seq.newBuilder[(Int, String, String, Double, Double, Double, Seq[CPoint])]
     out += ((0, "start", "", 1.0,
-      anchor, anchor + Curves.xAtY(curve, 0.5f)))
+      anchor, anchor + Curves.xAtY(curve, 0.5f), curve.toSeq))
 
     legs.zipWithIndex.foreach {
       case (RideLeg(tripId, date, startTime, board, alight), i) =>
@@ -269,15 +273,15 @@ object Monitor {
           predictionAt(tripId, date, startTime, alight, Codes.EventArrival)
         curve = arrCurve; anchor = arrAnchor
         out += ((i + 1, "ride", tripId, (math.rint(prob * 10000) / 10000).toDouble,
-          anchor, anchor + Curves.xAtY(curve, 0.5f)))
+          anchor, anchor + Curves.xAtY(curve, 0.5f), curve.toSeq))
       case (WalkLeg(dist), i) =>
         curve = Curves.convolve(curve, Curves.walkTimeCurve(dist))
         out += ((i + 1, "walk", "", (math.rint(prob * 10000) / 10000).toDouble,
-          anchor, anchor + Curves.xAtY(curve, 0.5f)))
+          anchor, anchor + Curves.xAtY(curve, 0.5f), curve.toSeq))
     }
     out.result()
       .toDF("component_idx", "kind", "trip_id", "reach_prob",
-        "anchor_epoch", "median_epoch")
+        "anchor_epoch", "median_epoch", "curve")
       .withColumn("anchor_epoch", round(col("anchor_epoch"), 2))
       .withColumn("median_epoch", round(col("median_epoch"), 2))
       .orderBy("component_idx")

@@ -114,15 +114,22 @@ object MonitorPack extends QueryPack {
 
   /** Journey-context stop page (F8): arriving at Stop 2 around 07:55 with a
     * ±60 s arrival curve, which departures are catchable with ≥5 % chance. */
+  // shared between the transfer-page query and its oracle's aux dump: the
+  // assumed arrival curve at the platform group and its absolute anchor
+  private val TransferArrCurve =
+    Array(graft.curves.CPoint(-60f, 0f), graft.curves.CPoint(60f, 1f))
+  private def transferArrivalEpoch(s: SparkSession): Double = s.sql(
+    "SELECT unix_timestamp(to_timestamp('2024-03-04 07:55:00'))").head.getLong(0).toDouble
+
   private def stopPageTransfer(s: SparkSession, dir: String): DataFrame =
     cached(s, "stop_page_transfer") {
       val (sched, preds) = GtfsPack.predictionState(s)
-      val arrivalEpoch = s.sql(
-        "SELECT unix_timestamp(to_timestamp('2024-03-04 07:55:00'))").head.getLong(0).toDouble
       Monitor.stopPageWithArrival(s, preds, sched, "Stop 2",
         "2024-03-04 00:00:00", "2024-03-05 00:00:00",
-        Array(graft.curves.CPoint(-60f, 0f), graft.curves.CPoint(60f, 1f)),
-        arrivalEpoch)
+        TransferArrCurve, transferArrivalEpoch(s))
+        .withColumn("median_epoch", round(col("median_ts").cast("double"), 4))
+        .drop("median_ts")
+        .orderBy("median_epoch", "trip_id")
     }
 
   /** Trip page for fixture trip T1 (departs 08:00:30 → trip_start_time
@@ -141,7 +148,7 @@ object MonitorPack extends QueryPack {
   /** 3-leg fixture journey: S1 →(T1)→ S3 →(walk ~260 m)→ S4 →(T1sub)→ S5.
     * T1sub departs S4 at 10:10:30, ~2 h after T1 arrives S3 — the first
     * transfer succeeds with certainty, exercising X10/X11 end to end. */
-  private def journeyQ(s: SparkSession, dir: String): DataFrame =
+  private def journeyFull(s: SparkSession): DataFrame =
     cached(s, "journey") {
       val (sched, preds) = GtfsPack.predictionState(s)
       val start = s.sql("SELECT unix_timestamp(to_timestamp('2024-03-04 07:55:00'))")
@@ -151,6 +158,9 @@ object MonitorPack extends QueryPack {
         Monitor.WalkLeg(261f),
         Monitor.RideLeg("T1sub", "2024-03-04", 10 * 3600 + 30, boardStopSeq = 40, alightStopSeq = 50)))
     }
+
+  private def journeyQ(s: SparkSession, dir: String): DataFrame =
+    journeyFull(s).drop("curve")
 
   /** Probability invariants for the two convolution-bearing queries (X10/X11
     * are procedural — step-discretized convolution with a data-dependent
@@ -207,7 +217,30 @@ object MonitorPack extends QueryPack {
     val walk = Monitor.walkCurves(s, sched.stops, maxDistM = 600.0)
       .select(col("from_stop"), col("to_stop"),
         to_json(col("walk_curve")).as("curve_json"))
-    Map("pred_rows" -> rows, "pred_points" -> points, "walk_pairs" -> walk)
+    // journey reconstruction inputs: each component's relative-time curve —
+    // the oracle replays the start curve and both ride-arrival curves from
+    // pred_points anyway, but the WALK component's convolved curve (X10's
+    // step-discretized recursion with a data-dependent break) rides along
+    // from here, pinned numerically by CurvesSpec + monitor_prob_check
+    val journeyCurves = journeyFull(s)
+      .select(col("component_idx"), posexplode(col("curve")))
+      .select(col("component_idx"), col("pos").as("pidx"),
+        col("col.x").as("x"), col("col.y").as("y"))
+    // transfer-page reconstruction inputs: the arrival⊕walk convolution per
+    // extended-platform stop (same X10 recursion; the transfer INTEGRAL over
+    // it is fully re-derived in SQL)
+    import s.implicits._
+    val convRows = Monitor.extendedStops(s, sched.stops, "Stop 2", 300.0)
+      .collect().toSeq
+      .flatMap { r =>
+        val (sid, dist) = (r.getString(0), r.getDouble(1))
+        graft.curves.Curves
+          .convolve(TransferArrCurve, graft.curves.Curves.walkTimeCurve(dist.toFloat))
+          .zipWithIndex.map { case (p, i) => (sid, i, p.x, p.y) }
+      }
+    val transferConv = convRows.toDF("stop_id", "pidx", "x", "y")
+    Map("pred_rows" -> rows, "pred_points" -> points, "walk_pairs" -> walk,
+      "journey_curves" -> journeyCurves, "transfer_conv" -> transferConv)
   }
 
   private val PredKeys = Seq("trip_id", "trip_start_date", "trip_start_time",
@@ -263,6 +296,56 @@ object MonitorPack extends QueryPack {
     pq AS (SELECT ${keyList()},
                  $dcols
            FROM quant GROUP BY ${keyList()})"""
+  }
+
+  /** Generic CTE block: f32-emulated piecewise-linear curve evaluation over
+    * `pts`(keys..., pidx, x, y) for every row of `tgt`(keys..., carry...,
+    * tv). Mode "xAtY" = leftmost x reaching y ([[graft.curves.Curves.xAtY]]);
+    * "yAtX" = clamped CDF evaluation ([[graft.curves.Curves.yAtX]]). Emits
+    * `$out`(keys, carry, v) plus `${out}_ends` (first/last points per key).
+    * (keys ++ carry) must identify a target row. Same REAL-cast-per-op f32
+    * emulation and double-rounding caveat as [[quantCtes]]. */
+  private def interpCte(out: String, pts: String, keys: Seq[String],
+                        tgt: String, carry: Seq[String], mode: String): String = {
+    val kl = keys.mkString(", ")
+    val partition = if (keys.isEmpty) "" else s"PARTITION BY $kl "
+    val groupBy = if (keys.isEmpty) "" else s"GROUP BY $kl"
+    val tCols = (keys ++ carry).map(c => s"t.$c").mkString(", ")
+    val outCols = keys ++ carry
+    val joinTG = if (keys.isEmpty) "1 = 1" else keys.map(k => s"g.$k = t.$k").mkString(" AND ")
+    val joinTE = if (keys.isEmpty) "1 = 1" else keys.map(k => s"e.$k = t.$k").mkString(" AND ")
+    val joinTC = outCols.map(k => s"c.$k = t.$k").mkString(" AND ")
+    // the chosen segment always has py < tv <= y (xAtY) / px < tv <= x
+    // (yAtX) — the leftmost-match rule plus the clamp cases make the
+    // denominator strictly positive, exactly as in the Scala scan
+    val cond = if (mode == "xAtY") "g.y >= t.tv" else "g.pidx >= 1 AND g.x >= t.tv"
+    val interp =
+      if (mode == "xAtY")
+        """CAST(g.px + CAST(CAST(g.x - g.px AS REAL)
+           * CAST(CAST(t.tv - g.py AS REAL) / CAST(g.y - g.py AS REAL) AS REAL)
+           AS REAL) AS REAL)"""
+      else
+        """CASE WHEN g.x = g.px THEN g.y ELSE
+           CAST(g.py + CAST(CAST(g.y - g.py AS REAL)
+           * CAST(CAST(t.tv - g.px AS REAL) / CAST(g.x - g.px AS REAL) AS REAL)
+           AS REAL) AS REAL) END"""
+    val clampLo = if (mode == "xAtY") "t.tv <= e.fy THEN e.fx" else "t.tv <= e.fx THEN e.fy"
+    val clampHi = if (mode == "xAtY") "t.tv >= e.ly THEN e.lx" else "t.tv >= e.lx THEN e.ly"
+    s"""
+    ${out}_ends AS (SELECT ${if (keys.isEmpty) "1 AS __k" else kl},
+                           MIN_BY(x, pidx) AS fx, MIN_BY(y, pidx) AS fy,
+                           MAX_BY(x, pidx) AS lx, MAX_BY(y, pidx) AS ly
+                    FROM $pts $groupBy),
+    ${out}_seg AS (SELECT *, LAG(x) OVER w AS px, LAG(y) OVER w AS py
+                   FROM $pts WINDOW w AS (${partition}ORDER BY pidx)),
+    ${out}_cand AS (SELECT $tCols, t.tv, $interp AS v,
+                           ROW_NUMBER() OVER (PARTITION BY $tCols ORDER BY g.pidx) AS rn
+                    FROM $tgt t JOIN ${out}_seg g ON $joinTG AND $cond),
+    $out AS (SELECT $tCols, t.tv,
+                    CASE WHEN $clampLo WHEN $clampHi ELSE c.v END AS v
+             FROM $tgt t
+             JOIN ${out}_ends e ON $joinTE
+             LEFT JOIN ${out}_cand c ON $joinTC AND c.rn = 1)"""
   }
 
   private val RouteTypeLabelCase = """CASE r.route_type
@@ -404,6 +487,178 @@ object MonitorPack extends QueryPack {
       FROM nl LEFT JOIN read_parquet('__VOUT__/_aux/sched_routes/*.parquet') r
         ON r.route_id = nl.route_id
       ORDER BY median_epoch, nl.trip_id""",
+    // F8/X11 full-row reconstruction: the whole stop page re-derived as in
+    // monitor_stop_page (window trim, W6 realtime preference, F7, labels)
+    // with the platform-group DISTANCE kept, then the transfer probability
+    // integral (time_curve.rs:18-32) replayed in SQL — 100 arrival
+    // percentiles through the arrival⊕walk curve (xAtY), each evaluated
+    // against the departure CDF (yAtX), summed and complemented — and the
+    // F8 ≥5 % gate applied to the rounded value. Only the convolved
+    // arrival⊕walk curve itself (X10's recursion) comes from the
+    // transfer_conv dump.
+    "monitor_stop_page_transfer" -> s"""
+      WITH $quantCtes,
+      pr AS (SELECT * FROM read_parquet('__VOUT__/_aux/pred_rows/*.parquet')),
+      st AS (SELECT * FROM read_parquet('__VOUT__/_aux/sched_stops/*.parquet')),
+      named AS (SELECT stop_lat AS a_lat, stop_lon AS a_lon FROM st
+                WHERE stop_name = 'Stop 2'),
+      ext AS (SELECT s.stop_id, MIN(${Geo.duckDbHaversineSql("named.a_lat",
+                "named.a_lon", "s.stop_lat", "s.stop_lon")}) AS dist_m
+              FROM st s CROSS JOIN named
+              WHERE ${Geo.duckDbHaversineSql("named.a_lat", "named.a_lon",
+                "s.stop_lat", "s.stop_lon")} < 300.0
+              GROUP BY s.stop_id),
+      win AS (SELECT epoch(TIMESTAMP '2024-03-04 00:00:00') AS ws,
+                     epoch(TIMESTAMP '2024-03-05 00:00:00') AS we),
+      ov AS (SELECT pr.*, ext.dist_m FROM pr
+             JOIN ext ON ext.stop_id = pr.stop_id CROSS JOIN win
+             WHERE pr.event_type = 2 AND pr.min_epoch < win.we
+               AND pr.max_epoch > win.ws),
+      q AS (SELECT ov.*, pq.d5, pq.d50, pq.d95,
+                   ov.min_epoch - ROUND(e.fx, 6) AS anchor
+            FROM ov
+            JOIN pq ON ${keyJoin("pq", "ov")}
+            JOIN ends e ON ${keyJoin("e", "ov")}),
+      f6 AS (SELECT q.* FROM q CROSS JOIN win
+             WHERE anchor + ROUND(d5, 6) < win.we
+               AND anchor + ROUND(d95, 6) > win.ws),
+      w6 AS (SELECT *, MAX(CASE WHEN origin_type = 1 THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY route_id, trip_start_date,
+                                            trip_start_time) AS has_rt
+             FROM f6),
+      w6f AS (SELECT * FROM w6 WHERE has_rt = 0 OR origin_type = 1),
+      last AS (SELECT trip_id, MAX(stop_sequence) AS last_seq
+               FROM read_parquet('__VOUT__/_aux/sched_stop_times/*.parquet')
+               GROUP BY trip_id),
+      nl AS (SELECT w.* FROM w6f w JOIN last l ON l.trip_id = w.trip_id
+             WHERE w.stop_sequence < l.last_seq),
+      cpts AS (SELECT stop_id, pidx, x::DOUBLE AS x, y::DOUBLE AS y
+               FROM read_parquet('__VOUT__/_aux/transfer_conv/*.parquet')),
+      pct AS (SELECT UNNEST(generate_series(0, 99)) AS p),
+      ct AS (SELECT c.stop_id, pct.p,
+                    CAST(CAST(pct.p AS REAL) / CAST(100 AS REAL) AS REAL) AS tv
+             FROM (SELECT DISTINCT stop_id FROM cpts) c CROSS JOIN pct),
+      ${interpCte("cx", "cpts", Seq("stop_id"), "ct", Seq("p"), "xAtY")},
+      dpp AS (SELECT ${keyList()}, idx AS pidx, x, y FROM pp),
+      dt AS (SELECT ${keyList("n")}, c.p,
+                    CAST(epoch(TIMESTAMP '2024-03-04 07:55:00') + c.v
+                         - (FLOOR(n.min_epoch) - e.fx) AS REAL) AS tv
+             FROM nl n
+             JOIN ends e ON ${keyJoin("e", "n")}
+             JOIN cx c ON c.stop_id = n.stop_id),
+      ${interpCte("dv", "dpp", PredKeys, "dt", Seq("p"), "yAtX")},
+      tp AS (SELECT ${keyList()},
+                    ROUND(1.0 - SUM(CAST(CAST(v AS REAL) / CAST(100 AS REAL) AS REAL)),
+                          4) AS transfer_prob
+             FROM dv GROUP BY ${keyList()})
+      SELECT nl.route_id, r.route_short_name,
+             $RouteTypeLabelCase AS route_type_label,
+             nl.trip_id, nl.stop_sequence,
+             printf('%+d', CAST(TRUNC(d50) AS INT)) AS delay_label,
+             nl.precision_type, nl.origin_type, nl.sample_size,
+             ROUND(nl.dist_m, 1) AS dist_m, tp.transfer_prob,
+             ROUND(anchor + ROUND(d50, 6), 4) AS median_epoch
+      FROM nl
+      JOIN tp ON ${keyJoin("tp", "nl")}
+      LEFT JOIN read_parquet('__VOUT__/_aux/sched_routes/*.parquet') r
+        ON r.route_id = nl.route_id
+      WHERE tp.transfer_prob >= 0.05
+      ORDER BY median_epoch, nl.trip_id""",
+    // X10/X11 journey composition re-derived leg by leg: the start curve and
+    // both ride predictions come from the pred dumps; transfer reach
+    // probabilities are the full 100-percentile integral in SQL; anchors are
+    // FLOOR(min_epoch) − first-point-x exactly as Monitor.journey's
+    // unix_timestamp re-anchoring; medians are xAtY(curve, 0.5). Only the
+    // walk component's convolved curve (X10) rides along from the
+    // journey_curves dump.
+    "monitor_journey" -> s"""
+      WITH jc AS (SELECT component_idx, pidx, x::DOUBLE AS x, y::DOUBLE AS y
+                  FROM read_parquet('__VOUT__/_aux/journey_curves/*.parquet')),
+      pp0 AS (SELECT trip_id, trip_start_time, stop_sequence, event_type,
+                     idx AS pidx, x::DOUBLE AS x, y::DOUBLE AS y
+              FROM read_parquet('__VOUT__/_aux/pred_points/*.parquet')
+              WHERE trip_start_date = DATE '2024-03-04'),
+      pr0 AS (SELECT trip_id, trip_start_time, stop_sequence, event_type, min_epoch
+              FROM read_parquet('__VOUT__/_aux/pred_rows/*.parquet')
+              WHERE trip_start_date = DATE '2024-03-04'),
+      xpts AS (
+        SELECT 'j0' AS src, pidx, x, y FROM jc WHERE component_idx = 0
+        UNION ALL SELECT 'j2', pidx, x, y FROM jc WHERE component_idx = 2
+        UNION ALL SELECT 'arr1', pidx, x, y FROM pp0
+          WHERE trip_id = 'T1' AND trip_start_time = 28830
+            AND stop_sequence = 30 AND event_type = 1
+        UNION ALL SELECT 'arr2', pidx, x, y FROM pp0
+          WHERE trip_id = 'T1sub' AND trip_start_time = 36030
+            AND stop_sequence = 50 AND event_type = 1),
+      pct AS (SELECT UNNEST(generate_series(0, 99)) AS p),
+      xt AS (
+        SELECT s.src, pct.p,
+               CAST(CAST(pct.p AS REAL) / CAST(100 AS REAL) AS REAL) AS tv
+        FROM pct CROSS JOIN (SELECT UNNEST(['j0', 'j2']) AS src) s
+        UNION ALL
+        SELECT s.src, -1 AS p, CAST(0.5 AS REAL) AS tv
+        FROM (SELECT UNNEST(['j0', 'j2', 'arr1', 'arr2']) AS src) s),
+      ${interpCte("xv", "xpts", Seq("src"), "xt", Seq("p"), "xAtY")},
+      anchors AS (SELECT
+        epoch(TIMESTAMP '2024-03-04 07:55:00') AS a0,
+        (SELECT FLOOR(r.min_epoch) - e.fx FROM pr0 r, xv_ends e
+          WHERE r.trip_id = 'T1' AND r.trip_start_time = 28830
+            AND r.stop_sequence = 30 AND r.event_type = 1 AND e.src = 'arr1') AS a1,
+        (SELECT FLOOR(r.min_epoch) - e.fx FROM pr0 r, xv_ends e
+          WHERE r.trip_id = 'T1sub' AND r.trip_start_time = 36030
+            AND r.stop_sequence = 50 AND r.event_type = 1 AND e.src = 'arr2') AS a3),
+      dpts AS (
+        SELECT 'dep1' AS src, pidx, x, y FROM pp0
+          WHERE trip_id = 'T1' AND trip_start_time = 28830
+            AND stop_sequence = 10 AND event_type = 2
+        UNION ALL SELECT 'dep2', pidx, x, y FROM pp0
+          WHERE trip_id = 'T1sub' AND trip_start_time = 36030
+            AND stop_sequence = 40 AND event_type = 2),
+      danch AS (SELECT
+        (SELECT FLOOR(min_epoch) FROM pr0 WHERE trip_id = 'T1'
+          AND trip_start_time = 28830 AND stop_sequence = 10 AND event_type = 2)
+        - (SELECT MIN_BY(x, pidx) FROM dpts WHERE src = 'dep1') AS da1,
+        (SELECT FLOOR(min_epoch) FROM pr0 WHERE trip_id = 'T1sub'
+          AND trip_start_time = 36030 AND stop_sequence = 40 AND event_type = 2)
+        - (SELECT MIN_BY(x, pidx) FROM dpts WHERE src = 'dep2') AS da2),
+      dt AS (
+        SELECT 'dep1' AS src, xv.p,
+               CAST(a.a0 + xv.v - d.da1 AS REAL) AS tv
+        FROM xv, anchors a, danch d WHERE xv.src = 'j0' AND xv.p >= 0
+        UNION ALL
+        SELECT 'dep2', xv.p, CAST(a.a1 + xv.v - d.da2 AS REAL)
+        FROM xv, anchors a, danch d WHERE xv.src = 'j2' AND xv.p >= 0),
+      ${interpCte("dv", "dpts", Seq("src"), "dt", Seq("p"), "yAtX")},
+      totals AS (SELECT src,
+                        SUM(CAST(CAST(v AS REAL) / CAST(100 AS REAL) AS REAL)) AS miss
+                 FROM dv GROUP BY src),
+      probs AS (SELECT
+        (SELECT 1.0 - miss FROM totals WHERE src = 'dep1') AS p1,
+        (SELECT (1.0 - (SELECT miss FROM totals WHERE src = 'dep1'))
+              * (1.0 - (SELECT miss FROM totals WHERE src = 'dep2'))) AS p3),
+      meds AS (SELECT
+        (SELECT v FROM xv WHERE src = 'j0' AND p = -1) AS m0x,
+        (SELECT v FROM xv WHERE src = 'arr1' AND p = -1) AS m1x,
+        (SELECT v FROM xv WHERE src = 'j2' AND p = -1) AS m2x,
+        (SELECT v FROM xv WHERE src = 'arr2' AND p = -1) AS m3x)
+      SELECT * FROM (
+        SELECT 0 AS component_idx, 'start' AS kind, '' AS trip_id,
+               1.0 AS reach_prob, ROUND(a.a0, 2) AS anchor_epoch,
+               ROUND(a.a0 + m.m0x, 2) AS median_epoch
+        FROM anchors a, meds m
+        UNION ALL
+        SELECT 1, 'ride', 'T1', ROUND(pb.p1, 4), ROUND(a.a1, 2),
+               ROUND(a.a1 + m.m1x, 2)
+        FROM anchors a, meds m, probs pb
+        UNION ALL
+        SELECT 2, 'walk', '', ROUND(pb.p1, 4), ROUND(a.a1, 2),
+               ROUND(a.a1 + m.m2x, 2)
+        FROM anchors a, meds m, probs pb
+        UNION ALL
+        SELECT 3, 'ride', 'T1sub', ROUND(pb.p3, 4), ROUND(a.a3, 2),
+               ROUND(a.a3 + m.m3x, 2)
+        FROM anchors a, meds m, probs pb)
+      ORDER BY component_idx""",
     // X9 pairs re-derived by plain all-pairs haversine (the Spark side uses
     // the grid-bucketed join); curves via the walk_pairs lookup — LEFT join,
     // so a pair the Spark side missed still surfaces as a row diff.
