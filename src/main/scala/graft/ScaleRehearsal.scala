@@ -143,35 +143,43 @@ object ScaleRehearsal {
 
     if (mode == "docs") {
       // ---- training-data pipeline ops at corpus scale ----
+      // SPARK_GRAFT_SR_OPS: comma-separated subset to run (default all) —
+      // lets a 10M-doc run exercise just clusters/packing without paying for
+      // the whole dedup family at 10x size
+      val opsEnv = sys.env.get("SPARK_GRAFT_SR_OPS")
+        .map(_.split(",").map(_.trim).toSet)
+      def wanted(name: String): Boolean = opsEnv.forall(_.contains(name))
       val docsDir = java.nio.file.Files.createTempDirectory("sr_docs").toString + "/documents"
       syntheticDocs(spark, nDocs).write.mode("overwrite").parquet(docsDir)
       val docs = spark.read.parquet(docsDir)
       println(f"[scale] documents: rows=${docs.count()} parquet=${
         new java.io.File(docsDir).listFiles().map(_.length).sum / 1e6}%.0fMB")
-      runTimed("dedup_exact")(graft.ops.Dedup.exact(docs).count())
-      val sh = graft.ops.Dedup.shingles(docs, "doc_id", "text", 3, 100).cache()
-      runTimed("shingle_index")(sh.count())
-      runTimed("minhash_lsh")(
+      if (wanted("dedup_exact"))
+        runTimed("dedup_exact")(graft.ops.Dedup.exact(docs).count())
+      lazy val sh = graft.ops.Dedup.shingles(docs, "doc_id", "text", 3, 100).cache()
+      if (wanted("shingle_index")) runTimed("shingle_index")(sh.count())
+      if (wanted("minhash_lsh")) runTimed("minhash_lsh")(
         graft.ops.Dedup.minhashLshFromShingles(sh, 32, 8, 0.5).count())
-      runTimed("simhash")(graft.ops.Dedup.simhashPairs(docs, 3).count())
-      val pairs = graft.ops.Dedup.ngramJaccardFromShingles(sh, 0.5).cache()
-      runTimed("ngram_pairs")(pairs.count())
-      runTimed("clusters")(
+      if (wanted("simhash"))
+        runTimed("simhash")(graft.ops.Dedup.simhashPairs(docs, 3).count())
+      lazy val pairs = graft.ops.Dedup.ngramJaccardFromShingles(sh, 0.5).cache()
+      if (wanted("ngram_pairs")) runTimed("ngram_pairs")(pairs.count())
+      if (wanted("clusters")) runTimed("clusters")(
         graft.ops.Dedup.clusters(docs, pairs).filter(!col("is_kept")).count())
-      runTimed("sample_split")(
+      if (wanted("sample_split")) runTimed("sample_split")(
         graft.ops.Sampling.assign(docs,
           graft.ops.TextAnalysis.langIdCol(col("text")), Map("en" -> 40), 100)
           .filter(col("sampled")).count())
-      runTimed("vocabulary")(
+      if (wanted("vocabulary")) runTimed("vocabulary")(
         graft.ops.TextAnalysis.vocabulary(docs, 100).count())
-      runTimed("pack_sequences")(
+      if (wanted("pack_sequences")) runTimed("pack_sequences")(
         graft.ops.Packing.concatChunkPack(docs, budget = 2048)
           .filter(col("straddles")).count())
       // the full curation chain (language/quality/repetition gates, near-dup
       // collapse, decontamination vs a 1/97 benchmark slice, stratified
       // sample) composed over the cached pair set — the pipeline_curate
       // query's shape at corpus scale
-      runTimed("pipeline_curate") {
+      if (wanted("pipeline_curate")) runTimed("pipeline_curate") {
         import graft.ops.{Dedup, Sampling, TextAnalysis}
         val kept = Dedup.clusters(docs, pairs).filter(col("is_kept")).select("doc_id")
         val contaminated = Dedup.contamination(

@@ -224,6 +224,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.count(_._4) == 3, "one kept representative per cluster")
   }
 
+  test("clusters converge on a chain far longer than maxIters (path halving)") {
+    // a 200-node path has diameter 199 — one-hop-per-round propagation
+    // would exhaust maxIters = 25 and (before round 5) silently return
+    // unconverged labels; pointer doubling needs only ~log2(200) rounds
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val corpus = (0L until 200L).toDF("doc_id")
+    val out = Dedup.clusters(corpus, chain).collect()
+    assert(out.forall(_.getLong(1) == 0L), "whole chain labels to node 0")
+    assert(out.count(_.getBoolean(3)) == 1, "exactly one kept exemplar")
+  }
+
+  test("simhash banding finds every pair up to the Hamming-3 guarantee") {
+    // signatures of a doc and its 3-bit-flipped copy differ in exactly 3
+    // bits only if the flipped tokens flip 3 independent signature bits —
+    // instead, verify the guarantee directly on the planted corpus: every
+    // all-pairs Hamming <= 3 pair of signatures must appear in the banded
+    // candidate output (the DuckDB oracle re-checks this at sf0.01; this
+    // pins it in-process on the planted near-dup corpus)
+    val sigs = Dedup.simhashSignatures(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "planted corpus must contain Hamming<=3 pairs")
+    assert(got == want, s"banding recall mismatch: missing ${want -- got}, extra ${got -- want}")
+  }
+
   test("clusters equal union-find on random graphs (seeded property sweep)") {
     // long chains, cliques, stars, isolated nodes — all shapes in one sweep
     for (seed <- 0 until 8) {
