@@ -47,14 +47,51 @@ object MediaCodec {
   private val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  /** Header-valid PNG: signature, IHDR (8-bit truecolor), one IDAT carrying
-    * `content`, IEND. CRCs are zeroed (not validated by header parsing). */
-  def pngBytes(width: Int, height: Int, content: Array[Byte]): Array[Byte] =
+  private def crc32(tag: String, data: Array[Byte]): Array[Byte] = {
+    val c = new java.util.zip.CRC32
+    c.update(tag.getBytes("ISO-8859-1"))
+    c.update(data)
+    be32(c.getValue.toInt)
+  }
+
+  private def chunk(tag: String, data: Array[Byte]): Array[Byte] =
+    be32(data.length) ++ tag.getBytes("ISO-8859-1") ++ data ++ crc32(tag, data)
+
+  /** REAL PNG: signature, IHDR (8-bit truecolor), a zlib-deflated IDAT of
+    * filter-0 scanlines whose channel bytes cycle through `content`
+    * row-major, IEND — all chunks with genuine CRC32s. Empty content emits
+    * an empty IDAT (such assets are skipped downstream, as a real pipeline
+    * skips zero-byte blobs). */
+  def pngBytes(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+    val idat: Array[Byte] =
+      if (content.isEmpty) Array.emptyByteArray
+      else {
+        val stride = 1 + width * 3
+        val raw = new Array[Byte](height * stride)
+        var k = 0 // global pixel-channel index
+        var y = 0
+        while (y < height) {
+          raw(y * stride) = 0 // filter type 0 (None)
+          var i = 1
+          while (i < stride) {
+            raw(y * stride + i) = content(k % content.length)
+            k += 1; i += 1
+          }
+          y += 1
+        }
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        val out = new java.io.ByteArrayOutputStream()
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end()
+        out.toByteArray
+      }
     PngSig ++
-      be32(13) ++ "IHDR".getBytes ++ be32(width) ++ be32(height) ++
-      Array[Byte](8, 2, 0, 0, 0) ++ be32(0) ++
-      be32(content.length) ++ "IDAT".getBytes ++ content ++ be32(0) ++
-      be32(0) ++ "IEND".getBytes ++ be32(0)
+      chunk("IHDR", be32(width) ++ be32(height) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
 
   /** (width, height, bitDepth) from the PNG signature + IHDR. */
   def parsePng(b: Array[Byte]): Option[(Int, Int, Int)] =
@@ -133,18 +170,59 @@ object MediaCodec {
     }
   }
 
-  /** First IDAT chunk's raw bytes, by walking the PNG chunk list (NOT a
-    * fixed offset — robust to extra ancillary chunks before IDAT). */
+  /** All IDAT chunks' bytes concatenated, by walking the PNG chunk list
+    * (NOT a fixed offset — robust to ancillary chunks and split IDATs). */
   def pngIdat(b: Array[Byte]): Option[Array[Byte]] = {
     if (!parsePng(b).isDefined) return None
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    var found = false
     var o = 8
     while (o + 8 <= b.length) {
       val len = rbe32(b, o)
-      if (len < 0 || o + 8 + len > b.length) return None
-      if (tag(b, o + 4) == "IDAT") return Some(b.slice(o + 8, o + 8 + len))
+      if (len < 0 || o + 8 + len > b.length) return if (found) Some(out.toArray) else None
+      if (tag(b, o + 4) == "IDAT") { found = true; out ++= b.slice(o + 8, o + 8 + len) }
       o += 8 + len + 4 // len + tag + data + crc
     }
-    None
+    if (found) Some(out.toArray) else None
+  }
+
+  /** Decompressed pixel-channel bytes (h·w·3 for 8-bit truecolor): inflate
+    * the concatenated IDAT zlib stream and strip the per-scanline filter
+    * byte. Only filter type 0 is decoded (the only one this engine writes);
+    * anything else — wrong stream length, bad zlib data, unsupported
+    * filter — returns None rather than failing the task. */
+  def pngPixels(b: Array[Byte]): Option[Array[Byte]] = {
+    for {
+      (w, h, _) <- parsePng(b)
+      idat <- pngIdat(b)
+      if idat.nonEmpty && w > 0 && h > 0
+      raw <- try {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat)
+        val stride = 1 + w * 3
+        val out = new Array[Byte](h * stride)
+        var off = 0
+        var stalled = false
+        while (off < out.length && !inf.finished() && !stalled) {
+          val n = inf.inflate(out, off, out.length - off)
+          if (n == 0 && inf.needsInput()) stalled = true else off += n
+        }
+        inf.end()
+        if (off == out.length) Some(out) else None
+      } catch { case _: java.util.zip.DataFormatException => None }
+      pixels <- {
+        val stride = 1 + w * 3
+        var y = 0
+        var filtersOk = true
+        val px = new Array[Byte](h * w * 3)
+        while (y < h && filtersOk) {
+          if (raw(y * stride) != 0) filtersOk = false
+          else System.arraycopy(raw, y * stride + 1, px, y * w * 3, w * 3)
+          y += 1
+        }
+        if (filtersOk) Some(px) else None
+      }
+    } yield pixels
   }
 }
 
@@ -152,11 +230,13 @@ object MediaCodec {
   * as opaque `binary` columns with typed metadata, processed by per-partition
   * batch functions (the Scala analogue of Pandas-UDF `mapInPandas` batches).
   *
-  * The synthesized payloads are REAL container files (PNG / RIFF-WAVE /
-  * ISO-BMFF) and [[decodeFeatures]] parses their actual headers via
-  * [[MediaCodec]] — pixel/sample decompression is the only part a real
-  * codec library would add (none exist in this environment); its byte
-  * histogram stands in for the content embedding. */
+  * The synthesized payloads are REAL container files — the PNG is a fully
+  * valid image (zlib-deflated filter-0 scanlines, genuine chunk CRC32s),
+  * the WAVE/MP4 are header-valid — and [[decodeFeatures]] parses their
+  * actual headers via [[MediaCodec]]; [[resizeImages]] decompresses the
+  * PNG pixel data for real (JDK Inflater). Audio/video SAMPLE decode is
+  * the remaining would-need-a-codec-library step; the byte histogram
+  * stands in for the content embedding. */
 object Multimodal {
 
   /** Deterministic synthetic assets from any (id, text) source — the text
@@ -232,12 +312,10 @@ object Multimodal {
   }
 
   /** Nearest-neighbor image resize over the binary column, batched per
-    * partition. The pixel accessor is the declared stub boundary (no
-    * inflate in this environment): the IDAT payload bytes repeat row-major
-    * across the declared width×height grid — pix(y, x) = content[(y·w + x)
-    * mod len]. Everything around it is the real operator: chunk-walking
-    * IDAT extraction, the (dy·srcH/dstH, dx·srcW/dstW) index math, binary
-    * out, non-image and empty-content assets skipped, scale-out by
+    * partition: chunk-walking IDAT extraction, REAL zlib inflate + filter-0
+    * scanline stripping ([[MediaCodec.pngPixels]]), the (dy·srcH/dstH,
+    * dx·srcW/dstW) index math over the decoded red channel, binary out;
+    * non-image, empty and undecodable assets are skipped; scale-out by
     * partition. Emits summary scalars (byte sum, corner pixels) so the
     * result is oracle-checkable without shipping pixels to the driver. */
   def resizeImages(spark: SparkSession, assets: Dataset[MediaAsset],
@@ -246,7 +324,7 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.flatMap { a =>
         if (a.mime != "image/png") None
-        else MediaCodec.pngIdat(a.payload).filter(_.nonEmpty).map { content =>
+        else MediaCodec.pngPixels(a.payload).filter(_.nonEmpty).map { px =>
           val out = new Array[Byte](dstW * dstH)
           var y = 0
           while (y < dstH) {
@@ -254,7 +332,7 @@ object Multimodal {
             var x = 0
             while (x < dstW) {
               val sx = x * a.width / dstW
-              out(y * dstW + x) = content(((sy * a.width + sx) % content.length))
+              out(y * dstW + x) = px((sy * a.width + sx) * 3) // red channel
               x += 1
             }
             y += 1

@@ -123,10 +123,18 @@ object PipelinePack extends QueryPack {
       .zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
     // raw synthesized containers (payload BLOB + declared dims): the resize
-    // oracle re-derives every output pixel from the hex-dumped payload
+    // oracle re-derives every output pixel from the hex-dumped DECODED
+    // pixel stream (mm_pixels) — the zlib inflate itself is pinned by the
+    // deflate→inflate round-trip test, everything downstream (channel
+    // indexing, nearest-neighbor math, summary scalars) replays in SQL
     val mmAssets = graft.ops.Multimodal
       .synthesizeAssets(s, t(s, dir, "documents")).toDF()
       .select("asset_id", "mime", "payload", "width", "height")
+    val mmPixels = graft.ops.Multimodal
+      .synthesizeAssets(s, t(s, dir, "documents"))
+      .flatMap(a => graft.ops.MediaCodec.pngPixels(a.payload)
+        .filter(_.nonEmpty).map(px => (a.asset_id, px)))
+      .toDF("asset_id", "raw")
     Map(
       "shingles" -> sh.select("doc", "shingle"),
       "minhash_seeded" -> seeded,
@@ -134,7 +142,8 @@ object PipelinePack extends QueryPack {
       "ann_planes" -> planes.toDF("tbl", "plane_idx", "plane"),
       "ivf_centroids" -> ivfCentroids,
       "mm_truth" -> mmTruth,
-      "mm_assets" -> mmAssets)
+      "mm_assets" -> mmAssets,
+      "mm_pixels" -> mmPixels)
   }
 
   // ---- dedup -------------------------------------------------------------
@@ -488,17 +497,19 @@ object PipelinePack extends QueryPack {
     // accessor and nearest-neighbor index math mirror Multimodal.resizeImages
     "mm_resize" -> """
       WITH a AS (
-        SELECT asset_id, width AS sw, height AS sh, hex(payload) AS hx,
-               (octet_length(payload) - 57)::BIGINT AS clen
+        SELECT asset_id, width AS sw, height AS sh
         FROM read_parquet('__VOUT__/_aux/mm_assets/*.parquet')
-        WHERE mime = 'image/png' AND octet_length(payload) > 57),
+        WHERE mime = 'image/png'),
+      p AS (SELECT asset_id, hex(raw) AS hx
+            FROM read_parquet('__VOUT__/_aux/mm_pixels/*.parquet')
+            WHERE octet_length(raw) > 0),
       px AS (
-        SELECT asset_id, sw, sh,
+        SELECT a.asset_id, a.sw, a.sh,
                list_transform(range(64), i ->
-                 ('0x' || substr(hx,
-                    2 * (41 + ((((i // 8) * sh // 8) * sw + ((i % 8) * sw // 8)) % clen)) + 1,
+                 ('0x' || substr(p.hx,
+                    2 * ((((i // 8) * a.sh // 8) * a.sw + ((i % 8) * a.sw // 8)) * 3) + 1,
                     2))::INT) AS b
-        FROM a)
+        FROM a JOIN p USING (asset_id))
       SELECT asset_id, sw AS src_w, sh AS src_h, 8 AS dst_w, 8 AS dst_h,
              list_sum(b)::BIGINT AS byte_sum, b[1] AS first_px, b[64] AS last_px
       FROM px ORDER BY asset_id""",

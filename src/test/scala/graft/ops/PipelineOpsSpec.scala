@@ -501,6 +501,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mimes(0L) == "image/png" && mimes(1L) == "audio/wav" && mimes(2L) == "video/mp4")
   }
 
+  test("png codec: real zlib round-trip, genuine CRCs, corrupt stream rejected") {
+    def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    val content = Array.tabulate(11)(i => (i * 37 + 5).toByte)
+    val b = MediaCodec.pngBytes(5, 3, content)
+    // pixel channels round-trip through deflate→inflate→filter-strip
+    val px = MediaCodec.pngPixels(b).get
+    assert(px.length == 5 * 3 * 3)
+    assert(px.zipWithIndex.forall { case (v, k) => v == content(k % content.length) },
+      "channel bytes cycle through the content")
+    // every chunk carries a genuine CRC32 over tag ++ data
+    var o = 8
+    var checked = 0
+    while (o + 8 <= b.length) {
+      val len = be32(b, o)
+      val c = new java.util.zip.CRC32
+      c.update(b, o + 4, 4 + len)
+      assert(be32(b, o + 8 + len) == c.getValue.toInt, s"CRC of chunk at $o")
+      checked += 1
+      o += 12 + len
+    }
+    assert(checked == 3, "IHDR + IDAT + IEND")
+    // a flipped byte inside the zlib stream must be rejected, not mis-decoded
+    val corrupt = b.clone()
+    corrupt(45) = (corrupt(45) ^ 0x5a).toByte
+    assert(MediaCodec.pngPixels(corrupt).isEmpty
+      || !MediaCodec.pngPixels(corrupt).get.sameElements(px))
+  }
+
   test("image resize: nearest-neighbor on a hand-computed asset; non-images skipped") {
     import spark.implicits._
     val content = Array[Byte](10, 20, 30, 40)
