@@ -20,6 +20,7 @@ object Bench {
     // of name order
     val s0 = System.nanoTime()
     graft.queries.GtfsPack.predictionState(spark)
+    graft.queries.MonitorPack.prewarm(spark)
     val gtfsSetup = (System.nanoTime() - s0) / 1e9
     graft.queries.PipelinePack.prewarm(spark, sfDir)
     val setup = (System.nanoTime() - s0) / 1e9

@@ -18,6 +18,7 @@ final case class MediaFeatures(
     frames_sampled: Int,
     decoded_width: Int, decoded_height: Int,
     sample_rate: Int, decoded_duration_ms: Long,
+    pcm_mean_abs: Double,    // mean |16-bit sample| of decoded PCM (wav; −1 else)
     parse_ok: Boolean)
 
 /** Real header codecs for the three modalities — pure byte parsing, no
@@ -170,6 +171,20 @@ object MediaCodec {
     }
   }
 
+  /** The RIFF `data` chunk's bytes — the raw PCM samples (PCM needs no
+    * codec library; the samples ARE the chunk content). */
+  def wavData(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var o = 12
+    while (o + 8 <= b.length) {
+      val len = rle32(b, o + 4)
+      if (len < 0 || o + 8 + len > b.length) return None
+      if (tag(b, o) == "data") return Some(b.slice(o + 8, o + 8 + len))
+      o += 8 + len + (len & 1)
+    }
+    None
+  }
+
   /** All IDAT chunks' bytes concatenated, by walking the PNG chunk list
     * (NOT a fixed offset — robust to ancillary chunks and split IDATs). */
   def pngIdat(b: Array[Byte]): Option[Array[Byte]] = {
@@ -305,8 +320,20 @@ object Multimodal {
           }
           case _ => (-1, -1, -1, -1L, false)
         }
+        // real sample decode for audio: PCM needs no codec library — read
+        // the data chunk and average the |16-bit LE| amplitudes
+        val pcm = if (a.mime != "audio/wav") -1.0
+          else MediaCodec.wavData(a.payload).filter(_.length >= 2).map { d =>
+            var s = 0L; var i = 0
+            while (i + 1 < d.length) {
+              s += math.abs(((d(i + 1) << 8) | (d(i) & 0xff)).toShort.toLong)
+              i += 2
+            }
+            BigDecimal(s.toDouble / (d.length / 2))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }.getOrElse(-1.0)
         MediaFeatures(a.asset_id, a.mime, a.payload.length, hist, frames,
-          w, h, rate, durMs, ok)
+          w, h, rate, durMs, pcm, ok)
       }
     }
   }

@@ -110,12 +110,29 @@ object PipelinePack extends QueryPack {
           case "audio/wav" => (-1, -1, 8000, a.duration_ms)
           case _           => (-1, -1, -1, a.duration_ms)
         }
+        // encode-time PCM truth from the KNOWN synthesis layout (12-byte
+        // RIFF + 24-byte fmt + 8-byte data header = samples start at 44) —
+        // deliberately NOT the chunk walker the decode side uses, so a
+        // walker bug shows up as a value diff
+        val pcm = if (a.mime != "audio/wav") -1.0 else {
+          val d = a.payload.drop(44)
+          if (d.length < 2) -1.0
+          else {
+            var sum = 0L; var i = 0
+            while (i + 1 < d.length) {
+              sum += math.abs(((d(i + 1) << 8) | (d(i) & 0xff)).toShort.toLong)
+              i += 2
+            }
+            BigDecimal(sum.toDouble / (d.length / 2))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+        }
         (a.asset_id, a.mime, n, frames,
           BigDecimal(f0.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          dw, dh, rate, dur, true)
+          dw, dh, rate, dur, pcm, true)
       }.toDF("asset_id", "mime", "n_bytes", "frames_sampled", "feat_0",
         "decoded_width", "decoded_height", "sample_rate", "decoded_duration_ms",
-        "parse_ok")
+        "pcm_mean_abs", "parse_ok")
     // the fitted IVF coarse quantizer (deterministic: seeded init + DECIMAL
     // mean aggregation) — the ivf oracle re-derives assignment/probing from it
     val ivfCentroids = Similarity
@@ -402,7 +419,7 @@ object PipelinePack extends QueryPack {
       .select(col("asset_id"), col("mime"), col("n_bytes"), col("frames_sampled"),
         round(element_at(col("feature"), 1).cast("double"), 4).as("feat_0"),
         col("decoded_width"), col("decoded_height"), col("sample_rate"),
-        col("decoded_duration_ms"), col("parse_ok"))
+        col("decoded_duration_ms"), col("pcm_mean_abs"), col("parse_ok"))
       .orderBy("asset_id")
   }
 
@@ -555,7 +572,7 @@ object PipelinePack extends QueryPack {
     "mm_features" -> """
       SELECT asset_id, mime, n_bytes, frames_sampled, feat_0,
              decoded_width, decoded_height, sample_rate, decoded_duration_ms,
-             parse_ok
+             pcm_mean_abs, parse_ok
       FROM read_parquet('__VOUT__/_aux/mm_truth/*.parquet')
       ORDER BY asset_id"""
   )
