@@ -25,14 +25,27 @@ object GtfsPack extends QueryPack {
     org.apache.spark.sql.Dataset[SpecificCurveRow],
     org.apache.spark.sql.Dataset[DefaultCurveRow])] = None
 
+  /** Wall seconds of each one-time fixture build phase (filled on first
+    * touch) — Bench reports them in setup_detail so regressions in the
+    * setup ledger are attributable. */
+  val setupTimings = scala.collection.concurrent.TrieMap[String, Double]()
+  private def timed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    setupTimings.put(name, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
   private def pipeline(s: SparkSession): (GtfsSchedule, DataFrame) = synchronized {
     cache match {
       case Some((sess, sched, recs)) if sess eq s => (sched, recs)
       case _ =>
-        val (schedDir, rtDir) = dirs
-        val sched = GtfsSchedule.load(s, schedDir)
-        val recs = Importer.importDirectory(s, rtDir, sched, "graft").cache()
-        recs.count()
+        val (schedDir, rtDir) = timed("fixture_files")(dirs)
+        val sched = timed("schedule_load")(GtfsSchedule.load(s, schedDir))
+        val recs = timed("rt_import") {
+          val r = Importer.importDirectory(s, rtDir, sched, "graft").cache()
+          r.count(); r
+        }
         cache = Some((s, sched, recs))
         (sched, recs)
     }
@@ -45,9 +58,12 @@ object GtfsPack extends QueryPack {
       case Some((sess, sc, dc)) if sess eq s => (sc, dc)
       case _ =>
         val (sched, recs) = pipeline(s)
-        val sc = CurveAnalysis.specificCurves(s, recs, sched).cache()
-        val dc = CurveAnalysis.defaultCurves(s, recs, sched).cache()
-        sc.count(); dc.count()
+        val sc = timed("specific_curves") {
+          val d = CurveAnalysis.specificCurves(s, recs, sched).cache(); d.count(); d
+        }
+        val dc = timed("default_curves") {
+          val d = CurveAnalysis.defaultCurves(s, recs, sched).cache(); d.count(); d
+        }
         curveCache = Some((s, sc, dc))
         (sc, dc)
     }
@@ -108,8 +124,10 @@ object GtfsPack extends QueryPack {
       case Some((sess, p)) if sess eq s => (sched, p)
       case _ =>
         val (sc, dc) = curves(s)
-        val p = Predictor.batchPredict(s, sched, "2024-03-04", "graft", sc, dc).cache()
-        p.count()
+        val p = timed("batch_predict") {
+          val d = Predictor.batchPredict(s, sched, "2024-03-04", "graft", sc, dc).cache()
+          d.count(); d
+        }
         predCache = Some((s, p))
         (sched, p)
     }
