@@ -26,7 +26,11 @@ object Explain {
       "ann_lsh_recall", "gtfs_visual_schedule", "gtfs_file_stats",
       "monitor_trip_page", "ann_ivf_topk", "gtfs_predictions_realtime",
       "dedup_embedding", "sample_split", "text_vocab", "text_bigrams",
-      "text_common_ratio", "corpus_report", "pipeline_curate")
+      "text_common_ratio", "corpus_report", "pipeline_curate",
+      // round-5 reshaped queries: rebanded SimHash, un-hinted MinHash,
+      // memoized curate→pack, exploded curve tables, real-codec resize
+      "dedup_simhash", "dedup_minhash_lsh", "pipeline_curate_pack",
+      "gtfs_specific_curves", "gtfs_default_curves", "mm_resize")
 
     audit.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

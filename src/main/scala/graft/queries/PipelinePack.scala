@@ -67,10 +67,20 @@ object PipelinePack extends QueryPack {
     * two near-dup pair sets and the three ANN top-k lists — each consumed
     * by at least two queries (pairs + clusters + the LSH-vs-exact
     * invariant; every top-k by its result query AND its recall check). */
+  /** Wall seconds per prewarm phase (same role as GtfsPack.setupTimings). */
+  val setupTimings = scala.collection.concurrent.TrieMap[String, Double]()
+  private def timed(name: String)(f: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    f
+    setupTimings.put(name, (System.nanoTime() - t0) / 1e9)
+  }
+
   def prewarm(s: SparkSession, dir: String): Unit = {
-    shingles(s, dir); ngramPairs(s, dir); lshPairs(s, dir)
-    bruteTopk(s, dir); lshTopk(s, dir); ivfTopk(s, dir)
-    curatedDocs(s, dir); ()
+    timed("shingle_idx")(shingles(s, dir))
+    timed("ngram_pairs")(ngramPairs(s, dir))
+    timed("lsh_pairs")(lshPairs(s, dir))
+    timed("ann_topk") { bruteTopk(s, dir); lshTopk(s, dir); ivfTopk(s, dir) }
+    timed("curate")(curatedDocs(s, dir))
   }
 
   /** Aux inputs for the outDir-based DuckDB oracles (written by Verify under
