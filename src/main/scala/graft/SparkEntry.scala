@@ -8,8 +8,9 @@ import graft.queries._
   * Queries are contributed by packs (graft.queries.*), one entry per
   * implemented operator from SURVEY.md §2 plus the training-data-pipeline
   * operators. `oracleSql` carries DuckDB-runnable equivalents for the
-  * driver's correctness gate; packs omit entries only for queries whose
-  * semantics are not SQL-expressible (those get a rows-only check).
+  * driver's correctness gate — as of round 5 every query has one (the
+  * non-SQL-expressible recursions ride along as aux dumps; everything
+  * around them is re-derived in SQL).
   */
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
