@@ -529,6 +529,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     corrupt(45) = (corrupt(45) ^ 0x5a).toByte
     assert(MediaCodec.pngPixels(corrupt).isEmpty
       || !MediaCodec.pngPixels(corrupt).get.sameElements(px))
+    // and NO corruption anywhere may throw — a decode over untrusted blobs
+    // returns None, never fails the task
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until 50) {
+      val c = b.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt().toByte
+      MediaCodec.pngPixels(c)       // must not throw
+      MediaCodec.parsePng(c)
+      MediaCodec.pngIdat(c)
+    }
+    for (cut <- Seq(0, 7, 12, 33, b.length - 1))
+      MediaCodec.pngPixels(b.take(cut)) // truncations must not throw
   }
 
   test("image resize: nearest-neighbor on a hand-computed asset; non-images skipped") {
