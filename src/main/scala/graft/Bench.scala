@@ -18,13 +18,26 @@ object Bench {
     // index) is built BEFORE timing and reported as a separate `setup`
     // metric — per-query numbers reflect marginal cost, not accounting luck
     // of name order
+    // the GTFS chain (fixtures → curves → predictions → monitor pages) and
+    // the document chain (shingle index → pairs/ANN/curate) are independent —
+    // run them concurrently; `setup` is the concurrent wall, the two chain
+    // figures are in-thread walls that overlap (so they sum past `setup`)
     val s0 = System.nanoTime()
-    graft.queries.GtfsPack.predictionState(spark)
-    graft.queries.MonitorPack.prewarm(spark)
-    val gtfsSetup = (System.nanoTime() - s0) / 1e9
-    graft.queries.PipelinePack.prewarm(spark, sfDir)
+    var gtfsSetup = 0.0
+    var shingleSetup = 0.0
+    graft.queries.Par.all(
+      "gtfs" -> (() => {
+        val t0 = System.nanoTime()
+        graft.queries.GtfsPack.predictionState(spark)
+        graft.queries.MonitorPack.prewarm(spark)
+        gtfsSetup = (System.nanoTime() - t0) / 1e9
+      }),
+      "docs" -> (() => {
+        val t0 = System.nanoTime()
+        graft.queries.PipelinePack.prewarm(spark, sfDir)
+        shingleSetup = (System.nanoTime() - t0) / 1e9
+      }))
     val setup = (System.nanoTime() - s0) / 1e9
-    val shingleSetup = setup - gtfsSetup
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

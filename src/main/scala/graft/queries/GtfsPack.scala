@@ -58,12 +58,17 @@ object GtfsPack extends QueryPack {
       case Some((sess, sc, dc)) if sess eq s => (sc, dc)
       case _ =>
         val (sched, recs) = pipeline(s)
-        val sc = timed("specific_curves") {
-          val d = CurveAnalysis.specificCurves(s, recs, sched).cache(); d.count(); d
-        }
-        val dc = timed("default_curves") {
-          val d = CurveAnalysis.defaultCurves(s, recs, sched).cache(); d.count(); d
-        }
+        // the two curve tables read the same cached records independently —
+        // build them on parallel threads (join() publishes the vars)
+        var sc: org.apache.spark.sql.Dataset[SpecificCurveRow] = null
+        var dc: org.apache.spark.sql.Dataset[DefaultCurveRow] = null
+        Par.all(
+          "specific_curves" -> (() => sc = timed("specific_curves") {
+            val d = CurveAnalysis.specificCurves(s, recs, sched).cache(); d.count(); d
+          }),
+          "default_curves" -> (() => dc = timed("default_curves") {
+            val d = CurveAnalysis.defaultCurves(s, recs, sched).cache(); d.count(); d
+          }))
         curveCache = Some((s, sc, dc))
         (sc, dc)
     }

@@ -19,6 +19,23 @@ trait QueryPack {
   def oracles: Map[String, String]
 }
 
+/** Runs independent one-time builds on parallel threads against the shared
+  * session (Spark schedules concurrent jobs from separate threads fine);
+  * joins all, then rethrows the first failure so a broken build can't be
+  * silently absorbed by a prewarm phase. */
+object Par {
+  def all(tasks: (String, () => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ths = tasks.map { case (name, f) =>
+      val t = new Thread(() => try f() catch { case e: Throwable => errs.add(e) },
+        s"graft-par-$name")
+      t.start(); t
+    }
+    ths.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+}
+
 object Tables {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.types.LongType
