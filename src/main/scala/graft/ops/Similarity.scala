@@ -115,18 +115,35 @@ object Similarity {
     WHERE rank <= $k
     ORDER BY query_id, rank"""
 
+  /** Planes per table sized so the expected bucket occupancy n / 2^k stays
+    * near `targetBucket` regardless of corpus size: candidate volume is then
+    * ≈ numTables · n · targetBucket / 2 — LINEAR in n. A FIXED k degrades to
+    * all-pairs as the corpus grows (at k=4 over 12 tables, random 64-dim
+    * vectors collide somewhere with ~54 % probability — measured 1.08M of
+    * the 2.0M possible pairs at n=2000), the same quadratic-candidate hazard
+    * as an under-banded SimHash. Bucketing stays prefix-stable as k grows
+    * because [[hyperplanes]] streams planes from one seeded RNG. */
+  def autoPlanesPerTable(n: Long, targetBucket: Int = 16): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
   /** Embedding-cosine near-duplicate PAIRS (the dedup-flavoured use of the
     * ANN machinery): hyperplane-LSH buckets generate candidate pairs — a
     * bucket equi-SELF-join, shuffled on (table, signature) keys only, never
     * a cross join — and every candidate is exactly re-scored; pairs with
     * cosine ≥ `threshold` survive, `a < b` canonical. Recall follows the
-    * multi-table union bound; precision is exact (candidates are verified). */
+    * multi-table union bound; precision is exact (candidates are verified).
+    * `planesPerTable ≤ 0` (the default) auto-sizes via
+    * [[autoPlanesPerTable]] from a corpus count (parquet-metadata cheap) so
+    * candidate volume stays linear in the corpus. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
-                         numTables: Int = 12, planesPerTable: Int = 4,
+                         numTables: Int = 12, planesPerTable: Int = 0,
                          dim: Int = 64, idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
+    val k = if (planesPerTable > 0) planesPerTable
+            else autoPlanesPerTable(embeddings.count())
     val planes: Array[Array[Array[Double]]] =
-      (0 until numTables).map(t => hyperplanes(dim, planesPerTable, seed = 42L + t)).toArray
+      (0 until numTables).map(t => hyperplanes(dim, k, seed = 42L + t)).toArray
     // candidate generation and dedup run on (BIGINT, BIGINT) ids ONLY — the
     // bucket self-join fans out to many duplicate candidates, and dragging
     // two 64-double vectors per row through that shuffle is the cost center;
@@ -155,14 +172,17 @@ object Similarity {
       .select(col("a"), col("b"), col("cosine"))
   }
 
-  /** DuckDB oracle for [[cosineNearDupPairs]] over `_aux/ann_planes`
+  /** DuckDB oracle for [[cosineNearDupPairs]] over `_aux/ann_nd_planes`
     * (first `numTables` tables): reproduces the signature computation, the
-    * bucket self-join, pair dedup and the exact cosine verification. */
+    * bucket self-join, pair dedup and the exact cosine verification. The
+    * aux table carries exactly the auto-sized plane count the Spark side
+    * resolved for the same corpus, so the two stay in lockstep without the
+    * SQL string embedding a data-dependent parameter. */
   def duckDbCosineNearDupSql(table: String, threshold: Double, numTables: Int,
                              idCol: String, vecCol: String): String = s"""
     WITH emb AS (SELECT $idCol AS vid, $vecCol::DOUBLE[] AS v FROM $table),
     pl AS (SELECT tbl, plane_idx, plane
-           FROM read_parquet('__VOUT__/_aux/ann_planes/*.parquet')
+           FROM read_parquet('__VOUT__/_aux/ann_nd_planes/*.parquet')
            WHERE tbl < $numTables),
     sigs AS (SELECT e.vid, p.tbl,
                SUM(CASE WHEN list_dot_product(e.v, p.plane) > 0

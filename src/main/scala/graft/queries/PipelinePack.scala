@@ -114,6 +114,15 @@ object PipelinePack extends QueryPack {
       tbl <- 0 until 12
       (plane, idx) <- Similarity.hyperplanes(64, 4, seed = 42L + tbl).zipWithIndex
     } yield (tbl, idx, plane.toSeq)
+    // the near-dup pair op auto-sizes its plane count from the corpus (see
+    // Similarity.autoPlanesPerTable) — dump exactly the planes it resolved
+    // so the oracle replays the same bucketing without a data-dependent
+    // parameter in the SQL string
+    val ndK = Similarity.autoPlanesPerTable(t(s, dir, "embeddings").count())
+    val ndPlanes = for {
+      tbl <- 0 until 12
+      (plane, idx) <- Similarity.hyperplanes(64, ndK, seed = 42L + tbl).zipWithIndex
+    } yield (tbl, idx, plane.toSeq)
     // Multimodal decode truth: per synthesized asset, the metadata DECLARED
     // at encode time (width/height/rate/duration before the bytes were laid
     // down) plus payload stats recomputed by an independent fold — the
@@ -177,6 +186,7 @@ object PipelinePack extends QueryPack {
       "minhash_seeded" -> seeded,
       "doc_token_hashes" -> tokenHashes,
       "ann_planes" -> planes.toDF("tbl", "plane_idx", "plane"),
+      "ann_nd_planes" -> ndPlanes.toDF("tbl", "plane_idx", "plane"),
       "ivf_centroids" -> ivfCentroids,
       "mm_truth" -> mmTruth,
       "mm_assets" -> mmAssets,

@@ -88,6 +88,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("cosine near-dup pairs: auto-sized planes, identical vectors always found") {
+    // the sizing rule keeps expected bucket occupancy n/2^k near the target,
+    // so candidate volume stays linear in n instead of collapsing to
+    // all-pairs as a fixed k would
+    assert(Similarity.autoPlanesPerTable(100) == 4)       // floor
+    assert(Similarity.autoPlanesPerTable(2000) == 7)      // ceil(log2(2000/16))
+    assert(Similarity.autoPlanesPerTable(1L << 40) == 36) // grows with log2 n
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // plant exact duplicates (cosine 1.0): same signature in EVERY table, so
+    // they survive any auto-sized bucketing
+    val planted = emb.limit(3).select(
+      (org.apache.spark.sql.functions.col("vec_id") + 100000L).as("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"))
+    val pairs = Similarity.cosineNearDupPairs(emb.union(planted), threshold = 0.99)
+      .collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = emb.limit(3).select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+    assert(expected.subsetOf(found), s"planted dups missed: ${expected -- found}")
+    // precision is exact: every reported pair really clears the threshold
+    assert(pairs.forall(_.getDouble(2) >= 0.99))
+  }
+
   test("IVF ANN: deterministic fit, decent recall, candidates only from probed cells") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L)
