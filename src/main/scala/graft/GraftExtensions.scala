@@ -65,7 +65,13 @@ object GraftFunctions {
       args => x(Sampling.bucketCol(c(args(0)), intArg(args(1), "graft_bucket")))),
     ("graft_split",
       info("graft_split", "graft_split(id) - deterministic train/valid/test label"),
-      args => x(Sampling.splitCol(c(args(0))))))
+      args => x(Sampling.splitCol(c(args(0))))),
+    ("graft_dot",
+      info("graft_dot", "graft_dot(a, b) - dot product of two numeric arrays"),
+      args => graft.functions.DotProduct(args(0), args(1))),
+    ("graft_cosine",
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two numeric arrays"),
+      args => x(graft.ops.Similarity.cosineCol(c(args(0)), c(args(1))))))
 
   /** Registers every graft function on a live session. */
   def register(spark: SparkSession): Unit =

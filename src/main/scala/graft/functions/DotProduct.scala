@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Dot product of two numeric arrays as a native Catalyst expression — the
+  * candidate-verification hot path of every similarity op (brute-force
+  * ranking, LSH/IVF re-scoring, near-dup pair verification, kNN
+  * assignment). The `aggregate(zip_with(...))` composition it replaces is a
+  * higher-order function, which Spark always interprets — per-row lambda
+  * dispatch dominates when millions of candidate pairs are re-scored.
+  *
+  * Accumulates left-to-right in Double over `min(|a|, |b|)` elements, so
+  * results are bit-identical to both the interpreted composition and the
+  * DuckDB oracles' `list_dot_product`; Float inputs widen exactly. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private def vec(e: Expression, a: ArrayData): Array[Double] =
+    if (isDouble(e)) a.toDoubleArray()
+    else HyperplaneSignatures.widen(a.toFloatArray())
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    DotProduct.dot(vec(left, l.asInstanceOf[ArrayData]),
+      vec(right, r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def toVec(e: Expression, c: String): String =
+      if (isDouble(e)) s"$c.toDoubleArray()"
+      else s"graft.functions.HyperplaneSignatures.widen($c.toFloatArray())"
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.DotProduct.dot(${toVec(left, l)}, ${toVec(right, r)})")
+  }
+}
+
+object DotProduct {
+
+  def dot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  def apply(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+}

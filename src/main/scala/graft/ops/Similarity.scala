@@ -6,9 +6,11 @@ import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Dot products use `zip_with` + `aggregate` — pure Catalyst higher-order
-  * functions, codegen'd, summed left-to-right in DOUBLE so the DuckDB oracle
-  * (list_dot_product over DOUBLE[]) produces bit-identical values.
+  * Dot products use the native [[graft.functions.DotProduct]] codegen
+  * expression (higher-order `zip_with`+`aggregate` is interpreted, and this
+  * is the candidate-scoring hot loop), summed left-to-right in DOUBLE so the
+  * DuckDB oracle (list_dot_product over DOUBLE[]) produces bit-identical
+  * values.
   *
   * Brute force is the correctness baseline (query-side broadcast, one pass
   * over the corpus — at 100 TB this is the right shape for SMALL query sets);
@@ -18,9 +20,12 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   /** Left-to-right double-precision dot product of two float vectors. */
+  // native codegen expression, NOT aggregate(zip_with(...)): higher-order
+  // functions are always interpreted, and this is the per-candidate scoring
+  // loop of every similarity op (same left-to-right Double accumulation, so
+  // values — and the DuckDB oracles — are unchanged)
   def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct(a, b)
 
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 

@@ -53,6 +53,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql.forall(r => r.getLong(6) >= 0 && r.getLong(6) < 100))
   }
 
+  test("vector SQL functions equal the Column API and hand arithmetic") {
+    val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("id", "a", "b")
+    vecs.createOrReplaceTempView("ext_vecs")
+    val r = spark.sql(
+      "SELECT graft_dot(a, b) AS d, graft_cosine(a, b) AS cs FROM ext_vecs").head
+    assert(r.getDouble(0) == 32.0)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(r.getDouble(1) - expected) < 1e-12)
+    val viaCol = vecs.select(
+      graft.ops.Similarity.dotCol(col("a"), col("b")).as("d"),
+      graft.ops.Similarity.cosineCol(col("a"), col("b")).as("cs")).head
+    assert(viaCol.getDouble(0) == r.getDouble(0) && viaCol.getDouble(1) == r.getDouble(1))
+  }
+
   test("config-time injection via GraftExtensions resolves the same functions") {
     // a sibling session over the same context, built WITH the extension
     SparkSession.clearActiveSession()
