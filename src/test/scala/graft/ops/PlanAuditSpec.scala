@@ -45,15 +45,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
   }
 
-  test("cosine near-dup pairs: keyed joins only, vectors fetched after dedup") {
+  test("cosine near-dup pairs: keyed joins only, vectors shuffle at input volume only") {
     val p = plan(Similarity.cosineNearDupPairs(embeddings, 0.8, dim = 8))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"bucket join must stay keyed:\n$p")
-    // the candidate dedup aggregates (a, b) ids only — vectors join back later,
-    // so no exchange in the plan carries an embedding column
-    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
-    assert(exchanges.forall(l => !l.contains("embedding") && !l.contains("_vec")),
-      s"no shuffle may carry vectors:\n$p")
+    // vectors may ride ONLY the bucket fan-out exchange (n × numTables
+    // rows); the candidate-volume pair-dedup exchange must carry scored
+    // (a, b, cosine) triples — scoring and the threshold filter happen
+    // map-side inside the join stage
+    // (on this tiny fixture the bucket join broadcasts — then no hash
+    // exchange carries vectors at all, which also satisfies the invariant)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    val vecExchanges = exchanges.filter(l => l.contains("embedding") || l.contains("_vec"))
+    assert(vecExchanges.forall(_.contains("bucket")),
+      s"vectors may only ride bucket-keyed exchanges:\n$p")
+    val dedupExchanges = exchanges.filter(l => l.contains("a#") && l.contains("cosine"))
+    assert(dedupExchanges.forall(l => !l.contains("embedding") && !l.contains("_vec")),
+      s"the pair-dedup shuffle must not carry vectors:\n$p")
   }
 
   test("contamination broadcasts the benchmark shingle set") {
