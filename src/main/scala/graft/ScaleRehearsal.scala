@@ -117,6 +117,11 @@ object ScaleRehearsal {
 
     if (mode == "ann") {
       // ---- similarity search at corpus scale: 1M × 64-dim vectors ----
+      // SPARK_GRAFT_SR_OPS subsets here too (e.g. a 10M run of the top-k
+      // paths without paying for the pair sweep)
+      val annOpsEnv = sys.env.get("SPARK_GRAFT_SR_OPS")
+        .map(_.split(",").map(_.trim).toSet)
+      def annWanted(name: String): Boolean = annOpsEnv.forall(_.contains(name))
       val n = sys.env.getOrElse("SPARK_GRAFT_SR_VECS", "1000000").toLong
       val embDir = java.nio.file.Files.createTempDirectory("sr_emb").toString + "/embeddings"
       spark.range(n).select(col("id").as("vec_id"),
@@ -129,18 +134,18 @@ object ScaleRehearsal {
       println(f"[scale] embeddings: rows=${emb.count()} parquet=${
         new java.io.File(embDir).listFiles().map(_.length).sum / 1e6}%.0fMB")
       val qids = Seq(0L, 1L, 2L, 3L, 4L)
-      runTimed("ann_brute")(
+      if (annWanted("ann_brute")) runTimed("ann_brute")(
         graft.ops.Similarity.bruteForceTopK(emb, qids, 10).count())
-      runTimed("ann_lsh")(
+      if (annWanted("ann_lsh")) runTimed("ann_lsh")(
         graft.ops.Similarity.lshTopK(emb, qids, 10, numTables = 12,
           planesPerTable = 8).count())
-      runTimed("ann_ivf_fit+query")(
+      if (annWanted("ann_ivf")) runTimed("ann_ivf_fit+query")(
         graft.ops.Similarity.ivfTopK(emb, qids, 10, nCells = 64, nProbe = 8,
           fitSampleMod = 10).count())
       // near-dup PAIRS with the auto-sized plane count (16 at n=1M): the
       // candidate set must stay ~numTables*n*targetBucket/2, never the
       // all-pairs blowup a fixed plane count degrades to
-      runTimed("near_dup_pairs")(
+      if (annWanted("near_dup_pairs")) runTimed("near_dup_pairs")(
         graft.ops.Similarity.cosineNearDupPairs(emb, threshold = 0.9).count())
       spark.stop()
       return
