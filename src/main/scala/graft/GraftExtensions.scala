@@ -71,7 +71,11 @@ object GraftFunctions {
       args => graft.functions.DotProduct(args(0), args(1))),
     ("graft_cosine",
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two numeric arrays"),
-      args => x(graft.ops.Similarity.cosineCol(c(args(0)), c(args(1))))))
+      args => x(graft.ops.Similarity.cosineCol(c(args(0)), c(args(1))))),
+    ("graft_urlencode",
+      info("graft_urlencode",
+        "graft_urlencode(s) - percent-encode a URL path element (controls, /?\"`, non-ASCII)"),
+      args => graft.functions.PercentEncodePath(args(0))))
 
   /** Registers every graft function on a live session. */
   def register(spark: SparkSession): Unit =

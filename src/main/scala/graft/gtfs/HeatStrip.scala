@@ -1,0 +1,88 @@
+package graft.gtfs
+
+import graft.curves.{CPoint, Curves}
+
+/** X15 — PNG heat-strip rendering of a prediction curve (reference
+  * `src/monitor/mod.rs:1215-1262`): sample the cumulative curve at
+  * `width + 1` pixel boundaries across the page window, de-cumulate to
+  * per-pixel density, normalize by the strip maximum (clamped to ≥ 0.05),
+  * and map density through a cropped gradient (bottom/top 20 % of the ramp
+  * unused) — YlOrBr for arrivals, YlGnBu for departures. Pixels inside the
+  * CDF tails (cumulative ≤ 0.01 or ≥ 0.99 but strictly inside (0, 1)) take
+  * the gradient floor; pixels fully outside the distribution render white.
+  *
+  * The strip encodes through the real zlib PNG writer
+  * ([[graft.ops.MediaCodec.pngBytes]], 8-bit truecolor with genuine CRCs);
+  * the reference's constant alpha=255 channel is omitted (RGB, not RGBA).
+  * Gradient evaluation interpolates piecewise-LINEARLY between the public
+  * 9-class ColorBrewer anchor colors where the reference's `colorous` crate
+  * uses a spline — a rendering detail; the density pipeline (f32 sampling,
+  * de-cumulation, max-clamp, crop, tail/white cases) follows the reference
+  * operation by operation so the DuckDB oracle can replay it exactly.
+  */
+object HeatStrip {
+
+  /** ColorBrewer 9-class sequential anchors (public specification). */
+  val YlOrBr: Array[(Int, Int, Int)] = Array(
+    (255, 255, 229), (255, 247, 188), (254, 227, 145), (254, 196, 79),
+    (254, 153, 41), (236, 112, 20), (204, 76, 2), (153, 52, 4), (102, 37, 6))
+  val YlGnBu: Array[(Int, Int, Int)] = Array(
+    (255, 255, 217), (237, 248, 177), (199, 233, 180), (127, 205, 187),
+    (65, 182, 196), (29, 145, 192), (34, 94, 168), (37, 52, 148), (8, 29, 88))
+
+  /** Piecewise-linear gradient sample at `t` ∈ [0, 1] over the 9 anchors
+    * (8 segments; `math.round` half-up matches DuckDB ROUND for positive
+    * values). */
+  def color(anchors: Array[(Int, Int, Int)], t: Double): (Int, Int, Int) = {
+    val tc = math.max(0.0, math.min(1.0, t))
+    val pos = tc * 8.0
+    val i = math.min(pos.toInt, 7)
+    val frac = pos - i
+    val (r0, g0, b0) = anchors(i)
+    val (r1, g1, b1) = anchors(i + 1)
+    (math.round(r0 + frac * (r1 - r0)).toInt,
+      math.round(g0 + frac * (g1 - g0)).toInt,
+      math.round(b0 + frac * (b1 - b0)).toInt)
+  }
+
+  /** RGB pixel bytes (width × 1, 3 bytes per pixel) of the heat strip for a
+    * cumulative curve anchored at `anchorEpoch` (absolute second of curve
+    * x = 0), rendered across the absolute window [minEpoch, maxEpoch].
+    * `eventType` follows [[Codes.EventArrival]]/[[Codes.EventDeparture]].
+    * Float arithmetic mirrors the reference exactly: cumulative samples and
+    * the de-cumulated densities are f32; the crop expression computes in
+    * f32 and widens for the gradient, as the reference's `as f64` does. */
+  def pixels(curve: Array[CPoint], anchorEpoch: Double, minEpoch: Double,
+             maxEpoch: Double, width: Int, eventType: Int): Array[Byte] = {
+    val anchors = if (eventType == Codes.EventArrival) YlOrBr else YlGnBu
+    val f = (maxEpoch - minEpoch) / width
+    val cum = Array.tabulate(width + 1)(i =>
+      Curves.yAtX(curve, (minEpoch + f * i - anchorEpoch).toFloat))
+    val uncum = Array.tabulate(width)(i => cum(i + 1) - cum(i))
+    var mx = 0f
+    var i = 0
+    while (i < width) { if (uncum(i) > mx) mx = uncum(i); i += 1 }
+    if (mx < 0.05f) mx = 0.05f
+    val out = new Array[Byte](width * 3)
+    i = 0
+    while (i < width) {
+      val pu = uncum(i) / mx
+      val pc = cum(i)
+      val (r, g, b) =
+        if (pc > 0.01f && pc < 0.99f) color(anchors, (0.2f + pu * 0.6f).toDouble)
+        else if (pc > 0f && pc < 1f) color(anchors, 0.0)
+        else (255, 255, 255)
+      out(i * 3) = r.toByte
+      out(i * 3 + 1) = g.toByte
+      out(i * 3 + 2) = b.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** The strip as a real PNG (width × 1, 8-bit truecolor, zlib IDAT). */
+  def png(curve: Array[CPoint], anchorEpoch: Double, minEpoch: Double,
+          maxEpoch: Double, width: Int, eventType: Int): Array[Byte] =
+    graft.ops.MediaCodec.pngBytes(width, 1,
+      pixels(curve, anchorEpoch, minEpoch, maxEpoch, width, eventType))
+}

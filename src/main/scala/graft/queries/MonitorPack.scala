@@ -138,6 +138,45 @@ object MonitorPack extends QueryPack {
         .orderBy("median_epoch", "trip_id")
     }
 
+  /** X15 — heat-strip rendering over the S2 platform's prediction rows,
+    * proven END TO END: each strip renders from the prediction curve on the
+    * page's shared time axis (reference `src/monitor/mod.rs:1215-1262`),
+    * encodes through the real zlib PNG writer, decodes BACK through the PNG
+    * reader, and the query emits the decoded pixels; the oracle re-derives
+    * every pixel in SQL from the already-hash-verified curve points, so a
+    * defect in the density math, the gradient, the zlib encode or the
+    * decode all surface as value diffs. The render itself is bounded page
+    * work (10 rows × width px), like the other page UDF paths. */
+  private val HeatStripWidth = 24
+
+  private def heatStrip(s: SparkSession, dir: String): DataFrame = {
+    val (_, preds) = GtfsPack.predictionState(s)
+    val rows = preds.filter(col("stop_id") === "S2")
+      .select(col("trip_id"), col("stop_sequence"), col("event_type"),
+        col("prediction_min").cast("double").as("min_e"),
+        col("prediction_max").cast("double").as("max_e"),
+        col("prediction_curve"))
+    val win = rows.agg(min("min_e").as("w0"), max("max_e").as("w1"))
+    val strip = udf { (points: Seq[org.apache.spark.sql.Row], minE: Double,
+                       w0: Double, w1: Double, eventType: Int) =>
+      val curve = points
+        .map(r => graft.curves.CPoint(r.getFloat(0), r.getFloat(1))).toArray
+      val anchor = minE - curve.head.x
+      val bytes = HeatStrip.png(curve, anchor, w0, w1, HeatStripWidth, eventType)
+      graft.ops.MediaCodec.pngPixels(bytes).getOrElse(Array.emptyByteArray)
+        .grouped(3).map(a => (a(0) & 0xff, a(1) & 0xff, a(2) & 0xff)).toSeq
+    }
+    rows.crossJoin(broadcast(win))
+      .withColumn("pxs", strip(col("prediction_curve"), col("min_e"),
+        col("w0"), col("w1"), col("event_type")))
+      .select(col("trip_id"), col("stop_sequence"), col("event_type"),
+        posexplode(col("pxs")))
+      .select(col("trip_id"), col("stop_sequence"), col("event_type"),
+        col("pos").cast("int").as("px"), col("col._1").as("r"),
+        col("col._2").as("g"), col("col._3").as("b"))
+      .orderBy("trip_id", "stop_sequence", "event_type", "px")
+  }
+
   /** Trip page for fixture trip T1 (departs 08:00:30 → trip_start_time
     * 28830), boarding at the first stop (seq 10). */
   private def tripPage(s: SparkSession, dir: String): DataFrame = {
@@ -364,6 +403,73 @@ object MonitorPack extends QueryPack {
              LEFT JOIN ${out}_cand c ON $joinTC AND c.rn = 1)"""
   }
 
+  /** DuckDB oracle for [[heatStrip]]: re-derives every pixel from the
+    * hash-verified `pred_points` / `pred_rows` aux — cumulative samples via
+    * the f32-emulated yAtX [[interpCte]], f32 de-cumulation and max-clamp,
+    * the reference's f32 crop expression widened to DOUBLE, and the
+    * piecewise-linear gradient over the shared ColorBrewer anchors (VALUES
+    * generated from [[graft.gtfs.HeatStrip]]'s arrays, so both engines read
+    * one table). Gradient index 1/2 = the event_type codes. */
+  private def heatStripSql: String = {
+    val w = HeatStripWidth
+    val anchors = (graft.gtfs.HeatStrip.YlOrBr.zipWithIndex.map {
+      case ((r, g, b), i) => s"(1, $i, $r, $g, $b)"
+    } ++ graft.gtfs.HeatStrip.YlGnBu.zipWithIndex.map {
+      case ((r, g, b), i) => s"(2, $i, $r, $g, $b)"
+    }).mkString(", ")
+    s"""
+    WITH pp AS (SELECT ${keyList()}, idx AS pidx, x, y
+                FROM read_parquet('__VOUT__/_aux/pred_points/*.parquet')),
+    hs_rows AS (SELECT ${keyList()}, min_epoch
+                FROM read_parquet('__VOUT__/_aux/pred_rows/*.parquet')
+                WHERE stop_id = 'S2'),
+    hs_win AS (SELECT MIN(min_epoch) AS w0, MAX(max_epoch) AS w1
+               FROM read_parquet('__VOUT__/_aux/pred_rows/*.parquet')
+               WHERE stop_id = 'S2'),
+    hs_x0 AS (SELECT ${keyList()}, MIN_BY(x, pidx) AS x0 FROM pp
+              GROUP BY ${keyList()}),
+    hs_tgt AS (SELECT ${keyList("r")}, g.i AS pxi,
+                      CAST(w.w0 + (w.w1 - w.w0) / $w * g.i
+                           - (r.min_epoch - a.x0::DOUBLE) AS REAL) AS tv
+               FROM hs_rows r CROSS JOIN hs_win w
+               CROSS JOIN generate_series(0, $w) AS g(i)
+               JOIN hs_x0 a ON ${keyJoin("a", "r")}),
+    ${interpCte("hv", "pp", PredKeys, "hs_tgt", Seq("pxi"), "yAtX")},
+    hs_cum AS (SELECT ${keyList()}, pxi, CAST(v AS REAL) AS c FROM hv),
+    hs_unc AS (SELECT ${keyList("a")}, a.pxi AS px, a.c AS pc,
+                      CAST(b.c - a.c AS REAL) AS u
+               FROM hs_cum a JOIN hs_cum b
+                 ON ${keyJoin("a", "b")} AND b.pxi = a.pxi + 1),
+    hs_mx AS (SELECT ${keyList()}, GREATEST(MAX(u), CAST(0.05 AS REAL)) AS m
+              FROM hs_unc GROUP BY ${keyList()}),
+    hs_t AS (SELECT ${keyList("u")}, u.px,
+                    CASE WHEN u.pc > CAST(0.01 AS REAL) AND u.pc < CAST(0.99 AS REAL)
+                         THEN CAST(CAST(CAST(0.2 AS REAL)
+                              + CAST(CAST(u.u / m.m AS REAL) * CAST(0.6 AS REAL) AS REAL)
+                              AS REAL) AS DOUBLE)
+                         WHEN u.pc > 0 AND u.pc < 1 THEN 0.0
+                         ELSE NULL END AS t
+             FROM hs_unc u JOIN hs_mx m ON ${keyJoin("u", "m")}),
+    hs_anchors(gi, i, ar, ag, ab) AS (VALUES $anchors),
+    hs_col AS (SELECT ${keyList("t")}, t.px,
+                      CASE WHEN t.t IS NULL THEN 255
+                           ELSE CAST(ROUND(a0.ar + (t.t * 8 - LEAST(CAST(FLOOR(t.t * 8) AS INT), 7))
+                                * (a1.ar - a0.ar)) AS INT) END AS r,
+                      CASE WHEN t.t IS NULL THEN 255
+                           ELSE CAST(ROUND(a0.ag + (t.t * 8 - LEAST(CAST(FLOOR(t.t * 8) AS INT), 7))
+                                * (a1.ag - a0.ag)) AS INT) END AS g,
+                      CASE WHEN t.t IS NULL THEN 255
+                           ELSE CAST(ROUND(a0.ab + (t.t * 8 - LEAST(CAST(FLOOR(t.t * 8) AS INT), 7))
+                                * (a1.ab - a0.ab)) AS INT) END AS b
+               FROM hs_t t
+               LEFT JOIN hs_anchors a0 ON a0.gi = t.event_type
+                 AND a0.i = LEAST(CAST(FLOOR(t.t * 8) AS INT), 7)
+               LEFT JOIN hs_anchors a1 ON a1.gi = t.event_type
+                 AND a1.i = LEAST(CAST(FLOOR(t.t * 8) AS INT), 7) + 1)
+    SELECT trip_id, stop_sequence, event_type, CAST(px AS INT) AS px, r, g, b
+    FROM hs_col ORDER BY trip_id, stop_sequence, event_type, px"""
+  }
+
   private val RouteTypeLabelCase = """CASE r.route_type
       WHEN 0 THEN 'Tram' WHEN 1 THEN 'Subway' WHEN 2 THEN 'Rail'
       WHEN 3 THEN 'Bus' WHEN 4 THEN 'Ferry' WHEN 5 THEN 'CableCar'
@@ -381,6 +487,7 @@ object MonitorPack extends QueryPack {
     "monitor_stop_page_transfer" -> (stopPageTransfer _),
     "monitor_trip_page" -> (tripPage _),
     "monitor_journey" -> (journeyQ _),
+    "monitor_heat_strip" -> (heatStrip _),
     "w8_percentiles" -> (w8Percentiles _),
     "x9_walk_curves" -> (x9WalkCurves _),
     "j8_resolve_trip" -> (j8ResolveTrip _),
@@ -587,6 +694,7 @@ object MonitorPack extends QueryPack {
     // unix_timestamp re-anchoring; medians are xAtY(curve, 0.5). Only the
     // walk component's convolved curve (X10) rides along from the
     // journey_curves dump.
+    "monitor_heat_strip" -> heatStripSql,
     "monitor_journey" -> s"""
       WITH jc AS (SELECT component_idx, pidx, x::DOUBLE AS x, y::DOUBLE AS y
                   FROM read_parquet('__VOUT__/_aux/journey_curves/*.parquet')),

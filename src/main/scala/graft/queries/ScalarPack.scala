@@ -77,10 +77,24 @@ object ScalarPack extends QueryPack {
       .orderBy("a_key", "b_key")
   }
 
+  // ---- X14 percent-encoding of URL path elements (monitor/mod.rs:25-27) --
+  // the raw table strings contain no escapable bytes, so the input is a
+  // path element COMPOSED from them with the four delimiters plus a
+  // non-ASCII and a control byte — every branch of the escape set fires
+  private def x14UrlEncode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .withColumn("path_elem",
+        concat(col("n_name"), lit("/"), lit("kälte?q=\""),
+          col("n_nationkey").cast("string"), lit("\"`\t")))
+      .select(col("n_nationkey"),
+        graft.functions.PercentEncodePath(col("path_elem")).as("encoded"))
+      .orderBy("n_nationkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x6_time_slot" -> (x6TimeSlot _),
     "x7_route_section" -> (x7RouteSection _),
     "x4_date_and_time" -> (x4DateAndTime _),
+    "x14_urlencode" -> (x14UrlEncode _),
     "j7_geo_join" -> (j7GeoJoin _)
   )
 
@@ -104,6 +118,27 @@ object ScalarPack extends QueryPack {
       SELECT o_orderkey,
              ${GtfsTime.duckDbDateAndTimeSql("CAST(o_orderdate AS DATE)", "(o_orderkey % 120000) - 3600")} AS event_ts
       FROM orders ORDER BY o_orderkey""",
+    // byte walk over the UTF-8 encoding (the established hex()-substr blob
+    // indexing): controls, the four delimiters and every byte >= 0x80
+    // become '%' + uppercase hex — DuckDB hex() is already uppercase
+    "x14_urlencode" -> s"""
+      WITH src AS (
+        SELECT n_nationkey,
+               n_name || '/' || 'kälte?q="' || CAST(n_nationkey AS VARCHAR)
+                 || '"`' || chr(9) AS path_elem
+        FROM nation),
+      bytes AS (
+        SELECT s.n_nationkey, g.i,
+               ('0x' || substr(hex(encode(s.path_elem)), 2 * g.i + 1, 2))::INT AS b,
+               substr(hex(encode(s.path_elem)), 2 * g.i + 1, 2) AS hx
+        FROM src s
+        CROSS JOIN generate_series(0, 4095) AS g(i)
+        WHERE g.i < octet_length(encode(s.path_elem)))
+      SELECT n_nationkey,
+             string_agg(CASE WHEN b >= 128 OR b < 32 OR b = 127
+                               OR b IN (47, 63, 34, 96)
+                             THEN '%' || hx ELSE chr(b) END, '' ORDER BY i) AS encoded
+      FROM bytes GROUP BY n_nationkey ORDER BY n_nationkey""",
     "j7_geo_join" -> s"""
       WITH pts AS (
         SELECT s_suppkey, $geoLat AS lat, $geoLon AS lon FROM supplier)

@@ -68,6 +68,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaCol.getDouble(0) == r.getDouble(0) && viaCol.getDouble(1) == r.getDouble(1))
   }
 
+  test("percent-encoding of URL path elements (X14 escape set)") {
+    import graft.functions.PercentEncodePath
+    val rows = Seq((1L, "Stop 2/α?x=\"y\"`\t\u007f")).toDF("id", "s")
+    rows.createOrReplaceTempView("ext_urls")
+    val viaSql = spark.sql("SELECT graft_urlencode(s) AS e FROM ext_urls")
+      .head.getString(0)
+    val viaCol = rows.select(PercentEncodePath(col("s")).as("e")).head.getString(0)
+    // space passes (not a control); / ? " ` escape; α = UTF-8 CE B1;
+    // tab and DEL are controls — uppercase hex throughout
+    assert(viaSql == "Stop 2%2F%CE%B1%3Fx=%22y%22%60%09%7F")
+    assert(viaCol == viaSql)
+  }
+
   test("config-time injection via GraftExtensions resolves the same functions") {
     // a sibling session over the same context, built WITH the extension
     SparkSession.clearActiveSession()

@@ -1,0 +1,62 @@
+package graft.gtfs
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.curves.CPoint
+
+/** X15 pixel semantics (reference src/monitor/mod.rs:1215-1262) on
+  * hand-computed cases, plus the PNG encode→decode round trip. */
+class HeatStripSpec extends AnyFunSuite {
+
+  // uniform CDF over [0, 40] seconds, anchored at epoch 1000
+  private val uniform = Array(CPoint(0f, 0f), CPoint(40f, 1f))
+
+  test("white outside the distribution, gradient floor in the tails, ramp inside") {
+    // window [1000, 1080], width 8 -> f = 10 s/px; the curve occupies the
+    // first half of the strip
+    val px = HeatStrip.pixels(uniform, 1000.0, 1000.0, 1080.0, 8, Codes.EventArrival)
+    assert(px.length == 24)
+    def rgb(i: Int) = (px(i * 3) & 0xff, px(i * 3 + 1) & 0xff, px(i * 3 + 2) & 0xff)
+    // px 0: cum(1000)=0 -> white per the prob_cum==0 branch
+    assert(rgb(0) == (255, 255, 255))
+    // px 1..3: cum in (0.01, 0.99), uncum = 0.25 each = the strip max ->
+    // pu = 1 -> t = 0.8 -> anchor segment 6..7 frac 0.4:
+    // YlOrBr (204,76,2)..(153,52,4) -> round(204-0.4*51)=184 etc.
+    assert(rgb(1) == (184, 66, 3) && rgb(2) == (184, 66, 3) && rgb(3) == (184, 66, 3))
+    // px 4 starts at cum=1.0 exactly -> white (outside (0,1))
+    assert(rgb(4) == (255, 255, 255) && rgb(7) == (255, 255, 255))
+  }
+
+  test("tail pixels take the gradient floor, not white") {
+    // steep CDF: all mass in [19, 21]; px 1 covers [10, 20): cum(10)=0 ->
+    // white; a boundary INSIDE (0, 0.01] must take anchor 0
+    val steep = Array(CPoint(19f, 0f), CPoint(21f, 1f))
+    val px = HeatStrip.pixels(steep, 1000.0, 1000.0, 1040.0, 4, Codes.EventDeparture)
+    def rgb(i: Int) = (px(i * 3) & 0xff, px(i * 3 + 1) & 0xff, px(i * 3 + 2) & 0xff)
+    // px 0: cum(1000)=0 -> white; px 1: cum(1010)=0 -> white;
+    // px 2 boundary 1020: cum=0.5 -> gradient; px 3: cum(1030)=1 -> white
+    assert(rgb(0) == (255, 255, 255) && rgb(3) == (255, 255, 255))
+    assert(rgb(2) != (255, 255, 255))
+    // departure gradient = YlGnBu: pu=1 -> t=0.8 -> (34,94,168)..(37,52,148)
+    // frac 0.4 -> round(34+0.4*3)=35, round(94-0.4*42)=77, round(168-0.4*20)=160
+    assert(rgb(2) == (35, 77, 160))
+  }
+
+  test("gradient floor case: cumulative in (0, 0.01]") {
+    // shallow head: cum rises 0 -> 0.008 over the first pixel, then jumps;
+    // boundary at cum=0.008 is in (0, 0.01] -> gradient.eval(0) = anchor 0
+    val c = Array(CPoint(0f, 0.004f), CPoint(80f, 1f))
+    val px = HeatStrip.pixels(c, 1000.0, 1000.0, 1080.0, 8, Codes.EventArrival)
+    def rgb(i: Int) = (px(i * 3) & 0xff, px(i * 3 + 1) & 0xff, px(i * 3 + 2) & 0xff)
+    // px 0 boundary: cum = 0.004 in (0, 0.01] -> YlOrBr anchor 0
+    assert(rgb(0) == (255, 255, 229))
+  }
+
+  test("png round-trips the exact pixel bytes") {
+    val pixels = HeatStrip.pixels(uniform, 1000.0, 1000.0, 1080.0, 8, Codes.EventArrival)
+    val png = HeatStrip.png(uniform, 1000.0, 1000.0, 1080.0, 8, Codes.EventArrival)
+    val meta = graft.ops.MediaCodec.parsePng(png)
+    assert(meta.contains((8, 1, 8)))
+    val decoded = graft.ops.MediaCodec.pngPixels(png)
+    assert(decoded.isDefined && decoded.get.sameElements(pixels))
+  }
+}
