@@ -1,0 +1,154 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.curves.{CPoint, Curves}
+import graft.gtfs.{Codes, GtfsSchedule, HeatStrip, Monitor}
+
+/** S18 — the HTTP serving layer over the Spark-produced monitor state
+  * (reference `src/monitor/mod.rs:102-190`; SURVEY scopes the engine out of
+  * this layer — "the serving layer can be anything reading the
+  * Spark-produced tables" — and this is exactly that: a dependency-free JDK
+  * `HttpServer` whose handlers only consume the same page DataFrames the
+  * oracled monitor_* queries check). Routes mirror the reference:
+  *
+  *   - `GET /`                         → search page
+  *   - `GET /autocomplete?query=q`     → JSON list (F11)
+  *   - `GET /stop-by-name?start=name`  → 302 to `/<dd.MM.yy HH:mm>/<name>/`
+  *                                       with the X14 path escaping
+  *   - `GET /<datetime>/<stop>/`       → stop page (F5/F6/W5/W6) with an
+  *                                       X15 heat-strip data URL per row
+  *
+  * Page rendering collects only bounded page rows (same contract as the
+  * reference building HTML per request); all heavy lifting stays in the
+  * cached prediction DataFrame. Failures render the reference's 500 page.
+  */
+class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
+                    predictions: DataFrame, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  private def handle(ex: HttpExchange): Unit =
+    try route(ex)
+    catch {
+      case e: Exception =>
+        respond(ex, 500, "text/html",
+          s"<html><body><h1>500</h1><p>${escapeHtml(e.toString)}</p></body></html>")
+    } finally ex.close()
+
+  private def route(ex: HttpExchange): Unit = {
+    val rawPath = ex.getRequestURI.getRawPath
+    val parts = rawPath.split("/").filter(_.nonEmpty)
+      .map(p => java.net.URLDecoder.decode(p, StandardCharsets.UTF_8))
+    val q = queryParams(ex)
+    parts.toSeq match {
+      case Seq() => respond(ex, 200, "text/html", searchPage)
+      case Seq("autocomplete") =>
+        respond(ex, 200, "application/json",
+          autocompleteJson(q.getOrElse("query", "")))
+      case Seq("stop-by-name") =>
+        val name = q.getOrElse("start", "")
+        val now = java.time.LocalDateTime.now()
+          .format(java.time.format.DateTimeFormatter.ofPattern("dd.MM.yy HH:mm"))
+        val loc = s"/${pathEncode(now)}/${pathEncode(name)}/"
+        ex.getResponseHeaders.add("Location", loc)
+        ex.sendResponseHeaders(302, -1)
+      case Seq(datetime, stopName) =>
+        respond(ex, 200, "text/html", stopPage(datetime, stopName))
+      case _ =>
+        respond(ex, 404, "text/html",
+          "<html><body><h1>404</h1></body></html>")
+    }
+  }
+
+  /** X14 escaping for a generated path element. */
+  private def pathEncode(s: String): String =
+    graft.functions.PercentEncodePath
+      .encode(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+
+  private def searchPage: String =
+    """<html><body><h1>graft monitor</h1>
+      |<form action="/stop-by-name" method="get">
+      |<input name="start" placeholder="stop name"/><button>Go</button>
+      |</form></body></html>""".stripMargin
+
+  private def autocompleteJson(prefix: String): String = {
+    val names = Monitor
+      .autocomplete(schedule.stops, prefix.split("\\s+").filter(_.nonEmpty).toSeq)
+      .collect().map(_.getString(0))
+    names.map(n => "\"" + n.replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+  }
+
+  /** The stop page across the extended platform group, one heat strip per
+    * prediction row on the page's shared time axis. `datetime` is the
+    * reference's `dd.MM.yy HH:mm` path element; the page window is that
+    * day (the fixture queries' convention). */
+  private def stopPage(datetime: String, stopName: String): String = {
+    val day = java.time.LocalDate.parse(datetime.split(" ").head,
+      java.time.format.DateTimeFormatter.ofPattern("dd.MM.yy"))
+    val w0 = s"$day 00:00:00"
+    val w1 = s"${day.plusDays(1)} 00:00:00"
+    val ids = Monitor.extendedStops(spark, schedule.stops, stopName)
+      .select("stop_id").collect().map(_.getString(0)).toSeq
+    val rows = predictions
+      .filter(col("stop_id").isInCollection(ids)
+        && col("prediction_min") < lit(w1).cast("timestamp")
+        && col("prediction_max") > lit(w0).cast("timestamp"))
+      .select(col("trip_id"), col("event_type"),
+        unix_timestamp(col("prediction_min")).cast("double").as("min_e"),
+        unix_timestamp(col("prediction_max")).cast("double").as("max_e"),
+        col("prediction_curve"))
+      .collect()
+    if (rows.isEmpty)
+      return s"<html><body><h1>${escapeHtml(stopName)}</h1><p>no departures</p></body></html>"
+    val win0 = rows.map(_.getDouble(2)).min
+    val win1 = rows.map(_.getDouble(3)).max
+    val trs = rows.sortBy(r => (r.getDouble(2), r.getString(0), r.getInt(1))).map { r =>
+      val curve: Array[CPoint] = r.getSeq[org.apache.spark.sql.Row](4)
+        .map(p => CPoint(p.getFloat(0), p.getFloat(1))).toArray
+      val anchor = r.getDouble(2) - curve.head.x
+      val et = r.getInt(1)
+      val png = HeatStrip.png(curve, anchor, win0, win1, width = 120, et)
+      val b64 = java.util.Base64.getEncoder.encodeToString(png)
+      val label = if (et == Codes.EventArrival) "arrival" else "departure"
+      val medianEpoch = anchor + Curves.xAtY(curve, 0.5f)
+      val median = java.time.Instant.ofEpochSecond(medianEpoch.toLong)
+      s"""<tr><td>${escapeHtml(r.getString(0))}</td><td>$label</td>
+         |<td>$median</td>
+         |<td><img alt="heat strip" src="data:image/png;base64,$b64"/></td></tr>""".stripMargin
+    }
+    s"""<html><body><h1>${escapeHtml(stopName)}</h1>
+       |<table><tr><th>trip</th><th>event</th><th>median</th><th>density</th></tr>
+       |${trs.mkString("\n")}
+       |</table></body></html>""".stripMargin
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq).getOrElse(Seq())
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            Some(java.net.URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+              java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
+          case _ => None
+        }
+      }.toMap
+
+  private def escapeHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def respond(ex: HttpExchange, code: Int, mime: String, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", s"$mime; charset=utf-8")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+}

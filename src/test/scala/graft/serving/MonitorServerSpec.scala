@@ -1,0 +1,61 @@
+package graft.serving
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S18 end to end: the serving layer over the real fixture pipeline —
+  * search page, autocomplete JSON, the stop-by-name redirect (X14-escaped
+  * path), and a stop page whose rows embed decodable X15 heat-strip PNGs. */
+class MonitorServerSpec extends AnyFunSuite {
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("serves search, autocomplete, redirect and a stop page with PNG strips") {
+    val (sched, preds) = graft.queries.GtfsPack.predictionState(spark)
+    val server = new MonitorServer(spark, sched, preds)
+    val port = server.start()
+    try {
+      val root = get(port, "/")
+      assert(root.statusCode() == 200 && root.body().contains("stop-by-name"))
+
+      val ac = get(port, "/autocomplete?query=Stop%202")
+      assert(ac.statusCode() == 200 && ac.body().contains("\"Stop 2\""))
+
+      val redir = get(port, "/stop-by-name?start=Stop%202")
+      assert(redir.statusCode() == 302)
+      val loc = redir.headers().firstValue("Location").orElseThrow()
+      assert(loc.endsWith("/Stop 2/"), s"unexpected Location: $loc")
+
+      // the fixture predictions are for 2024-03-04
+      val page = get(port, "/04.03.24%2008:00/Stop%202/")
+      assert(page.statusCode() == 200)
+      assert(page.body().contains("<h1>Stop 2</h1>"))
+      assert(page.body().contains("T1"), "expected fixture trips on the page")
+      // every row embeds a real, decodable 120x1 PNG
+      val b64s = "data:image/png;base64,([A-Za-z0-9+/=]+)".r
+        .findAllMatchIn(page.body()).map(_.group(1)).toSeq
+      assert(b64s.nonEmpty, "no heat strips on the page")
+      b64s.foreach { b64 =>
+        val png = java.util.Base64.getDecoder.decode(b64)
+        assert(graft.ops.MediaCodec.parsePng(png).contains((120, 1, 8)))
+        assert(graft.ops.MediaCodec.pngPixels(png).exists(_.length == 120 * 3))
+      }
+
+      val missing = get(port, "/a/b/c/d")
+      assert(missing.statusCode() == 404)
+    } finally server.stop()
+  }
+}
