@@ -157,7 +157,7 @@ object GtfsPack extends QueryPack {
     val recordsDir = base + "/records"
     val q = graft.streaming.StreamingImport.start(s, rtDir, sched, "graft",
       recordsDir, base + "/ckpt", automatic = false)
-    q.awaitTermination(300000)
+    assert(q.awaitTermination(300000), "streaming import did not finish in 5 min")
     asEpochSecs(s.read.parquet(recordsDir))
       .orderBy("trip_start_date", "trip_id", "stop_sequence")
   }
