@@ -335,16 +335,21 @@ object Curves {
     * `arrRef` / `depRef` are the absolute anchors (epoch seconds) of the two
     * relative curves (TimeCurve re-basing, time_curve.rs:80-97). */
   def transferProbability(arrival: Curve, arrRef: Double,
-                          departure: Curve, depRef: Double): Float = {
-    var totalMiss = 0f
+                          departure: Curve, depRef: Double): Double = {
+    // per-percentile terms stay f32 (interpolation + /100 round to REAL,
+    // which the SQL oracle replays bit for bit); the ACCUMULATOR is double —
+    // exactly DuckDB's SUM over REAL terms — so the oracle's
+    // 1.0 - SUM(CAST(v/100 AS REAL)) reproduces this value with no
+    // f32-summation-order slack at the ROUND(4) boundary
+    var totalMiss = 0.0
     var p = 0
     while (p < 100) {
       val arrivalAbs = arrRef + xAtY(arrival, p / 100.0f)
       val missProb = yAtX(departure, (arrivalAbs - depRef).toFloat)
-      totalMiss += missProb / 100.0f
+      totalMiss += (missProb / 100.0f).toDouble
       p += 1
     }
-    1.0f - totalMiss
+    1.0 - totalMiss
   }
 
   /** Synthetic walk-time CDF from an air-line distance

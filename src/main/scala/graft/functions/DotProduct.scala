@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Dot product of two numeric arrays as a native Catalyst expression — the
   * candidate-verification hot path of every similarity op (brute-force
@@ -21,6 +22,20 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+
+  // analysis-time check, so a wrongly-typed SQL call (e.g. graft_dot over
+  // int arrays) fails with a named AnalysisException instead of a
+  // ClassCastException inside codegen'd execution
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def vec(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType | FloatType, _) => true
+      case _ => false
+    }
+    if (vec(left.dataType) && vec(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): DotProduct =

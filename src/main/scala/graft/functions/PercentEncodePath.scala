@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -14,10 +15,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * crate) become `%XX` with UPPERCASE hex; all other bytes pass through.
   * Byte-level and total, so the DuckDB oracle can replay it with a
   * hex()-byte walk. */
-case class PercentEncodePath(child: Expression) extends UnaryExpression {
+case class PercentEncodePath(child: Expression)
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "percent_encode_path"
+
+  // non-string args fail analysis instead of CCE inside codegen
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
 
   override protected def withNewChildInternal(newChild: Expression): PercentEncodePath =
     copy(child = newChild)

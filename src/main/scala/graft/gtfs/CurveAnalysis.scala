@@ -312,8 +312,21 @@ object CurveAnalysis {
 
   def defaultCurves(spark: SparkSession, records: DataFrame,
                     schedule: GtfsSchedule): Dataset[DefaultCurveRow] = {
-    import spark.implicits._
     val (general, fallback, superGeneral) = defaultRollups(spark, records, schedule)
+    defaultCurvesFrom(spark, general, fallback, superGeneral)
+  }
+
+  /** Grid fill from PRE-BUILT (ideally cached) rollup levels. Callers that
+    * also dump the rollup points for an oracle must pass the same cached
+    * datasets here: the f32 contributor means inside [[defaultRollups]] are
+    * summation-order-sensitive, so two independent computations can differ
+    * by an ulp — sharing one materialization keeps query and dump
+    * bit-identical. */
+  def defaultCurvesFrom(spark: SparkSession,
+                        general: Dataset[DefaultCurveRow],
+                        fallback: Dataset[DefaultCurveRow],
+                        superGeneral: Dataset[DefaultCurveRow]): Dataset[DefaultCurveRow] = {
+    import spark.implicits._
 
     // Fill every (rt, rs, ts, et) cell with the most specific curve available
     // — the same fixed 11 GTFS route types the reference enumerates

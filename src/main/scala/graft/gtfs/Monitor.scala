@@ -106,7 +106,7 @@ object Monitor {
       val dep = toCurve(points)
       val depAnchor = minEpoch - dep.head.x
       val arrWalk = Curves.convolve(arrivalCurve, Curves.walkTimeCurve(dist.toFloat))
-      Curves.transferProbability(arrWalk, arrivalAnchorEpoch, dep, depAnchor).toDouble
+      Curves.transferProbability(arrWalk, arrivalAnchorEpoch, dep, depAnchor)
     }
     page
       .withColumn("transfer_prob", round(transferProb(col("prediction_curve"),
@@ -255,7 +255,9 @@ object Monitor {
 
     var curve: Array[CPoint] = Array(CPoint(-30f, 0f), CPoint(30f, 1f))
     var anchor: Double = startEpoch
-    var prob: Float = 1f
+    // double like the oracle's product of (1 - miss) terms — see
+    // Curves.transferProbability
+    var prob: Double = 1.0
     // each row also carries the component's current relative-time curve —
     // the journey QUERY drops it, but the oracle aux dump explodes it so the
     // DuckDB reconstruction can replay the walk convolution's consumers
@@ -368,7 +370,7 @@ object Monitor {
     * prediction rows (the reference composes journeys one leg at a time). */
   def transferProbability(arrivalCurve: Array[CPoint], arrivalRefEpoch: Double,
                           walkDistanceM: Float,
-                          departureCurve: Array[CPoint], departureRefEpoch: Double): Float = {
+                          departureCurve: Array[CPoint], departureRefEpoch: Double): Double = {
     val walk = Curves.walkTimeCurve(walkDistanceM)
     val arrivalPlusWalk = Curves.convolve(arrivalCurve, walk)
     Curves.transferProbability(arrivalPlusWalk, arrivalRefEpoch,

@@ -210,7 +210,13 @@ object MediaCodec {
     for {
       (w, h, _) <- parsePng(b)
       idat <- pngIdat(b)
-      if idat.nonEmpty && w > 0 && h > 0
+      if idat.nonEmpty && w > 0 && h > 0 &&
+        // corrupt IHDR dims: the expected raw size must fit an Int without
+        // overflow AND be achievable from this stream (zlib expands at most
+        // ~1032:1) — otherwise a flipped dimension byte would turn the
+        // allocation below into a NegativeArraySize/OOM task failure
+        h.toLong * (1L + 3L * w) <=
+          math.min(Int.MaxValue.toLong, idat.length.toLong * 1032L + 1024L)
       raw <- try {
         val inf = new java.util.zip.Inflater()
         inf.setInput(idat)
@@ -351,15 +357,22 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.flatMap { a =>
         if (a.mime != "image/png") None
-        else MediaCodec.pngPixels(a.payload).filter(_.nonEmpty).map { px =>
+        else for {
+          // index with the DECODED header dims (what pngPixels sized the
+          // buffer by), not the asset's declared metadata — a blob whose
+          // metadata drifted from its actual header must be skipped, not
+          // read out of bounds
+          (srcW, srcH, _) <- MediaCodec.parsePng(a.payload)
+          px <- MediaCodec.pngPixels(a.payload).filter(_.nonEmpty)
+        } yield {
           val out = new Array[Byte](dstW * dstH)
           var y = 0
           while (y < dstH) {
-            val sy = y * a.height / dstH
+            val sy = y * srcH / dstH
             var x = 0
             while (x < dstW) {
-              val sx = x * a.width / dstW
-              out(y * dstW + x) = px((sy * a.width + sx) * 3) // red channel
+              val sx = x * srcW / dstW
+              out(y * dstW + x) = px((sy * srcW + sx) * 3) // red channel
               x += 1
             }
             y += 1
@@ -367,7 +380,7 @@ object Multimodal {
           var sum = 0L
           var i = 0
           while (i < out.length) { sum += out(i) & 0xff; i += 1 }
-          (a.asset_id, a.width, a.height, dstW, dstH, out,
+          (a.asset_id, srcW, srcH, dstW, dstH, out,
             sum, out(0) & 0xff, out(out.length - 1) & 0xff)
         }
       }

@@ -24,6 +24,14 @@ object GtfsPack extends QueryPack {
   private var curveCache: Option[(SparkSession,
     org.apache.spark.sql.Dataset[SpecificCurveRow],
     org.apache.spark.sql.Dataset[DefaultCurveRow])] = None
+  // the three default-curve rollup levels, cached so the query table and the
+  // oracle's point dump read ONE materialization — the f32 contributor means
+  // are summation-order-sensitive, so recomputing them per consumer could
+  // differ by an ulp and flake the gtfs_default_curves oracle
+  private var rollCache: Option[(SparkSession,
+    (org.apache.spark.sql.Dataset[DefaultCurveRow],
+     org.apache.spark.sql.Dataset[DefaultCurveRow],
+     org.apache.spark.sql.Dataset[DefaultCurveRow]))] = None
 
   /** Wall seconds of each one-time fixture build phase (filled on first
     * touch) — Bench reports them in setup_detail so regressions in the
@@ -67,7 +75,13 @@ object GtfsPack extends QueryPack {
             val d = CurveAnalysis.specificCurves(s, recs, sched).cache(); d.count(); d
           }),
           "default_curves" -> (() => dc = timed("default_curves") {
-            val d = CurveAnalysis.defaultCurves(s, recs, sched).cache(); d.count(); d
+            val (g0, f0, sg0) = CurveAnalysis.defaultRollups(s, recs, sched)
+            def mat(r: org.apache.spark.sql.Dataset[DefaultCurveRow]) = {
+              val c = r.cache(); c.count(); c
+            }
+            val (g, f, sg) = (mat(g0), mat(f0), mat(sg0))
+            rollCache = Some((s, (g, f, sg)))
+            val d = CurveAnalysis.defaultCurvesFrom(s, g, f, sg).cache(); d.count(); d
           }))
         curveCache = Some((s, sc, dc))
         (sc, dc)
@@ -376,8 +390,15 @@ object GtfsPack extends QueryPack {
     // POINTS (f32 contributor means — summation order makes them
     // SQL-irreproducible bit-exactly; values pinned by defaultPointsCheck).
     // Which level each grid cell gets, the precision codes and the sample
-    // means are all re-derived in SQL from the records output.
-    val (genRoll, fbRoll, sgRoll) = CurveAnalysis.defaultRollups(s, recs, sched)
+    // means are all re-derived in SQL from the records output. The points
+    // come from the SAME cached rollups the query table was built from
+    // (curves(s) populates rollCache) — recomputing them here could drift
+    // by an ulp through a different shuffle arrival order.
+    val (genRoll, fbRoll, sgRoll) = rollCache match {
+      case Some((sess, rolls)) if sess eq s => rolls
+      case _ => throw new IllegalStateException(
+        "curves(s) must run before oracleAux so the rollups are cached")
+    }
     def rollPts(ds: org.apache.spark.sql.Dataset[DefaultCurveRow],
                 keys: Seq[String]): DataFrame =
       ds.toDF().select(keys.map(col) :+ posexplode(col("curve")): _*)

@@ -27,6 +27,10 @@ object PipelinePack extends QueryPack {
     .TrieMap[(SparkSession, String, String), () => DataFrame]()
   private def cached(s: SparkSession, dir: String, key: String)
                     (build: => DataFrame): DataFrame = {
+    // same eviction as MonitorPack.cached: long-lived JVMs create several
+    // sessions — drop entries whose session is stopped so the map can't
+    // leak cached plans across sessions
+    memo.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
     val thunk = memo.getOrElseUpdate((s, dir, key), {
       lazy val v: DataFrame = { val df = build.cache(); df.count(); df }
       () => v

@@ -45,8 +45,11 @@ class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
 
   private def route(ex: HttpExchange): Unit = {
     val rawPath = ex.getRequestURI.getRawPath
+    // URI path segments decode only %-escapes; URLDecoder alone would also
+    // turn a literal '+' (which the X14 escaping passes through) into a space
     val parts = rawPath.split("/").filter(_.nonEmpty)
-      .map(p => java.net.URLDecoder.decode(p, StandardCharsets.UTF_8))
+      .map(p => java.net.URLDecoder.decode(p.replace("+", "%2B"),
+        StandardCharsets.UTF_8))
     val q = queryParams(ex)
     parts.toSeq match {
       case Seq() => respond(ex, 200, "text/html", searchPage)
@@ -83,8 +86,7 @@ class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
     val names = Monitor
       .autocomplete(schedule.stops, prefix.split("\\s+").filter(_.nonEmpty).toSeq)
       .collect().map(_.getString(0))
-    names.map(n => "\"" + n.replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+    names.map(n => "\"" + jsonEscape(n) + "\"").mkString("[", ",", "]")
   }
 
   /** The stop page across the extended platform group, one heat strip per
@@ -141,6 +143,14 @@ class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
           case _ => None
         }
       }.toMap
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   private def escapeHtml(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")

@@ -68,6 +68,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaCol.getDouble(0) == r.getDouble(0) && viaCol.getDouble(1) == r.getDouble(1))
   }
 
+  test("wrongly-typed graft_* calls fail analysis, not codegen") {
+    // int arrays / non-strings must be rejected with a named error at
+    // analysis time — not a ClassCastException inside a generated task
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(array(1, 2), array(3, 4))").collect()
+    }
+    assert(e1.getMessage.contains("dot_product"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_urlencode(123)").collect()
+    }
+    assert(e2.getMessage.contains("percent_encode_path"))
+  }
+
   test("percent-encoding of URL path elements (X14 escape set)") {
     import graft.functions.PercentEncodePath
     val rows = Seq((1L, "Stop 2/α?x=\"y\"`\t\u007f")).toDF("id", "s")

@@ -565,6 +565,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     for (cut <- Seq(0, 7, 12, 33, b.length - 1))
       MediaCodec.pngPixels(b.take(cut)) // truncations must not throw
+    // corrupt IHDR dimensions: a high bit in width/height must be size-gated
+    // to None, not overflow into a NegativeArraySize/OOM allocation
+    for (o <- Seq(16, 17, 20)) { // width hi/lo-ish, height hi bytes
+      val big = b.clone()
+      big(o) = 0x7f.toByte
+      assert(MediaCodec.pngPixels(big).isEmpty, s"dim byte $o must gate")
+    }
   }
 
   test("image resize: nearest-neighbor on a hand-computed asset; non-images skipped") {
@@ -588,6 +595,14 @@ class PipelineOpsSpec extends AnyFunSuite {
       MediaCodec.pngBytes(1, 1, Array[Byte](7)), 1, 1, 0L)).toDS()
     val up = Multimodal.resizeImages(spark, one, 4, 4).collect().head
     assert(up.getAs[Long]("byte_sum") == 7L * 16)
+    // metadata drift: declared dims disagree with the actual header — the
+    // resize must index by the DECODED dims (no out-of-bounds task failure)
+    // and report them as the source size
+    val drifted = Seq(MediaAsset(4L, "image/png",
+      MediaCodec.pngBytes(4, 2, content), width = 64, height = 64, 0L)).toDS()
+    val dr = Multimodal.resizeImages(spark, drifted, 2, 2).collect().head
+    assert(dr.getAs[Int]("src_w") == 4 && dr.getAs[Int]("src_h") == 2)
+    assert(dr.getAs[Array[Byte]]("pixels").toSeq == Seq[Byte](10, 30, 10, 30))
   }
 
   test("media codecs: header parse round-trips the declared metadata") {

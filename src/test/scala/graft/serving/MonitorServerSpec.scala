@@ -56,6 +56,14 @@ class MonitorServerSpec extends AnyFunSuite {
 
       val missing = get(port, "/a/b/c/d")
       assert(missing.statusCode() == 404)
+
+      // path segments must decode only %-escapes: a literal '+' (which the
+      // X14 escaping passes through) is part of the name, NOT a space — so
+      // this must look up "Stop+2" (absent) rather than resolve "Stop 2"
+      val plus = get(port, "/04.03.24%2008:00/Stop+2/")
+      assert(plus.statusCode() == 200)
+      assert(plus.body().contains("<h1>Stop+2</h1>"), s"got: ${plus.body().take(120)}")
+      assert(plus.body().contains("no departures"))
     } finally server.stop()
   }
 }
