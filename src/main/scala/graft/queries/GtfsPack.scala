@@ -167,7 +167,7 @@ object GtfsPack extends QueryPack {
   private def streamedRecords(s: SparkSession, dir: String): DataFrame = {
     val (sched, _) = pipeline(s)
     val (_, rtDir) = dirs
-    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val base = Scratch.tempDir("graft_stream").toString
     val recordsDir = base + "/records"
     val q = graft.streaming.StreamingImport.start(s, rtDir, sched, "graft",
       recordsDir, base + "/ckpt", automatic = false)

@@ -358,7 +358,7 @@ object PipelinePack extends QueryPack {
   private def dedupStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val docs = t(s, dir, "documents")
-    val base = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    val base = Scratch.tempDir("graft_dedup_stream")
     val srcDir = base.toString + "/src"
     docs.write.mode("overwrite").parquet(srcDir)
     // synthetic event time, offset well past epoch: the initial watermark is
