@@ -298,9 +298,10 @@ object Curves {
   }
 
   /** Discrete CDF convolution (time_curve.rs:34-77, `add_duration_curve`):
-    * step = max(12, span/100) seconds, de-cumulate × de-cumulate, running
-    * cumulative sum, simplify(0.05). `base` and `duration` share the same
-    * relative-seconds domain. */
+    * step = max(12, span/200*2) seconds (the reference's exact integer
+    * form — an even step so half = step/2 tiles exactly), de-cumulate ×
+    * de-cumulate, running cumulative sum, simplify(0.05). `base` and
+    * `duration` share the same relative-seconds domain. */
   def convolve(base: Curve, duration: Curve): Curve = {
     var minN = math.floor(xAtY(base, 0.01f) + xAtY(duration, 0.01f)).toInt
     var maxN = math.ceil(xAtY(base, 0.99f) + xAtY(duration, 0.99f)).toInt

@@ -46,18 +46,16 @@ case class DotProduct(left: Expression, right: Expression)
     case _ => false
   }
 
-  private def vec(e: Expression, a: ArrayData): Array[Double] =
-    if (isDouble(e)) a.toDoubleArray()
-    else HyperplaneSignatures.widen(a.toFloatArray())
-
+  // null-tolerant extraction (null element = 0.0 on both execution paths)
+  // shared with the other native vector expressions
   override def nullSafeEval(l: Any, r: Any): Any =
-    DotProduct.dot(vec(left, l.asInstanceOf[ArrayData]),
-      vec(right, r.asInstanceOf[ArrayData]))
+    DotProduct.dot(
+      HyperplaneSignatures.doubles(l.asInstanceOf[ArrayData], isDouble(left)),
+      HyperplaneSignatures.doubles(r.asInstanceOf[ArrayData], isDouble(right)))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     def toVec(e: Expression, c: String): String =
-      if (isDouble(e)) s"$c.toDoubleArray()"
-      else s"graft.functions.HyperplaneSignatures.widen($c.toFloatArray())"
+      s"graft.functions.HyperplaneSignatures.doubles($c, ${isDouble(e)})"
     defineCodeGen(ctx, ev, (l, r) =>
       s"graft.functions.DotProduct.dot(${toVec(left, l)}, ${toVec(right, r)})")
   }

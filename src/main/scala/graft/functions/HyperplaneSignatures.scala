@@ -43,19 +43,16 @@ case class HyperplaneSignatures(child: Expression,
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val vec = if (isDouble) arr.toDoubleArray()
-              else HyperplaneSignatures.widen(arr.toFloatArray())
+    val vec = HyperplaneSignatures.doubles(input.asInstanceOf[ArrayData], isDouble)
     new GenericArrayData(HyperplaneSignatures.compute(vec, planes))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planes, "double[][][]")
-    val toVec = if (isDouble) (c: String) => s"$c.toDoubleArray()"
-                else (c: String) => s"graft.functions.HyperplaneSignatures.widen($c.toFloatArray())"
     defineCodeGen(ctx, ev, c =>
       s"""new org.apache.spark.sql.catalyst.util.GenericArrayData(
-            graft.functions.HyperplaneSignatures.compute(${toVec(c)}, $planesRef))""")
+            graft.functions.HyperplaneSignatures.compute(
+              graft.functions.HyperplaneSignatures.doubles($c, $isDouble), $planesRef))""")
   }
 }
 
@@ -66,6 +63,27 @@ object HyperplaneSignatures {
     var i = 0
     while (i < v.length) { out(i) = v(i).toDouble; i += 1 }
     out
+  }
+
+  /** Null-tolerant ArrayData → Array[Double] extraction shared by the
+    * native vector expressions. A null ELEMENT counts as 0.0 in both
+    * execution paths: UnsafeArrayData's primitive bulk copy already reads a
+    * null slot as 0, and the generic path (in-memory rows, literals) would
+    * NPE inside toDoubleArray/toFloatArray without the explicit loop —
+    * same value either way, instead of a path-dependent crash. */
+  def doubles(a: ArrayData, isDouble: Boolean): Array[Double] = a match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      if (isDouble) u.toDoubleArray() else widen(u.toFloatArray())
+    case g =>
+      val n = g.numElements()
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        if (!g.isNullAt(i))
+          out(i) = if (isDouble) g.getDouble(i) else g.getFloat(i).toDouble
+        i += 1
+      }
+      out
   }
 
   /** One 64-bit sign-bit signature per table; loop order matches the

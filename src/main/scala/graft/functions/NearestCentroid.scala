@@ -34,18 +34,15 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val vec = if (isDouble) arr.toDoubleArray()
-              else HyperplaneSignatures.widen(arr.toFloatArray())
+    val vec = HyperplaneSignatures.doubles(input.asInstanceOf[ArrayData], isDouble)
     NearestCentroid.assign(vec, centroids, normalize)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
-    val toVec = if (isDouble) (c: String) => s"$c.toDoubleArray()"
-                else (c: String) => s"graft.functions.HyperplaneSignatures.widen($c.toFloatArray())"
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.NearestCentroid.assign(${toVec(c)}, $centRef, $normalize)")
+      s"""graft.functions.NearestCentroid.assign(
+            graft.functions.HyperplaneSignatures.doubles($c, $isDouble), $centRef, $normalize)""")
   }
 }
 

@@ -69,7 +69,23 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 100, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
-    ngramJaccardFromShingles(shingles(docs, idCol, textCol, n, maxDf).cache(), threshold)
+    scopedCache(shingles(docs, idCol, textCol, n, maxDf))(
+      ngramJaccardFromShingles(_, threshold))
+
+  /** Run `f` over a cached intermediate, eagerly materialize the (small)
+    * pair result, then RELEASE the intermediate — a convenience wrapper
+    * must not pin a corpus-sized index in executor storage for the rest of
+    * the session. The returned DataFrame is persisted (callers typically
+    * reuse it); long-lived pipelines should prefer the `*FromShingles`
+    * forms with caller-owned caching (as PipelinePack's memos do). */
+  private def scopedCache(intermediate: DataFrame)
+                         (f: DataFrame => DataFrame): DataFrame = {
+    val cached = intermediate.cache()
+    val out = f(cached).persist()
+    out.count()
+    cached.unpersist()
+    out
+  }
 
   /** As [[ngramJaccard]], over a precomputed (cached) shingle index. */
   def ngramJaccardFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
@@ -180,8 +196,8 @@ object Dedup {
   def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.5, maxDf: Int = 100,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    minhashLshFromShingles(shingles(docs, idCol, textCol, n, maxDf).cache(),
-      numHashes, bands, threshold)
+    scopedCache(shingles(docs, idCol, textCol, n, maxDf))(
+      minhashLshFromShingles(_, numHashes, bands, threshold))
 
   /** As [[minhashLsh]], over a precomputed (cached) shingle index. */
   def minhashLshFromShingles(sh: DataFrame, numHashes: Int, bands: Int,
@@ -442,7 +458,7 @@ object Dedup {
     // recall is guaranteed for maxHamming ≤ 3; above that, candidates must
     // still share one 3-block combination (best effort — same contract the
     // previous 4-chunk banding had above its own ≤3 guarantee)
-    val sigs = simhashSignatures(docs, idCol, textCol).cache()
+    scopedCache(simhashSignatures(docs, idCol, textCol)) { sigs =>
     val blockVals = simhashBlocks.map { case (off, w) =>
       shiftrightunsigned(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
     }
@@ -465,5 +481,6 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
+    }
   }
 }

@@ -116,20 +116,23 @@ object MediaCodec {
     * chunk list for `fmt ` and `data`. */
   def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-    var o = 12
+    // Long offsets + unsigned chunk lengths: a corrupt length byte must end
+    // the walk (monotonic advance), never loop forever or index negatively
+    var o = 12L
     var fmt: Option[(Int, Int, Int)] = None
-    var dataLen = -1
+    var dataLen = -1L
     while (o + 8 <= b.length) {
-      val id = tag(b, o)
-      val len = rle32(b, o + 4)
+      val oi = o.toInt
+      val id = tag(b, oi)
+      val len = rle32(b, oi + 4).toLong & 0xffffffffL
       if (id == "fmt " && o + 8 + 16 <= b.length)
-        fmt = Some((rle32(b, o + 12), rle16(b, o + 10), rle16(b, o + 22)))
-      if (id == "data") dataLen = len
+        fmt = Some((rle32(b, oi + 12), rle16(b, oi + 10), rle16(b, oi + 22)))
+      if (id == "data" && o + 8 + len <= b.length) dataLen = len
       o += 8 + len + (len & 1) // chunks are word-aligned
     }
     for ((rate, channels, bits) <- fmt if dataLen >= 0 && rate > 0 && channels > 0 && bits > 0)
       yield (rate, channels, bits,
-        dataLen.toLong * 1000L / (rate.toLong * channels * bits / 8))
+        dataLen * 1000L / (rate.toLong * channels * bits / 8))
   }
 
   /** Minimal ISO-BMFF: ftyp, moov containing a version-0 mvhd
@@ -147,12 +150,14 @@ object MediaCodec {
   /** (timescale, duration, durationMs) by walking top-level boxes and
     * descending into moov for mvhd (version 0 or 1). */
   def parseMp4(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    // box sizes compared in Long (unsigned) — a forged size near 2^31 must
+    // fail the bounds check, not wrap negative and walk off the buffer
     def findBox(lo: Int, hi: Int, name: String): Option[(Int, Int)] = {
-      var o = lo
+      var o = lo.toLong
       while (o + 8 <= hi) {
-        val size = rbe32(b, o)
+        val size = rbe32(b, o.toInt).toLong & 0xffffffffL
         if (size < 8 || o + size > hi) return None
-        if (tag(b, o + 4) == name) return Some((o + 8, o + size))
+        if (tag(b, o.toInt + 4) == name) return Some((o.toInt + 8, (o + size).toInt))
         o += size
       }
       None
@@ -160,10 +165,12 @@ object MediaCodec {
     if (b.length < 8 || tag(b, 4) != "ftyp") return None
     for {
       (mLo, mHi) <- findBox(0, b.length, "moov")
-      (hLo, _) <- findBox(mLo, mHi, "mvhd")
-      if hLo + 24 <= b.length
+      (hLo, hHi) <- findBox(mLo, mHi, "mvhd")
+      if hLo < hHi // non-empty box: the version byte is readable
+      version = b(hLo) & 0xff
+      // v0 reads bytes hLo+12..19; v1 (64-bit times) reads hLo+20..31
+      if hLo + (if (version == 0) 20 else 32) <= hHi
     } yield {
-      val version = b(hLo) & 0xff
       val (ts, dur) =
         if (version == 0) (rbe32(b, hLo + 12), rbe32(b, hLo + 16))
         else (rbe32(b, hLo + 20), rbe32(b, hLo + 28)) // v1: 64-bit times
@@ -175,11 +182,12 @@ object MediaCodec {
     * codec library; the samples ARE the chunk content). */
   def wavData(b: Array[Byte]): Option[Array[Byte]] = {
     if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-    var o = 12
+    var o = 12L
     while (o + 8 <= b.length) {
-      val len = rle32(b, o + 4)
-      if (len < 0 || o + 8 + len > b.length) return None
-      if (tag(b, o) == "data") return Some(b.slice(o + 8, o + 8 + len))
+      val oi = o.toInt
+      val len = rle32(b, oi + 4).toLong & 0xffffffffL
+      if (o + 8 + len > b.length) return None
+      if (tag(b, oi) == "data") return Some(b.slice(oi + 8, oi + 8 + len.toInt))
       o += 8 + len + (len & 1)
     }
     None
@@ -191,11 +199,14 @@ object MediaCodec {
     if (!parsePng(b).isDefined) return None
     val out = new scala.collection.mutable.ArrayBuffer[Byte]()
     var found = false
-    var o = 8
+    var o = 8L
     while (o + 8 <= b.length) {
-      val len = rbe32(b, o)
-      if (len < 0 || o + 8 + len > b.length) return if (found) Some(out.toArray) else None
-      if (tag(b, o + 4) == "IDAT") { found = true; out ++= b.slice(o + 8, o + 8 + len) }
+      val oi = o.toInt
+      val len = rbe32(b, oi).toLong & 0xffffffffL
+      if (o + 8 + len > b.length) return if (found) Some(out.toArray) else None
+      if (tag(b, oi + 4) == "IDAT") {
+        found = true; out ++= b.slice(oi + 8, oi + 8 + len.toInt)
+      }
       o += 8 + len + 4 // len + tag + data + crc
     }
     if (found) Some(out.toArray) else None
@@ -214,9 +225,11 @@ object MediaCodec {
         // corrupt IHDR dims: the expected raw size must fit an Int without
         // overflow AND be achievable from this stream (zlib expands at most
         // ~1032:1) — otherwise a flipped dimension byte would turn the
-        // allocation below into a NegativeArraySize/OOM task failure
-        h.toLong * (1L + 3L * w) <=
-          math.min(Int.MaxValue.toLong, idat.length.toLong * 1032L + 1024L)
+        // allocation below into a NegativeArraySize/OOM task failure.
+        // Division form: h * (1 + 3w) itself can exceed Long for forged
+        // w = h = 2^31-1, so never form the product
+        h.toLong <= math.min(Int.MaxValue.toLong,
+          idat.length.toLong * 1032L + 1024L) / (1L + 3L * w.toLong)
       raw <- try {
         val inf = new java.util.zip.Inflater()
         inf.setInput(idat)

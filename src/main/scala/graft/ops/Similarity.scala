@@ -29,8 +29,22 @@ object Similarity {
 
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
+  /** Cosine with the zero-norm guard: a zero vector (empty doc, failed
+    * encoder row) has no direction — its similarity to anything is 0, NOT
+    * the 0/0 = NaN that Spark's ordering would sort above every real
+    * cosine (making the zero vector everyone's rank-1 "neighbor") and that
+    * `NaN >= threshold` would wrongly pass. */
   def cosineCol(a: Column, b: Column): Column =
-    dotCol(a, b) / (normCol(a) * normCol(b))
+    safeCosine(dotCol(a, b), normCol(a) * normCol(b))
+
+  private def safeCosine(dot: Column, normProduct: Column): Column =
+    when(normProduct === 0d, lit(0.0)).otherwise(dot / normProduct)
+
+  /** The same guard on the SQL side: x / NULLIF(np, 0) is NULL for a zero
+    * norm, coalesced to 0 — DuckDB also sorts NaN above every number, so
+    * both engines need the branch to agree. */
+  private def safeCosineSql(dot: String, normProduct: String): String =
+    s"COALESCE($dot / NULLIF($normProduct, 0), 0)"
 
   /** Exact top-k by cosine for the given query ids (self-excluded).
     * The query side is tiny → broadcast; the corpus is scanned once.
@@ -50,7 +64,8 @@ object Similarity {
       .orderBy(col("cosine").desc, col("match_id"))
     broadcast(queries).join(corpus, col("query_id") =!= col("match_id"))
       .withColumn("cosine",
-        round(dotCol(col("q_vec"), col("m_vec")) / (col("q_norm") * col("m_norm")), 4))
+        round(safeCosine(dotCol(col("q_vec"), col("m_vec")),
+          col("q_norm") * col("m_norm")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("match_id"), col("cosine"))
@@ -64,8 +79,8 @@ object Similarity {
     c AS (SELECT $idCol AS match_id, $vecCol::DOUBLE[] AS mv FROM $table),
     scored AS (
       SELECT query_id, match_id,
-             ROUND(list_dot_product(qv, mv) /
-                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(mv, mv))), 4) AS cosine
+             ROUND(${safeCosineSql("list_dot_product(qv, mv)",
+               "sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(mv, mv))")}, 4) AS cosine
       FROM q JOIN c ON query_id <> match_id)
     SELECT query_id, rank, match_id, cosine FROM (
       SELECT query_id, match_id, cosine,
@@ -106,9 +121,8 @@ object Similarity {
              FROM q JOIN sigs s
                ON s.tbl = q.tbl AND s.sig = q.sig AND s.vid <> q.query_id),
     scored AS (SELECT c.query_id, c.match_id,
-                 ROUND(list_dot_product(qe.v, me.v) /
-                       (sqrt(list_dot_product(qe.v, qe.v))
-                        * sqrt(list_dot_product(me.v, me.v))), 4) AS cosine
+                 ROUND(${safeCosineSql("list_dot_product(qe.v, me.v)",
+                   "sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(me.v, me.v))")}, 4) AS cosine
                FROM cand c
                JOIN emb qe ON qe.vid = c.query_id
                JOIN emb me ON me.vid = c.match_id)
@@ -170,7 +184,7 @@ object Similarity {
         col("nrm").as("b_norm"), col("bucket")), Seq("bucket"))
       .filter(col("a") < col("b"))
       .withColumn("cosine",
-        round(dotCol(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")), 4))
+        round(safeCosine(dotCol(col("a_vec"), col("b_vec")), col("a_norm") * col("b_norm")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
       .distinct()
@@ -196,9 +210,8 @@ object Similarity {
              FROM sigs s1 JOIN sigs s2
                ON s1.tbl = s2.tbl AND s1.sig = s2.sig AND s1.vid < s2.vid),
     scored AS (SELECT c.a, c.b,
-                 ROUND(list_dot_product(ae.v, be.v) /
-                       (sqrt(list_dot_product(ae.v, ae.v))
-                        * sqrt(list_dot_product(be.v, be.v))), 4) AS cosine
+                 ROUND(${safeCosineSql("list_dot_product(ae.v, be.v)",
+                   "sqrt(list_dot_product(ae.v, ae.v)) * sqrt(list_dot_product(be.v, be.v))")}, 4) AS cosine
                FROM cand c
                JOIN emb ae ON ae.vid = c.a
                JOIN emb be ON be.vid = c.b)
@@ -240,6 +253,10 @@ object Similarity {
           .as("cell"),
         normCol(col(vecCol)).as("nrm"), posexplode(col(vecCol)))
       val means = assigned
+        // a zero vector has no direction: col/nrm would be NaN (ANSI: a
+        // cast error) — it contributes nothing to a mean DIRECTION, so
+        // drop it from the update (it still gets assigned a cell on scan)
+        .filter(col("nrm") > 0)
         .groupBy(col("cell"), col("pos"))
         .agg((sum((col("col").cast("double") / col("nrm")).cast("decimal(27,10)"))
           / count(lit(1))).cast("double").as("m"))
@@ -311,7 +328,7 @@ object Similarity {
     broadcast(queries).join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("match_id"))
       .withColumn("cosine",
-        round(dotCol(col("q_vec"), col("m_vec")) / (col("q_norm") * col("m_norm")), 4))
+        round(safeCosine(dotCol(col("q_vec"), col("m_vec")), col("q_norm") * col("m_norm")), 4))
       .select("query_id", "match_id", "cosine")
       .dropDuplicates("query_id", "match_id")
       .withColumn("rank", row_number().over(w))
@@ -329,7 +346,8 @@ object Similarity {
     WITH emb AS (SELECT $idCol AS vid, $vecCol::DOUBLE[] AS v FROM $table),
     cent AS (SELECT cell, centroid FROM read_parquet('__VOUT__/_aux/ivf_centroids/*.parquet')),
     nemb AS (SELECT vid, v,
-                    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+                    list_transform(v, x -> x / (CASE WHEN list_dot_product(v, v) = 0
+                           THEN 1 ELSE sqrt(list_dot_product(v, v)) END)) AS nv
              FROM emb),
     dists AS (SELECT e.vid, c.cell, list_distance(e.nv, c.centroid) AS d
               FROM nemb e CROSS JOIN cent c),
@@ -346,9 +364,8 @@ object Similarity {
              FROM probe p JOIN assign a ON a.cell = p.cell
              WHERE a.vid <> p.query_id),
     scored AS (SELECT c.query_id, c.match_id,
-                 ROUND(list_dot_product(qe.v, me.v) /
-                       (sqrt(list_dot_product(qe.v, qe.v))
-                        * sqrt(list_dot_product(me.v, me.v))), 4) AS cosine
+                 ROUND(${safeCosineSql("list_dot_product(qe.v, me.v)",
+                   "sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(me.v, me.v))")}, 4) AS cosine
                FROM cand c
                JOIN emb qe ON qe.vid = c.query_id
                JOIN emb me ON me.vid = c.match_id)
@@ -395,7 +412,7 @@ object Similarity {
     broadcast(queries).join(corpus, Seq("bucket"))
       .filter(col("query_id") =!= col("match_id"))
       .withColumn("cosine",
-        round(dotCol(col("q_vec"), col("m_vec")) / (col("q_norm") * col("m_norm")), 4))
+        round(safeCosine(dotCol(col("q_vec"), col("m_vec")), col("q_norm") * col("m_norm")), 4))
       .select("query_id", "match_id", "cosine")
       .dropDuplicates("query_id", "match_id")
       .withColumn("rank", row_number().over(w))

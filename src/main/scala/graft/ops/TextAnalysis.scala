@@ -36,9 +36,6 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "que", "y", "un", "es", "por", "como", "para"),
     "fr" -> Seq("le", "les", "et", "une", "est", "pour", "dans", "au", "ce", "sur"))
 
-  private def markerCount(tokens: Column, words: Seq[String]): Column =
-    size(filter(tokens, t => t.isInCollection(words)))
-
   /** Argmax of marker counts with fixed tie order; "und" when no marker
     * hits. Counts come from [[graft.functions.MarkerCounts]] — one native
     * codegen'd pass over the tokens instead of four interpreted

@@ -112,6 +112,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.99))
   }
 
+  test("zero-norm and null-element vectors: cosine 0, not NaN rank-1; dot treats null as 0") {
+    import org.apache.spark.sql.functions.col
+    // a zero vector's cosine is 0/0 = NaN without the guard — and Spark
+    // sorts NaN ABOVE every real cosine, making it everyone's best match
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.8f, 0.3f)),
+      (99L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, Seq(0L), k = 3).collect()
+    assert(top.head.getLong(2) != 99L, "zero vector must not rank first")
+    assert(top.forall(r => !r.getDouble(3).isNaN))
+    assert(top.find(_.getLong(2) == 99L).forall(_.getDouble(3) == 0.0))
+    // NaN >= threshold evaluates true in Spark: without the guard the zero
+    // vector pairs with EVERYTHING above any threshold
+    val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.9).collect()
+    assert(pairs.forall(r => r.getLong(0) != 99L && r.getLong(1) != 99L))
+    // kMeans fit survives a zero vector (col/nrm would be NaN in the mean)
+    val cents = Similarity.kMeansCentroids(vecs, nCells = 2, iters = 2, dim = 2)
+    assert(cents.forall(_.forall(v => !v.isNaN)))
+    // a null ELEMENT counts as 0.0 on every execution path (the unsafe-row
+    // bulk copy already reads null slots as 0; the generic path must agree)
+    val withNull = Seq((0L, Seq[java.lang.Float](1.0f, null, 2.0f)),
+      (1L, Seq[java.lang.Float](3.0f, 4.0f, 5.0f))).toDF("id", "v")
+    val d = withNull.groupBy().agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(col("id") === 0L,
+            Similarity.dotCol(col("v"), col("v")))).as("s"))
+      .collect().head.getDouble(0)
+    assert(d == 5.0, s"1*1 + 0*0 + 2*2 = 5, got $d")
+  }
+
   test("IVF ANN: deterministic fit, decent recall, candidates only from probed cells") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L)
@@ -571,6 +601,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       val big = b.clone()
       big(o) = 0x7f.toByte
       assert(MediaCodec.pngPixels(big).isEmpty, s"dim byte $o must gate")
+    }
+  }
+
+  test("wav/mp4 walkers: corrupt chunk/box lengths never hang or throw") {
+    val wav = MediaCodec.wavBytes(8000, 1, 16, Array.tabulate(32)(_.toByte))
+    // negative RIFF chunk length (F8 FF FF FF) previously advanced the walk
+    // by ZERO — an executor-hanging infinite loop; large positive lengths
+    // overflowed the offset into negative indexing
+    for (len <- Seq(Array[Byte](-8, -1, -1, -1), Array[Byte](-1, -1, -1, 0x7f))) {
+      val c = wav.clone()
+      System.arraycopy(len, 0, c, 16, 4) // the fmt chunk's length field
+      MediaCodec.parseWav(c) // must terminate without throwing
+      MediaCodec.wavData(c)
+    }
+    val mp4 = MediaCodec.mp4Bytes(1000, 5000, Array.tabulate(16)(_.toByte))
+    // forged box size near 2^31: 'o + size' must not wrap past the bounds
+    // check and walk off the buffer
+    for (sz <- Seq(Array[Byte](0x7f, -1, -1, -8), Array[Byte](-1, -1, -1, -1))) {
+      val c = mp4.clone()
+      System.arraycopy(sz, 0, c, 16, 4) // the moov box's size field
+      assert(MediaCodec.parseMp4(c).isEmpty)
+    }
+    // truncated version-1 mvhd must not read past the box
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 60) {
+      val c = mp4.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt().toByte
+      MediaCodec.parseMp4(c) // must not throw
+      MediaCodec.parseWav(c)
     }
   }
 
