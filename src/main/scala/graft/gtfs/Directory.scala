@@ -57,7 +57,8 @@ object Directory {
   final case class Assignment(
       bySchedule: Seq[(String, Seq[String])], // schedule file → its rt files, oldest first
       skipped: Seq[String],                   // rt older than every schedule
-      invalid: Seq[String])                   // no parseable date
+      invalid: Seq[String],                   // rt with no parseable date
+      invalidSchedules: Seq[String])          // schedules with no parseable date
 
   /** J6 as-of assignment: each rt file → newest schedule with date ≤ rt date. */
   def assignSchedules(rtFiles: Seq[String], scheduleFiles: Seq[String]): Assignment = {
@@ -69,7 +70,7 @@ object Directory {
       "No schedule data (but real time data is present)")
     val oldest = schedules.headOption.map(_._2)
 
-    val invalid = scala.collection.mutable.ArrayBuffer[String]() ++ invalidSchedules
+    val invalid = scala.collection.mutable.ArrayBuffer[String]()
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
     val groups = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
     rtFiles.sorted.foreach { rt =>
@@ -83,7 +84,7 @@ object Directory {
       }
     }
     Assignment(groups.toSeq.map { case (s, fs) => (s, fs.toSeq) },
-      skipped.toSeq, invalid.toSeq)
+      skipped.toSeq, invalid.toSeq, invalidSchedules)
   }
 
   /** S5: move a processed/failed file into a sibling directory. */
@@ -110,13 +111,18 @@ object Directory {
     val schedules = list("schedule")
     if (rt.isEmpty) return (None, Nil)
     val assignment = assignSchedules(rt, schedules)
+    // only undated RT files are archived to failed/ — an undated SCHEDULE
+    // directory is skipped in place (moving schedule data out of schedule/
+    // would break every later import that needed it)
     assignment.invalid.foreach(f => if (archive) moveTo(f, s"$baseDir/failed"))
 
     var all: Option[DataFrame] = None
     val stats = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
     assignment.bySchedule.foreach { case (schedFile, rtFiles) =>
+      var sched: GtfsSchedule = null // load inside the try: a corrupt
+                                     // schedule is a per-group failure
       try {
-        val sched = GtfsSchedule.load(spark, schedFile)
+        sched = GtfsSchedule.load(spark, schedFile)
         val bin = spark.read.format("binaryFile")
           .load(rtFiles: _*)
         // localCheckpoint truncates the lineage BEFORE the source files are
@@ -131,7 +137,10 @@ object Directory {
         case e: Exception =>
           stats += ((schedFile, 0, rtFiles.size))
           if (archive) rtFiles.foreach(f => moveTo(f, s"$baseDir/failed"))
-      }
+      } finally if (sched != null) sched.unpersist()
+      // ^ the group's records are checkpointed, so its S2 cache is dead — a
+      // tree with months of schedule versions must not accumulate one per
+      // group
     }
     (all, stats.toSeq)
   }

@@ -31,6 +31,11 @@ final case class GtfsSchedule(
     calendar: DataFrame,
     calendarDates: DataFrame) {
 
+  /** Release the S2 cache (the persisted trips/stopTimes derivations) —
+    * for callers that load many schedule versions in one session
+    * (importTree over months of feeds) and are done with this one. */
+  def unpersist(): Unit = { trips.unpersist(); stopTimes.unpersist() }
+
   /** Trips of one route variant share an identical stop list; this picks the
     * representative stop list per variant (J9: groupBy + first). */
   def variantStops: DataFrame =

@@ -78,12 +78,13 @@ object Monitor {
   def stopPageByName(spark: SparkSession, predictions: DataFrame,
                      schedule: GtfsSchedule, stopName: String,
                      windowStart: String, windowEnd: String,
-                     maxDistM: Double = 300.0): DataFrame = {
+                     maxDistM: Double = 300.0,
+                     keep: Seq[String] = Nil): DataFrame = {
     val ext = extendedStops(spark, schedule.stops, stopName, maxDistM)
       .select("stop_id")
     stopPageFiltered(spark,
       predictions.join(broadcast(ext), Seq("stop_id"), "left_semi"),
-      schedule, windowStart, windowEnd)
+      schedule, windowStart, windowEnd, keep)
   }
 
   /** Stop page in a JOURNEY context (write_stop_time_output,
@@ -327,6 +328,7 @@ object Monitor {
       .groupBy(_.getLong(0))
       .map { case (v, rows) => v -> rows.map(_.getString(1)).toSeq }
       .toSeq
+    if (variants.isEmpty) return Seq.empty // unknown/variant-less route
     def isSubTrip(sub: Seq[String], full: Seq[String]): Boolean =
       full.sliding(sub.length).exists(_ == sub) ||
         full.reverse.sliding(sub.length).exists(_ == sub)

@@ -97,8 +97,11 @@ object ScheduledPredictions {
       .filter(col("start_epoch") > from && col("start_epoch") <= bufferEnd)
       .cache()
     val total = allStarts.count()
-    if (total == 0) return Some(Batch(
-      spark.emptyDataFrame, bufferEnd, 0)) // nothing scheduled → mark advanced
+    if (total == 0) {
+      allStarts.unpersist()
+      return Some(Batch(
+        spark.emptyDataFrame, bufferEnd, 0)) // nothing scheduled → mark advanced
+    }
 
     // grow the window until both minimums hold
     val epochs = allStarts.select("start_epoch").orderBy("start_epoch")
@@ -116,6 +119,13 @@ object ScheduledPredictions {
           .select(col("trip_id"))), Seq("trip_id"), "left_semi")
     }.reduceOption(_ unionByName _).getOrElse(spark.emptyDataFrame)
 
-    Some(Batch(preds, end, batchTrips.count()))
+    // materialize the bounded batch, then RELEASE the per-iteration cache —
+    // the idle-backfill loop calls advance() forever, and a leaked cached
+    // plan per iteration would crowd out the persistent schedule caches
+    // (localCheckpoint blocks are freed by the ContextCleaner once the
+    // returned Batch is dropped; CacheManager entries are not)
+    val batch = Batch(preds.localCheckpoint(true), end, batchTrips.count())
+    allStarts.unpersist()
+    Some(batch)
   }
 }

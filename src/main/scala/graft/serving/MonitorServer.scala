@@ -4,8 +4,7 @@ import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import graft.curves.{CPoint, Curves}
+import graft.curves.CPoint
 import graft.gtfs.{Codes, GtfsSchedule, HeatStrip, Monitor}
 
 /** S18 — the HTTP serving layer over the Spark-produced monitor state
@@ -90,45 +89,46 @@ class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
   }
 
   /** The stop page across the extended platform group, one heat strip per
-    * prediction row on the page's shared time axis. `datetime` is the
+    * departure row on the page's shared time axis. `datetime` is the
     * reference's `dd.MM.yy HH:mm` path element; the page window is that
-    * day (the fixture queries' convention). */
+    * day (the fixture queries' convention). The rows come from THE SAME
+    * pipeline the oracled monitor_stop_page query runs (F5 overlap, F6
+    * quantile trim, W6 realtime-over-schedule, F7 final-stop drop, W5
+    * median sort) — the server must not re-implement a weaker page that
+    * would, e.g., list a schedule row next to its realtime replacement. */
   private def stopPage(datetime: String, stopName: String): String = {
     val day = java.time.LocalDate.parse(datetime.split(" ").head,
       java.time.format.DateTimeFormatter.ofPattern("dd.MM.yy"))
     val w0 = s"$day 00:00:00"
     val w1 = s"${day.plusDays(1)} 00:00:00"
-    val ids = Monitor.extendedStops(spark, schedule.stops, stopName)
-      .select("stop_id").collect().map(_.getString(0)).toSeq
-    val rows = predictions
-      .filter(col("stop_id").isInCollection(ids)
-        && col("prediction_min") < lit(w1).cast("timestamp")
-        && col("prediction_max") > lit(w0).cast("timestamp"))
-      .select(col("trip_id"), col("event_type"),
-        unix_timestamp(col("prediction_min")).cast("double").as("min_e"),
-        unix_timestamp(col("prediction_max")).cast("double").as("max_e"),
-        col("prediction_curve"))
+    val rows = Monitor.stopPageByName(spark, predictions, schedule, stopName,
+      w0, w1, keep = Seq("prediction_min", "prediction_max", "prediction_curve"))
       .collect()
     if (rows.isEmpty)
       return s"<html><body><h1>${escapeHtml(stopName)}</h1><p>no departures</p></body></html>"
-    val win0 = rows.map(_.getDouble(2)).min
-    val win1 = rows.map(_.getDouble(3)).max
-    val trs = rows.sortBy(r => (r.getDouble(2), r.getString(0), r.getInt(1))).map { r =>
-      val curve: Array[CPoint] = r.getSeq[org.apache.spark.sql.Row](4)
+    def epoch(r: org.apache.spark.sql.Row, field: String): Double =
+      r.getAs[java.sql.Timestamp](field).getTime / 1000.0
+    val win0 = rows.map(epoch(_, "prediction_min")).min
+    val win1 = rows.map(epoch(_, "prediction_max")).max
+    val trs = rows.map { r => // already W5-ordered by median
+      val curve: Array[CPoint] = r.getAs[Seq[org.apache.spark.sql.Row]]("prediction_curve")
         .map(p => CPoint(p.getFloat(0), p.getFloat(1))).toArray
-      val anchor = r.getDouble(2) - curve.head.x
-      val et = r.getInt(1)
-      val png = HeatStrip.png(curve, anchor, win0, win1, width = 120, et)
+      val anchor = epoch(r, "prediction_min") - curve.head.x
+      val png = HeatStrip.png(curve, anchor, win0, win1, width = 120,
+        Codes.EventDeparture)
       val b64 = java.util.Base64.getEncoder.encodeToString(png)
-      val label = if (et == Codes.EventArrival) "arrival" else "departure"
-      val medianEpoch = anchor + Curves.xAtY(curve, 0.5f)
-      val median = java.time.Instant.ofEpochSecond(medianEpoch.toLong)
-      s"""<tr><td>${escapeHtml(r.getString(0))}</td><td>$label</td>
-         |<td>$median</td>
+      def s(field: String): String = // route join is left: name may be null
+        escapeHtml(Option(r.getAs[String](field)).getOrElse("?"))
+      s"""<tr><td>${s("route_short_name")}</td>
+         |<td>${s("route_type_label")}</td>
+         |<td>${s("trip_id")}</td>
+         |<td>${r.getAs[java.sql.Timestamp]("median_ts").toInstant}</td>
+         |<td>${escapeHtml(r.getAs[String]("delay_label"))}</td>
          |<td><img alt="heat strip" src="data:image/png;base64,$b64"/></td></tr>""".stripMargin
     }
     s"""<html><body><h1>${escapeHtml(stopName)}</h1>
-       |<table><tr><th>trip</th><th>event</th><th>median</th><th>density</th></tr>
+       |<table><tr><th>route</th><th>type</th><th>trip</th><th>median</th>
+       |<th>delay</th><th>density</th></tr>
        |${trs.mkString("\n")}
        |</table></body></html>""".stripMargin
   }

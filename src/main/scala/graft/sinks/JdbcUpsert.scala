@@ -12,9 +12,10 @@ import org.apache.spark.sql.types._
   *
   * Differences forced by portability (the reference is MySQL-only):
   * `INSERT IGNORE` becomes UPDATE → executeBatch counts → INSERT only the
-  * missed keys, and a duplicate-key violation on INSERT (a concurrent writer
-  * won the race) retries the batch like a deadlock, which converges because
-  * the retry's UPDATE then matches. SQLSTATE 40001 (serialization/deadlock —
+  * missed keys; a duplicate-key violation on that INSERT means the key
+  * exists after all (concurrent writer, or a driver counting CHANGED rows
+  * rather than matched ones) and is ignored per row — the reference's
+  * INSERT IGNORE, not a retry. SQLSTATE 40001 (serialization/deadlock —
   * MySQL 1213's standard code) retries with backoff exactly as the
   * reference does.
   *
@@ -69,8 +70,13 @@ object JdbcUpsert {
     } finally conn.close()
   }
 
-  /** One transaction per batch; SQLSTATE 40001 (deadlock) and 23xxx
-    * (duplicate key lost to a concurrent inserter) roll back and retry. */
+  /** One transaction per batch; SQLSTATE 40001 (deadlock) rolls back and
+    * retries with backoff. A duplicate key on the INSERT leg is NOT a
+    * retry: it means the key exists — either a concurrent writer won the
+    * race, or the driver reported 0 for an UPDATE that matched but changed
+    * nothing (MySQL `useAffectedRows`) — so those rows fall back to the
+    * reference's INSERT-IGNORE semantics (leave the stored row). Retrying
+    * the whole batch would loop without progress on the changed-rows case. */
   private def writeBatch(conn: Connection, batch: Seq[Row], cfg: Config,
                          attempt: Int): Unit = {
     val (updateSql, insertSql) = sqlOf(cfg)
@@ -84,20 +90,19 @@ object JdbcUpsert {
           upd.addBatch()
         }
         val updated = upd.executeBatch()
-        val missed = batch.zip(updated).collect { case (r, 0) => r }
-        if (missed.nonEmpty) {
-          val ins = conn.prepareStatement(insertSql)
-          try {
-            missed.foreach { r =>
-              var i = 1
-              (cfg.keyCols ++ cfg.valueCols).foreach { c =>
-                ins.setObject(i, jdbcValue(r, c)); i += 1
-              }
-              ins.addBatch()
-            }
-            ins.executeBatch()
-          } finally ins.close()
+        // drivers may report SUCCESS_NO_INFO (-2, e.g. Oracle): re-run those
+        // rows singly for exact counts — classifying them as "updated" would
+        // silently skip the INSERT leg and lose the rows
+        val counts = batch.zip(updated).map {
+          case (r, java.sql.Statement.SUCCESS_NO_INFO) =>
+            var i = 1
+            cfg.valueCols.foreach { c => upd.setObject(i, jdbcValue(r, c)); i += 1 }
+            cfg.keyCols.foreach { c => upd.setObject(i, jdbcValue(r, c)); i += 1 }
+            (r, upd.executeUpdate())
+          case p => p
         }
+        val missed = counts.collect { case (r, 0) => r }
+        if (missed.nonEmpty) insertIgnore(conn, missed, insertSql, cfg)
         conn.commit()
       } finally upd.close()
     } catch {
@@ -111,14 +116,45 @@ object JdbcUpsert {
     }
   }
 
-  private def retriable(e: SQLException): Boolean = {
-    val state = Option(e.getSQLState).getOrElse("")
-    state == "40001" || state.startsWith("23") ||
-      // executeBatch failures arrive wrapped in BatchUpdateException whose
-      // cause carries the state
-      Option(e.getNextException).exists(n =>
-        Option(n.getSQLState).exists(s => s == "40001" || s.startsWith("23")))
+  /** Batched INSERT of the update-missed rows; on a duplicate key the
+    * partial batch rolls back to a savepoint and the rows re-run one by
+    * one, swallowing per-row duplicates (the reference's `INSERT IGNORE`,
+    * importer/mod.rs:579-616 via batched_statements.rs). */
+  private def insertIgnore(conn: Connection, missed: Seq[Row],
+                           insertSql: String, cfg: Config): Unit = {
+    def bind(ins: PreparedStatement, r: Row): Unit = {
+      var i = 1
+      (cfg.keyCols ++ cfg.valueCols).foreach { c =>
+        ins.setObject(i, jdbcValue(r, c)); i += 1
+      }
+    }
+    val ins = conn.prepareStatement(insertSql)
+    try {
+      val sp = conn.setSavepoint()
+      try {
+        missed.foreach { r => bind(ins, r); ins.addBatch() }
+        ins.executeBatch()
+      } catch {
+        case e: SQLException if dupKey(e) =>
+          conn.rollback(sp) // undo the half-applied batch; the UPDATEs stay
+          missed.foreach { r =>
+            val rowSp = conn.setSavepoint()
+            try { bind(ins, r); ins.executeUpdate() }
+            catch { case e2: SQLException if dupKey(e2) => conn.rollback(rowSp) }
+          }
+      }
+    } finally ins.close()
   }
+
+  private def stateOf(e: SQLException): Seq[String] =
+    (Option(e.getSQLState) ++
+      // executeBatch failures arrive wrapped in BatchUpdateException whose
+      // chained exception carries the state
+      Option(e.getNextException).flatMap(n => Option(n.getSQLState))).toSeq
+
+  private def dupKey(e: SQLException): Boolean = stateOf(e).exists(_.startsWith("23"))
+
+  private def retriable(e: SQLException): Boolean = stateOf(e).contains("40001")
 
   private def jdbcValue(r: Row, col: String): AnyRef = {
     val v = r.getAs[Any](col)

@@ -89,13 +89,17 @@ object StreamingImport {
     if (touched.isEmpty) return
 
     // read only the touched partitions (partition pruning on the scan); a
-    // missing table is the only tolerated "empty" state — corruption surfaces
+    // missing table is the only tolerated "empty" state — corruption surfaces.
+    // NULL-SAFE equality on the date: TripDescriptor.start_date is optional,
+    // and `=== lit(null)` never matches — a plain equality would exclude the
+    // stored null-date rows from the merge while the dynamic overwrite still
+    // replaces their partition directory, silently erasing them
     val existing =
       if (!fs.exists(target)) None
       else {
         val cond = touched.map(r =>
             col("source") === lit(r.getString(0))
-              && col("trip_start_date") === lit(r.getDate(1)))
+              && col("trip_start_date") <=> lit(r.getDate(1)))
           .reduce(_ || _)
         Some(spark.read.parquet(targetDir).filter(cond))
       }
@@ -109,13 +113,13 @@ object StreamingImport {
       // from the path it replaces
       .localCheckpoint(true)
 
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy(partCols: _*).parquet(targetDir)
-    finally prevMode match {
-      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-WRITE dynamic overwrite (DataFrameWriter option), NOT the session
+    // conf: mutating the global conf races concurrent upserts — another
+    // thread restoring "static" mid-write would turn this into a whole-table
+    // overwrite that deletes every untouched partition
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*).parquet(targetDir)
   }
 
   /** S13/S14 as a true DB export: per micro-batch, reduce to the newest row
@@ -234,24 +238,32 @@ object StreamingImport {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[RtRow], batchId: Long) =>
-        val recs = recordsStream(spark, batch, schedule, source)
-        upsertBatch(recs, recordsDir)
-        val dates = recs.select(col("trip_start_date")).distinct()
-          .collect().map(_.getDate(0)).sortBy(_.getTime)
-        if (dates.nonEmpty) {
-          val stored = spark.read.parquet(recordsDir)
-            .filter(col("source") === source
-              && col("trip_start_date").isInCollection(dates.toSeq))
-          dates.foreach { d =>
-            val preds = Predictor.batchPredictRealtime(spark, schedule,
-              stored, d.toString, source, specific)
-              .withColumn("refresh_seq", lit(batchId))
-            upsertTable(preds, predictionsDir,
-              keyCols = Seq("source", "trip_id", "trip_start_date",
-                "trip_start_time", "stop_sequence", "event_type"),
-              newestBy = col("refresh_seq"))
+        // persist: the decode + schedule joins otherwise re-run for the
+        // upsert's actions AND the dates collect below (~3 full replays of
+        // the batch plan per trigger)
+        val recs = recordsStream(spark, batch, schedule, source).persist()
+        try {
+          upsertBatch(recs, recordsDir)
+          // null start dates (TripDescriptor.start_date is optional) have no
+          // service day to re-predict — and getTime on a null Date would kill
+          // the stream with an NPE
+          val dates = recs.select(col("trip_start_date")).distinct()
+            .collect().map(_.getDate(0)).filter(_ != null).sortBy(_.getTime)
+          if (dates.nonEmpty) {
+            val stored = spark.read.parquet(recordsDir)
+              .filter(col("source") === source
+                && col("trip_start_date").isInCollection(dates.toSeq))
+            dates.foreach { d =>
+              val preds = Predictor.batchPredictRealtime(spark, schedule,
+                stored, d.toString, source, specific)
+                .withColumn("refresh_seq", lit(batchId))
+              upsertTable(preds, predictionsDir,
+                keyCols = Seq("source", "trip_id", "trip_start_date",
+                  "trip_start_time", "stop_sequence", "event_type"),
+                newestBy = col("refresh_seq"))
+            }
           }
-        }
+        } finally recs.unpersist()
       }
       .start()
   }

@@ -22,7 +22,11 @@ class DirectorySpec extends AnyFunSuite {
     assert(by("/s/2024-01-01") == Seq("/x/2024-01-05T08.pb"))
     assert(by("/s/2024-01-15") == Seq("/x/2024-01-20T08.pb"))
     assert(a.skipped == Seq("/x/2023-12-01T08.pb"), "older than all schedules")
-    assert(a.invalid.toSet == Set("/x/nodate.pb", "/s/badname"))
+    // undated RT is archivable; an undated SCHEDULE must be reported
+    // separately (importTree leaves it in place instead of moving schedule
+    // data to failed/)
+    assert(a.invalid == Seq("/x/nodate.pb"))
+    assert(a.invalidSchedules == Seq("/s/badname"))
   }
 
   test("importTree: grouped import + archive moves (S4/S5)") {

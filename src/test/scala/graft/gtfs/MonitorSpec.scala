@@ -73,6 +73,8 @@ class MonitorSpec extends AnyFunSuite {
     assert(subs.map(_._1).contains(variants("T1sub")),
       "T1sub's 4-stop list is contiguous inside T1's 6-stop list")
     assert(subs.forall(_._2 == variants("T1")))
+    // an unknown route returns empty, not empty.maxBy
+    assert(Monitor.subsumedVariants(spark, schedule, "no_such_route").isEmpty)
   }
 
   test("walk curves between nearby platforms (X9 + J7)") {

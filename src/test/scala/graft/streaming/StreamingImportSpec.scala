@@ -36,6 +36,28 @@ class StreamingImportSpec extends AnyFunSuite {
     assert(d0.getInt(0) == 444)
   }
 
+  test("partitioned upsert keeps stored rows whose trip_start_date is null") {
+    import spark.implicits._
+    // TripDescriptor.start_date is optional → null-date rows are legal.
+    // Plain `===` against a null literal never matches, so without the
+    // null-safe predicate the merge would skip the stored null-partition
+    // rows while dynamic overwrite still replaces their directory —
+    // silently erasing batch 1's rows on batch 2.
+    val dir = Files.createTempDirectory("upsert_null").toString + "/t"
+    def row(trip: String, rec: Long) =
+      ("test", "r1", 1L, trip, null.asInstanceOf[java.sql.Date], 100, 1, rec)
+    val cols = Seq("source", "route_id", "route_variant", "trip_id",
+      "trip_start_date", "trip_start_time", "stop_sequence", "time_of_recording")
+    StreamingImport.upsertBatch(Seq(row("A", 10L)).toDF(cols: _*), dir)
+    StreamingImport.upsertBatch(Seq(row("B", 20L)).toDF(cols: _*), dir)
+    val stored = spark.read.parquet(dir)
+    assert(stored.count() == 2, "batch 2 must merge with, not erase, batch 1")
+    // and LWW still applies within the null partition
+    StreamingImport.upsertBatch(Seq(row("A", 30L)).toDF(cols: _*), dir)
+    val a = spark.read.parquet(dir).filter("trip_id = 'A'").collect()
+    assert(a.length == 1 && a.head.getAs[Long]("time_of_recording") == 30L)
+  }
+
   test("streaming exact dedup drops within-watermark duplicates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
