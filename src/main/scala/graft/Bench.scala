@@ -38,11 +38,17 @@ object Bench {
         shingleSetup = (System.nanoTime() - t0) / 1e9
       }))
     val setup = (System.nanoTime() - s0) / 1e9
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a crashing query must be VISIBLE in the artifact — recorded in a
+      // `failed` list, not silently reported as a normal (fast) timing
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    val results = runs.map { case (n, t, _) => (n, t) }
+    val failed = runs.collect { case (n, _, false) => s"\"" + n + "\"" }
+      .mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -55,6 +61,7 @@ object Bench {
       graft.queries.PipelinePack.setupTimings).toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString(",")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","setup":$setup,""" +
+      s""""failed":$failed,""" +
       s""""setup_detail":{"gtfs_fixture_pipeline":$gtfsSetup,"shingle_index":$shingleSetup,$gtfsDetail},""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     println(line)
@@ -64,6 +71,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","setup":$setup,""" +
+      s""""failed":$failed,""" +
       s""""queries":$slowest,"queries_note":"10 slowest of ${results.size};""" +
       s""" full map in BENCH_SELF.json","sf":"$sfDir"}""")
     spark.stop()

@@ -42,40 +42,52 @@ object GraftFunctions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(GraftFunctions.getClass.getName, null, name, usage, "")
 
+  // arity guard: a wrong argument count must fail with a named message,
+  // not an IndexOutOfBoundsException out of args(i)
+  private def nArgs(name: String, n: Int)(b: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = args => {
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${args.length}")
+    b(args)
+  }
+
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_fingerprint",
       info("graft_fingerprint", "graft_fingerprint(text, k) - min rolling k-gram hash"),
-      args => RollingFingerprint(args(0), intArg(args(1), "graft_fingerprint"))),
+      nArgs("graft_fingerprint", 2)(args =>
+        RollingFingerprint(args(0), intArg(args(1), "graft_fingerprint")))),
     ("graft_quality",
       info("graft_quality", "graft_quality(text) - composite quality score in [0,1]"),
-      args => x(TextAnalysis.qualityScoreCol(c(args(0))))),
+      nArgs("graft_quality", 1)(args => x(TextAnalysis.qualityScoreCol(c(args(0)))))),
     ("graft_langid",
       info("graft_langid", "graft_langid(text) - stopword-marker language guess"),
-      args => x(TextAnalysis.langIdCol(c(args(0))))),
+      nArgs("graft_langid", 1)(args => x(TextAnalysis.langIdCol(c(args(0)))))),
     ("graft_token_count",
       info("graft_token_count", "graft_token_count(text) - whitespace token count"),
-      args => x(TextAnalysis.tokenCountCol(c(args(0))))),
+      nArgs("graft_token_count", 1)(args => x(TextAnalysis.tokenCountCol(c(args(0)))))),
     ("graft_dup_ngram_frac",
       info("graft_dup_ngram_frac",
         "graft_dup_ngram_frac(text, n) - duplicated word n-gram fraction"),
-      args => x(TextAnalysis.dupNgramFracCol(c(args(0)),
-        intArg(args(1), "graft_dup_ngram_frac")))),
+      nArgs("graft_dup_ngram_frac", 2)(args => x(TextAnalysis.dupNgramFracCol(
+        c(args(0)), intArg(args(1), "graft_dup_ngram_frac"))))),
     ("graft_bucket",
       info("graft_bucket", "graft_bucket(id, n) - deterministic hash bucket in [0,n)"),
-      args => x(Sampling.bucketCol(c(args(0)), intArg(args(1), "graft_bucket")))),
+      nArgs("graft_bucket", 2)(args =>
+        x(Sampling.bucketCol(c(args(0)), intArg(args(1), "graft_bucket"))))),
     ("graft_split",
       info("graft_split", "graft_split(id) - deterministic train/valid/test label"),
-      args => x(Sampling.splitCol(c(args(0))))),
+      nArgs("graft_split", 1)(args => x(Sampling.splitCol(c(args(0)))))),
     ("graft_dot",
       info("graft_dot", "graft_dot(a, b) - dot product of two numeric arrays"),
-      args => graft.functions.DotProduct(args(0), args(1))),
+      nArgs("graft_dot", 2)(args => graft.functions.DotProduct(args(0), args(1)))),
     ("graft_cosine",
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two numeric arrays"),
-      args => x(graft.ops.Similarity.cosineCol(c(args(0)), c(args(1))))),
+      nArgs("graft_cosine", 2)(args =>
+        x(graft.ops.Similarity.cosineCol(c(args(0)), c(args(1)))))),
     ("graft_urlencode",
       info("graft_urlencode",
         "graft_urlencode(s) - percent-encode a URL path element (controls, /?\"`, non-ASCII)"),
-      args => graft.functions.PercentEncodePath(args(0))))
+      nArgs("graft_urlencode", 1)(args => graft.functions.PercentEncodePath(args(0)))))
 
   /** Registers every graft function on a live session. */
   def register(spark: SparkSession): Unit =

@@ -65,25 +65,37 @@ object ScaleRehearsal {
 
   /** Deterministic synthetic corpus with planted near-duplicates: ~55-word
     * docs from a 4096-word vocabulary; every 50th doc is a light edit of
-    * its predecessor (near-dup), every 97th an exact copy. Pure Column ops
-    * — generated distributed, no driver loop. */
+    * the nearest BASE doc before it (near-dup), every 97th an exact copy
+    * of one. Copying from a base doc (not blindly from id−1) matters:
+    * id−1 may itself be a planted special whose REAL text differs from the
+    * base formula, and rebuilding it from the formula would plant a
+    * "duplicate" of a document that doesn't exist — skewing the ground
+    * truth the dedup rehearsal numbers are judged against. Any 3
+    * consecutive ids contain at most one multiple of 50 and one of 97, so
+    * stepping back ≤3 always reaches a base doc. Pure Column ops —
+    * generated distributed, no driver loop. */
   private def syntheticDocs(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val words = transform(sequence(lit(0), lit(54)), i =>
-      concat(lit("w"), pmod(xxhash64(col("id"), i), lit(4096))))
+    def isSpecial(c: org.apache.spark.sql.Column) =
+      c > 0 && (pmod(c, lit(50)) === 0 || pmod(c, lit(97)) === 0)
+    def baseWords(idc: org.apache.spark.sql.Column, upTo: Int) =
+      transform(sequence(lit(0), lit(upTo)), i =>
+        concat(lit("w"), pmod(xxhash64(idc, i), lit(4096))))
+    val prevBase =
+      when(!isSpecial(col("id") - 1), col("id") - 1)
+        .when(!isSpecial(col("id") - 2), col("id") - 2)
+        .otherwise(col("id") - 3)
     spark.range(n).select(col("id").as("doc_id"),
       when(pmod(col("id"), lit(97)) === 0 && col("id") > 0,
-        // exact copy of the previous doc's text
-        concat_ws(" ", transform(sequence(lit(0), lit(54)), i =>
-          concat(lit("w"), pmod(xxhash64(col("id") - 1, i), lit(4096))))))
+        // exact copy of the nearest base doc's text
+        concat_ws(" ", baseWords(prevBase, 54)))
       .when(pmod(col("id"), lit(50)) === 0 && col("id") > 0,
-        // near-dup: predecessor's words with the last 5 replaced
+        // near-dup: nearest base doc's words with the last 5 replaced
         concat_ws(" ", concat(
-          transform(sequence(lit(0), lit(49)), i =>
-            concat(lit("w"), pmod(xxhash64(col("id") - 1, i), lit(4096)))),
+          baseWords(prevBase, 49),
           transform(sequence(lit(50), lit(54)), i =>
             concat(lit("x"), pmod(xxhash64(col("id"), i), lit(4096)))))))
-      .otherwise(concat_ws(" ", words)).as("text"))
+      .otherwise(concat_ws(" ", baseWords(col("id"), 54))).as("text"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -105,11 +117,28 @@ object ScaleRehearsal {
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
 
+    // listener events are delivered ASYNCHRONOUSLY: without draining the
+    // bus, the last stage's task-end bytes land in the NEXT op's delta.
+    // LiveListenerBus.waitUntilEmpty is package-private → reflection (it's
+    // public at the bytecode level); a short sleep is the fallback.
+    def drainListeners(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        val m = bus.getClass.getMethods
+          .filter(_.getName == "waitUntilEmpty").minBy(_.getParameterCount)
+        if (m.getParameterCount == 0) m.invoke(bus)
+        else m.invoke(bus, java.lang.Long.valueOf(10000L))
+      } catch { case _: Throwable => Thread.sleep(500) }
+
     def runTimed(name: String)(f: => Long): Unit = {
+      drainListeners()
       val w0 = meter.writeBytes.get; val r0 = meter.readBytes.get
       val s0 = meter.spillBytes.get; val c0 = System.nanoTime()
       val rows = f
-      println(f"[scale] $name: rows=$rows wall=${(System.nanoTime() - c0) / 1e9}%.1fs " +
+      val wall = (System.nanoTime() - c0) / 1e9
+      drainListeners() // attribute this op's bytes to this op
+      println(f"[scale] $name: rows=$rows wall=$wall%.1fs " +
         f"shuffleWrite=${(meter.writeBytes.get - w0) / 1e6}%.0fMB " +
         f"shuffleRead=${(meter.readBytes.get - r0) / 1e6}%.0fMB " +
         f"spill=${(meter.spillBytes.get - s0) / 1e6}%.0fMB")

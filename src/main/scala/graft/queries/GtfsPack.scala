@@ -171,9 +171,21 @@ object GtfsPack extends QueryPack {
     val recordsDir = base + "/records"
     val q = graft.streaming.StreamingImport.start(s, rtDir, sched, "graft",
       recordsDir, base + "/ckpt", automatic = false)
-    assert(q.awaitTermination(300000), "streaming import did not finish in 5 min")
-    asEpochSecs(s.read.parquet(recordsDir))
-      .orderBy("trip_start_date", "trip_id", "stop_sequence")
+    try {
+      assert(q.awaitTermination(300000), "streaming import did not finish in 5 min")
+      // materialize the bounded fixture table on the driver so the temp
+      // records/checkpoint dirs can be deleted — repeated bench/verify runs
+      // must not accumulate stream state on the (RAM-backed) scratch space
+      val out = asEpochSecs(s.read.parquet(recordsDir))
+        .orderBy("trip_start_date", "trip_id", "stop_sequence")
+      val schema = out.schema
+      val rows = out.collect().toIndexedSeq
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema)
+    } finally {
+      if (q.isActive) q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
   }
 
   /** Realtime-conditioned predictions (3.1 step 5): vehicles observed on

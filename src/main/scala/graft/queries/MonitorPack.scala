@@ -102,10 +102,12 @@ object MonitorPack extends QueryPack {
     val (_, preds) = GtfsPack.predictionState(s)
     val ds = Seq("delay_1", "delay_5", "delay_25", "delay_50", "delay_75",
       "delay_95", "delay_99")
+    // full 5-column prediction key in output + sort: (trip_id, seq, event)
+    // is only unique by accident of the single-day fixture — a second
+    // service day would make the sort (and the oracle rows) ambiguous
     Monitor.withPercentiles(preds)
-      .select(Seq(col("trip_id"), col("stop_sequence"), col("event_type")) ++
-        ds.map(d => round(col(d), 4).as(d)): _*)
-      .orderBy("trip_id", "stop_sequence", "event_type")
+      .select(PredKeys.map(col) ++ ds.map(d => round(col(d), 4).as(d)): _*)
+      .orderBy(PredKeys.map(col): _*)
   }
 
   private def x9WalkCurves(s: SparkSession, dir: String): DataFrame = {
@@ -152,10 +154,10 @@ object MonitorPack extends QueryPack {
   private def heatStrip(s: SparkSession, dir: String): DataFrame = {
     val (_, preds) = GtfsPack.predictionState(s)
     val rows = preds.filter(col("stop_id") === "S2")
-      .select(col("trip_id"), col("stop_sequence"), col("event_type"),
+      .select(PredKeys.map(col) ++ Seq(
         col("prediction_min").cast("double").as("min_e"),
         col("prediction_max").cast("double").as("max_e"),
-        col("prediction_curve"))
+        col("prediction_curve")): _*)
     val win = rows.agg(min("min_e").as("w0"), max("max_e").as("w1"))
     val strip = udf { (points: Seq[org.apache.spark.sql.Row], minE: Double,
                        w0: Double, w1: Double, eventType: Int) =>
@@ -169,12 +171,11 @@ object MonitorPack extends QueryPack {
     rows.crossJoin(broadcast(win))
       .withColumn("pxs", strip(col("prediction_curve"), col("min_e"),
         col("w0"), col("w1"), col("event_type")))
-      .select(col("trip_id"), col("stop_sequence"), col("event_type"),
-        posexplode(col("pxs")))
-      .select(col("trip_id"), col("stop_sequence"), col("event_type"),
+      .select(PredKeys.map(col) :+ posexplode(col("pxs")): _*)
+      .select(PredKeys.map(col) ++ Seq(
         col("pos").cast("int").as("px"), col("col._1").as("r"),
-        col("col._2").as("g"), col("col._3").as("b"))
-      .orderBy("trip_id", "stop_sequence", "event_type", "px")
+        col("col._2").as("g"), col("col._3").as("b")): _*)
+      .orderBy(PredKeys.map(col) :+ col("px"): _*)
   }
 
   /** Trip page for fixture trip T1 (departs 08:00:30 → trip_start_time
@@ -466,8 +467,8 @@ object MonitorPack extends QueryPack {
                  AND a0.i = LEAST(CAST(FLOOR(t.t * 8) AS INT), 7)
                LEFT JOIN hs_anchors a1 ON a1.gi = t.event_type
                  AND a1.i = LEAST(CAST(FLOOR(t.t * 8) AS INT), 7) + 1)
-    SELECT trip_id, stop_sequence, event_type, CAST(px AS INT) AS px, r, g, b
-    FROM hs_col ORDER BY trip_id, stop_sequence, event_type, px"""
+    SELECT ${keyList()}, CAST(px AS INT) AS px, r, g, b
+    FROM hs_col ORDER BY ${keyList()}, px"""
   }
 
   private val RouteTypeLabelCase = """CASE r.route_type
@@ -533,12 +534,12 @@ object MonitorPack extends QueryPack {
     // W8 percentile extraction, recomputed from the exploded curve points.
     "w8_percentiles" -> s"""
       WITH $quantCtes
-      SELECT trip_id, stop_sequence, event_type,
+      SELECT ${keyList()},
              ROUND(d1, 4) AS delay_1, ROUND(d5, 4) AS delay_5,
              ROUND(d25, 4) AS delay_25, ROUND(d50, 4) AS delay_50,
              ROUND(d75, 4) AS delay_75, ROUND(d95, 4) AS delay_95,
              ROUND(d99, 4) AS delay_99
-      FROM pq ORDER BY trip_id, stop_sequence, event_type""",
+      FROM pq ORDER BY ${keyList()}""",
     // Trip page: vehicle filter, percentile instants (anchor = min_epoch −
     // first curve x, mirroring the decimal(18,6) interval casts as ROUND 6),
     // stop-name join, ordering (monitor/mod.rs:690-795).

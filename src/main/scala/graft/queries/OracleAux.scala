@@ -14,8 +14,20 @@ import org.apache.spark.sql.SparkSession
   */
 object OracleAux {
   def dump(spark: SparkSession, sfDir: String, outDir: String): Unit = {
-    val frames = GtfsPack.oracleAux(spark) ++ MonitorPack.oracleAux(spark) ++
-      PipelinePack.oracleAux(spark, sfDir)
+    // per-PACK isolation: the builders run eagerly (collects inside), so
+    // one broken pack must degrade its own queries' oracles, not abort
+    // Verify before oracle_sql.json exists and zero the round
+    val frames = Seq[(String, () => Map[String, org.apache.spark.sql.DataFrame])](
+      "GtfsPack" -> (() => GtfsPack.oracleAux(spark)),
+      "MonitorPack" -> (() => MonitorPack.oracleAux(spark)),
+      "PipelinePack" -> (() => PipelinePack.oracleAux(spark, sfDir))
+    ).flatMap { case (pack, build) =>
+      try build()
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] aux builders of $pack failed: ${e.getMessage}")
+        Map.empty[String, org.apache.spark.sql.DataFrame]
+      }
+    }
     // Sibling of outDir ("<outDir>_aux"), NOT a subdirectory: the driver
     // harness treats every outDir/* entry as a query result to compare.
     frames.foreach { case (name, df) =>

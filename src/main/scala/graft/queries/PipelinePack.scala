@@ -372,17 +372,22 @@ object PipelinePack extends QueryPack {
       .writeStream.format("memory").queryName(sinkName)
       .option("checkpointLocation", base.toString + "/ckpt")
       .trigger(Trigger.AvailableNow()).start()
-    assert(q.awaitTermination(300000), "dedup stream did not finish in 5 min")
     // materialize the bounded result (distinct text hashes) on the driver so
     // the temp source/checkpoint dirs and the memory sink can be torn down —
-    // repeated bench iterations must not accumulate stream state
-    val result = s.table(sinkName).orderBy("text_md5")
-    val schema = result.schema
-    val rows = result.collect().toIndexedSeq
-    s.catalog.dropTempView(sinkName)
-    import scala.jdk.CollectionConverters._
-    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
-    s.createDataFrame(rows.asJava, schema)
+    // teardown runs on the FAILURE path too (a timed-out query must be
+    // stopped, not left writing into an orphaned sink and scratch dir)
+    try {
+      assert(q.awaitTermination(300000), "dedup stream did not finish in 5 min")
+      val result = s.table(sinkName).orderBy("text_md5")
+      val schema = result.schema
+      val rows = result.collect().toIndexedSeq
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema)
+    } finally {
+      if (q.isActive) q.stop()
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
   }
 
   /** The END-TO-END curation pipeline in one declarative plan — what a

@@ -79,6 +79,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT graft_urlencode(123)").collect()
     }
     assert(e2.getMessage.contains("percent_encode_path"))
+    // wrong ARITY gets a named message too, not args(i) IndexOutOfBounds
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_fingerprint('x')").collect()
+    }
+    assert(e3.getMessage.contains("graft_fingerprint expects 2"),
+      s"got: ${e3.getMessage}")
   }
 
   test("percent-encoding of URL path elements (X14 escape set)") {
