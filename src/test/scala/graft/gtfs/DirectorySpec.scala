@@ -48,6 +48,28 @@ class DirectorySpec extends AnyFunSuite {
     assert(new java.io.File(s"$base/rt").listFiles().isEmpty)
   }
 
+  test("ImportCli.run: tree import -> curves -> predictions, dated schedule wins") {
+    val base = Files.createTempDirectory("clitree").toString
+    val schedDir = s"$base/schedule/2024-01-01"
+    new java.io.File(schedDir).mkdirs()
+    FixtureGen.writeSchedule(java.nio.file.Paths.get(schedDir))
+    // decoy: an undated schedule directory sorts lexicographically AFTER the
+    // dated one ("current" > "2024-…") and is empty, so picking it would blow
+    // up GtfsSchedule.load — the regression this test pins down
+    new java.io.File(s"$base/schedule/current").mkdirs()
+    new java.io.File(s"$base/rt").mkdirs()
+    FixtureGen.writeRtFiles(java.nio.file.Paths.get(s"$base/rt"))
+
+    graft.ImportCli.run(spark, base, "cli", "2024-01-15")
+
+    assert(spark.read.parquet(s"$base/records").count() == 241)
+    assert(spark.read.parquet(s"$base/curves/specific").count() > 0)
+    assert(spark.read.parquet(s"$base/curves/default").count() > 0)
+    assert(spark.read.parquet(s"$base/predictions").count() > 0)
+    // the undated directory was left in place, not archived or consumed
+    assert(new java.io.File(s"$base/schedule/current").isDirectory)
+  }
+
   test("X2: filename datetime regex with X1 date-midnight fallback") {
     assert(Directory.dateTimeFromFilename("feed-2024-03-04T08:15:30.pb")
       .contains(java.time.LocalDateTime.of(2024, 3, 4, 8, 15, 30)))
