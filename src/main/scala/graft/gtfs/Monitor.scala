@@ -343,7 +343,16 @@ object Monitor {
     * grid-bucket join, curve from the pure walk-time synthesis. */
   def walkCurves(spark: SparkSession, stops: DataFrame, maxDistM: Double = 300.0): DataFrame = {
     import spark.implicits._
-    val cell = 0.005
+    // The 3×3 neighborhood probe only sees every true pair when the cell is
+    // at least maxDistM wide in DEGREES on both axes. A longitude degree
+    // shrinks by cos(lat), so size the cell from the corpus's extreme
+    // latitude (one scalar agg over the small stops table; |lat| clamped at
+    // 85° so a junk polar coordinate can't zero the cosine). 111 km/degree
+    // undershoots the true 111.32 km, inflating the cell slightly — safe.
+    val latRow = stops.agg(max(abs(col("stop_lat")))).head()
+    val maxAbsLat = (if (latRow.isNullAt(0)) 0.0 else latRow.getDouble(0)).min(85.0)
+    val mPerDegLon = 111000.0 * math.cos(math.toRadians(maxAbsLat))
+    val cell = math.max(maxDistM / 111000.0, maxDistM / mPerDegLon)
     val pts = stops.select(col("stop_id"), col("stop_lat"), col("stop_lon"))
       .withColumn("cx", floor(col("stop_lon") / cell))
       .withColumn("cy", floor(col("stop_lat") / cell))

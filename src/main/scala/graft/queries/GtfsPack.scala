@@ -95,14 +95,20 @@ object GtfsPack extends QueryPack {
   private def asEpochSecs(df: DataFrame): DataFrame =
     df.withColumn("time_of_recording", unix_timestamp(col("time_of_recording")))
 
+  // sort keys include source + trip_start_time: the vehicle key is
+  // (source, trip, date, START TIME) — two services of one trip_id on the
+  // same date (frequency trips) would otherwise tie and dump in
+  // shuffle-dependent order (the w8Percentiles totality rule)
   private def records(s: SparkSession, dir: String): DataFrame =
     asEpochSecs(pipeline(s)._2)
-      .orderBy("trip_start_date", "trip_id", "stop_sequence")
+      .orderBy("source", "trip_start_date", "trip_id", "trip_start_time",
+        "stop_sequence")
 
   private def gapFilled(s: SparkSession, dir: String): DataFrame = {
     val (sched, recs) = pipeline(s)
     CurveAnalysis.gapFill(recs, sched)
-      .orderBy("trip_start_date", "trip_id", "stop_index")
+      .orderBy("source", "trip_start_date", "trip_id", "trip_start_time",
+        "stop_index")
   }
 
   // Curve tables go out as one scalar row per POINT (the driver harness
@@ -172,12 +178,15 @@ object GtfsPack extends QueryPack {
     val q = graft.streaming.StreamingImport.start(s, rtDir, sched, "graft",
       recordsDir, base + "/ckpt", automatic = false)
     try {
-      assert(q.awaitTermination(300000), "streaming import did not finish in 5 min")
+      // require, not assert: assert is elidable, and eliding it would drop
+      // the awaitTermination call itself and read a partial table
+      require(q.awaitTermination(300000), "streaming import did not finish in 5 min")
       // materialize the bounded fixture table on the driver so the temp
       // records/checkpoint dirs can be deleted — repeated bench/verify runs
       // must not accumulate stream state on the (RAM-backed) scratch space
       val out = asEpochSecs(s.read.parquet(recordsDir))
-        .orderBy("trip_start_date", "trip_id", "stop_sequence")
+        .orderBy("source", "trip_start_date", "trip_id", "trip_start_time",
+          "stop_sequence")
       val schema = out.schema
       val rows = out.collect().toIndexedSeq
       import scala.jdk.CollectionConverters._

@@ -197,8 +197,9 @@ object MonitorPack extends QueryPack {
   private def journeyFull(s: SparkSession): DataFrame =
     cached(s, "journey") {
       val (sched, preds) = GtfsPack.predictionState(s)
-      val start = s.sql("SELECT unix_timestamp(to_timestamp('2024-03-04 07:55:00'))")
-        .head.getLong(0).toDouble
+      // same 07:55 anchor as the transfer page — one definition, so editing
+      // the journey start can't desynchronize the two queries' oracles
+      val start = transferArrivalEpoch(s)
       Monitor.journey(s, preds, sched, start, Seq(
         Monitor.RideLeg("T1", "2024-03-04", 8 * 3600 + 30, boardStopSeq = 10, alightStopSeq = 30),
         Monitor.WalkLeg(261f),
@@ -238,8 +239,11 @@ object MonitorPack extends QueryPack {
       .select(lit("journey").as("page"),
         col("component_idx").cast("string").as("row_key"))
     val tviol = stopPageTransfer(s, dir)
+      // dist_m is page output, rounded to 1 dp — a true 299.96 m platform
+      // rounds to 300.0, so only reject values no <300 m distance can
+      // round to (>= 300.05, i.e. rounded >= 300.1)
       .filter(col("transfer_prob") < 0.05 || col("transfer_prob") > 1
-        || col("dist_m") >= 300)
+        || col("dist_m") >= 300.05)
       .select(lit("transfer").as("page"), col("trip_id").as("row_key"))
     jviol.union(tviol).orderBy("page", "row_key")
   }

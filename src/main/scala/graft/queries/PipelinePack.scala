@@ -1,8 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Packing, Sampling, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{Dedup, MediaAsset, Packing, Sampling, Similarity, TextAnalysis, Multimodal}
 import graft.functions.RollingFingerprint
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
@@ -132,8 +132,7 @@ object PipelinePack extends QueryPack {
     // down) plus payload stats recomputed by an independent fold — the
     // mm_features oracle selects straight from this table, so the header
     // decode must round-trip every declared value to pass.
-    val mmTruth = graft.ops.Multimodal
-      .synthesizeAssets(s, t(s, dir, "documents")).map { a =>
+    val mmTruth = sharedAssets(s, dir).map { a =>
         val n = a.payload.length
         val f0 = if (n == 0) 0f
                  else a.payload.count(b => ((b & 0xff) >> 4) == 0).toFloat / n
@@ -177,11 +176,9 @@ object PipelinePack extends QueryPack {
     // pixel stream (mm_pixels) — the zlib inflate itself is pinned by the
     // deflate→inflate round-trip test, everything downstream (channel
     // indexing, nearest-neighbor math, summary scalars) replays in SQL
-    val mmAssets = graft.ops.Multimodal
-      .synthesizeAssets(s, t(s, dir, "documents")).toDF()
+    val mmAssets = sharedAssets(s, dir).toDF()
       .select("asset_id", "mime", "payload", "width", "height")
-    val mmPixels = graft.ops.Multimodal
-      .synthesizeAssets(s, t(s, dir, "documents"))
+    val mmPixels = sharedAssets(s, dir)
       .flatMap(a => graft.ops.MediaCodec.pngPixels(a.payload)
         .filter(_.nonEmpty).map(px => (a.asset_id, px)))
       .toDF("asset_id", "raw")
@@ -377,7 +374,9 @@ object PipelinePack extends QueryPack {
     // teardown runs on the FAILURE path too (a timed-out query must be
     // stopped, not left writing into an orphaned sink and scratch dir)
     try {
-      assert(q.awaitTermination(300000), "dedup stream did not finish in 5 min")
+      // require, not assert: assert is elidable, and eliding it would drop
+      // the awaitTermination call itself and read a partial sink
+      require(q.awaitTermination(300000), "dedup stream did not finish in 5 min")
       val result = s.table(sinkName).orderBy("text_md5")
       val schema = result.schema
       val rows = result.collect().toIndexedSeq
@@ -452,9 +451,16 @@ object PipelinePack extends QueryPack {
   }
 
   // ---- multimodal (real container-header decode) -------------------------
+  // one synthesized-asset pass shared by the mm queries and their aux dumps
+  // (five call sites previously each re-ran the full synthesis job)
+  private def sharedAssets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    cached(s, dir, "mm_assets")(
+      Multimodal.synthesizeAssets(s, t(s, dir, "documents")).toDF()).as[MediaAsset]
+  }
+
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
-    val assets = Multimodal.synthesizeAssets(s, t(s, dir, "documents"))
-    Multimodal.decodeFeatures(s, assets).toDF()
+    Multimodal.decodeFeatures(s, sharedAssets(s, dir)).toDF()
       .select(col("asset_id"), col("mime"), col("n_bytes"), col("frames_sampled"),
         round(element_at(col("feature"), 1).cast("double"), 4).as("feat_0"),
         col("decoded_width"), col("decoded_height"), col("sample_rate"),
@@ -463,8 +469,7 @@ object PipelinePack extends QueryPack {
   }
 
   private def mmResize(s: SparkSession, dir: String): DataFrame =
-    Multimodal.resizeImages(s,
-        Multimodal.synthesizeAssets(s, t(s, dir, "documents")), 8, 8)
+    Multimodal.resizeImages(s, sharedAssets(s, dir), 8, 8)
       .drop("pixels")
       .orderBy("asset_id")
 

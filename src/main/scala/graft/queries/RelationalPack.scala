@@ -201,7 +201,10 @@ object RelationalPack extends QueryPack {
     t(s, dir, "events")
       .select(
         col("event_id"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+        // no-match yields '' — NULL it out before the cast, which throws
+        // on '' under ANSI mode (both engines return '' from regexp_extract)
+        nullif(regexp_extract(col("props"), "\"k\": (\\d+)", 1), lit(""))
+          .cast("int").as("k"))
       .orderBy("event_id")
 
   // ---- A3 ECDF construction, oracle-checked ------------------------------
@@ -522,7 +525,7 @@ object RelationalPack extends QueryPack {
       GROUP BY event_type ORDER BY event_type""",
     "x1_regex_extract" -> """
       SELECT event_id,
-             CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+             CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INT) AS k
       FROM events
       ORDER BY event_id"""
   )
