@@ -126,10 +126,13 @@ object GtfsTime {
 
   /** "HH:MM:SS" (H may exceed 24) → seconds. gtfs_time.rs:22-46. */
   def parseGtfsTimeCol(s: Column): Column = {
-    val parts = split(s, ":")
-    (parts.getItem(0).cast("int") * 3600 +
-      parts.getItem(1).cast("int") * 60 +
-      parts.getItem(2).cast("int"))
+    // the reference regex (gtfs_time.rs:24): first H:M:S digit group anywhere
+    // in the string. No match → NULL (callers skip the entity) where the old
+    // split-and-cast form threw under ANSI on any junk suffix; try_cast turns
+    // an absurd digit run into NULL instead of a job-killing overflow.
+    val re = "(\\d+):(\\d+):(\\d+)"
+    def part(i: Int) = nullif(regexp_extract(s, re, i), lit("")).try_cast("int")
+    part(1) * 3600 + part(2) * 60 + part(3)
   }
 
   def parseGtfsTime(s: String): Option[Int] = {

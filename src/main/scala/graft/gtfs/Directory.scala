@@ -135,6 +135,10 @@ object Directory {
         if (archive) rtFiles.foreach(f => moveTo(f, s"$baseDir/imported"))
       } catch {
         case e: Exception =>
+          // surface WHY the group was quarantined (the reference eprintln!s
+          // per group, importer/mod.rs:438-441) — a silent count gives the
+          // operator nothing to act on when months of rt data move to failed/
+          System.err.println(s"[import] group $schedFile failed: $e")
           stats += ((schedFile, 0, rtFiles.size))
           if (archive) rtFiles.foreach(f => moveTo(f, s"$baseDir/failed"))
       } finally if (sched != null) sched.unpersist()

@@ -40,17 +40,23 @@ object Importer {
         val msg = try GtfsRtCodec.decode(bytes)
           catch { case _: GtfsRtCodec.MalformedProtobufException =>
             GtfsRtCodec.FeedMessage(None, Nil) }
-        val ts = msg.timestamp.getOrElse(0L)
-        msg.tripUpdates.iterator.flatMap { tu =>
-          tu.trip.tripId match {
-            case None => Iterator.empty // required field missing → skip entity
-            case Some(tripId) =>
-              tu.stopTimeUpdates.iterator.map { stu =>
-                RtRow(name, ts, tripId, tu.trip.routeId, tu.trip.startDate,
-                  tu.trip.startTime, stu.stopSequence, stu.stopId,
-                  stu.arrival.flatMap(_.delay), stu.departure.flatMap(_.delay))
+        msg.timestamp match {
+          // no header timestamp → skip the FILE, as the reference does
+          // (per_schedule_importer.rs:111-113) — defaulting to epoch 0 would
+          // make every row lose the W2 last-writer-wins dedupe
+          case None => Iterator.empty
+          case Some(ts) =>
+            msg.tripUpdates.iterator.flatMap { tu =>
+              tu.trip.tripId match {
+                case None => Iterator.empty // required field missing → skip entity
+                case Some(tripId) =>
+                  tu.stopTimeUpdates.iterator.map { stu =>
+                    RtRow(name, ts, tripId, tu.trip.routeId, tu.trip.startDate,
+                      tu.trip.startTime, stu.stopSequence, stu.stopId,
+                      stu.arrival.flatMap(_.delay), stu.departure.flatMap(_.delay))
+                  }
               }
-          }
+            }
         }
       })
   }
@@ -72,8 +78,7 @@ object Importer {
                     schedule: GtfsSchedule, source: String,
                     dedupe: Boolean = true): DataFrame = {
     val trips = schedule.trips.select(
-      col("trip_id"), col("route_id"), col("route_variant"),
-      col("trip_start_time").as("sched_start_time"))
+      col("trip_id"), col("route_id"), col("route_variant"))
     val stopTimes = schedule.stopTimes.select(
       col("trip_id"), col("stop_sequence"), col("stop_id"),
       col("stop_index"), col("stop_count"), col("arrival_secs"), col("departure_secs"))
@@ -81,9 +86,16 @@ object Importer {
     val joined = rt.toDF()
       .join(broadcast(trips), Seq("trip_id"))
       .join(broadcast(stopTimes), Seq("trip_id", "stop_sequence"))
-      .withColumn("trip_start_date", to_date(col("start_date"), "yyyyMMdd"))
-      .withColumn("trip_start_time",
-        coalesce(GtfsTime.parseGtfsTimeCol(col("start_time")), col("sched_start_time")))
+      // try_to_timestamp: a malformed feed date must skip the entity, not
+      // throw through the whole job under ANSI
+      .withColumn("trip_start_date",
+        to_date(try_to_timestamp(col("start_date"), lit("yyyyMMdd"))))
+      .withColumn("trip_start_time", GtfsTime.parseGtfsTimeCol(col("start_time")))
+      // the reference requires a parseable start_date AND start_time in the
+      // trip descriptor (gtfs_time.rs:27-33) — the error skips the entity at
+      // per_schedule_importer.rs:158. Null dates would also conflate every
+      // service day of a trip into one W2 last-writer-wins group.
+      .filter(col("trip_start_date").isNotNull && col("trip_start_time").isNotNull)
       .filter(col("delay_arrival").isNotNull || col("delay_departure").isNotNull)
 
     val upsertKey = Seq("source", "route_id", "route_variant", "trip_id",

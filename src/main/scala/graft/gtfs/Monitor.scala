@@ -330,8 +330,7 @@ object Monitor {
       .toSeq
     if (variants.isEmpty) return Seq.empty // unknown/variant-less route
     def isSubTrip(sub: Seq[String], full: Seq[String]): Boolean =
-      full.sliding(sub.length).exists(_ == sub) ||
-        full.reverse.sliding(sub.length).exists(_ == sub)
+      VisualSchedule.isSub(sub, full) || VisualSchedule.isSub(sub, full.reverse)
     val longest = variants.maxBy(_._2.length)
     variants.filter { case (v, stops) =>
       v != longest._1 && isSubTrip(stops, longest._2)

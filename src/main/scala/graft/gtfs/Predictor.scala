@@ -47,7 +47,12 @@ final class Predictor(
                       endIdx: Int, slotId: Int, et: Int): Option[PredictionResult] =
     start match {
       case None =>
-        generalByKey.get((variant, et, slotId, endIdx))
+        // the reference's general_delay map is keyed by stop index only:
+        // every slot pass overwrites the same key and DEFAULT runs last
+        // (analyser/specific_curves.rs:276-285, TIME_SLOTS_WITH_DEFAULT
+        // order), so the curve served at predictor/mod.rs:286-289 is always
+        // the DEFAULT-slot (all-observations) one — never the request slot's
+        generalByKey.get((variant, et, DefaultTimeSlot, endIdx))
           .map(r => CurvePrediction(r.curve.toArray, r.precision_type, r.sample_size))
       case Some((startIdx, delayDep)) =>
         curveSets.get((variant, et, slotId, startIdx, endIdx)) match {
@@ -143,8 +148,12 @@ object Predictor {
       // event fan-out as a Column explode (no typed flatMap): a national
       // schedule × every refresh date flows through here, so it stays in
       // whole-stage codegen like the curve-input prep
+      // route_type stays null when routes.txt lacks the route: the reference
+      // propagates the get_route error and produces NO default prediction for
+      // such trips (predictor/mod.rs:219-221) — a null never equi-joins the
+      // default grid, which reproduces exactly that
       .select(col("trip_id"), col("route_id"), col("route_variant"),
-        coalesce(col("route_type"), lit(3)).as("route_type"),
+        col("route_type"),
         col("stop_sequence"), col("stop_id"), col("stop_index"),
         col("stop_count").cast("int").as("stop_count"),
         coalesce(col("trip_start_time"), lit(0)).as("trip_start_time"),
@@ -171,8 +180,13 @@ object Predictor {
                    defaults: Dataset[DefaultCurveRow]): DataFrame = {
     val base = targetsForDate(spark, schedule, serviceDate)
 
-    val gen = specific.filter(_.curve_kind == "general").toDF()
-      .select(col("route_variant"), col("event_type"), col("time_slot_id"),
+    // DEFAULT-slot general curves only: the reference serves the
+    // all-observations curve for every request slot (general_delay is keyed
+    // by stop index alone and the DEFAULT pass writes last —
+    // analyser/specific_curves.rs:276-285)
+    val gen = specific.filter(r =>
+        r.curve_kind == "general" && r.time_slot_id == Codes.DefaultTimeSlot).toDF()
+      .select(col("route_variant"), col("event_type"),
         col("end_stop_index").as("stop_index"),
         col("curve").as("g_curve"), col("precision_type").as("g_precision"),
         col("sample_size").as("g_sample"))
@@ -184,7 +198,7 @@ object Predictor {
 
     val joined = base
       .join(broadcast(gen),
-        Seq("route_variant", "event_type", "time_slot_id", "stop_index"), "left")
+        Seq("route_variant", "event_type", "stop_index"), "left")
       .join(broadcast(dft),
         base("route_type") === dft("route_type")
           && base("route_section") === dft("route_section")
@@ -227,11 +241,15 @@ object Predictor {
     *   (variant, et, slot|DEFAULT, basis_idx, target_idx)) →
     *   `curve_at_x_with_continuation(basis delay)` per group.
     *
-    * Rows without a matching curve set fall back to the schedule-origin path
-    * ([[batchPredict]] output can be unioned for full coverage). */
+    * Targets without a matching curve set (any slot) fall back to the
+    * DEFAULT GRID while keeping the realtime origin — the reference's
+    * `or_else(predict_default)` at predictor/mod.rs:216-239 applies to the
+    * realtime path too; dropping such rows to the schedule-origin backfill
+    * would flip their origin/precision on every page. */
   def batchPredictRealtime(spark: SparkSession, schedule: GtfsSchedule,
                            records: DataFrame, serviceDate: String, source: String,
-                           specific: Dataset[SpecificCurveRow]): DataFrame = {
+                           specific: Dataset[SpecificCurveRow],
+                           defaults: Dataset[DefaultCurveRow]): DataFrame = {
     import spark.implicits._
 
     // latest basis per vehicle (W3: top-1 by stop, then recency)
@@ -287,7 +305,7 @@ object Predictor {
 
     val keyCols = Seq("trip_id", "trip_start_date", "trip_start_time",
       "route_id", "stop_sequence", "stop_id", "event_type")
-    joined
+    val csPreds = joined
       .groupBy((keyCols.map(col) :+ col("slot_rank")): _*)
       .agg(
         first("scheduled_ts").as("scheduled_ts"),
@@ -318,5 +336,42 @@ object Predictor {
         col("precision_type"), lit(OriginRealtime).as("origin_type"),
         col("sample_size"), col("prediction_curve"),
         lit(source + "_schedule").as("schedule_file_name"))
+
+    // default-grid fallback for targets no curve set matched at ANY slot —
+    // same join keys as batchPredict's default leg, realtime origin kept
+    val dft = defaults.toDF()
+      .select(col("route_type").as("d_route_type"),
+        col("route_section").as("d_section"),
+        col("time_slot_id").as("d_slot"), col("event_type").as("d_et"),
+        col("curve").as("d_curve"), col("precision_type").as("d_precision"),
+        col("sample_size").as("d_sample"))
+    val fallback = targets
+      .join(joined.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+      .join(broadcast(dft),
+        col("route_type") === col("d_route_type")
+          && col("route_section") === col("d_section")
+          && col("event_type") === col("d_et")
+          && col("d_slot") === when(col("time_slot_id") === Codes.DefaultTimeSlot, 1)
+            .otherwise(col("time_slot_id")))
+      .withColumn("prediction_curve", capCurve(col("d_curve")))
+      .withColumn("curve_min_secs", element_at(col("prediction_curve"), 1).getField("x"))
+      .withColumn("curve_max_secs", element_at(col("prediction_curve"), -1).getField("x"))
+      .withColumn("prediction_min",
+        col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
+          col("curve_min_secs").cast("decimal(18,6)")))
+      .withColumn("prediction_max",
+        col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
+          col("curve_max_secs").cast("decimal(18,6)")))
+      .select(
+        lit(source).as("source"), col("event_type"), col("stop_id"),
+        col("prediction_min"), col("prediction_max"),
+        col("route_id"), col("trip_id"), col("trip_start_date"),
+        col("trip_start_time"), col("stop_sequence"),
+        col("d_precision").as("precision_type"),
+        lit(OriginRealtime).as("origin_type"),
+        col("d_sample").as("sample_size"), col("prediction_curve"),
+        lit(source + "_schedule").as("schedule_file_name"))
+
+    csPreds.unionByName(fallback)
   }
 }

@@ -81,8 +81,6 @@ object ScheduledPredictions {
 
     // scan forward day by day until the batch window covers ≥6 min of trips
     // and ≥1000 trips (or the buffer end is reached)
-    var end = from + MinBatchSecs
-    var trips = 0L
     var day = java.time.LocalDate.ofEpochDay(from / 86400)
     val lastDay = java.time.LocalDate.ofEpochDay(bufferEnd / 86400)
     val starts = new scala.collection.mutable.ArrayBuffer[(String, DataFrame)]()
@@ -97,18 +95,25 @@ object ScheduledPredictions {
       .filter(col("start_epoch") > from && col("start_epoch") <= bufferEnd)
       .cache()
     val total = allStarts.count()
+    // schema-correct empty predictions: spark.emptyDataFrame has ZERO
+    // columns, and callers filter the batch by column (cleanup, window
+    // filter) — they would throw UNRESOLVED_COLUMN on a legitimate
+    // empty state. A limit(0) over the real plan keeps the exact schema.
+    def emptyPredictions = Predictor.batchPredict(spark, schedule,
+      java.time.LocalDate.ofEpochDay(from / 86400).toString,
+      source, specific, defaults).limit(0)
+
     if (total == 0) {
       allStarts.unpersist()
       return Some(Batch(
-        spark.emptyDataFrame, bufferEnd, 0)) // nothing scheduled → mark advanced
+        emptyPredictions, bufferEnd, 0)) // nothing scheduled → mark advanced
     }
 
     // grow the window until both minimums hold
     val epochs = allStarts.select("start_epoch").orderBy("start_epoch")
       .limit(math.max(MinBatchTrips.toInt, 1))
       .collect().map(_.getLong(0))
-    trips = epochs.length
-    end = math.min(bufferEnd, math.max(from + MinBatchSecs, epochs.last))
+    val end = math.min(bufferEnd, math.max(from + MinBatchSecs, epochs.last))
 
     val batchTrips = allStarts.filter(col("start_epoch") <= end)
     val dates = batchTrips.select("service_date").distinct()
@@ -117,7 +122,7 @@ object ScheduledPredictions {
       Predictor.batchPredict(spark, schedule, d, source, specific, defaults)
         .join(broadcast(batchTrips.filter(col("service_date") === d)
           .select(col("trip_id"))), Seq("trip_id"), "left_semi")
-    }.reduceOption(_ unionByName _).getOrElse(spark.emptyDataFrame)
+    }.reduceOption(_ unionByName _).getOrElse(emptyPredictions)
 
     // materialize the bounded batch, then RELEASE the per-iteration cache —
     // the idle-backfill loop calls advance() forever, and a leaked cached

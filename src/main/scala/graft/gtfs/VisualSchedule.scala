@@ -17,9 +17,13 @@ object VisualSchedule {
     * the longest remaining variant as primary and absorb every variant whose
     * stop list is a contiguous subsequence of it, forward or reversed
     * (`is_sub_trip`). Returns (variant → its primary), covering all inputs. */
+  /** `is_sub_trip` (visual_schedule.rs:236-277): contiguous-subsequence
+    * check shared with Monitor's J10 subsumption — one definition so the
+    * two call sites cannot drift. */
+  private[gtfs] def isSub(sub: Seq[String], full: Seq[String]): Boolean =
+    sub.nonEmpty && full.sliding(sub.length).exists(_ == sub)
+
   def variantGroups(stopLists: Seq[(Long, Seq[String])]): Seq[(Long, Long)] = {
-    def isSub(sub: Seq[String], full: Seq[String]): Boolean =
-      sub.nonEmpty && full.sliding(sub.length).exists(_ == sub)
     var remaining = stopLists.sortBy { case (v, s) => (-s.length, v) }
     val out = Seq.newBuilder[(Long, Long)]
     while (remaining.nonEmpty) {

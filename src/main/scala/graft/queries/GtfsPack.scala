@@ -205,12 +205,12 @@ object GtfsPack extends QueryPack {
     * string compare would founder on float formatting differences. */
   private def predictionsRealtime(s: SparkSession, dir: String): DataFrame = {
     val (sched, recs) = pipeline(s)
-    val (sc, _) = curves(s)
+    val (sc, dc) = curves(s)
     val meta = Seq("source", "event_type", "stop_id", "route_id", "trip_id",
       "trip_start_date", "trip_start_time", "stop_sequence", "precision_type",
       "origin_type", "sample_size", "prediction_min", "prediction_max",
       "schedule_file_name")
-    Predictor.batchPredictRealtime(s, sched, recs, "2024-01-15", "graft", sc)
+    Predictor.batchPredictRealtime(s, sched, recs, "2024-01-15", "graft", sc, dc)
       .withColumn("prediction_min", col("prediction_min").cast("double"))
       .withColumn("prediction_max", col("prediction_max").cast("double"))
       .select(meta.map(col) :+ posexplode(col("prediction_curve")): _*)
@@ -447,6 +447,16 @@ object GtfsPack extends QueryPack {
       "variant_primary" -> VisualSchedule.variantIndexMap(s, sched),
       "gen_curves" -> genCurves,
       "dft_curves" -> dftCurves,
+      // capped default curves as exploded points: the realtime oracle's
+      // default-grid fallback leg joins these for targets with no curve set
+      "dft_points" -> dc.toDF()
+        .select(col("route_type"), col("route_section"), col("time_slot_id"),
+          col("event_type"), col("precision_type").as("d_precision"),
+          col("sample_size").as("d_sample"),
+          posexplode(Predictor.capCurve(col("curve"))))
+        .select(col("route_type"), col("route_section"), col("time_slot_id"),
+          col("event_type"), col("d_precision"), col("d_sample"),
+          col("pos").as("pidx"), col("col.x").as("x"), col("col.y").as("y")),
       "cs_points" -> sc.toDF().filter(col("curve_kind") === "curveset")
         .select(col("route_variant"), col("event_type"), col("time_slot_id"),
           col("start_stop_index"), col("end_stop_index"), col("focus_delay"),
@@ -494,15 +504,15 @@ object GtfsPack extends QueryPack {
     tfd AS (SELECT trip_id FROM read_parquet('__VOUT__/_aux/trips_for_date_rt/*.parquet')),
     tr AS (SELECT * FROM read_parquet('__VOUT__/_aux/sched_trips/*.parquet')),
     ev AS (
-      SELECT trip_id, stop_sequence, stop_id, stop_index,
+      SELECT trip_id, stop_sequence, stop_id, stop_index, route_section,
              1 AS event_type, arrival_secs AS event_secs
       FROM st WHERE arrival_secs IS NOT NULL
       UNION ALL
-      SELECT trip_id, stop_sequence, stop_id, stop_index,
+      SELECT trip_id, stop_sequence, stop_id, stop_index, route_section,
              2 AS event_type, departure_secs AS event_secs
       FROM st WHERE departure_secs IS NOT NULL),
     base AS (
-      SELECT ev.*, tr.route_id, tr.route_variant,
+      SELECT ev.*, tr.route_id, tr.route_variant, tr.route_type,
              DATE '2024-01-15' AS trip_start_date,
              ${GtfsTime.duckDbDateAndTimeSql("DATE '2024-01-15'", "ev.event_secs")} AS scheduled_ts
       FROM ev JOIN tfd ON tfd.trip_id = ev.trip_id JOIN tr ON tr.trip_id = ev.trip_id),
@@ -593,18 +603,40 @@ object GtfsPack extends QueryPack {
       FROM evals GROUP BY ${vkCols()}, t, gx),
     ipmeta AS (
       SELECT i.*, p.idx, p.x, p.y FROM interp i JOIN interp_pts p ON ${vkJoin("p", "i")}),
+    mkeys AS (SELECT DISTINCT ${vkCols()} FROM matched),
+    unmatched AS (
+      SELECT t.* FROM tgt t LEFT JOIN mkeys m ON ${vkJoin("m", "t")}
+      WHERE m.trip_id IS NULL),
+    dftp AS (SELECT * FROM read_parquet('__VOUT__/_aux/dft_points/*.parquet')),
+    fb AS (
+      SELECT ${vkCols("t")}, t.scheduled_ts,
+             d.d_precision AS precision_type, d.d_sample AS sample_size,
+             d.pidx AS idx, d.x, d.y
+      FROM unmatched t JOIN dftp d
+        ON d.route_type = t.route_type AND d.route_section = t.route_section
+       AND d.event_type = t.event_type
+       AND d.time_slot_id = CASE WHEN t.time_slot_id = ${Codes.DefaultTimeSlot} THEN 1
+                                 ELSE t.time_slot_id END),
     allpts AS (
-      SELECT ${vkCols()}, scheduled_ts, slot_rank, sample_size, idx, x, y FROM clamped_pts
+      SELECT ${vkCols()}, scheduled_ts,
+             CASE WHEN slot_rank = 0 THEN ${Codes.PrecisionSpecific}
+                  ELSE ${Codes.PrecisionFallbackSpecific} END AS precision_type,
+             sample_size, idx, x, y FROM clamped_pts
       UNION ALL
-      SELECT ${vkCols()}, scheduled_ts, slot_rank, sample_size, idx, x, y FROM ipmeta),
+      SELECT ${vkCols()}, scheduled_ts,
+             CASE WHEN slot_rank = 0 THEN ${Codes.PrecisionSpecific}
+                  ELSE ${Codes.PrecisionFallbackSpecific} END AS precision_type,
+             sample_size, idx, x, y FROM ipmeta
+      UNION ALL
+      SELECT ${vkCols()}, scheduled_ts, precision_type,
+             sample_size, idx, x, y FROM fb),
     agg AS (
       SELECT *, MIN(x) OVER (PARTITION BY ${vkCols()}) AS min_x,
                 MAX(x) OVER (PARTITION BY ${vkCols()}) AS max_x
       FROM allpts)
     SELECT 'graft' AS source, event_type, stop_id, route_id, trip_id,
            trip_start_date, trip_start_time, stop_sequence,
-           CASE WHEN slot_rank = 0 THEN ${Codes.PrecisionSpecific}
-                ELSE ${Codes.PrecisionFallbackSpecific} END AS precision_type,
+           precision_type,
            ${Codes.OriginRealtime} AS origin_type, sample_size,
            epoch(scheduled_ts) + ROUND(min_x::DOUBLE, 6) AS prediction_min,
            epoch(scheduled_ts) + ROUND(max_x::DOUBLE, 6) AS prediction_max,
@@ -613,13 +645,13 @@ object GtfsPack extends QueryPack {
     FROM agg ORDER BY trip_id, stop_sequence, event_type, idx"""
 
   /** The records-table reconstruction shared by the batch and streaming
-    * oracles: decode dump → trips/stop_times joins (J1/J2) → GTFS start-time
-    * parse with schedule fallback → F4 delay filter → W2 last-writer-wins.
+    * oracles: decode dump → trips/stop_times joins (J1/J2) → GTFS start
+    * date/time parse (unparseable → entity skipped, as the reference's
+    * gtfs_time.rs error path) → F4 delay filter → W2 last-writer-wins.
     * Mirrors Importer.recordsFromRt step for step. */
   private val recordsSql = """
     WITH rt AS (SELECT * FROM read_parquet('__VOUT__/_aux/rt_rows/*.parquet')),
-    tr AS (SELECT trip_id, route_id, route_variant,
-                  trip_start_time AS sched_start_time
+    tr AS (SELECT trip_id, route_id, route_variant
            FROM read_parquet('__VOUT__/_aux/sched_trips/*.parquet')),
     st AS (SELECT trip_id, stop_sequence, stop_id, stop_index, stop_count,
                   arrival_secs, departure_secs
@@ -630,12 +662,11 @@ object GtfsPack extends QueryPack {
              tr.route_id, tr.route_variant,
              st.stop_id, st.stop_index, st.stop_count,
              st.arrival_secs, st.departure_secs,
-             strptime(rt.start_date, '%Y%m%d')::DATE AS trip_start_date,
-             COALESCE(
-               CAST(string_split(rt.start_time, ':')[1] AS INT) * 3600
-                 + CAST(string_split(rt.start_time, ':')[2] AS INT) * 60
-                 + CAST(string_split(rt.start_time, ':')[3] AS INT),
-               tr.sched_start_time) AS trip_start_time
+             try_strptime(rt.start_date, '%Y%m%d')::DATE AS trip_start_date,
+             TRY_CAST(NULLIF(regexp_extract(rt.start_time, '(\d+):(\d+):(\d+)', 1), '') AS INT) * 3600
+               + TRY_CAST(NULLIF(regexp_extract(rt.start_time, '(\d+):(\d+):(\d+)', 2), '') AS INT) * 60
+               + TRY_CAST(NULLIF(regexp_extract(rt.start_time, '(\d+):(\d+):(\d+)', 3), '') AS INT)
+               AS trip_start_time
       FROM rt
       JOIN tr ON tr.trip_id = rt.trip_id
       JOIN st ON st.trip_id = rt.trip_id AND st.stop_sequence = rt.stop_sequence
@@ -645,7 +676,8 @@ object GtfsPack extends QueryPack {
         PARTITION BY route_id, route_variant, trip_id, trip_start_date,
                      trip_start_time, stop_sequence
         ORDER BY time_of_recording DESC) AS rn
-      FROM joined)
+      FROM joined
+      WHERE trip_start_date IS NOT NULL AND trip_start_time IS NOT NULL)
     SELECT 'graft' AS source, route_id, route_variant, trip_id, trip_start_date,
            trip_start_time, stop_sequence, stop_id, stop_index, stop_count,
            arrival_secs, departure_secs, time_of_recording,
@@ -882,7 +914,7 @@ object GtfsPack extends QueryPack {
         FROM st WHERE departure_secs IS NOT NULL),
       base AS (
         SELECT ev.*, tr.route_id, tr.route_variant,
-               COALESCE(tr.route_type, 3) AS route_type,
+               tr.route_type AS route_type,
                COALESCE(tr.trip_start_time, 0) AS trip_start_time,
                DATE '2024-03-04' AS trip_start_date,
                ${GtfsTime.duckDbDateAndTimeSql("DATE '2024-03-04'", "ev.event_secs")}
@@ -904,7 +936,7 @@ object GtfsPack extends QueryPack {
         FROM slotted s
         LEFT JOIN g ON g.route_variant = s.route_variant
                    AND g.event_type = s.event_type
-                   AND g.time_slot_id = s.time_slot_id
+                   AND g.time_slot_id = 12
                    AND g.stop_index = s.stop_index
         LEFT JOIN d ON d.route_type = s.route_type
                    AND d.route_section = s.route_section

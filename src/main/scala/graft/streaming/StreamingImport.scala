@@ -229,6 +229,7 @@ object StreamingImport {
       schedule: GtfsSchedule, source: String, recordsDir: String,
       predictionsDir: String, checkpointDir: String,
       specific: Dataset[graft.gtfs.SpecificCurveRow],
+      defaults: Dataset[graft.gtfs.DefaultCurveRow],
       automatic: Boolean = false,
       maxFilesPerTrigger: Int = 256): org.apache.spark.sql.streaming.StreamingQuery = {
     val rt = rtStream(spark, rtDir, maxFilesPerTrigger)
@@ -255,7 +256,7 @@ object StreamingImport {
                 && col("trip_start_date").isInCollection(dates.toSeq))
             dates.foreach { d =>
               val preds = Predictor.batchPredictRealtime(spark, schedule,
-                stored, d.toString, source, specific)
+                stored, d.toString, source, specific, defaults)
                 .withColumn("refresh_seq", lit(batchId))
               upsertTable(preds, predictionsDir,
                 keyCols = Seq("source", "trip_id", "trip_start_date",

@@ -215,14 +215,18 @@ class MonitorSpec extends AnyFunSuite {
 
   test("realtime-conditioned batch prediction: later stops, realtime origin") {
     val sc = CurveAnalysis.specificCurves(spark, records, schedule)
+    val dc = CurveAnalysis.defaultCurves(spark, records, schedule)
     val preds = Predictor.batchPredictRealtime(spark, schedule, records,
-      "2024-01-15", "test", sc).cache()
+      "2024-01-15", "test", sc, dc).cache()
     val rows = preds.collect()
     assert(rows.nonEmpty, "vehicles observed on 2024-01-15 get forward predictions")
     rows.foreach { r =>
       assert(r.getAs[Int]("origin_type") == Codes.OriginRealtime)
-      assert(Set(Codes.PrecisionSpecific, Codes.PrecisionFallbackSpecific)
-        .contains(r.getAs[Int]("precision_type")))
+      // curve-set hits are (Fallback)Specific; targets no set matched fall
+      // to the default grid (reference or_else) and carry its precision
+      assert(Set(Codes.PrecisionSpecific, Codes.PrecisionFallbackSpecific,
+        Codes.PrecisionGeneral, Codes.PrecisionFallbackGeneral,
+        Codes.PrecisionSuperGeneral).contains(r.getAs[Int]("precision_type")))
       assert(!r.getAs[java.sql.Timestamp]("prediction_max")
         .before(r.getAs[java.sql.Timestamp]("prediction_min")))
     }

@@ -191,12 +191,13 @@ class StreamingImportSpec extends AnyFunSuite {
     val base = Files.createTempDirectory("predrefresh").toString
     val batchRecs = Importer.importDirectory(spark, rtDir, schedule, "test").cache()
     val sc = CurveAnalysis.specificCurves(spark, batchRecs, schedule).cache()
-    sc.count()
+    val dc = CurveAnalysis.defaultCurves(spark, batchRecs, schedule).cache()
+    sc.count(); dc.count()
 
     // small trigger size → several micro-batches → the per-date refresh and
     // the refresh_seq last-writer-wins both get exercised
     val q = StreamingImport.startPredictionRefresh(spark, rtDir, schedule,
-      "test", base + "/records", base + "/predictions", base + "/ckpt", sc,
+      "test", base + "/records", base + "/predictions", base + "/ckpt", sc, dc,
       automatic = false, maxFilesPerTrigger = 16)
     q.awaitTermination(300000)
 
@@ -212,7 +213,7 @@ class StreamingImportSpec extends AnyFunSuite {
       .select(col("trip_id"), col("stop_sequence"), col("event_type"),
         col("precision_type"), to_json(col("prediction_curve")).as("curve"))
     val batchPreds = Predictor.batchPredictRealtime(spark, schedule, batchRecs,
-      "2024-01-15", "test", sc)
+      "2024-01-15", "test", sc, dc)
     assert(canon(streamed).except(canon(batchPreds)).count() == 0
       && canon(batchPreds).except(canon(streamed)).count() == 0,
       "streamed refresh ≡ batch realtime prediction")
