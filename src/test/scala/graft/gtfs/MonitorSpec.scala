@@ -213,6 +213,27 @@ class MonitorSpec extends AnyFunSuite {
     assert(out(3).getAs[Double]("median_epoch") == 13030.0)
   }
 
+  test("general lookup serves the DEFAULT-slot curve for every request slot") {
+    // the reference's general_delay map is keyed by stop index only and the
+    // DEFAULT pass writes last (analyser/specific_curves.rs:276-285): a
+    // slot-specific general row must never shadow the all-observations one
+    def gen(slot: Int, y: Float) = SpecificCurveRow("R1", 7L, Codes.EventArrival,
+      slot, -1, 4, "general", None, Seq(CPoint(0f, 0f), CPoint(60f, y)),
+      Codes.PrecisionSemiSpecific, 30)
+    val p = new Predictor(Array(gen(3, 0.5f), gen(Codes.DefaultTimeSlot, 1f)),
+      Array.empty)
+    for (slot <- Seq(3, 5, Codes.DefaultTimeSlot)) {
+      p.predictSpecific(7L, None, endIdx = 4, slotId = slot, et = Codes.EventArrival) match {
+        case Some(CurvePrediction(curve, _, _)) =>
+          assert(curve.last.y == 1f, s"slot $slot must serve the DEFAULT-slot curve")
+        case other => fail(s"slot $slot: expected a curve, got $other")
+      }
+    }
+    // a variant with ONLY the DEFAULT-slot general row still answers any slot
+    val pOnly = new Predictor(Array(gen(Codes.DefaultTimeSlot, 1f)), Array.empty)
+    assert(pOnly.predictSpecific(7L, None, 4, slotId = 3, et = Codes.EventArrival).isDefined)
+  }
+
   test("realtime-conditioned batch prediction: later stops, realtime origin") {
     val sc = CurveAnalysis.specificCurves(spark, records, schedule)
     val dc = CurveAnalysis.defaultCurves(spark, records, schedule)
