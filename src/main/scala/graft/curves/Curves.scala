@@ -169,12 +169,21 @@ object Curves {
   }
 
   /** Weighted-cell form of [[makeCurve]]: `cells` is (value → multiplicity),
-    * sorted ascending by value — equivalent to expanding each value `count`
-    * times, but lets aggregators keep compressed (value → count) buffers
-    * instead of raw multisets. Reproduces [[makeCurve]]'s construction,
-    * including the lastX=0 quirk and the first-occurrence cumulative rule
-    * (the point at a distinct x carries only the first copy's weight;
-    * duplicate copies roll into the next distinct x). */
+    * sorted ascending by value — the expansion of each value `count` times,
+    * but aggregators keep compressed (value → count) buffers instead of raw
+    * multisets. Reproduces [[makeCurve]]'s construction, including the
+    * lastX=0 quirk and the first-occurrence cumulative rule (the point at a
+    * distinct x carries only the first copy's weight; duplicate copies roll
+    * into the next distinct x). Deliberate f32 deviation: the cell form
+    * accumulates `w*c` in ONE multiply where the reference's per-copy fold
+    * adds `w` c times — for FRACTIONAL focus weights the two can differ in
+    * the last ulp (integer weights are exact below 2^24). The oracles
+    * replay the cell form, so both engines agree; the per-copy fold would
+    * make the aggregation O(samples) instead of O(distinct values), which
+    * is the whole point of the cell buffers at corpus scale.
+    * (The ECDF construction rules live in three places by design —
+    * [[makeCurve]], here, and EcdfAggregator.finish with exact Long counts;
+    * CurvesSpec and EcdfAggregatorSpec pin them against each other.) */
   def makeCurveFromCells(cells: Array[(Float, Long)],
                          focus: Option[Float]): Option[(Curve, Float)] = {
     if (cells.isEmpty) return None
@@ -345,8 +354,12 @@ object Curves {
     var totalMiss = 0.0
     var p = 0
     while (p < 100) {
-      val arrivalAbs = arrRef + xAtY(arrival, p / 100.0f)
-      val missProb = yAtX(departure, (arrivalAbs - depRef).toFloat)
+      // the reference truncates TWICE: typed_x_at_y adds Duration::seconds(
+      // x_at_y as i64) — toward zero — and typed_y_at_x takes num_seconds()
+      // of the difference (time_curve.rs:80-97), so every percentile
+      // evaluates the departure CDF at a WHOLE-second offset
+      val arrivalAbs = arrRef + xAtY(arrival, p / 100.0f).toLong
+      val missProb = yAtX(departure, (arrivalAbs - depRef).toLong.toFloat)
       totalMiss += (missProb / 100.0f).toDouble
       p += 1
     }

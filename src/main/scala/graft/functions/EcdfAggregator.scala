@@ -41,6 +41,9 @@ final class EcdfAggregator(minSamples: Int, simplifyEps: Float)
     val xs = b.keysIterator.toArray.sorted
     // makeCurve semantics: y(x) = (count of values < x + 1) / n at each
     // distinct x; a minimum of exactly 0.0 emits no point (lastX quirk).
+    // Deliberately NOT delegated to Curves.makeCurveFromCells: this path
+    // keeps exact Long counts where the cell form accumulates f32 weights
+    // (differs past 2^24 samples); EcdfAggregatorSpec pins the two.
     val pts = new mutable.ArrayBuffer[CPoint](xs.length)
     var cumBefore = 0L
     var lastX = 0f

@@ -53,23 +53,30 @@ object NearestCentroid {
     * metric is cosine. */
   def assign(vec: Array[Double], centroids: Array[Array[Double]],
              normalize: Boolean): Int = {
-    var nrm = 1.0
+    // pre-divide ONCE (bit-identical to dividing inside the distance loop,
+    // same vec(i)/nrm op) — division is the slowest FP op and the inner
+    // loop otherwise pays centroids × dims of them per row
+    var v = vec
     if (normalize) {
       var s = 0.0
       var i = 0
       while (i < vec.length) { s += vec(i) * vec(i); i += 1 }
-      nrm = math.sqrt(s)
-      if (nrm == 0.0) nrm = 1.0
+      val nrm = math.sqrt(s)
+      if (nrm != 0.0 && nrm != 1.0) {
+        v = new Array[Double](vec.length)
+        var j = 0
+        while (j < vec.length) { v(j) = vec(j) / nrm; j += 1 }
+      }
     }
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
       val cent = centroids(c)
-      val n = math.min(vec.length, cent.length)
+      val n = math.min(v.length, cent.length)
       var d = 0.0
       var i = 0
-      while (i < n) { val t = vec(i) / nrm - cent(i); d += t * t; i += 1 }
+      while (i < n) { val t = v(i) - cent(i); d += t * t; i += 1 }
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }

@@ -77,12 +77,14 @@ object RollingFingerprint {
     * non-iteratively as Σ c_j·Base^(kk-1-j) mod M per window (equal to the
     * Scala Horner loop because both reduce the polynomial mod the same
     * Mersenne prime) in HUGEINT arithmetic, then MIN over windows. Matches
-    * the UTF-16 charAt for ASCII/BMP text (`maxLen` bounds the position
-    * series; windows per doc are len-kk+1). */
-  def duckDbSql(table: String, idCol: String, textCol: String, k: Int,
-                maxLen: Int = 4000): String = s"""
+    * the UTF-16 charAt for ASCII/BMP text. The position series is bounded
+    * by the corpus's LONGEST doc — a fixed cap would silently hash partial
+    * windows (and drop tail windows) for any doc past it, desynchronizing
+    * the oracle from the full-length Scala expression. */
+  def duckDbSql(table: String, idCol: String, textCol: String, k: Int): String = s"""
     WITH doc AS (SELECT $idCol AS did, $textCol AS t, length($textCol) AS n FROM $table),
-    series AS (SELECT i FROM generate_series(0, $maxLen) AS g(i)),
+    series AS (SELECT unnest(range(0,
+                 (SELECT COALESCE(MAX(n), 0) + 1 FROM doc))) AS i),
     chars AS (SELECT d.did, s.i, unicode(substr(d.t, s.i + 1, 1))::HUGEINT AS c
               FROM doc d JOIN series s ON s.i < d.n),
     pows AS (

@@ -669,8 +669,9 @@ object MonitorPack extends QueryPack {
       ${interpCte("cx", "cpts", Seq("stop_id"), "ct", Seq("p"), "xAtY")},
       dpp AS (SELECT ${keyList()}, idx AS pidx, x, y FROM pp),
       dt AS (SELECT ${keyList("n")}, c.p,
-                    CAST(epoch(TIMESTAMP '2024-03-04 07:55:00') + c.v
-                         - (FLOOR(n.min_epoch) - e.fx) AS REAL) AS tv
+                    -- reference double truncation (time_curve.rs:80-97)
+                    CAST(TRUNC(epoch(TIMESTAMP '2024-03-04 07:55:00') + TRUNC(c.v)
+                         - (FLOOR(n.min_epoch) - e.fx)) AS REAL) AS tv
              FROM nl n
              JOIN ends e ON ${keyJoin("e", "n")}
              JOIN cx c ON c.stop_id = n.stop_id),
@@ -751,11 +752,14 @@ object MonitorPack extends QueryPack {
           AND trip_start_time = 36030 AND stop_sequence = 40 AND event_type = 2)
         - (SELECT MIN_BY(x, pidx) FROM dpts WHERE src = 'dep2') AS da2),
       dt AS (
+        -- double truncation as the reference (time_curve.rs:80-97): x_at_y
+        -- as i64 toward zero, then num_seconds() of the difference — every
+        -- percentile hits the departure CDF at a whole-second offset
         SELECT 'dep1' AS src, xv.p,
-               CAST(a.a0 + xv.v - d.da1 AS REAL) AS tv
+               CAST(TRUNC(a.a0 + TRUNC(xv.v) - d.da1) AS REAL) AS tv
         FROM xv, anchors a, danch d WHERE xv.src = 'j0' AND xv.p >= 0
         UNION ALL
-        SELECT 'dep2', xv.p, CAST(a.a1 + xv.v - d.da2 AS REAL)
+        SELECT 'dep2', xv.p, CAST(TRUNC(a.a1 + TRUNC(xv.v) - d.da2) AS REAL)
         FROM xv, anchors a, danch d WHERE xv.src = 'j2' AND xv.p >= 0),
       ${interpCte("dv", "dpts", Seq("src"), "dt", Seq("p"), "yAtX")},
       totals AS (SELECT src,
