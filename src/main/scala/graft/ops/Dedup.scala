@@ -108,7 +108,8 @@ object Dedup {
                             idCol: String, textCol: String): String = s"""
     WITH toks AS (
       SELECT $idCol AS doc, ${TextAnalysis.duckDbTokensSql(textCol)} AS t FROM $table),
-    series AS (SELECT i FROM generate_series(0, 4000) AS g(i)),
+    series AS (SELECT unnest(range(0,
+                 (SELECT COALESCE(MAX(len(t)), 0) + 1 FROM toks))) AS i),
     sh0 AS (
       SELECT DISTINCT doc, shingle FROM (
         SELECT doc, array_to_string(t[i+1:i+$n], ' ') AS shingle
@@ -295,7 +296,8 @@ object Dedup {
       SELECT $idCol AS doc, $corpusPred AS is_corpus, $benchmarkPred AS is_bench,
              ${TextAnalysis.duckDbTokensSql(textCol)} AS t
       FROM $table),
-    series AS (SELECT i FROM generate_series(0, 4000) AS g(i)),
+    series AS (SELECT unnest(range(0,
+                 (SELECT COALESCE(MAX(len(t)), 0) + 1 FROM toks))) AS i),
     sh AS (
       SELECT DISTINCT doc, is_corpus, is_bench,
              array_to_string(t[i+1:i+$n], ' ') AS shingle

@@ -125,9 +125,14 @@ object MediaCodec {
       val oi = o.toInt
       val id = tag(b, oi)
       val len = rle32(b, oi + 4).toLong & 0xffffffffL
-      if (id == "fmt " && o + 8 + 16 <= b.length)
+      // the fmt chunk's OWN length must cover the 16 PCM fields — checking
+      // only the buffer bound would read the NEXT chunk's bytes as
+      // rate/channels/bits on a truncated fmt and report garbage as parsed
+      if (id == "fmt " && fmt.isEmpty && len >= 16 && o + 8 + 16 <= b.length)
         fmt = Some((rle32(b, oi + 12), rle16(b, oi + 10), rle16(b, oi + 22)))
-      if (id == "data" && o + 8 + len <= b.length) dataLen = len
+      // FIRST data chunk wins, like wavData — duration and the PCM stats
+      // must come from the same chunk on multi-data-chunk blobs
+      if (id == "data" && dataLen < 0 && o + 8 + len <= b.length) dataLen = len
       o += 8 + len + (len & 1) // chunks are word-aligned
     }
     for ((rate, channels, bits) <- fmt if dataLen >= 0 && rate > 0 && channels > 0 && bits > 0)
@@ -366,6 +371,9 @@ object Multimodal {
     * result is oracle-checkable without shipping pixels to the driver. */
   def resizeImages(spark: SparkSession, assets: Dataset[MediaAsset],
                    dstW: Int, dstH: Int): DataFrame = {
+    // fail fast on the driver: degenerate dims would otherwise throw
+    // Array-bounds errors inside executor tasks after the decode work
+    require(dstW > 0 && dstH > 0, s"resize dims must be positive: ${dstW}x$dstH")
     import spark.implicits._
     assets.mapPartitions { it =>
       it.flatMap { a =>
@@ -406,6 +414,7 @@ object Multimodal {
     * bounded array out, stays identical). */
   def sampleFrames(spark: SparkSession, assets: Dataset[MediaAsset],
                    stride: Int = 32, maxFrames: Int = 16): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
     import spark.implicits._
     assets.map { a =>
       val frames = a.payload.indices.by(stride).take(maxFrames)

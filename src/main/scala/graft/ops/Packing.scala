@@ -53,9 +53,12 @@ object Packing {
     counted
       .join(broadcast(offsetDf), Seq("pid"))
       .withColumn("start_tok", col("pid_offset") + sum("n_tok").over(w) - col("n_tok"))
-      .withColumn("bin", (col("start_tok") / budget).cast("long"))
+      // integer `div`, not `/`: double division loses exactness past 2^53
+      // cumulative tokens and a boundary doc would land in the wrong bin
+      // (the oracle's `//` is exact at any scale)
+      .withColumn("bin", expr(s"start_tok div CAST($budget AS BIGINT)"))
       .withColumn("straddles",
-        col("bin") =!= ((col("start_tok") + col("n_tok") - 1) / budget).cast("long"))
+        col("bin") =!= expr(s"(start_tok + n_tok - 1) div CAST($budget AS BIGINT)"))
       .select(col(idCol), col("n_tok"), col("bin"), col("straddles"))
   }
 

@@ -244,7 +244,11 @@ object Similarity {
       .limit(nCells)
       .orderBy(col(idCol))
       .select(col(vecCol)).collect()
-      .map(r => normalized(r.getSeq[Float](0).toArray))
+      .map(r => normalized(vecFloats(r.getSeq[Any](0))))
+    // `dim` sizes the Lloyd update arrays: a longer vector would throw
+    // AIOOBE mid-round, a shorter one would silently zero-pad centroids
+    init.foreach(v => require(v.length == dim,
+      s"$vecCol length ${v.length} != dim $dim — pass the actual dimension"))
     var centroids = init
     var it = 0
     while (it < iters) {
@@ -269,6 +273,26 @@ object Similarity {
       it += 1
     }
     centroids
+  }
+
+  /** Driver-side vector read tolerant of float AND double columns — every
+    * distributed path branches on the element type (HyperplaneSignatures,
+    * DotProduct, NearestCentroid), so the collects must too or an
+    * array<double> embedding column crashes only the IVF op. */
+  private def vecFloats(s: Seq[Any]): Array[Float] = {
+    val out = new Array[Float](s.length)
+    var i = 0
+    s.foreach { v =>
+      out(i) = v match {
+        case f: java.lang.Float  => f.floatValue
+        case d: java.lang.Double => d.floatValue
+        case null                => 0f
+        case other => throw new IllegalArgumentException(
+          s"embedding element of type ${other.getClass.getName}")
+      }
+      i += 1
+    }
+    out
   }
 
   private def normalized(v: Array[Float]): Array[Double] = {
@@ -300,7 +324,7 @@ object Similarity {
     // uses
     val qRows = embeddings.filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .map(r => (r.getLong(0), vecFloats(r.getSeq[Any](1))))
     val probes = qRows.toSeq.flatMap { case (qid, raw) =>
       val v = normalized(raw)
       centroids.zipWithIndex.map { case (c, cell) =>

@@ -224,7 +224,8 @@ object TextAnalysis {
   def duckDbBigramPairsSql(table: String, topN: Int, idCol: String,
                            textCol: String): String = s"""
     WITH toks AS (SELECT $idCol AS doc, ${duckDbTokensSql(textCol)} AS t FROM $table),
-    series AS (SELECT i FROM generate_series(0, 4000) AS g(i)),
+    series AS (SELECT unnest(range(0,
+                 (SELECT COALESCE(MAX(len(t)), 0) + 1 FROM toks))) AS i),
     pairs AS (SELECT t[i+1] AS tok_a, t[i+2] AS tok_b
               FROM toks JOIN series ON i <= len(t) - 2)
     SELECT tok_a, tok_b, COUNT(*) AS cnt FROM pairs
