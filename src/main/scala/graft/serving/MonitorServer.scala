@@ -30,9 +30,15 @@ class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
+  // without an executor every request runs on the single dispatcher thread:
+  // one stop-page render (seconds of Spark collects) would head-of-line
+  // block even trivial /autocomplete calls. Spark job submission is
+  // thread-safe, so a small pool serves pages concurrently.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private def handle(ex: HttpExchange): Unit =
     try route(ex)
@@ -59,7 +65,10 @@ class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
         val name = q.getOrElse("start", "")
         val now = java.time.LocalDateTime.now()
           .format(java.time.format.DateTimeFormatter.ofPattern("dd.MM.yy HH:mm"))
-        val loc = s"/${pathEncode(now)}/${pathEncode(name)}/"
+        // the X14 set passes a literal space through (fine INSIDE a page
+        // path the browser renders), but a Location HEADER must be a valid
+        // RFC 3986 URI — strict clients throw on a raw space
+        val loc = s"/${pathEncode(now)}/${pathEncode(name)}/".replace(" ", "%20")
         ex.getResponseHeaders.add("Location", loc)
         ex.sendResponseHeaders(302, -1)
       case Seq(datetime, stopName) =>

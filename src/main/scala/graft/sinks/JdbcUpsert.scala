@@ -152,7 +152,12 @@ object JdbcUpsert {
       // chained exception carries the state
       Option(e.getNextException).flatMap(n => Option(n.getSQLState))).toSeq
 
-  private def dupKey(e: SQLException): Boolean = stateOf(e).exists(_.startsWith("23"))
+  // ONLY the duplicate-key states: 23505 (standard/Postgres/Derby) and
+  // 23000 (MySQL collapses all integrity violations there). Matching the
+  // whole 23 class would swallow FK/NOT NULL/CHECK violations on engines
+  // that distinguish them — rows would vanish while the job reports success.
+  private def dupKey(e: SQLException): Boolean =
+    stateOf(e).exists(s => s == "23505" || s == "23000")
 
   private def retriable(e: SQLException): Boolean = stateOf(e).contains("40001")
 

@@ -170,11 +170,18 @@ object StreamingImport {
               // newest basis in this batch: highest stop_sequence, then newest recording
               val newest = batch.maxBy(r => (r._6, r._8))
               val basis = PredictionBasis(newest._6, newest._7, newest._8)
-              val unchanged = state.getOption.exists(s =>
-                s.stopSequence == basis.stopSequence && s.delayDeparture == basis.delayDeparture)
-              state.update(basis)
+              // a late-arriving batch of OLDER rows (a delayed .pb copy) must
+              // not regress the stored basis — order by (stop, recording),
+              // exactly the W3 window — or a stale delay re-fires predictions
+              val stored = state.getOption
+              val regress = stored.exists(s =>
+                basis.stopSequence < s.stopSequence ||
+                  (basis.stopSequence == s.stopSequence && basis.lastSeen < s.lastSeen))
+              if (!regress) state.update(basis)
               if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
                 state.setTimeoutDuration("12 hours") // ST2 TTL
+              val unchanged = regress || stored.exists(s =>
+                s.stopSequence == basis.stopSequence && s.delayDeparture == basis.delayDeparture)
               if (unchanged) Iterator.empty
               else Iterator.single(PredictionRequest(
                 newest._1, newest._2, newest._3, newest._4, newest._5,
@@ -211,8 +218,12 @@ object StreamingImport {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[RtRow], _: Long) =>
-        val recs = recordsStream(spark, batch, schedule, source)
-        upsertBatch(recs, recordsDir)
+        // persist: upsertBatch runs the decode + schedule-join plan for the
+        // touched-partitions collect AND the merged write — same replay the
+        // prediction-refresh path already pins (see startPredictionRefresh)
+        val recs = recordsStream(spark, batch, schedule, source).persist()
+        try upsertBatch(recs, recordsDir)
+        finally recs.unpersist()
       }
       .start()
   }
@@ -255,13 +266,18 @@ object StreamingImport {
               .filter(col("source") === source
                 && col("trip_start_date").isInCollection(dates.toSeq))
             dates.foreach { d =>
+              // persist: upsertTable's touched-partitions collect would
+              // otherwise run the whole predict plan once, and the merge
+              // write a second time — the dominant per-trigger cost doubled
               val preds = Predictor.batchPredictRealtime(spark, schedule,
                 stored, d.toString, source, specific, defaults)
                 .withColumn("refresh_seq", lit(batchId))
-              upsertTable(preds, predictionsDir,
+                .persist()
+              try upsertTable(preds, predictionsDir,
                 keyCols = Seq("source", "trip_id", "trip_start_date",
                   "trip_start_time", "stop_sequence", "event_type"),
                 newestBy = col("refresh_seq"))
+              finally preds.unpersist()
             }
           }
         } finally recs.unpersist()

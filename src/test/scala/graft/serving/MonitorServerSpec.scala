@@ -37,7 +37,13 @@ class MonitorServerSpec extends AnyFunSuite {
       val redir = get(port, "/stop-by-name?start=Stop%202")
       assert(redir.statusCode() == 302)
       val loc = redir.headers().firstValue("Location").orElseThrow()
-      assert(loc.endsWith("/Stop 2/"), s"unexpected Location: $loc")
+      // a Location header must be a valid RFC 3986 URI: the page path keeps
+      // X14 semantics but spaces travel as %20 in the header
+      assert(loc.endsWith("/Stop%202/"), s"unexpected Location: $loc")
+      assert(!loc.contains(" "), s"raw space in Location: $loc")
+      // and the redirect target resolves: the route decoder turns it back
+      val decoded = java.net.URLDecoder.decode(loc, "UTF-8")
+      assert(decoded.endsWith("/Stop 2/"), s"undecodable Location: $loc")
 
       // the fixture predictions are for 2024-03-04
       val page = get(port, "/04.03.24%2008:00/Stop%202/")

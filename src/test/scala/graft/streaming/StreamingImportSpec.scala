@@ -177,13 +177,19 @@ class StreamingImportSpec extends AnyFunSuite {
     q.processAllAvailable()
     mem.addData(rt(30, 120, 3000L)) // new basis → emitted
     q.processAllAvailable()
+    // a late batch of OLDER rows (delayed file copy) must not regress the
+    // stored stop-30 basis or re-fire a stale request
+    mem.addData(rt(20, 90, 1500L))
+    q.processAllAvailable()
+    mem.addData(rt(40, 30, 4000L)) // state kept stop 30 → 40 still advances
+    q.processAllAvailable()
     q.stop()
 
     val out = spark.table("pred_requests")
       .select("basis_stop_sequence", "basis_delay_departure").collect()
       .map(r => (r.getInt(0), r.getInt(1))).toSeq
-    assert(out == Seq((20, 60), (30, 120)),
-      s"one request per distinct basis, got $out")
+    assert(out == Seq((20, 60), (30, 120), (40, 30)),
+      s"one request per distinct basis, stale batches suppressed, got $out")
   }
 
   test("streaming prediction refresh converges to the batch realtime path") {
