@@ -88,6 +88,25 @@ class MonitorSpec extends AnyFunSuite {
     }
   }
 
+  test("walk-curve grid finds pairs near the radius at any bearing/latitude") {
+    import spark.implicits._
+    // 600 m of longitude at lat 50 is ~0.0084 deg — wider than the old fixed
+    // 0.005 deg cell, whose 3x3 probe missed exactly these pairs. One pair
+    // just inside the radius east-west, one just outside, one north-south.
+    val stops = Seq(
+      ("A", 50.0, 8.0), ("B", 50.0, 8.00825), // ~590 m east-west
+      ("C", 50.0, 8.00880),                   // ~630 m from A
+      ("D", 50.00530, 8.0)                    // ~590 m north-south
+    ).toDF("stop_id", "stop_lat", "stop_lon")
+    val pairs = Monitor.walkCurves(spark, stops, maxDistM = 600.0)
+      .select("from_stop", "to_stop").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("A", "B")), "east-west pair inside 600 m found")
+    assert(pairs.contains(("A", "D")), "north-south pair inside 600 m found")
+    assert(!pairs.exists(p => p == ("A", "C") || p == ("C", "A")),
+      "pair beyond the radius excluded")
+  }
+
   test("journey transfer probability composes walk + curves (X10/X11)") {
     val arrival = Array(CPoint(-60f, 0f), CPoint(0f, 0.5f), CPoint(60f, 1f))
     val departure = Array(CPoint(500f, 0f), CPoint(560f, 1f))
