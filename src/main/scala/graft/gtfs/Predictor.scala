@@ -346,7 +346,17 @@ object Predictor {
         col("curve").as("d_curve"), col("precision_type").as("d_precision"),
         col("sample_size").as("d_sample"))
     val fallback = targets
-      .join(joined.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+      // anti-join the broadcast SETS side with the same condition as the
+      // inner join above (a target appears in `joined` iff some set row
+      // matched) — no shuffle, where an anti-join against joined's 7-col
+      // key set would distinct + exchange the whole target stream
+      .join(broadcast(sets),
+        col("route_variant") === col("cs_variant")
+          && col("event_type") === col("cs_event_type")
+          && col("basis_idx") === col("start_stop_index")
+          && col("stop_index") === col("end_stop_index")
+          && (col("cs_slot") === col("time_slot_id")
+            || col("cs_slot") === Codes.DefaultTimeSlot), "left_anti")
       .join(broadcast(dft),
         col("route_type") === col("d_route_type")
           && col("route_section") === col("d_section")
