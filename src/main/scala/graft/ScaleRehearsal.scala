@@ -274,10 +274,25 @@ object ScaleRehearsal {
 
     println(f"[scale] records: rows=$nRecords parquet=${bytes / 1e6}%.0fMB gen=${genSecs}%.1fs " +
       s"(routes=$routes trips/var=$tripsPerVariant stops=$stops days=$days)")
-    runTimed("specific_curves")(
-      graft.gtfs.CurveAnalysis.specificCurves(spark, stored, schedule).count())
-    runTimed("default_curves")(
-      graft.gtfs.CurveAnalysis.defaultCurves(spark, stored, schedule).count())
+    val sc = graft.gtfs.CurveAnalysis.specificCurves(spark, stored, schedule).cache()
+    runTimed("specific_curves")(sc.count())
+    val dc = graft.gtfs.CurveAnalysis.defaultCurves(spark, stored, schedule).cache()
+    runTimed("default_curves")(dc.count())
+    // the prediction join paths over one service day against the full curve
+    // tables: general/default broadcasts (batchPredict) and the curve-set
+    // broadcast + anti-join fallback (batchPredictRealtime)
+    runTimed("batch_predict")(
+      graft.gtfs.Predictor.batchPredict(
+        spark, schedule, "2024-01-15", "scale", sc, dc).count())
+    // synthetic records delay EVERY stop, so the W3 basis would be each
+    // vehicle's last stop (no later targets). Null the tail deltas to put
+    // the basis mid-trip — stops 6..19 become realtime targets.
+    val midTrip = stored.withColumn("delay_departure",
+      when(col("stop_index") <= 5, col("delay_departure")))
+    runTimed("batch_predict_realtime")(
+      graft.gtfs.Predictor.batchPredictRealtime(
+        spark, schedule, midTrip, "2024-01-15", "scale", sc, dc).count())
+    sc.unpersist(); dc.unpersist()
     spark.stop()
   }
 }
