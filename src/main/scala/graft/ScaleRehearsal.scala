@@ -168,9 +168,12 @@ object ScaleRehearsal {
       if (annWanted("ann_lsh")) runTimed("ann_lsh")(
         graft.ops.Similarity.lshTopK(emb, qids, 10, numTables = 12,
           planesPerTable = 8).count())
+      // default fitSampleMod=0 → auto-sized Lloyd fit (~100k vectors
+      // regardless of n) — the knob the 10M run was previously fit-dominated
+      // without
       if (annWanted("ann_ivf")) runTimed("ann_ivf_fit+query")(
-        graft.ops.Similarity.ivfTopK(emb, qids, 10, nCells = 64, nProbe = 8,
-          fitSampleMod = 10).count())
+        graft.ops.Similarity.ivfTopK(emb, qids, 10, nCells = 64,
+          nProbe = 8).count())
       // near-dup PAIRS with the auto-sized plane count (16 at n=1M): the
       // candidate set must stay ~numTables*n*targetBucket/2, never the
       // all-pairs blowup a fixed plane count degrades to

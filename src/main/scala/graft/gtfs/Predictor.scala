@@ -281,7 +281,11 @@ object Predictor {
         col("focus_delay"), col("curve"), col("sample_size").as("cs_sample"))
 
     // slot-specific match preferred, DEFAULT-slot fallback (predict_specific
-    // recursion, predictor/mod.rs:299-313) — rank 0 beats rank 1
+    // recursion, predictor/mod.rs:299-313) — rank 0 beats rank 1. A LEFT
+    // join so targets with no curve set at ANY slot surface as rank-2 rows
+    // and take the default grid below: one pass over the target stream,
+    // where a separate anti-join fallback leg would run the whole
+    // schedule-join pipeline a second time.
     val joined = targets
       .join(broadcast(sets),
         col("route_variant") === col("cs_variant")
@@ -289,9 +293,10 @@ object Predictor {
           && col("basis_idx") === col("start_stop_index")
           && col("stop_index") === col("end_stop_index")
           && (col("cs_slot") === col("time_slot_id")
-            || col("cs_slot") === Codes.DefaultTimeSlot))
+            || col("cs_slot") === Codes.DefaultTimeSlot), "left")
       .withColumn("slot_rank",
-        when(col("cs_slot") === col("time_slot_id"), 0).otherwise(1))
+        when(col("cs_slot").isNull, 2)
+          .when(col("cs_slot") === col("time_slot_id"), 0).otherwise(1))
 
     // returns Seq[CPoint] → array<struct<x,y>>, schema-identical to the
     // schedule-origin path (tuples would encode as _1/_2)
@@ -300,26 +305,59 @@ object Predictor {
         (r.getFloat(0), r.getSeq[org.apache.spark.sql.Row](1)
           .map(p => graft.curves.CPoint(p.getFloat(0), p.getFloat(1))).toArray)
       }
-      Curves.curveSetInterpolate(set.toSeq, delay.toFloat).toSeq
+      if (set.isEmpty) null
+      else Curves.curveSetInterpolate(set.toSeq, delay.toFloat).toSeq
     }
+
+    // default grid for the rank-2 (no curve set at any slot) rows — same
+    // join keys as batchPredict's default leg, realtime origin kept
+    // (`or_else(predict_default)`, predictor/mod.rs:216-239)
+    val dft = defaults.toDF()
+      .select(col("route_type").as("d_route_type"),
+        col("route_section").as("d_section"),
+        col("time_slot_id").as("d_slot"), col("event_type").as("d_et"),
+        col("curve").as("d_curve"), col("precision_type").as("d_precision"),
+        col("sample_size").as("d_sample"))
 
     val keyCols = Seq("trip_id", "trip_start_date", "trip_start_time",
       "route_id", "stop_sequence", "stop_id", "event_type")
-    val csPreds = joined
+    joined
       .groupBy((keyCols.map(col) :+ col("slot_rank")): _*)
       .agg(
         first("scheduled_ts").as("scheduled_ts"),
         first("basis_delay").as("basis_delay"),
-        first("cs_sample").as("sample_size"),
-        collect_list(struct(col("focus_delay"), col("curve"))).as("curve_set"))
+        first("cs_sample").as("cs_sample"),
+        // null-gated struct: the rank-2 group's set rows are all-null from
+        // the left join and must not surface as a [(null,null)] curve set
+        collect_list(when(col("cs_slot").isNotNull,
+          struct(col("focus_delay"), col("curve")))).as("curve_set"),
+        // carried only for the rank-2 default-grid join
+        first("route_type").as("route_type"),
+        first("route_section").as("route_section"),
+        first("time_slot_id").as("time_slot_id"))
       .withColumn("best_rank", min("slot_rank")
         .over(org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)))
       .filter(col("slot_rank") === col("best_rank"))
-      .withColumn("prediction_curve",
-        capCurve(interpolate(col("curve_set"), col("basis_delay"))))
+      // broadcast grid lookup, gated to the fallback tier; targets whose
+      // route has no route_type never equi-join and drop below — the
+      // reference produces no prediction for them (predictor/mod.rs:219-221)
+      .join(broadcast(dft),
+        col("slot_rank") === 2
+          && col("route_type") === col("d_route_type")
+          && col("route_section") === col("d_section")
+          && col("event_type") === col("d_et")
+          && col("d_slot") === when(col("time_slot_id") === Codes.DefaultTimeSlot, 1)
+            .otherwise(col("time_slot_id")), "left")
+      .withColumn("prediction_curve", capCurve(
+        when(col("slot_rank") < 2, interpolate(col("curve_set"), col("basis_delay")))
+          .otherwise(col("d_curve"))))
+      .filter(col("prediction_curve").isNotNull)
       .withColumn("precision_type",
         when(col("slot_rank") === 0, Codes.PrecisionSpecific)
-          .otherwise(Codes.PrecisionFallbackSpecific))
+          .when(col("slot_rank") === 1, Codes.PrecisionFallbackSpecific)
+          .otherwise(col("d_precision")))
+      .withColumn("sample_size",
+        when(col("slot_rank") < 2, col("cs_sample")).otherwise(col("d_sample")))
       .withColumn("curve_min_secs", element_at(col("prediction_curve"), 1).getField("x"))
       .withColumn("curve_max_secs", element_at(col("prediction_curve"), -1).getField("x"))
       .withColumn("prediction_min",
@@ -336,52 +374,5 @@ object Predictor {
         col("precision_type"), lit(OriginRealtime).as("origin_type"),
         col("sample_size"), col("prediction_curve"),
         lit(source + "_schedule").as("schedule_file_name"))
-
-    // default-grid fallback for targets no curve set matched at ANY slot —
-    // same join keys as batchPredict's default leg, realtime origin kept
-    val dft = defaults.toDF()
-      .select(col("route_type").as("d_route_type"),
-        col("route_section").as("d_section"),
-        col("time_slot_id").as("d_slot"), col("event_type").as("d_et"),
-        col("curve").as("d_curve"), col("precision_type").as("d_precision"),
-        col("sample_size").as("d_sample"))
-    val fallback = targets
-      // anti-join the broadcast SETS side with the same condition as the
-      // inner join above (a target appears in `joined` iff some set row
-      // matched) — no shuffle, where an anti-join against joined's 7-col
-      // key set would distinct + exchange the whole target stream
-      .join(broadcast(sets),
-        col("route_variant") === col("cs_variant")
-          && col("event_type") === col("cs_event_type")
-          && col("basis_idx") === col("start_stop_index")
-          && col("stop_index") === col("end_stop_index")
-          && (col("cs_slot") === col("time_slot_id")
-            || col("cs_slot") === Codes.DefaultTimeSlot), "left_anti")
-      .join(broadcast(dft),
-        col("route_type") === col("d_route_type")
-          && col("route_section") === col("d_section")
-          && col("event_type") === col("d_et")
-          && col("d_slot") === when(col("time_slot_id") === Codes.DefaultTimeSlot, 1)
-            .otherwise(col("time_slot_id")))
-      .withColumn("prediction_curve", capCurve(col("d_curve")))
-      .withColumn("curve_min_secs", element_at(col("prediction_curve"), 1).getField("x"))
-      .withColumn("curve_max_secs", element_at(col("prediction_curve"), -1).getField("x"))
-      .withColumn("prediction_min",
-        col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
-          col("curve_min_secs").cast("decimal(18,6)")))
-      .withColumn("prediction_max",
-        col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
-          col("curve_max_secs").cast("decimal(18,6)")))
-      .select(
-        lit(source).as("source"), col("event_type"), col("stop_id"),
-        col("prediction_min"), col("prediction_max"),
-        col("route_id"), col("trip_id"), col("trip_start_date"),
-        col("trip_start_time"), col("stop_sequence"),
-        col("d_precision").as("precision_type"),
-        lit(OriginRealtime).as("origin_type"),
-        col("d_sample").as("sample_size"), col("prediction_curve"),
-        lit(source + "_schedule").as("schedule_file_name"))
-
-    csPreds.unionByName(fallback)
   }
 }

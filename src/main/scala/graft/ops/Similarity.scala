@@ -134,6 +134,42 @@ object Similarity {
     WHERE rank <= $k
     ORDER BY query_id, rank"""
 
+  /** Corpus row count without running a scan JOB where possible: caller
+    * hint first, else parquet footer metadata when the plan bottoms out in
+    * a bare parquet scan (projection/alias layers are row-preserving), else
+    * one `count()` as the last resort. The sizing decisions fed by this
+    * (plane count, Lloyd fit sample) need n only to a factor of ~2, but the
+    * footer sum is exact anyway — and at 100 TB it replaces a full corpus
+    * pass per invocation with a driver walk over file metadata the
+    * FileIndex already holds. */
+  private[graft] def corpusCount(df: DataFrame, hint: Long = -1L): Long = {
+    if (hint > 0) return hint
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, child)       => strip(child)
+      case SubqueryAlias(_, child) => strip(child)
+      case other                   => other
+    }
+    strip(df.queryExecution.optimizedPlan) match {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
+            val conf = df.sparkSession.sessionState.newHadoopConf()
+            fs.location.inputFiles.iterator.map { f =>
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                  new org.apache.hadoop.fs.Path(f), conf))
+              try r.getRecordCount finally r.close()
+            }.sum
+          case _ => df.count()
+        }
+      case _ => df.count()
+    }
+  }
+
   /** Planes per table sized so the expected bucket occupancy n / 2^k stays
     * near `targetBucket` regardless of corpus size: candidate volume is then
     * ≈ numTables · n · targetBucket / 2 — LINEAR in n. A FIXED k degrades to
@@ -153,8 +189,10 @@ object Similarity {
     * cosine ≥ `threshold` survive, `a < b` canonical. Recall follows the
     * multi-table union bound; precision is exact (candidates are verified).
     * `planesPerTable ≤ 0` (the default) auto-sizes via
-    * [[autoPlanesPerTable]] from a corpus count (parquet-metadata cheap) so
-    * candidate volume stays linear in the corpus.
+    * [[autoPlanesPerTable]] from [[corpusCount]] — parquet footer metadata
+    * (or the `corpusCountHint` param) rather than a `count()` scan, so
+    * auto-sizing costs no extra corpus pass — and candidate volume stays
+    * linear in the corpus.
     *
     * Shuffle discipline: vectors ride ONLY the input-volume bucket fan-out
     * (n × numTables rows); the cosine is computed map-side inside the join
@@ -168,9 +206,10 @@ object Similarity {
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
                          numTables: Int = 12, planesPerTable: Int = 0,
                          dim: Int = 64, idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding",
+                         corpusCountHint: Long = -1L): DataFrame = {
     val k = if (planesPerTable > 0) planesPerTable
-            else autoPlanesPerTable(embeddings.count())
+            else autoPlanesPerTable(corpusCount(embeddings, corpusCountHint))
     val planes: Array[Array[Array[Double]]] =
       (0 until numTables).map(t => hyperplanes(dim, k, seed = 42L + t)).toArray
     val signed = embeddings
@@ -226,19 +265,25 @@ object Similarity {
     * ([[graft.functions.NearestCentroid]]); the per-cell mean is aggregated
     * in DECIMAL so the result is bit-stable under shuffle reordering (a
     * Double sum's value depends on partition arrival order — the centroids,
-    * and with them every downstream assignment, must not). At 100 TB the
-    * fit runs on a `.sample()` of the corpus; assignment stays a full scan
-    * either way. */
+    * and with them every downstream assignment, must not).
+    *
+    * `fitSampleMod ≤ 0` (the default) AUTO-SIZES the Lloyd fit sample from
+    * [[corpusCount]] so the fit stays bounded near [[IvfFitTarget]] vectors
+    * regardless of corpus scale — at 10M vectors the full-corpus fit was
+    * 76.8 s of mostly-Lloyd wall for a coarse quantizer a 100k sample
+    * estimates just as well; assignment stays a full scan either way. */
   def kMeansCentroids(embeddings: DataFrame, nCells: Int, iters: Int, dim: Int,
                       seed: Long = 42L, idCol: String = "vec_id",
                       vecCol: String = "embedding",
-                      fitSampleMod: Int = 1): Array[Array[Double]] = {
-    // deterministic 1/fitSampleMod sample for the Lloyd rounds (hash-gated,
-    // so the fit is reproducible run to run — .sample() is not); the final
-    // corpus ASSIGNMENT in ivfTopK always scans everything
-    val fit = if (fitSampleMod <= 1) embeddings
+                      fitSampleMod: Int = 0): Array[Array[Double]] = {
+    val mod = if (fitSampleMod > 0) fitSampleMod
+              else autoFitSampleMod(corpusCount(embeddings))
+    // deterministic 1/mod sample for the Lloyd rounds (hash-gated, so the
+    // fit is reproducible run to run — .sample() is not); the final corpus
+    // ASSIGNMENT in ivfTopK always scans everything
+    val fit = if (mod <= 1) embeddings
               else embeddings.filter(
-                pmod(xxhash64(col(idCol), lit(seed + 1)), lit(fitSampleMod)) === 0)
+                pmod(xxhash64(col(idCol), lit(seed + 1)), lit(mod)) === 0)
     val init = fit
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
       .limit(nCells)
@@ -274,6 +319,16 @@ object Similarity {
     }
     centroids
   }
+
+  /** Lloyd-fit sample target: ~100k vectors bounds the k-means fit cost at
+    * any corpus scale; the coarse-quantizer centroid estimate converges far
+    * below this, and the cells only gate which candidates get EXACTLY
+    * rescored — recall, not correctness, is at stake. */
+  val IvfFitTarget = 100000L
+
+  /** Hash-gate modulus putting the expected fit sample at `target`. */
+  def autoFitSampleMod(n: Long, target: Long = IvfFitTarget): Int =
+    math.max(1L, (n + target - 1) / target).toInt
 
   /** Driver-side vector read tolerant of float AND double columns — every
     * distributed path branches on the element type (HyperplaneSignatures,
@@ -312,7 +367,7 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
               nCells: Int = 16, nProbe: Int = 4, iters: Int = 3, dim: Int = 64,
               seed: Long = 42L, idCol: String = "vec_id",
-              vecCol: String = "embedding", fitSampleMod: Int = 1): DataFrame = {
+              vecCol: String = "embedding", fitSampleMod: Int = 0): DataFrame = {
     val centroids = kMeansCentroids(embeddings, nCells, iters, dim, seed, idCol,
       vecCol, fitSampleMod)
     val assigned = embeddings.select(col(idCol).as("match_id"), col(vecCol).as("m_vec"),
