@@ -70,6 +70,57 @@ object ScheduledPredictions {
         to_date(col("service_date")), col("trip_start_time"))))
   }
 
+  /** End instant of ONE backfill batch from `from`: the window must cover
+    * ≥ [[MinBatchSecs]] of schedule time AND reach the [[MinBatchTrips]]-th
+    * start (or the last available one), clipped to `bufferEnd`; None when no
+    * starts remain in (from, bufferEnd] — the mark then jumps to `bufferEnd`
+    * (scheduled_predictions_importer.rs:28-44 batch growth). Factored out of
+    * [[advance]] so the boundary recurrence itself is driver-query testable
+    * over any start-instant table. */
+  private[gtfs] def batchEnd(starts: DataFrame, from: Long,
+                             bufferEnd: Long): Option[Long] = {
+    val epochs = starts
+      .filter(col("start_epoch") > from && col("start_epoch") <= bufferEnd)
+      .select("start_epoch").orderBy("start_epoch")
+      .limit(math.max(MinBatchTrips.toInt, 1))
+      .collect().map(_.getLong(0))
+    if (epochs.isEmpty) None
+    else Some(math.min(bufferEnd, math.max(from + MinBatchSecs, epochs.last)))
+  }
+
+  /** The ST4 batch PARTITIONING over a horizon: iterate [[batchEnd]] from
+    * `from0` and report every (batch, from, end, count) window — the exact
+    * sequence of high-water-mark advances the idle backfill would commit.
+    * A driver loop by nature (each window's start is the previous window's
+    * end, just like the reference's importer loop); per round it collects at
+    * most [[MinBatchTrips]] epochs and runs one bounded count, over a
+    * cached horizon-filtered table. `maxBatches` bounds the scan. */
+  def batchBoundaries(starts: DataFrame, epochCol: String, from0: Long,
+                      bufferEnd: Long, maxBatches: Int): Seq[(Int, Long, Long, Long)] = {
+    val horizon = starts.select(col(epochCol).cast("long").as("start_epoch"))
+      .filter(col("start_epoch") > from0 && col("start_epoch") <= bufferEnd)
+      .cache()
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+      var from = from0
+      var i = 1
+      while (from < bufferEnd && i <= maxBatches) {
+        batchEnd(horizon, from, bufferEnd) match {
+          case None =>
+            out += ((i, from, bufferEnd, 0L))
+            from = bufferEnd
+          case Some(end) =>
+            val cnt = horizon.filter(
+              col("start_epoch") > from && col("start_epoch") <= end).count()
+            out += ((i, from, end, cnt))
+            from = end
+        }
+        i += 1
+      }
+      out.toSeq
+    } finally horizon.unpersist()
+  }
+
   /** One backfill iteration from `highWaterMark` (epoch secs; trips starting
     * ≤ hwm are already predicted). */
   def advance(spark: SparkSession, schedule: GtfsSchedule, source: String,
@@ -109,11 +160,9 @@ object ScheduledPredictions {
         emptyPredictions, bufferEnd, 0)) // nothing scheduled → mark advanced
     }
 
-    // grow the window until both minimums hold
-    val epochs = allStarts.select("start_epoch").orderBy("start_epoch")
-      .limit(math.max(MinBatchTrips.toInt, 1))
-      .collect().map(_.getLong(0))
-    val end = math.min(bufferEnd, math.max(from + MinBatchSecs, epochs.last))
+    // grow the window until both minimums hold (total > 0 here, so the
+    // shared boundary step always finds an epoch)
+    val end = batchEnd(allStarts, from, bufferEnd).get
 
     val batchTrips = allStarts.filter(col("start_epoch") <= end)
     val dates = batchTrips.select("service_date").distinct()

@@ -66,6 +66,22 @@ object MonitorPack extends QueryPack {
       .agg(max("event_id").as("hwm_id"), max(col("ts").cast("date")).as("hwm_day"))
       .orderBy("event_type")
 
+  // ---- ST4 backfill batch boundaries (oracle-checked) --------------------
+  // the idle-backfill batch PARTITIONING (≥6 min AND ≥1000-trip windows,
+  // clipped at the 7d12h buffer) reconstructed over the events table as the
+  // start-instant stream: every high-water-mark advance the ST4 loop would
+  // commit, via the same ScheduledPredictions.batchEnd step advance() uses
+  private val St4From = 1704067200L // 2024-01-01 00:00:00 UTC
+  private val St4MaxBatches = 12
+  private def st4BackfillBatches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val starts = t(s, dir, "events").select(unix_timestamp(col("ts")).as("start_epoch"))
+    ScheduledPredictions.batchBoundaries(starts, "start_epoch", St4From,
+      St4From + ScheduledPredictions.BufferSecs, St4MaxBatches)
+      .toDF("batch_idx", "from_epoch", "end_epoch", "trip_count")
+      .orderBy("batch_idx")
+  }
+
   // ---- SO4 set difference (oracle-checked) -------------------------------
   private def so4Except(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
@@ -486,6 +502,7 @@ object MonitorPack extends QueryPack {
     "f7_last_stop" -> (f7LastStop _),
     "f11_autocomplete" -> (f11Autocomplete _),
     "a15_watermark" -> (a15Watermark _),
+    "st4_backfill_batches" -> (st4BackfillBatches _),
     "so4_except" -> (so4Except _),
     "x12_format" -> (x12Format _),
     "monitor_stop_page" -> (stopPage _),
@@ -521,6 +538,36 @@ object MonitorPack extends QueryPack {
     "a15_watermark" -> """
       SELECT event_type, MAX(event_id) AS hwm_id, CAST(MAX(ts) AS DATE) AS hwm_day
       FROM events GROUP BY event_type ORDER BY event_type""",
+    // ST4 batch recurrence as a recursive CTE: each step's end is
+    // min(buffer, max(from + 360 s, the 1000th start after from — or the
+    // last available when fewer remain)); no starts left → the mark jumps
+    // straight to the buffer end. idx ranks the horizon once so "the
+    // 1000th after from" is one indexed lookup per step.
+    "st4_backfill_batches" -> {
+      val buf = St4From + ScheduledPredictions.BufferSecs
+      s"""
+      WITH RECURSIVE
+      idx AS (
+        SELECT e, ROW_NUMBER() OVER (ORDER BY e) AS rn FROM (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events)
+        WHERE e > $St4From AND e <= $buf),
+      b(batch_idx, from_epoch, end_epoch) AS (
+        SELECT 0, CAST($St4From AS BIGINT), CAST($St4From AS BIGINT)
+        UNION ALL
+        SELECT batch_idx + 1, end_epoch,
+          CASE WHEN t.tgt IS NULL THEN CAST($buf AS BIGINT)
+               ELSE CAST(LEAST($buf, GREATEST(end_epoch + ${ScheduledPredictions.MinBatchSecs}, t.tgt)) AS BIGINT) END
+        FROM b, LATERAL (SELECT COALESCE(
+           (SELECT i.e FROM idx i WHERE i.rn =
+              (SELECT COALESCE(max(i2.rn), 0) FROM idx i2 WHERE i2.e <= b.end_epoch)
+                + ${ScheduledPredictions.MinBatchTrips}),
+           (SELECT max(i3.e) FROM idx i3 WHERE i3.e > b.end_epoch)) AS tgt) t
+        WHERE b.end_epoch < $buf AND b.batch_idx < $St4MaxBatches)
+      SELECT batch_idx, from_epoch, end_epoch,
+        (SELECT count(*) FROM idx i WHERE i.e > o.from_epoch AND i.e <= o.end_epoch)
+          AS trip_count
+      FROM b o WHERE batch_idx > 0 ORDER BY batch_idx"""
+    },
     "so4_except" -> """
       SELECT user_id FROM events WHERE value > 190
       EXCEPT

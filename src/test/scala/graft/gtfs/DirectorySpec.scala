@@ -143,6 +143,36 @@ class DirectorySpec extends AnyFunSuite {
     assert(full.isEmpty)
   }
 
+  test("ST4: batch boundary recurrence — time arm, trip arm, buffer jump") {
+    import spark.implicits._
+    // 3000 starts 1 s apart (the 1000th lands 1000 s > 360 s after each
+    // window start → the TRIP arm binds: exact 1000-trip windows), then a
+    // gap, then 3 sparse stragglers
+    val dense = (1L to 3000L).map(100000L + _)
+    val sparse = Seq(200000L, 250000L, 300000L)
+    val starts = (dense ++ sparse).toDF("start_epoch")
+    val from0 = 100000L
+    val bufEnd = 400000L
+    val bs = ScheduledPredictions.batchBoundaries(starts, "start_epoch",
+      from0, bufEnd, maxBatches = 10)
+    assert(bs(0) == ((1, 100000L, 101000L, 1000L)))
+    assert(bs(1) == ((2, 101000L, 102000L, 1000L)))
+    assert(bs(2) == ((3, 102000L, 103000L, 1000L)))
+    // fewer than 1000 remain → end = last available start
+    assert(bs(3) == ((4, 103000L, 300000L, 3L)))
+    // nothing left → the mark jumps to the buffer end with zero trips
+    assert(bs(4) == ((5, 300000L, 400000L, 0L)))
+    assert(bs.length == 5)
+
+    // time arm: 100 starts all inside one second → end = from + 360 (the
+    // ≥6 min minimum), not the last trip's instant
+    val burst = (1L to 100L).map(_ => 500001L).toDF("start_epoch")
+    val tb = ScheduledPredictions.batchBoundaries(burst, "start_epoch",
+      500000L, 600000L, maxBatches = 3)
+    assert(tb(0) == ((1, 500000L, 500360L, 100L)))
+    assert(tb(1) == ((2, 500360L, 600000L, 0L)))
+  }
+
   test("S19: ping listener rate-limits to one call per interval") {
     var pings = 0
     val l = new PingListener(() => pings += 1, minIntervalMs = 60000L)
