@@ -106,10 +106,16 @@ object ScaleRehearsal {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val mode = sys.env.getOrElse("SPARK_GRAFT_SR_MODE", "curves")
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_SR_DOCS", "1000000").toLong
+    // partition-count knob for the biggest configs: at 100M records the
+    // default cpus-partitions put ~3M rows of aggregation state in each
+    // task, and the resulting sorter spill (on top of the shuffle files)
+    // can exceed local disk — more partitions = same shuffle bytes, far
+    // less spill, exactly the cluster-side sizing rule from the brief
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SR_SHUFFLE", cpus)
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -104,6 +104,14 @@ object GtfsPack extends QueryPack {
       .orderBy("source", "trip_start_date", "trip_id", "trip_start_time",
         "stop_sequence")
 
+  // ST2 as a value oracle: the prediction-request dedup replayed in batch
+  // form (one micro-batch per vehicle × recording instant) over the same
+  // records table the gtfs_records oracle checks — every emitted request,
+  // its basis stop/delay and its last-seen instant
+  private def st2Requests(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingImport.predictionRequestsBatch(pipeline(s)._2)
+      .orderBy("trip_id", "trip_start_date", "trip_start_time", "last_seen")
+
   private def gapFilled(s: SparkSession, dir: String): DataFrame = {
     val (sched, recs) = pipeline(s)
     CurveAnalysis.gapFill(recs, sched)
@@ -472,6 +480,7 @@ object GtfsPack extends QueryPack {
     "gtfs_visual_schedule" -> (visualSchedule _),
     "gtfs_file_stats" -> (fileStats _),
     "gtfs_records" -> (records _),
+    "st2_prediction_requests" -> (st2Requests _),
     "gtfs_gap_fill" -> (gapFilled _),
     "gtfs_specific_curves" -> (specific _),
     "gtfs_default_curves" -> (defaults _),
@@ -690,6 +699,30 @@ object GtfsPack extends QueryPack {
     // ST5 through the oracle: the streamed table must equal the same SQL
     // reconstruction the batch path matches.
     "gtfs_stream_records" -> recordsSql,
+    // ST2: per vehicle, one micro-batch per recording instant (newest =
+    // max (stop, delay) within it), running basis = window max of
+    // (stop, rec_ts, delay) — regressions can't advance it — and a request
+    // emits exactly when the (stop, delay) pair changes.
+    "st2_prediction_requests" -> """
+      WITH recs AS (SELECT * FROM read_parquet('__VOUT__/gtfs_records/*.parquet')
+                    WHERE delay_departure IS NOT NULL),
+      pb AS (SELECT trip_id, trip_start_date, trip_start_time, route_id,
+                    route_variant, time_of_recording AS rec_ts,
+                    max(struct_pack(s := stop_sequence, d := delay_departure)) AS nb
+             FROM recs GROUP BY 1, 2, 3, 4, 5, 6),
+      run AS (SELECT *, max(struct_pack(s := nb.s, t := rec_ts, d := nb.d))
+                OVER (PARTITION BY trip_id, trip_start_date, trip_start_time
+                      ORDER BY rec_ts ROWS UNBOUNDED PRECEDING) AS basis
+              FROM pb),
+      lagd AS (SELECT *, lag(basis)
+                 OVER (PARTITION BY trip_id, trip_start_date, trip_start_time
+                       ORDER BY rec_ts) AS prev
+               FROM run)
+      SELECT trip_id, trip_start_date, trip_start_time, route_id, route_variant,
+             basis.s AS stop_sequence, basis.d AS delay_departure,
+             basis.t AS last_seen
+      FROM lagd WHERE prev IS NULL OR basis.s <> prev.s OR basis.d <> prev.d
+      ORDER BY trip_id, trip_start_date, trip_start_time, last_seen""",
     // J5 forward fill over the schedule grid, from the checked records output.
     "gtfs_gap_fill" -> """
       WITH recs AS (SELECT * FROM read_parquet('__VOUT__/gtfs_records/*.parquet')),

@@ -191,6 +191,41 @@ object StreamingImport {
         })
   }
 
+  /** ST2 in BATCH form: the prediction-request state machine of
+    * [[predictionRequests]] replayed over a static records table, one
+    * micro-batch per (vehicle, recording instant) — the reference's
+    * per-file processing order (importer/mod.rs one .pb at a time). The
+    * running basis is a window MAX of (stop_sequence, rec_ts, delay):
+    * a late re-delivery of older rows can never advance it — exactly the
+    * regression guard of the stateful form — and a request is emitted
+    * whenever the basis (stop, delay) pair CHANGES. Within one instant,
+    * ties on stop_sequence break by delay (deterministic where the
+    * stateful form's maxBy is arrival-order-dependent; one row per file
+    * means the tie never arises there). Pure window functions — one
+    * shuffle on the vehicle key, no state store, any scale. */
+  def predictionRequestsBatch(records: DataFrame): DataFrame = {
+    val veh = Seq("trip_id", "trip_start_date", "trip_start_time")
+    val grp = veh ++ Seq("route_id", "route_variant")
+    val perBatch = records
+      .filter(col("delay_departure").isNotNull)
+      .withColumn("rec_ts", unix_timestamp(col("time_of_recording")))
+      .groupBy((grp :+ "rec_ts").map(col): _*)
+      .agg(max(struct(col("stop_sequence"), col("delay_departure"))).as("nb"))
+    val w = Window.partitionBy(veh.map(col): _*).orderBy("rec_ts")
+    perBatch
+      .withColumn("basis",
+        max(struct(col("nb.stop_sequence").as("s"), col("rec_ts").as("t"),
+          col("nb.delay_departure").as("d")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev", lag(col("basis"), 1).over(w))
+      .filter(col("prev").isNull
+        || col("basis.s") =!= col("prev.s") || col("basis.d") =!= col("prev.d"))
+      .select(col("trip_id"), col("trip_start_date"), col("trip_start_time"),
+        col("route_id"), col("route_variant"),
+        col("basis.s").as("stop_sequence"), col("basis.d").as("delay_departure"),
+        col("basis.t").as("last_seen"))
+  }
+
   /** A1 in streaming form with event-time semantics (ST3/ST6): hourly
     * windowed count + mean of arrival delays over the record stream, with a
     * watermark that drops data arriving more than `lateness` behind the

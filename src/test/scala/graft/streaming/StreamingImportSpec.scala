@@ -192,6 +192,33 @@ class StreamingImportSpec extends AnyFunSuite {
       s"one request per distinct basis, stale batches suppressed, got $out")
   }
 
+  test("ST2 batch form: event-ordered replay of the request state machine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("T1", 20, 60, 1000L),  // first basis → emit
+      ("T1", 20, 90, 1500L),  // same stop, newer, delay changed → emit
+      ("T1", 20, 60, 2000L),  // delay flips back → emit again
+      ("T1", 30, 120, 3000L), // stop advances → emit
+      ("T1", 25, 999, 3500L), // REGRESSION (lower stop) → suppressed
+      ("T1", 40, 30, 4000L),  // advances past the kept stop-30 basis → emit
+      ("T2", 10, 5, 1000L))   // independent vehicle
+    val df = rows.toDF("trip_id", "stop_sequence", "delay_departure", "ts")
+      .withColumn("trip_start_date", to_date(lit("2024-01-10")))
+      .withColumn("trip_start_time", lit(28800))
+      .withColumn("route_id", lit("R1"))
+      .withColumn("route_variant", lit(7L))
+      .withColumn("time_of_recording", timestamp_seconds(col("ts")))
+    val out = StreamingImport.predictionRequestsBatch(df)
+      .orderBy("trip_id", "last_seen")
+      .select("trip_id", "stop_sequence", "delay_departure", "last_seen")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("T1", 20, 60, 1000L), ("T1", 20, 90, 1500L), ("T1", 20, 60, 2000L),
+      ("T1", 30, 120, 3000L), ("T1", 40, 30, 4000L),
+      ("T2", 10, 5, 1000L)), s"got $out")
+  }
+
   test("streaming prediction refresh converges to the batch realtime path") {
     import org.apache.spark.sql.functions._
     val base = Files.createTempDirectory("predrefresh").toString
