@@ -283,25 +283,44 @@ object ScaleRehearsal {
 
     println(f"[scale] records: rows=$nRecords parquet=${bytes / 1e6}%.0fMB gen=${genSecs}%.1fs " +
       s"(routes=$routes trips/var=$tripsPerVariant stops=$stops days=$days)")
-    val sc = graft.gtfs.CurveAnalysis.specificCurves(spark, stored, schedule).cache()
-    runTimed("specific_curves")(sc.count())
-    val dc = graft.gtfs.CurveAnalysis.defaultCurves(spark, stored, schedule).cache()
-    runTimed("default_curves")(dc.count())
+    // SPARK_GRAFT_SR_OPS subsets the curve mode too: at 100M records the
+    // specific-curve shuffle (~70 GB) plus the cached curve blocks plus the
+    // next op's shuffle exceed this box's single local disk — each op can
+    // run in its own process with a fresh disk instead (a cluster gives
+    // every executor its own scratch; one shared disk for 32 "executors"
+    // is the local-mode bottleneck, not the plan)
+    val curveOps = sys.env.get("SPARK_GRAFT_SR_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+    def cWanted(name: String): Boolean = curveOps.forall(_.contains(name))
+    val needPredict = cWanted("batch_predict") || cWanted("batch_predict_realtime")
+    // caching pays only when a later prediction op reuses the table
+    lazy val sc = {
+      val d = graft.gtfs.CurveAnalysis.specificCurves(spark, stored, schedule)
+      if (needPredict) d.cache() else d
+    }
+    lazy val dc = {
+      val d = graft.gtfs.CurveAnalysis.defaultCurves(spark, stored, schedule)
+      if (needPredict) d.cache() else d
+    }
+    if (cWanted("specific_curves")) runTimed("specific_curves")(sc.count())
+    if (cWanted("default_curves")) runTimed("default_curves")(dc.count())
     // the prediction join paths over one service day against the full curve
     // tables: general/default broadcasts (batchPredict) and the curve-set
-    // broadcast + anti-join fallback (batchPredictRealtime)
-    runTimed("batch_predict")(
+    // broadcast join with its rank-tier default fallback (batchPredictRealtime)
+    if (cWanted("batch_predict")) runTimed("batch_predict")(
       graft.gtfs.Predictor.batchPredict(
         spark, schedule, "2024-01-15", "scale", sc, dc).count())
-    // synthetic records delay EVERY stop, so the W3 basis would be each
-    // vehicle's last stop (no later targets). Null the tail deltas to put
-    // the basis mid-trip — stops 6..19 become realtime targets.
-    val midTrip = stored.withColumn("delay_departure",
-      when(col("stop_index") <= 5, col("delay_departure")))
-    runTimed("batch_predict_realtime")(
-      graft.gtfs.Predictor.batchPredictRealtime(
-        spark, schedule, midTrip, "2024-01-15", "scale", sc, dc).count())
-    sc.unpersist(); dc.unpersist()
+    if (cWanted("batch_predict_realtime")) {
+      // synthetic records delay EVERY stop, so the W3 basis would be each
+      // vehicle's last stop (no later targets). Null the tail deltas to put
+      // the basis mid-trip — stops 6..19 become realtime targets.
+      val midTrip = stored.withColumn("delay_departure",
+        when(col("stop_index") <= 5, col("delay_departure")))
+      runTimed("batch_predict_realtime")(
+        graft.gtfs.Predictor.batchPredictRealtime(
+          spark, schedule, midTrip, "2024-01-15", "scale", sc, dc).count())
+    }
+    if (needPredict) { sc.unpersist(); dc.unpersist() }
     spark.stop()
   }
 }
