@@ -192,6 +192,47 @@ class StreamingImportSpec extends AnyFunSuite {
       s"one request per distinct basis, stale batches suppressed, got $out")
   }
 
+  test("ST2 batch form matches the streaming form under event-ordered delivery") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the batch form replays micro-batches in EVENT order; feed the
+    // streaming form the same order (one batch per instant) and the two
+    // must emit identical (stop, delay, last_seen) request sequences
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RtRow]
+    val recs = StreamingImport.recordsStream(spark, mem.toDS(), schedule, "test")
+    val requests = StreamingImport.predictionRequests(spark, recs,
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val q = requests.writeStream
+      .format("memory").queryName("pred_requests_eq")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    def rt(seq: Int, delay: Int, rec: Long): RtRow =
+      RtRow("f.pb", rec, "T1", Some("R1"), Some("20240110"), Some("08:00:00"),
+        Some(seq), Some(s"S${seq / 10}"), Some(delay), Some(delay))
+    val feed = Seq((20, 60, 1000L), (20, 90, 1500L), (30, 120, 2000L),
+      (25, 999, 2500L), (40, 30, 3000L))
+    feed.foreach { case (s, d, r) => mem.addData(rt(s, d, r)); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("pred_requests_eq")
+      .select("basis_stop_sequence", "basis_delay_departure", "time_of_recording")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sortBy(_._3).toSeq
+
+    val static = feed.toDF("stop_sequence", "delay_departure", "ts")
+      .withColumn("trip_id", lit("T1"))
+      .withColumn("trip_start_date", to_date(lit("2024-01-10")))
+      .withColumn("trip_start_time", lit(28800))
+      .withColumn("route_id", lit("R1"))
+      .withColumn("route_variant", lit(1L))
+      .withColumn("time_of_recording", timestamp_seconds(col("ts")))
+    val batch = StreamingImport.predictionRequestsBatch(static)
+      .select("stop_sequence", "delay_departure", "last_seen")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sortBy(_._3).toSeq
+    assert(streamed == batch && batch.nonEmpty,
+      s"streaming $streamed must equal batch replay $batch")
+  }
+
   test("ST2 batch form: event-ordered replay of the request state machine") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
