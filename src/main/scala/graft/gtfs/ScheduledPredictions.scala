@@ -92,33 +92,70 @@ object ScheduledPredictions {
     * `from0` and report every (batch, from, end, count) window — the exact
     * sequence of high-water-mark advances the idle backfill would commit.
     * A driver loop by nature (each window's start is the previous window's
-    * end, just like the reference's importer loop); per round it collects at
-    * most [[MinBatchTrips]] epochs and runs one bounded count, over a
-    * cached horizon-filtered table. `maxBatches` bounds the scan. */
+    * end, just like the reference's importer loop). When the horizon holds
+    * ≤ `collectCap` starts it is collected ONCE and folded in memory (two
+    * jobs total); beyond the cap — where a driver array would not be
+    * bounded — each round collects at most [[MinBatchTrips]] epochs and
+    * runs one bounded count over the cached horizon table. Both paths run
+    * the identical recurrence. `maxBatches` bounds the scan. */
   def batchBoundaries(starts: DataFrame, epochCol: String, from0: Long,
-                      bufferEnd: Long, maxBatches: Int): Seq[(Int, Long, Long, Long)] = {
+                      bufferEnd: Long, maxBatches: Int,
+                      collectCap: Int = 1 << 18): Seq[(Int, Long, Long, Long)] = {
     val horizon = starts.select(col(epochCol).cast("long").as("start_epoch"))
       .filter(col("start_epoch") > from0 && col("start_epoch") <= bufferEnd)
       .cache()
     try {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
-      var from = from0
-      var i = 1
-      while (from < bufferEnd && i <= maxBatches) {
-        batchEnd(horizon, from, bufferEnd) match {
-          case None =>
-            out += ((i, from, bufferEnd, 0L))
-            from = bufferEnd
-          case Some(end) =>
-            val cnt = horizon.filter(
-              col("start_epoch") > from && col("start_epoch") <= end).count()
-            out += ((i, from, end, cnt))
-            from = end
+      if (horizon.count() <= collectCap) {
+        val epochs = horizon.orderBy("start_epoch").collect().map(_.getLong(0))
+        foldBoundaries(epochs, from0, bufferEnd, maxBatches)
+      } else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+        var from = from0
+        var i = 1
+        while (from < bufferEnd && i <= maxBatches) {
+          batchEnd(horizon, from, bufferEnd) match {
+            case None =>
+              out += ((i, from, bufferEnd, 0L))
+              from = bufferEnd
+            case Some(end) =>
+              val cnt = horizon.filter(
+                col("start_epoch") > from && col("start_epoch") <= end).count()
+              out += ((i, from, end, cnt))
+              from = end
+          }
+          i += 1
         }
-        i += 1
+        out.toSeq
       }
-      out.toSeq
     } finally horizon.unpersist()
+  }
+
+  /** The boundary recurrence over an already-collected ascending epoch
+    * array (all in (from0, bufferEnd]) — same rule as [[batchEnd]]:
+    * epochs(i..) are exactly the starts after the current mark, so the
+    * batch target is the min(MinBatchTrips, remaining)-th of them. */
+  private def foldBoundaries(epochs: Array[Long], from0: Long, bufferEnd: Long,
+                             maxBatches: Int): Seq[(Int, Long, Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var i = 0 // epochs(0 until i) are ≤ the current mark (already batched)
+    var from = from0
+    var b = 1
+    while (from < bufferEnd && b <= maxBatches) {
+      if (i >= epochs.length) {
+        out += ((b, from, bufferEnd, 0L))
+        from = bufferEnd
+      } else {
+        val k = math.min(i + math.max(MinBatchTrips.toInt, 1), epochs.length) - 1
+        val end = math.min(bufferEnd, math.max(from + MinBatchSecs, epochs(k)))
+        var j = i
+        while (j < epochs.length && epochs(j) <= end) j += 1
+        out += ((b, from, end, (j - i).toLong))
+        from = end
+        i = j
+      }
+      b += 1
+    }
+    out.toSeq
   }
 
   /** One backfill iteration from `highWaterMark` (epoch secs; trips starting

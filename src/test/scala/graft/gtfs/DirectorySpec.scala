@@ -171,6 +171,15 @@ class DirectorySpec extends AnyFunSuite {
       500000L, 600000L, maxBatches = 3)
     assert(tb(0) == ((1, 500000L, 500360L, 100L)))
     assert(tb(1) == ((2, 500360L, 600000L, 0L)))
+
+    // collectCap = 0 forces the distributed per-batch path — both paths
+    // must run the identical recurrence
+    for ((df, f0, bend) <- Seq((starts, from0, bufEnd), (burst, 500000L, 600000L))) {
+      val fast = ScheduledPredictions.batchBoundaries(df, "start_epoch", f0, bend, 10)
+      val slow = ScheduledPredictions.batchBoundaries(df, "start_epoch", f0, bend, 10,
+        collectCap = 0)
+      assert(fast == slow, s"collected fold vs per-batch jobs: $fast vs $slow")
+    }
   }
 
   test("S19: ping listener rate-limits to one call per interval") {
