@@ -283,6 +283,32 @@ class MonitorSpec extends AnyFunSuite {
         .select("stop_index").head().getInt(0)
       assert(idx > t1basis)
     }
+    // plan regression guard: the default-grid fallback is a rank tier of
+    // the ONE left join over the target stream — the r5 shape ran the whole
+    // schedule-join target pipeline twice (an inner curve-set leg UNIONed
+    // with an anti-join fallback leg), doubling the query. Two passes would
+    // surface as a Union of two target legs, each with its own W3 basis
+    // Window. The records input is checkpointed first so ITS lineage (the
+    // importer's own W2 window) doesn't leak into the count.
+    // structural count on the OPTIMIZED LOGICAL plan (collect does not
+    // descend into cached/checkpointed leaves): exactly one event-type
+    // explode (the targetsForDate pipeline) and two Window ops (W3 basis +
+    // best-rank). Inputs are checkpointed so their own lineage (the curve
+    // build alone carries ~150 windows) stays out of the count.
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Window => LWindow}
+    val lp = Predictor.batchPredictRealtime(spark, schedule,
+      records.localCheckpoint(true), "2024-01-15", "test",
+      sc.localCheckpoint(true), dc.localCheckpoint(true))
+      .queryExecution.optimizedPlan
+    val targetPipelines = lp.collect {
+      case g: Generate if g.generator.toString.contains("event_type") => g
+    }.size
+    val windows = lp.collect { case w: LWindow => w }.size
+    assert(targetPipelines == 1,
+      s"the schedule-join target pipeline must be built ONCE (got $targetPipelines " +
+        "event-type explodes — the two-leg shape runs it per leg)")
+    assert(windows == 2,
+      s"expected exactly 2 Window ops (W3 basis + best-rank), got $windows")
   }
 
   test("curve store round-trips partitioned statistics tables (S16/S17)") {
