@@ -14,11 +14,15 @@ import graft.curves.{CPoint, Curves}
   * The strip encodes through the real zlib PNG writer
   * ([[graft.ops.MediaCodec.pngBytes]], 8-bit truecolor with genuine CRCs);
   * the reference's constant alpha=255 channel is omitted (RGB, not RGBA).
-  * Gradient evaluation interpolates piecewise-LINEARLY between the public
-  * 9-class ColorBrewer anchor colors where the reference's `colorous` crate
-  * uses a spline — a rendering detail; the density pipeline (f32 sampling,
-  * de-cumulation, max-clamp, crop, tail/white cases) follows the reference
-  * operation by operation so the DuckDB oracle can replay it exactly.
+  * Gradient evaluation follows the reference's `colorous` crate — a port of
+  * d3-scale-chromatic, whose multi-anchor ramps evaluate a UNIFORM CUBIC
+  * BASIS SPLINE over the public 9-class ColorBrewer anchors (d3's
+  * `interpolateRgbBasis`: per-channel B-spline with reflected phantom
+  * endpoints `2·v₀−v₁` / `2·v₈−v₇`, so t=0/t=1 hit the first/last anchor
+  * exactly while interior anchors are approximated, as a B-spline does);
+  * the density pipeline (f32 sampling, de-cumulation, max-clamp, crop,
+  * tail/white cases) follows the reference operation by operation so the
+  * DuckDB oracle can replay every pixel exactly.
   */
 object HeatStrip {
 
@@ -30,19 +34,36 @@ object HeatStrip {
     (255, 255, 217), (237, 248, 177), (199, 233, 180), (127, 205, 187),
     (65, 182, 196), (29, 145, 192), (34, 94, 168), (37, 52, 148), (8, 29, 88))
 
-  /** Piecewise-linear gradient sample at `t` ∈ [0, 1] over the 9 anchors
-    * (8 segments; `math.round` half-up matches DuckDB ROUND for positive
-    * values). */
+  /** Uniform cubic basis-spline gradient sample at `t` ∈ [0, 1] over the 9
+    * anchors (8 segments), matching d3's `interpolateRgbBasis` / colorous:
+    * segment `i = min(⌊8t⌋, 7)`, local `t₁ = 8t − i`, control points
+    * `v₀..v₃ = anchors(i−1..i+2)` with reflected phantoms past the ends, and
+    *
+    * {{{ ((1−3t₁+3t₁²−t₁³)v₀ + (4−6t₁²+3t₁³)v₁ + (1+3t₁+3t₁²−3t₁³)v₂ + t₁³v₃) / 6 }}}
+    *
+    * per channel, rounded then clamped to [0, 255] (the phantom reflection
+    * can push a convex combination slightly past an end anchor).
+    * `math.round` half-up matches DuckDB ROUND for the non-negative values
+    * that survive the clamp; the oracle SQL in MonitorPack mirrors this
+    * expression term-for-term so both engines compute identical doubles. */
   def color(anchors: Array[(Int, Int, Int)], t: Double): (Int, Int, Int) = {
     val tc = math.max(0.0, math.min(1.0, t))
     val pos = tc * 8.0
     val i = math.min(pos.toInt, 7)
-    val frac = pos - i
-    val (r0, g0, b0) = anchors(i)
-    val (r1, g1, b1) = anchors(i + 1)
-    (math.round(r0 + frac * (r1 - r0)).toInt,
-      math.round(g0 + frac * (g1 - g0)).toInt,
-      math.round(b0 + frac * (b1 - b0)).toInt)
+    val t1 = pos - i
+    val t2 = t1 * t1
+    val t3 = t2 * t1
+    val w0 = 1.0 - 3.0 * t1 + 3.0 * t2 - t3
+    val w1 = 4.0 - 6.0 * t2 + 3.0 * t3
+    val w2 = 1.0 + 3.0 * t1 + 3.0 * t2 - 3.0 * t3
+    def ch(f: ((Int, Int, Int)) => Int): Int = {
+      val v1 = f(anchors(i)); val v2 = f(anchors(i + 1))
+      val v0 = if (i > 0) f(anchors(i - 1)) else 2 * v1 - v2
+      val v3 = if (i < 7) f(anchors(i + 2)) else 2 * v2 - v1
+      val s = (w0 * v0 + w1 * v1 + w2 * v2 + t3 * v3) / 6.0
+      math.max(0, math.min(255, math.round(s).toInt))
+    }
+    (ch(_._1), ch(_._2), ch(_._3))
   }
 
   /** RGB pixel bytes (width × 1, 3 bytes per pixel) of the heat strip for a

@@ -428,16 +428,27 @@ object MonitorPack extends QueryPack {
     * hash-verified `pred_points` / `pred_rows` aux — cumulative samples via
     * the f32-emulated yAtX [[interpCte]], f32 de-cumulation and max-clamp,
     * the reference's f32 crop expression widened to DOUBLE, and the
-    * piecewise-linear gradient over the shared ColorBrewer anchors (VALUES
-    * generated from [[graft.gtfs.HeatStrip]]'s arrays, so both engines read
-    * one table). Gradient index 1/2 = the event_type codes. */
+    * d3/colorous uniform cubic basis-spline gradient over the shared
+    * ColorBrewer anchors (VALUES generated from [[graft.gtfs.HeatStrip]]'s
+    * arrays INCLUDING the reflected phantom endpoints at index −1/9, so
+    * both engines read one table and the spline's 4-point window is a plain
+    * 4-way index join). The spline expression mirrors
+    * [[graft.gtfs.HeatStrip.color]] term for term — identical f64 operation
+    * order, so ROUND sees bit-identical inputs. Gradient index 1/2 = the
+    * event_type codes. */
   private def heatStripSql: String = {
     val w = HeatStripWidth
-    val anchors = (graft.gtfs.HeatStrip.YlOrBr.zipWithIndex.map {
-      case ((r, g, b), i) => s"(1, $i, $r, $g, $b)"
-    } ++ graft.gtfs.HeatStrip.YlGnBu.zipWithIndex.map {
-      case ((r, g, b), i) => s"(2, $i, $r, $g, $b)"
-    }).mkString(", ")
+    // indices −1..9: row −1 = 2·v₀−v₁, row 9 = 2·v₈−v₇ (d3's reflected
+    // phantom endpoints), rows 0..8 the published anchors
+    val anchors = Seq(1 -> graft.gtfs.HeatStrip.YlOrBr,
+        2 -> graft.gtfs.HeatStrip.YlGnBu).flatMap { case (gi, a) =>
+      def ref(p: (Int, Int, Int), q: (Int, Int, Int)) =
+        (2 * p._1 - q._1, 2 * p._2 - q._2, 2 * p._3 - q._3)
+      val ext = (ref(a(0), a(1)) +: a.toSeq) :+ ref(a(8), a(7))
+      ext.zipWithIndex.map { case ((r, g, b), i) =>
+        s"($gi, ${i - 1}, $r, $g, $b)"
+      }
+    }.mkString(", ")
     s"""
     WITH pp AS (SELECT ${keyList()}, idx AS pidx, x, y
                 FROM read_parquet('__VOUT__/_aux/pred_points/*.parquet')),
@@ -472,21 +483,35 @@ object MonitorPack extends QueryPack {
                          ELSE NULL END AS t
              FROM hs_unc u JOIN hs_mx m ON ${keyJoin("u", "m")}),
     hs_anchors(gi, i, ar, ag, ab) AS (VALUES $anchors),
-    hs_col AS (SELECT ${keyList("t")}, t.px,
-                      CASE WHEN t.t IS NULL THEN 255
-                           ELSE CAST(ROUND(a0.ar + (t.t * 8 - LEAST(CAST(FLOOR(t.t * 8) AS INT), 7))
-                                * (a1.ar - a0.ar)) AS INT) END AS r,
-                      CASE WHEN t.t IS NULL THEN 255
-                           ELSE CAST(ROUND(a0.ag + (t.t * 8 - LEAST(CAST(FLOOR(t.t * 8) AS INT), 7))
-                                * (a1.ag - a0.ag)) AS INT) END AS g,
-                      CASE WHEN t.t IS NULL THEN 255
-                           ELSE CAST(ROUND(a0.ab + (t.t * 8 - LEAST(CAST(FLOOR(t.t * 8) AS INT), 7))
-                                * (a1.ab - a0.ab)) AS INT) END AS b
-               FROM hs_t t
-               LEFT JOIN hs_anchors a0 ON a0.gi = t.event_type
-                 AND a0.i = LEAST(CAST(FLOOR(t.t * 8) AS INT), 7)
-               LEFT JOIN hs_anchors a1 ON a1.gi = t.event_type
-                 AND a1.i = LEAST(CAST(FLOOR(t.t * 8) AS INT), 7) + 1)
+    hs_seg AS (SELECT ${keyList("t")}, t.px, t.t,
+                      LEAST(CAST(FLOOR(t.t * 8) AS INT), 7) AS seg,
+                      t.t * 8 - LEAST(CAST(FLOOR(t.t * 8) AS INT), 7) AS t1
+               FROM hs_t t),
+    hs_w AS (SELECT *, t1 * t1 AS t2, t1 * t1 * t1 AS t3 FROM hs_seg),
+    hs_col AS (SELECT ${keyList("w")}, w.px,
+                      CASE WHEN w.t IS NULL THEN 255
+                           ELSE GREATEST(0, LEAST(255, CAST(ROUND(
+                             ((1 - 3 * w.t1 + 3 * w.t2 - w.t3) * a0.ar
+                              + (4 - 6 * w.t2 + 3 * w.t3) * a1.ar
+                              + (1 + 3 * w.t1 + 3 * w.t2 - 3 * w.t3) * a2.ar
+                              + w.t3 * a3.ar) / 6) AS INT))) END AS r,
+                      CASE WHEN w.t IS NULL THEN 255
+                           ELSE GREATEST(0, LEAST(255, CAST(ROUND(
+                             ((1 - 3 * w.t1 + 3 * w.t2 - w.t3) * a0.ag
+                              + (4 - 6 * w.t2 + 3 * w.t3) * a1.ag
+                              + (1 + 3 * w.t1 + 3 * w.t2 - 3 * w.t3) * a2.ag
+                              + w.t3 * a3.ag) / 6) AS INT))) END AS g,
+                      CASE WHEN w.t IS NULL THEN 255
+                           ELSE GREATEST(0, LEAST(255, CAST(ROUND(
+                             ((1 - 3 * w.t1 + 3 * w.t2 - w.t3) * a0.ab
+                              + (4 - 6 * w.t2 + 3 * w.t3) * a1.ab
+                              + (1 + 3 * w.t1 + 3 * w.t2 - 3 * w.t3) * a2.ab
+                              + w.t3 * a3.ab) / 6) AS INT))) END AS b
+               FROM hs_w w
+               LEFT JOIN hs_anchors a0 ON a0.gi = w.event_type AND a0.i = w.seg - 1
+               LEFT JOIN hs_anchors a1 ON a1.gi = w.event_type AND a1.i = w.seg
+               LEFT JOIN hs_anchors a2 ON a2.gi = w.event_type AND a2.i = w.seg + 1
+               LEFT JOIN hs_anchors a3 ON a3.gi = w.event_type AND a3.i = w.seg + 2)
     SELECT ${keyList()}, CAST(px AS INT) AS px, r, g, b
     FROM hs_col ORDER BY ${keyList()}, px"""
   }

@@ -19,9 +19,10 @@ class HeatStripSpec extends AnyFunSuite {
     // px 0: cum(1000)=0 -> white per the prob_cum==0 branch
     assert(rgb(0) == (255, 255, 255))
     // px 1..3: cum in (0.01, 0.99), uncum = 0.25 each = the strip max ->
-    // pu = 1 -> t = 0.8 -> anchor segment 6..7 frac 0.4:
-    // YlOrBr (204,76,2)..(153,52,4) -> round(204-0.4*51)=184 etc.
-    assert(rgb(1) == (184, 66, 3) && rgb(2) == (184, 66, 3) && rgb(3) == (184, 66, 3))
+    // pu = 1 -> t = 0.8f -> basis-spline segment 6, t1 ≈ 0.4, control
+    // points YlOrBr anchors 5..8: r = (0.216·236 + 3.232·204 + 2.488·153
+    // + 0.064·102)/6 = 182.916 -> 183; g = 66.93 -> 67; b = 3.52 -> 4
+    assert(rgb(1) == (183, 67, 4) && rgb(2) == (183, 67, 4) && rgb(3) == (183, 67, 4))
     // px 4 starts at cum=1.0 exactly -> white (outside (0,1))
     assert(rgb(4) == (255, 255, 255) && rgb(7) == (255, 255, 255))
   }
@@ -36,9 +37,9 @@ class HeatStripSpec extends AnyFunSuite {
     // px 2 boundary 1020: cum=0.5 -> gradient; px 3: cum(1030)=1 -> white
     assert(rgb(0) == (255, 255, 255) && rgb(3) == (255, 255, 255))
     assert(rgb(2) != (255, 255, 255))
-    // departure gradient = YlGnBu: pu=1 -> t=0.8 -> (34,94,168)..(37,52,148)
-    // frac 0.4 -> round(34+0.4*3)=35, round(94-0.4*42)=77, round(168-0.4*20)=160
-    assert(rgb(2) == (35, 77, 160))
+    // departure gradient = YlGnBu: pu=1 -> t=0.8f -> spline segment 6 over
+    // anchors 5..8: r = 34.79 -> 35, g = 77.73 -> 78, b = 159.72 -> 160
+    assert(rgb(2) == (35, 78, 160))
   }
 
   test("gradient floor case: cumulative in (0, 0.01]") {
@@ -47,8 +48,22 @@ class HeatStripSpec extends AnyFunSuite {
     val c = Array(CPoint(0f, 0.004f), CPoint(80f, 1f))
     val px = HeatStrip.pixels(c, 1000.0, 1000.0, 1080.0, 8, Codes.EventArrival)
     def rgb(i: Int) = (px(i * 3) & 0xff, px(i * 3 + 1) & 0xff, px(i * 3 + 2) & 0xff)
-    // px 0 boundary: cum = 0.004 in (0, 0.01] -> YlOrBr anchor 0
+    // px 0 boundary: cum = 0.004 in (0, 0.01] -> gradient.eval(0); the
+    // reflected phantom endpoint makes the spline hit anchor 0 EXACTLY:
+    // (v₋₁ + 4v₀ + v₁)/6 = ((2v₀−v₁) + 4v₀ + v₁)/6 = v₀
     assert(rgb(0) == (255, 255, 229))
+  }
+
+  test("gradient is the d3/colorous basis spline, not linear interpolation") {
+    // at an interior knot (t = 1/8, anchor 1's position) a uniform cubic
+    // B-spline APPROXIMATES the control point: value = (v₀ + 4v₁ + v₂)/6.
+    // YlOrBr g channel: (255 + 4·247 + 227)/6 = 245, not the anchor's 247 —
+    // linear interpolation would return the anchor exactly
+    assert(HeatStrip.color(HeatStrip.YlOrBr, 0.125) == (255, 245, 188))
+    // endpoints are exact thanks to the reflected phantoms
+    assert(HeatStrip.color(HeatStrip.YlOrBr, 0.0) == (255, 255, 229))
+    assert(HeatStrip.color(HeatStrip.YlOrBr, 1.0) == (102, 37, 6))
+    assert(HeatStrip.color(HeatStrip.YlGnBu, 1.0) == (8, 29, 88))
   }
 
   test("png round-trips the exact pixel bytes") {
