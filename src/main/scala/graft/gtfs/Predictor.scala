@@ -321,43 +321,55 @@ object Predictor {
 
     val keyCols = Seq("trip_id", "trip_start_date", "trip_start_time",
       "route_id", "stop_sequence", "stop_id", "event_type")
+    // ONE aggregation on the 7-col vehicle-stop key: slot_rank only takes
+    // values {0, 1} (both can coexist) or exactly {2} (the single all-null
+    // row of an unmatched left join), so the per-rank curve sets collect as
+    // rank-conditional lists in the same pass and the winner is chosen by
+    // min(slot_rank) afterwards — where a groupBy on (key, rank) followed
+    // by a best-rank Window re-exchanged AND sorted the whole aggregate
+    // stream a second time on the 7-col key
     joined
-      .groupBy((keyCols.map(col) :+ col("slot_rank")): _*)
+      .groupBy(keyCols.map(col): _*)
       .agg(
         first("scheduled_ts").as("scheduled_ts"),
         first("basis_delay").as("basis_delay"),
-        first("cs_sample").as("cs_sample"),
-        // null-gated struct: the rank-2 group's set rows are all-null from
-        // the left join and must not surface as a [(null,null)] curve set
-        collect_list(when(col("cs_slot").isNotNull,
-          struct(col("focus_delay"), col("curve")))).as("curve_set"),
+        min("slot_rank").as("best_rank"),
+        first(when(col("slot_rank") === 0, col("cs_sample")), ignoreNulls = true).as("s0"),
+        first(when(col("slot_rank") === 1, col("cs_sample")), ignoreNulls = true).as("s1"),
+        // null-gated structs: collect_list skips the nulls the other rank's
+        // rows (and the rank-2 all-null row) contribute
+        collect_list(when(col("slot_rank") === 0,
+          struct(col("focus_delay"), col("curve")))).as("set0"),
+        collect_list(when(col("slot_rank") === 1,
+          struct(col("focus_delay"), col("curve")))).as("set1"),
         // carried only for the rank-2 default-grid join
         first("route_type").as("route_type"),
         first("route_section").as("route_section"),
         first("time_slot_id").as("time_slot_id"))
-      .withColumn("best_rank", min("slot_rank")
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)))
-      .filter(col("slot_rank") === col("best_rank"))
+      .withColumn("curve_set", when(col("best_rank") === 0, col("set0"))
+        .when(col("best_rank") === 1, col("set1")))
+      .withColumn("cs_sample", when(col("best_rank") === 0, col("s0"))
+        .when(col("best_rank") === 1, col("s1")))
       // broadcast grid lookup, gated to the fallback tier; targets whose
       // route has no route_type never equi-join and drop below — the
       // reference produces no prediction for them (predictor/mod.rs:219-221)
       .join(broadcast(dft),
-        col("slot_rank") === 2
+        col("best_rank") === 2
           && col("route_type") === col("d_route_type")
           && col("route_section") === col("d_section")
           && col("event_type") === col("d_et")
           && col("d_slot") === when(col("time_slot_id") === Codes.DefaultTimeSlot, 1)
             .otherwise(col("time_slot_id")), "left")
       .withColumn("prediction_curve", capCurve(
-        when(col("slot_rank") < 2, interpolate(col("curve_set"), col("basis_delay")))
+        when(col("best_rank") < 2, interpolate(col("curve_set"), col("basis_delay")))
           .otherwise(col("d_curve"))))
       .filter(col("prediction_curve").isNotNull)
       .withColumn("precision_type",
-        when(col("slot_rank") === 0, Codes.PrecisionSpecific)
-          .when(col("slot_rank") === 1, Codes.PrecisionFallbackSpecific)
+        when(col("best_rank") === 0, Codes.PrecisionSpecific)
+          .when(col("best_rank") === 1, Codes.PrecisionFallbackSpecific)
           .otherwise(col("d_precision")))
       .withColumn("sample_size",
-        when(col("slot_rank") < 2, col("cs_sample")).otherwise(col("d_sample")))
+        when(col("best_rank") < 2, col("cs_sample")).otherwise(col("d_sample")))
       .withColumn("curve_min_secs", element_at(col("prediction_curve"), 1).getField("x"))
       .withColumn("curve_max_secs", element_at(col("prediction_curve"), -1).getField("x"))
       .withColumn("prediction_min",

@@ -292,9 +292,11 @@ class MonitorSpec extends AnyFunSuite {
     // importer's own W2 window) doesn't leak into the count.
     // structural count on the OPTIMIZED LOGICAL plan (collect does not
     // descend into cached/checkpointed leaves): exactly one event-type
-    // explode (the targetsForDate pipeline) and two Window ops (W3 basis +
-    // best-rank). Inputs are checkpointed so their own lineage (the curve
-    // build alone carries ~150 windows) stays out of the count.
+    // explode (the targetsForDate pipeline) and ONE Window op (the W3
+    // basis) — best-rank selection is rank-conditional aggregation inside
+    // the single groupBy, not a second Window. Inputs are checkpointed so
+    // their own lineage (the curve build alone carries ~150 windows) stays
+    // out of the count.
     import org.apache.spark.sql.catalyst.plans.logical.{Generate, Window => LWindow}
     val lp = Predictor.batchPredictRealtime(spark, schedule,
       records.localCheckpoint(true), "2024-01-15", "test",
@@ -307,8 +309,8 @@ class MonitorSpec extends AnyFunSuite {
     assert(targetPipelines == 1,
       s"the schedule-join target pipeline must be built ONCE (got $targetPipelines " +
         "event-type explodes — the two-leg shape runs it per leg)")
-    assert(windows == 2,
-      s"expected exactly 2 Window ops (W3 basis + best-rank), got $windows")
+    assert(windows == 1,
+      s"expected exactly 1 Window op (the W3 basis), got $windows")
   }
 
   test("curve store round-trips partitioned statistics tables (S16/S17)") {
