@@ -48,10 +48,15 @@ object Bench {
     def probe(): Double = {
       val t0 = System.nanoTime()
       // bit_xor, not sum: a 1e8-element sum of 64-bit hashes overflows long
-      // and ANSI mode turns that into a query-killing exception
-      spark.range(100000000L)
-        .selectExpr("bit_xor(xxhash64(id)) as s", "count(*) as c").collect()
-      (System.nanoTime() - t0) / 1e9
+      // and ANSI mode turns that into a query-killing exception. Guarded
+      // like the per-query runs: a probe crash (e.g. under the very machine
+      // load it exists to detect) must surface as a -1 sentinel in the
+      // artifact, not abort the bench with no JSON line at all
+      try {
+        spark.range(100000000L)
+          .selectExpr("bit_xor(xxhash64(id)) as s", "count(*) as c").collect()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
     }
     val probeBefore = probe()
     // each query is timed TWICE and the per-query minimum reported: the

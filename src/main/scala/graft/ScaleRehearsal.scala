@@ -112,6 +112,14 @@ object ScaleRehearsal {
     // can exceed local disk — more partitions = same shuffle bytes, far
     // less spill, exactly the cluster-side sizing rule from the brief
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SR_SHUFFLE", cpus)
+    // SPARK_GRAFT_SR_OPS: comma-separated subset of ops to run (default
+    // all) — one parse shared by every mode, so the subset syntax can't
+    // drift between them. Lets a 10M-doc run exercise just
+    // clusters/packing, or a 100M-record run put each disk-heavy curve op
+    // in its own process with a fresh local disk.
+    val srOps = sys.env.get("SPARK_GRAFT_SR_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+    def opWanted(name: String): Boolean = srOps.forall(_.contains(name))
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -152,11 +160,7 @@ object ScaleRehearsal {
 
     if (mode == "ann") {
       // ---- similarity search at corpus scale: 1M × 64-dim vectors ----
-      // SPARK_GRAFT_SR_OPS subsets here too (e.g. a 10M run of the top-k
-      // paths without paying for the pair sweep)
-      val annOpsEnv = sys.env.get("SPARK_GRAFT_SR_OPS")
-        .map(_.split(",").map(_.trim).toSet)
-      def annWanted(name: String): Boolean = annOpsEnv.forall(_.contains(name))
+      def annWanted(name: String): Boolean = opWanted(name)
       val n = sys.env.getOrElse("SPARK_GRAFT_SR_VECS", "1000000").toLong
       val embDir = java.nio.file.Files.createTempDirectory("sr_emb").toString + "/embeddings"
       spark.range(n).select(col("id").as("vec_id"),
@@ -191,12 +195,7 @@ object ScaleRehearsal {
 
     if (mode == "docs") {
       // ---- training-data pipeline ops at corpus scale ----
-      // SPARK_GRAFT_SR_OPS: comma-separated subset to run (default all) —
-      // lets a 10M-doc run exercise just clusters/packing without paying for
-      // the whole dedup family at 10x size
-      val opsEnv = sys.env.get("SPARK_GRAFT_SR_OPS")
-        .map(_.split(",").map(_.trim).toSet)
-      def wanted(name: String): Boolean = opsEnv.forall(_.contains(name))
+      def wanted(name: String): Boolean = opWanted(name)
       val docsDir = java.nio.file.Files.createTempDirectory("sr_docs").toString + "/documents"
       syntheticDocs(spark, nDocs).write.mode("overwrite").parquet(docsDir)
       val docs = spark.read.parquet(docsDir)
@@ -289,9 +288,7 @@ object ScaleRehearsal {
     // run in its own process with a fresh disk instead (a cluster gives
     // every executor its own scratch; one shared disk for 32 "executors"
     // is the local-mode bottleneck, not the plan)
-    val curveOps = sys.env.get("SPARK_GRAFT_SR_OPS")
-      .map(_.split(",").map(_.trim).toSet)
-    def cWanted(name: String): Boolean = curveOps.forall(_.contains(name))
+    def cWanted(name: String): Boolean = opWanted(name)
     val needPredict = cWanted("batch_predict") || cWanted("batch_predict_realtime")
     // caching pays only when a later prediction op reuses the table
     lazy val sc = {
@@ -304,6 +301,12 @@ object ScaleRehearsal {
     }
     if (cWanted("specific_curves")) runTimed("specific_curves")(sc.count())
     if (cWanted("default_curves")) runTimed("default_curves")(dc.count())
+    // when the subset selects a prediction op but not the curve builds, the
+    // lazy cached inputs must still materialize OUTSIDE the prediction's
+    // timed block — otherwise the printed prediction wall silently includes
+    // the whole curve construction and is not comparable to the SCALE.md
+    // table rows (cheap cached counts when the builds ran above)
+    if (needPredict) { sc.count(); dc.count() }
     // the prediction join paths over one service day against the full curve
     // tables: general/default broadcasts (batchPredict) and the curve-set
     // broadcast join with its rank-tier default fallback (batchPredictRealtime)

@@ -99,9 +99,14 @@ object Predictor {
     * whole-stage codegen, no UDF. */
   val MaxCurvePoints = 120
   def capCurve(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(size(c) <= MaxCurvePoints, c).otherwise(
-      transform(sequence(lit(0), lit(MaxCurvePoints - 1)),
-        i => element_at(c, (i * (size(c) - 1) / (MaxCurvePoints - 1) + 1).cast("int"))))
+    // null-preserving: without the isNotNull gate, size(NULL) is NULL under
+    // ANSI, the CASE falls to otherwise, and transform over a literal
+    // sequence yields a NON-null array of 120 null structs — which would
+    // slip a "no curve matched" row past downstream isNotNull drop filters
+    when(c.isNotNull,
+      when(size(c) <= MaxCurvePoints, c).otherwise(
+        transform(sequence(lit(0), lit(MaxCurvePoints - 1)),
+          i => element_at(c, (i * (size(c) - 1) / (MaxCurvePoints - 1) + 1).cast("int")))))
 
   /** Rows above this bound indicate the statistics tables are no longer
     * driver-map material — use [[batchPredict]]'s join form instead. The

@@ -706,10 +706,16 @@ object GtfsPack extends QueryPack {
     "st2_prediction_requests" -> """
       WITH recs AS (SELECT * FROM read_parquet('__VOUT__/gtfs_records/*.parquet')
                     WHERE delay_departure IS NOT NULL),
-      pb AS (SELECT trip_id, trip_start_date, trip_start_time, route_id,
-                    route_variant, time_of_recording AS rec_ts,
-                    max(struct_pack(s := stop_sequence, d := delay_departure)) AS nb
-             FROM recs GROUP BY 1, 2, 3, 4, 5, 6),
+      -- route columns ride inside the max struct (field-order comparison,
+      -- same as Spark's struct ordering): one row per (vehicle, instant)
+      -- even if a feed anomaly keys a vehicle by two route_variants at the
+      -- same rec_ts — a wider group key would tie the window rows and the
+      -- replay would be shuffle-order dependent on the Spark side
+      pb AS (SELECT trip_id, trip_start_date, trip_start_time,
+                    time_of_recording AS rec_ts,
+                    max(struct_pack(s := stop_sequence, d := delay_departure,
+                                    rv := route_variant, ri := route_id)) AS nb
+             FROM recs GROUP BY 1, 2, 3, 4),
       run AS (SELECT *, max(struct_pack(s := nb.s, t := rec_ts, d := nb.d))
                 OVER (PARTITION BY trip_id, trip_start_date, trip_start_time
                       ORDER BY rec_ts ROWS UNBOUNDED PRECEDING) AS basis
@@ -718,7 +724,8 @@ object GtfsPack extends QueryPack {
                  OVER (PARTITION BY trip_id, trip_start_date, trip_start_time
                        ORDER BY rec_ts) AS prev
                FROM run)
-      SELECT trip_id, trip_start_date, trip_start_time, route_id, route_variant,
+      SELECT trip_id, trip_start_date, trip_start_time,
+             nb.ri AS route_id, nb.rv AS route_variant,
              basis.s AS stop_sequence, basis.d AS delay_departure,
              basis.t AS last_seen
       FROM lagd WHERE prev IS NULL OR basis.s <> prev.s OR basis.d <> prev.d

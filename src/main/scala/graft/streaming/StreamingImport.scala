@@ -205,12 +205,19 @@ object StreamingImport {
     * shuffle on the vehicle key, no state store, any scale. */
   def predictionRequestsBatch(records: DataFrame): DataFrame = {
     val veh = Seq("trip_id", "trip_start_date", "trip_start_time")
-    val grp = veh ++ Seq("route_id", "route_variant")
+    // the route columns ride INSIDE the max struct rather than widening the
+    // group key: a vehicle keyed by two route_variant values at the same
+    // recording instant (feed anomaly / mid-feed schedule swap) would
+    // otherwise emit two rows tied on rec_ts in the window partition, and
+    // the running max + lag would depend on shuffle arrival order — a
+    // nondeterministic replay the DuckDB twin could legally resolve the
+    // other way. One row per (vehicle, instant), deterministically.
     val perBatch = records
       .filter(col("delay_departure").isNotNull)
       .withColumn("rec_ts", unix_timestamp(col("time_of_recording")))
-      .groupBy((grp :+ "rec_ts").map(col): _*)
-      .agg(max(struct(col("stop_sequence"), col("delay_departure"))).as("nb"))
+      .groupBy((veh :+ "rec_ts").map(col): _*)
+      .agg(max(struct(col("stop_sequence"), col("delay_departure"),
+        col("route_variant"), col("route_id"))).as("nb"))
     val w = Window.partitionBy(veh.map(col): _*).orderBy("rec_ts")
     perBatch
       .withColumn("basis",
@@ -221,7 +228,7 @@ object StreamingImport {
       .filter(col("prev").isNull
         || col("basis.s") =!= col("prev.s") || col("basis.d") =!= col("prev.d"))
       .select(col("trip_id"), col("trip_start_date"), col("trip_start_time"),
-        col("route_id"), col("route_variant"),
+        col("nb.route_id").as("route_id"), col("nb.route_variant").as("route_variant"),
         col("basis.s").as("stop_sequence"), col("basis.d").as("delay_departure"),
         col("basis.t").as("last_seen"))
   }

@@ -235,5 +235,15 @@ class GtfsPipelineSpec extends AnyFunSuite {
       .select(Predictor.capCurve(col("curve")).as("capped"))
       .head.getSeq[org.apache.spark.sql.Row](0)
     assert(kept.size == 5)
+    // null stays null: under ANSI, size(NULL) is NULL, the CASE would fall
+    // to otherwise and transform would build a NON-null array of 120 null
+    // structs — a "no curve matched" target (rank-2 row whose route never
+    // equi-joins the default grid) must instead stay null and be dropped by
+    // the prediction paths' isNotNull filter, as the reference emits no
+    // prediction for it (predictor/mod.rs:219-221)
+    val nulled = Seq(Tuple1(Option.empty[Seq[graft.curves.CPoint]])).toDF("curve")
+      .select(Predictor.capCurve(col("curve")).as("capped"))
+      .head
+    assert(nulled.isNullAt(0), "capCurve(NULL) must be NULL, not an array of nulls")
   }
 }
