@@ -260,6 +260,35 @@ class StreamingImportSpec extends AnyFunSuite {
       ("T2", 10, 5, 1000L)), s"got $out")
   }
 
+  test("ST2 batch form: same-instant route_variant tie resolves deterministically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a feed anomaly keys one vehicle by TWO route_variants at the same
+    // recording instant: the replay must collapse to one row per
+    // (vehicle, instant) via the max struct — a wider group key would tie
+    // the window rows and make emission shuffle-order dependent
+    val rows = Seq(
+      ("T1", 20, 60, 7L, "R1", 1000L),
+      ("T1", 25, 60, 9L, "R2", 1000L), // same instant, higher stop, other variant
+      ("T1", 30, 80, 7L, "R1", 2000L))
+    val df = rows
+      .toDF("trip_id", "stop_sequence", "delay_departure", "route_variant",
+        "route_id", "ts")
+      .withColumn("trip_start_date", to_date(lit("2024-01-10")))
+      .withColumn("trip_start_time", lit(28800))
+      .withColumn("time_of_recording", timestamp_seconds(col("ts")))
+    val out = StreamingImport.predictionRequestsBatch(df)
+      .orderBy("last_seen")
+      .select("stop_sequence", "delay_departure", "route_variant", "route_id",
+        "last_seen")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSeq
+    // instant 1000: max struct picks (25, 60, 9, R2); instant 2000 advances
+    assert(out == Seq((25, 60, 9L, "R2", 1000L), (30, 80, 7L, "R1", 2000L)),
+      s"got $out")
+  }
+
   test("streaming prediction refresh converges to the batch realtime path") {
     import org.apache.spark.sql.functions._
     val base = Files.createTempDirectory("predrefresh").toString
