@@ -193,6 +193,130 @@ object ScaleRehearsal {
       return
     }
 
+    if (mode == "stream") {
+      // ---- streaming ingest at scale (ST1/ST5/W2, SCALE.md "Streaming
+      // ingest" row): many .pb micro-batch files through the full
+      // decode → broadcast-schedule-join → partition-scoped LWW upsert
+      // loop, plus the ST2 stateful request dedup over the same stream.
+      // The claim under test: per-micro-batch cost is O(batch ∪ touched
+      // partitions) — FLAT as cumulative ingested rows grow — and ST2
+      // state stays bounded by the live vehicle count.
+      import graft.gtfs.GtfsRtCodec
+      import GtfsRtCodec.{FeedMessage, StopTimeEvent, StopTimeUpdate, TripDescriptor, TripUpdate}
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      val files = sys.env.getOrElse("SPARK_GRAFT_SR_FILES", "240").toInt
+      val tripsPerFile = sys.env.getOrElse("SPARK_GRAFT_SR_TRIPS_PER_FILE", "500").toInt
+      val filesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_SR_FPT", "16").toInt
+
+      val schedDir = java.nio.file.Files.createTempDirectory("sr_sched")
+      writeSchedule(schedDir, routes, tripsPerVariant, stops)
+      val schedule = graft.gtfs.GtfsSchedule.load(spark, schedDir.toString)
+      schedule.trips.count(); schedule.stopTimes.count()
+
+      // feed files rotate through the variant-0 trips with an advancing
+      // recording clock: after one full rotation every later file RE-updates
+      // keys already stored with newer timestamps — the upsert does real
+      // last-writer-wins merge work, not append-only inserts
+      val nTrips = routes * tripsPerVariant
+      val rtDir = java.nio.file.Files.createTempDirectory("sr_rt")
+      def fmtT(secs: Int) = f"${secs / 3600}%02d:${(secs % 3600) / 60}%02d:${secs % 60}%02d"
+      val tGen = System.nanoTime()
+      for (f <- 0 until files) {
+        val rec = 1705276800L + f * 30L
+        val updates = (0 until tripsPerFile).map { k =>
+          val g = (f.toLong * tripsPerFile + k) % nTrips
+          val r = (g / tripsPerVariant).toInt
+          val t = (g % tripsPerVariant).toInt
+          TripUpdate(
+            TripDescriptor(Some(s"T${r}_0_$t"), Some(s"R$r"),
+              Some(fmtT(5 * 3600 + t * 1200)), Some("20240115")),
+            (1 to stops).map { i =>
+              val d = (((g * 31 + i * 13 + f) % 500) - 100).toInt
+              StopTimeUpdate(Some(i), Some(s"S$i"),
+                Some(StopTimeEvent(Some(d), None)),
+                Some(StopTimeEvent(Some(d + 12), None)))
+            })
+        }
+        java.nio.file.Files.write(rtDir.resolve(f"feed_$f%05d.pb"),
+          GtfsRtCodec.encode(FeedMessage(Some(rec), updates)))
+      }
+      val pbBytes = rtDir.toFile.listFiles().map(_.length).sum
+      println(f"[scale] rt files: n=$files pb=${pbBytes / 1e6}%.0fMB " +
+        f"updates=${files.toLong * tripsPerFile * stops} gen=${(System.nanoTime() - tGen) / 1e9}%.1fs " +
+        s"(trips=$nTrips rotation=${nTrips / tripsPerFile} files)")
+
+      // per-micro-batch walls via the streaming listener, keyed by query id
+      // so the two streams below don't mix
+      val progress = new java.util.concurrent.ConcurrentLinkedQueue[(java.util.UUID, Long, Double, Long)]
+      spark.streams.addListener(new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          val secs = Option(p.durationMs.get("triggerExecution"))
+            .map(_.toDouble / 1000.0).getOrElse(0.0)
+          progress.add((p.id, p.batchId, secs, p.numInputRows))
+        }
+      })
+      def batchReport(name: String, qid: java.util.UUID): Unit = {
+        import scala.jdk.CollectionConverters._
+        val bs = progress.asScala.filter(_._1 == qid).toSeq.sortBy(_._2)
+          .filter(_._4 > 0) // AvailableNow ends with an empty finalizing batch
+        if (bs.nonEmpty) {
+          val walls = bs.map(_._3)
+          // numInputRows counts binaryFile SOURCE rows = .pb FILES per trigger
+          println(f"[scale] $name batches=${bs.size} files/batch=${bs.map(_._4).sum / bs.size} " +
+            f"wall first=${walls.head}%.1fs median=${walls.sorted.apply(walls.size / 2)}%.1fs " +
+            f"last=${walls.last}%.1fs max=${walls.max}%.1fs")
+        }
+      }
+
+      if (opWanted("ingest")) {
+        val recordsDir = java.nio.file.Files.createTempDirectory("sr_srec").toString + "/records"
+        val ckpt = java.nio.file.Files.createTempDirectory("sr_ckpt").toString
+        var qid: java.util.UUID = null
+        runTimed("stream_ingest") {
+          val q = graft.streaming.StreamingImport.start(spark, rtDir.toString,
+            schedule, "scale", recordsDir, ckpt,
+            automatic = false, maxFilesPerTrigger = filesPerTrigger)
+          qid = q.id
+          q.awaitTermination()
+          spark.read.parquet(recordsDir).count()
+        }
+        batchReport("stream_ingest", qid)
+      }
+
+      if (opWanted("st2")) {
+        val ckpt2 = java.nio.file.Files.createTempDirectory("sr_ckpt2").toString
+        val emitted = new AtomicLong
+        var qid2: java.util.UUID = null
+        runTimed("stream_st2_requests") {
+          val rt = graft.streaming.StreamingImport.rtStream(
+            spark, rtDir.toString, filesPerTrigger)
+          val recs = graft.streaming.StreamingImport.recordsStream(
+            spark, rt, schedule, "scale")
+          val reqs = graft.streaming.StreamingImport.predictionRequests(
+            spark, recs,
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+          val q = reqs.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckpt2)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[
+              graft.streaming.PredictionRequest], _: Long) =>
+              emitted.addAndGet(b.count()); ()
+            }
+            .start()
+          qid2 = q.id
+          q.awaitTermination()
+          emitted.get()
+        }
+        batchReport("stream_st2_requests", qid2)
+      }
+      spark.stop()
+      return
+    }
+
     if (mode == "docs") {
       // ---- training-data pipeline ops at corpus scale ----
       def wanted(name: String): Boolean = opWanted(name)

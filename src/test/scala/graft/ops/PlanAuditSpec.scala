@@ -91,6 +91,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"label propagation must stay keyed:\n$p")
   }
 
+  test("parquet scan under graft projections: filter pushdown + column pruning intact") {
+    // the text-analysis projections are pure Column expressions — composing
+    // them over a parquet scan must leave source filters pushed into the
+    // scan and the ReadSchema pruned to referenced columns (a wrapper that
+    // broke pushdown would silently read whole row groups at 100 TB)
+    val dir = java.nio.file.Files.createTempDirectory("plan_parquet").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter($"doc_id" > 100L)
+      .select($"doc_id",
+        TextAnalysis.qualityScoreCol($"text").as("quality"),
+        TextAnalysis.langIdCol($"text").as("lang"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(doc_id,100)"),
+      s"source filter must reach the parquet scan:\n$p")
+    // only the two referenced columns may be read
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"),
+      s"referenced columns read:\n$readSchema")
+    // prune check on a narrower projection: text must vanish from the scan
+    val narrow = plan(spark.read.parquet(dir).filter($"doc_id" > 100L).select("doc_id"))
+    val narrowSchema = narrow.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!narrowSchema.contains("text"),
+      s"unreferenced column must be pruned from the scan:\n$narrowSchema")
+  }
+
   test("streaming exact dedup state key is the hash triple, not the text") {
     implicit val sqlCtx = spark.sqlContext
     val sdf = org.apache.spark.sql.execution.streaming.runtime
