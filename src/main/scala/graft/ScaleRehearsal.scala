@@ -63,6 +63,28 @@ object ScaleRehearsal {
       "WD,1,1,1,1,1,1,1,20240101,20261231"))
   }
 
+  /** Importer-shaped records table: days × stop_times with deterministic
+    * pseudo-delays (pure Column arithmetic — generated distributed). */
+  private def syntheticRecords(schedule: graft.gtfs.GtfsSchedule, days: Int): DataFrame = {
+    val spark = schedule.trips.sparkSession
+    val dayDf = spark.range(days).select(
+      date_add(to_date(lit("2024-01-01")), col("id").cast("int")).as("trip_start_date"))
+    val base = schedule.stopTimes
+      .join(schedule.trips.select("trip_id", "route_id", "route_variant",
+        "route_type", "trip_start_time"), "trip_id")
+      .crossJoin(dayDf)
+    val h = pmod(xxhash64(col("trip_id"), col("trip_start_date"), col("stop_sequence")), lit(100000))
+    base.select(
+      lit("scale").as("source"), col("route_id"), col("route_variant"),
+      col("trip_id"), col("trip_start_date"), col("trip_start_time"),
+      col("stop_sequence"), col("stop_id"), col("stop_index"), col("stop_count"),
+      col("arrival_secs"), col("departure_secs"),
+      (pmod(h, lit(500)) - 100).cast("int").as("delay_arrival"),
+      (pmod(h + 37, lit(500)) - 88).cast("int").as("delay_departure"),
+      to_timestamp(col("trip_start_date")).as("time_of_recording"),
+      lit("scale_sched").as("schedule_file_name"))
+  }
+
   /** Deterministic synthetic corpus with planted near-duplicates: ~55-word
     * docs from a 4096-word vocabulary; every 50th doc is a light edit of
     * the nearest BASE doc before it (near-dup), every 97th an exact copy
@@ -218,32 +240,39 @@ object ScaleRehearsal {
       // keys already stored with newer timestamps — the upsert does real
       // last-writer-wins merge work, not append-only inserts
       val nTrips = routes * tripsPerVariant
-      val rtDir = java.nio.file.Files.createTempDirectory("sr_rt")
       def fmtT(secs: Int) = f"${secs / 3600}%02d:${(secs % 3600) / 60}%02d:${secs % 60}%02d"
-      val tGen = System.nanoTime()
-      for (f <- 0 until files) {
-        val rec = 1705276800L + f * 30L
-        val updates = (0 until tripsPerFile).map { k =>
-          val g = (f.toLong * tripsPerFile + k) % nTrips
-          val r = (g / tripsPerVariant).toInt
-          val t = (g % tripsPerVariant).toInt
-          TripUpdate(
-            TripDescriptor(Some(s"T${r}_0_$t"), Some(s"R$r"),
-              Some(fmtT(5 * 3600 + t * 1200)), Some("20240115")),
-            (1 to stops).map { i =>
-              val d = (((g * 31 + i * 13 + f) % 500) - 100).toInt
-              StopTimeUpdate(Some(i), Some(s"S$i"),
-                Some(StopTimeEvent(Some(d), None)),
-                Some(StopTimeEvent(Some(d + 12), None)))
-            })
+      // feedStops < stops puts the W3 basis mid-trip, leaving the later
+      // stops as realtime prediction targets (the refresh op needs them;
+      // with every stop delayed there would be nothing left to predict)
+      def genFeed(label: String, feedStops: Int): java.nio.file.Path = {
+        val dir = java.nio.file.Files.createTempDirectory(s"sr_rt_$label")
+        val tGen = System.nanoTime()
+        for (f <- 0 until files) {
+          val rec = 1705276800L + f * 30L
+          val updates = (0 until tripsPerFile).map { k =>
+            val g = (f.toLong * tripsPerFile + k) % nTrips
+            val r = (g / tripsPerVariant).toInt
+            val t = (g % tripsPerVariant).toInt
+            TripUpdate(
+              TripDescriptor(Some(s"T${r}_0_$t"), Some(s"R$r"),
+                Some(fmtT(5 * 3600 + t * 1200)), Some("20240115")),
+              (1 to feedStops).map { i =>
+                val d = (((g * 31 + i * 13 + f) % 500) - 100).toInt
+                StopTimeUpdate(Some(i), Some(s"S$i"),
+                  Some(StopTimeEvent(Some(d), None)),
+                  Some(StopTimeEvent(Some(d + 12), None)))
+              })
+          }
+          java.nio.file.Files.write(dir.resolve(f"feed_$f%05d.pb"),
+            GtfsRtCodec.encode(FeedMessage(Some(rec), updates)))
         }
-        java.nio.file.Files.write(rtDir.resolve(f"feed_$f%05d.pb"),
-          GtfsRtCodec.encode(FeedMessage(Some(rec), updates)))
+        val pbBytes = dir.toFile.listFiles().map(_.length).sum
+        println(f"[scale] rt files[$label]: n=$files pb=${pbBytes / 1e6}%.0fMB " +
+          f"updates=${files.toLong * tripsPerFile * feedStops} gen=${(System.nanoTime() - tGen) / 1e9}%.1fs " +
+          s"(trips=$nTrips rotation=${nTrips / tripsPerFile} files)")
+        dir
       }
-      val pbBytes = rtDir.toFile.listFiles().map(_.length).sum
-      println(f"[scale] rt files: n=$files pb=${pbBytes / 1e6}%.0fMB " +
-        f"updates=${files.toLong * tripsPerFile * stops} gen=${(System.nanoTime() - tGen) / 1e9}%.1fs " +
-        s"(trips=$nTrips rotation=${nTrips / tripsPerFile} files)")
+      lazy val rtDir = genFeed("full", stops)
 
       // per-micro-batch walls via the streaming listener, keyed by query id
       // so the two streams below don't mix
@@ -312,6 +341,37 @@ object ScaleRehearsal {
           emitted.get()
         }
         batchReport("stream_st2_requests", qid2)
+      }
+
+      if (opWanted("refresh")) {
+        // the reference importer's FULL realtime loop at scale: each
+        // micro-batch upserts records, re-predicts the touched service date
+        // from the stored basis (curve-set join + rank-tier default
+        // fallback), and upserts the predictions. Feed caps updates at 60 %
+        // of the route, so ~40 % of each trip remains a realtime target.
+        val histDays = sys.env.getOrElse("SPARK_GRAFT_SR_HIST_DAYS", "7").toInt
+        val hist = syntheticRecords(schedule, histDays)
+        val tCurves = System.nanoTime()
+        val sc2 = graft.gtfs.CurveAnalysis.specificCurves(spark, hist, schedule).cache()
+        val dc2 = graft.gtfs.CurveAnalysis.defaultCurves(spark, hist, schedule).cache()
+        val nSc = sc2.count(); val nDc = dc2.count()
+        println(f"[scale] refresh curve tables: specific=$nSc default=$nDc " +
+          f"from ${histDays}d history, build=${(System.nanoTime() - tCurves) / 1e9}%.1fs")
+        val rtDirMid = genFeed("midtrip", stops * 3 / 5)
+        val recordsDir2 = java.nio.file.Files.createTempDirectory("sr_rrec").toString + "/records"
+        val predsDir = java.nio.file.Files.createTempDirectory("sr_preds").toString + "/predictions"
+        val ckpt3 = java.nio.file.Files.createTempDirectory("sr_ckpt3").toString
+        var qid3: java.util.UUID = null
+        runTimed("stream_refresh") {
+          val q = graft.streaming.StreamingImport.startPredictionRefresh(
+            spark, rtDirMid.toString, schedule, "scale", recordsDir2, predsDir,
+            ckpt3, sc2, dc2, automatic = false, maxFilesPerTrigger = filesPerTrigger)
+          qid3 = q.id
+          q.awaitTermination()
+          spark.read.parquet(predsDir).count()
+        }
+        batchReport("stream_refresh", qid3)
+        sc2.unpersist(); dc2.unpersist()
       }
       spark.stop()
       return

@@ -243,6 +243,9 @@ object MonitorPack extends QueryPack {
     * carries unchanged over walk legs; transfer rows honour the F8 ≥5 %
     * suppression and the 300 m platform-group radius. */
   private def probCheck(s: SparkSession, dir: String): DataFrame = {
+    // unpartitioned window = one journey's component rows (bounded page
+    // output, ~4 rows per request) — the WindowExec single-partition WARN
+    // this emits is about THIS page-sized stream, never corpus data
     val j = journeyQ(s, dir)
       .withColumn("prev_prob",
         lag("reach_prob", 1).over(Window.orderBy("component_idx")))
