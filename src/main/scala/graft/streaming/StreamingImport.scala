@@ -307,12 +307,28 @@ object StreamingImport {
             val stored = spark.read.parquet(recordsDir)
               .filter(col("source") === source
                 && col("trip_start_date").isInCollection(dates.toSeq))
+            // the reference re-predicts per CHANGED VEHICLE
+            // (per_schedule_importer.rs:320-366), not per service date:
+            // restrict the read-back to vehicles present in this batch.
+            // Basis state still needs each such vehicle's FULL stored
+            // history (a late batch of older rows must not regress the
+            // basis), so this is a semi-join on vehicle identity, never a
+            // filter to the batch's own rows. Keeps per-trigger prediction
+            // work O(changed vehicles), not O(accumulated day partition) —
+            // a day-long partition under a 5 s trigger would otherwise be
+            // re-predicted in full thousands of times per day. Unchanged
+            // vehicles keep their previous refresh's rows (identical
+            // values — their basis has not moved) via the refresh_seq LWW.
+            val changed = recs
+              .select("trip_id", "trip_start_date", "trip_start_time").distinct()
+            val storedChanged = stored.join(changed,
+              Seq("trip_id", "trip_start_date", "trip_start_time"), "left_semi")
             dates.foreach { d =>
               // persist: upsertTable's touched-partitions collect would
               // otherwise run the whole predict plan once, and the merge
               // write a second time — the dominant per-trigger cost doubled
               val preds = Predictor.batchPredictRealtime(spark, schedule,
-                stored, d.toString, source, specific, defaults)
+                storedChanged, d.toString, source, specific, defaults)
                 .withColumn("refresh_seq", lit(batchId))
                 .persist()
               try upsertTable(preds, predictionsDir,
