@@ -36,6 +36,32 @@ class StreamingImportSpec extends AnyFunSuite {
     assert(d0.getInt(0) == 444)
   }
 
+  test("partitioned upsert is replay-idempotent (ST5: foreachBatch retries)") {
+    import spark.implicits._
+    // a failed micro-batch is re-executed by the engine from the same
+    // offsets — the upsert must produce the identical table when the same
+    // batch is applied twice, and an out-of-order replay of an OLDER batch
+    // must not regress newer stored rows
+    val dir = Files.createTempDirectory("upsert_replay").toString + "/t"
+    val cols = Seq("source", "route_id", "route_variant", "trip_id",
+      "trip_start_date", "trip_start_time", "stop_sequence", "time_of_recording")
+    def batch(rec: Long) = Seq(
+      ("test", "r1", 1L, "A", java.sql.Date.valueOf("2024-01-01"), 100, 1, rec),
+      ("test", "r1", 1L, "A", java.sql.Date.valueOf("2024-01-01"), 100, 2, rec))
+      .toDF(cols: _*)
+    StreamingImport.upsertBatch(batch(10L), dir)
+    StreamingImport.upsertBatch(batch(20L), dir)
+    val after = spark.read.parquet(dir).orderBy("stop_sequence").collect()
+    // replay the NEWEST batch (the common retry) → identical table
+    StreamingImport.upsertBatch(batch(20L), dir)
+    val replayed = spark.read.parquet(dir).orderBy("stop_sequence").collect()
+    assert(replayed.toSeq == after.toSeq, "same-batch replay must be a no-op")
+    // replay an OLDER batch (offset rewind) → LWW keeps the newer rows
+    StreamingImport.upsertBatch(batch(10L), dir)
+    val rewound = spark.read.parquet(dir).orderBy("stop_sequence").collect()
+    assert(rewound.toSeq == after.toSeq, "older-batch replay must not regress")
+  }
+
   test("partitioned upsert keeps stored rows whose trip_start_date is null") {
     import spark.implicits._
     // TripDescriptor.start_date is optional → null-date rows are legal.
