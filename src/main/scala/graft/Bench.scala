@@ -39,7 +39,8 @@ object Bench {
       }))
     val setup = (System.nanoTime() - s0) / 1e9
     // calibration probe: a fixed, seeded, deterministic computation whose
-    // quiet-machine time is stable (~0.2 s at local[4]). Timed before and
+    // quiet-machine time is stable (measured quiet range: 0.3-0.5 s at
+    // local[32], ~0.2 s at local[4]). Timed before and
     // after the query loop; if the artifact's probe numbers are several×
     // the historical quiet value, the whole run was taken under external
     // machine load and the totals are inflated — the artifact identifies
@@ -98,7 +99,7 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","setup":$setup,""" +
       s""""failed":$failed,""" +
       s""""probe_before":$probeBefore,"probe_after":$probeAfter,""" +
-      s""""timing":"per-query min of 2 passes; probe quiet-machine ref ~0.2s",""" +
+      s""""timing":"per-query min of 2 passes; probe quiet ref 0.3-0.5s at local[32]",""" +
       s""""setup_detail":{"gtfs_fixture_pipeline":$gtfsSetup,"shingle_index":$shingleSetup,$gtfsDetail},""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     println(line)
