@@ -99,7 +99,7 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","setup":$setup,""" +
       s""""failed":$failed,""" +
       s""""probe_before":$probeBefore,"probe_after":$probeAfter,""" +
-      s""""timing":"per-query min of 2 passes; probe quiet ref 0.3-0.5s at local[32]",""" +
+      s""""timing":"per-query min of 2 passes; probe quiet ref ~0.2s@local[4], 0.3-0.5s@local[32]; this run local[$cpus]",""" +
       s""""setup_detail":{"gtfs_fixture_pipeline":$gtfsSetup,"shingle_index":$shingleSetup,$gtfsDetail},""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     println(line)

@@ -32,6 +32,9 @@ object ScaleRehearsal {
     }
   }
 
+  private def fmtHms(secs: Int): String =
+    f"${secs / 3600}%02d:${(secs % 3600) / 60}%02d:${secs % 60}%02d"
+
   /** Synthetic GTFS CSV schedule: `routes` routes × 2 variants (full +
     * prefix) × `tripsPerVariant` trips, `stops` stops each. */
   private def writeSchedule(dir: java.nio.file.Path, routes: Int,
@@ -40,7 +43,6 @@ object ScaleRehearsal {
       val bw = java.nio.file.Files.newBufferedWriter(dir.resolve(name))
       try lines.foreach { l => bw.write(l); bw.write("\n") } finally bw.close()
     }
-    def fmt(secs: Int) = f"${secs / 3600}%02d:${(secs % 3600) / 60}%02d:${secs % 60}%02d"
     w("agency.txt", Iterator("agency_id,agency_name", "AG,ScaleTest"))
     w("stops.txt", Iterator("stop_id,stop_name,stop_lat,stop_lon") ++
       (1 to stops).iterator.map(i => f"S$i,Stop $i,${50.0 + i * 0.002}%.4f,${8.0 + i * 0.003}%.4f"))
@@ -57,7 +59,7 @@ object ScaleRehearsal {
         n = if (v == 0) stops else stops / 2
         i <- (1 to n).iterator
         arr = 5 * 3600 + t * 1200 + (i - 1) * 180
-      } yield s"T${r}_${v}_$t,$i,S$i,${fmt(arr)},${fmt(arr + 30)}"))
+      } yield s"T${r}_${v}_$t,$i,S$i,${fmtHms(arr)},${fmtHms(arr + 30)}"))
     w("calendar.txt", Iterator(
       "service_id,monday,tuesday,wednesday,thursday,friday,saturday,sunday,start_date,end_date",
       "WD,1,1,1,1,1,1,1,20240101,20261231"))
@@ -240,7 +242,6 @@ object ScaleRehearsal {
       // keys already stored with newer timestamps — the upsert does real
       // last-writer-wins merge work, not append-only inserts
       val nTrips = routes * tripsPerVariant
-      def fmtT(secs: Int) = f"${secs / 3600}%02d:${(secs % 3600) / 60}%02d:${secs % 60}%02d"
       // feedStops < stops puts the W3 basis mid-trip, leaving the later
       // stops as realtime prediction targets (the refresh op needs them;
       // with every stop delayed there would be nothing left to predict)
@@ -255,7 +256,7 @@ object ScaleRehearsal {
             val t = (g % tripsPerVariant).toInt
             TripUpdate(
               TripDescriptor(Some(s"T${r}_0_$t"), Some(s"R$r"),
-                Some(fmtT(5 * 3600 + t * 1200)), Some("20240115")),
+                Some(fmtHms(5 * 3600 + t * 1200)), Some("20240115")),
               (1 to feedStops).map { i =>
                 val d = (((g * 31 + i * 13 + f) % 500) - 100).toInt
                 StopTimeUpdate(Some(i), Some(s"S$i"),
@@ -437,24 +438,7 @@ object ScaleRehearsal {
     val schedule = graft.gtfs.GtfsSchedule.load(spark, schedDir.toString)
     schedule.trips.count(); schedule.stopTimes.count()
 
-    // records = days × stop_times, importer-shaped, with deterministic
-    // pseudo-delays (pure Column arithmetic — generated distributed)
-    val dayDf = spark.range(days).select(
-      date_add(to_date(lit("2024-01-01")), col("id").cast("int")).as("trip_start_date"))
-    val base = schedule.stopTimes
-      .join(schedule.trips.select("trip_id", "route_id", "route_variant",
-        "route_type", "trip_start_time"), "trip_id")
-      .crossJoin(dayDf)
-    val h = pmod(xxhash64(col("trip_id"), col("trip_start_date"), col("stop_sequence")), lit(100000))
-    val records = base.select(
-      lit("scale").as("source"), col("route_id"), col("route_variant"),
-      col("trip_id"), col("trip_start_date"), col("trip_start_time"),
-      col("stop_sequence"), col("stop_id"), col("stop_index"), col("stop_count"),
-      col("arrival_secs"), col("departure_secs"),
-      (pmod(h, lit(500)) - 100).cast("int").as("delay_arrival"),
-      (pmod(h + 37, lit(500)) - 88).cast("int").as("delay_departure"),
-      to_timestamp(col("trip_start_date")).as("time_of_recording"),
-      lit("scale_sched").as("schedule_file_name"))
+    val records = syntheticRecords(schedule, days)
 
     val recDir = java.nio.file.Files.createTempDirectory("sr_records").toString + "/records"
     val t0 = System.nanoTime()

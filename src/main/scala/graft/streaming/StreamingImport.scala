@@ -272,12 +272,17 @@ object StreamingImport {
 
   /** The reference importer's full realtime loop, streaming end to end
     * (per_schedule_importer.rs:266-366): each micro-batch upserts its
-    * records, then RE-PREDICTS every service date the batch touched from
-    * the latest stored basis per vehicle (the conditional curve-set path)
-    * and upserts the resulting predictions — newer refreshes win via the
-    * batch id. The records read-back is partition-pruned to the touched
-    * `(source, trip_start_date)` directories, so per-batch work stays
-    * O(batch ∪ touched partitions) like the records upsert itself. */
+    * records, then RE-PREDICTS the batch's CHANGED VEHICLES from their
+    * latest stored basis (the conditional curve-set path) and upserts the
+    * resulting predictions — newer refreshes win via the batch id.
+    * Unchanged vehicles keep their previous refresh's rows (their basis
+    * has not moved, so recomputing them would produce identical values);
+    * note this means the refresh does NOT self-heal a predictions
+    * partition damaged out-of-band — only vehicles that appear in a later
+    * batch are rewritten. The records read-back is partition-pruned to the
+    * touched `(source, trip_start_date)` directories and then semi-joined
+    * to the batch's vehicles, so per-trigger prediction work is O(changed
+    * vehicles), and the upsert O(batch ∪ touched partitions). */
   def startPredictionRefresh(spark: SparkSession, rtDir: String,
       schedule: GtfsSchedule, source: String, recordsDir: String,
       predictionsDir: String, checkpointDir: String,
@@ -319,9 +324,16 @@ object StreamingImport {
             // re-predicted in full thousands of times per day. Unchanged
             // vehicles keep their previous refresh's rows (identical
             // values — their basis has not moved) via the refresh_seq LWW.
+            // broadcast is safe AND load-bearing here: `changed` is bounded
+            // by the trigger's file cap (distinct vehicle keys of ONE
+            // micro-batch — the loop already persists recs and collects its
+            // dates, so batch-sized driver state is an existing assumption),
+            // and without the pin a conservative planner would sort-merge-
+            // shuffle the whole accumulated day partition every trigger —
+            // the exact O(partition) cost this narrowing removes.
             val changed = recs
               .select("trip_id", "trip_start_date", "trip_start_time").distinct()
-            val storedChanged = stored.join(changed,
+            val storedChanged = stored.join(broadcast(changed),
               Seq("trip_id", "trip_start_date", "trip_start_time"), "left_semi")
             dates.foreach { d =>
               // persist: upsertTable's touched-partitions collect would

@@ -97,7 +97,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // scan and the ReadSchema pruned to referenced columns (a wrapper that
     // broke pushdown would silently read whole row groups at 100 TB)
     val dir = java.nio.file.Files.createTempDirectory("plan_parquet").toString
-    docs.write.mode("overwrite").parquet(dir)
+    // a third, UNREFERENCED column makes the pruning assertions non-vacuous:
+    // with only referenced columns in the fixture, "nothing extra is read"
+    // could never fail
+    docs.withColumn("payload", lit("x")).write.mode("overwrite").parquet(dir)
     val df = spark.read.parquet(dir)
       .filter($"doc_id" > 100L)
       .select($"doc_id",
@@ -106,10 +109,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(df)
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(doc_id,100)"),
       s"source filter must reach the parquet scan:\n$p")
-    // only the two referenced columns may be read
+    // only the two referenced columns may be read — payload must be pruned
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(readSchema.contains("doc_id") && readSchema.contains("text"),
       s"referenced columns read:\n$readSchema")
+    assert(!readSchema.contains("payload"),
+      s"unreferenced column must be pruned from the wide projection:\n$readSchema")
     // prune check on a narrower projection: text must vanish from the scan
     val narrow = plan(spark.read.parquet(dir).filter($"doc_id" > 100L).select("doc_id"))
     val narrowSchema = narrow.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -336,7 +336,11 @@ class StreamingImportSpec extends AnyFunSuite {
       .map(_.getInt(0)).toSeq == Seq(Codes.OriginRealtime))
 
     // final state for one date ≡ the batch realtime prediction on the full
-    // records table (the last refresh of a date recomputes it completely)
+    // records table: each vehicle's rows come from the last batch that
+    // TOUCHED it (changed-vehicle narrowing), computed from its full
+    // stored history at that point — and a vehicle's basis only moves in
+    // batches that touch it, so the per-vehicle result equals the
+    // full-table batch computation
     def canon(df: org.apache.spark.sql.DataFrame) = df
       .filter(col("trip_start_date") === "2024-01-15")
       .select(col("trip_id"), col("stop_sequence"), col("event_type"),
