@@ -25,7 +25,11 @@ object Bench {
     val s0 = System.nanoTime()
     var gtfsSetup = 0.0
     var shingleSetup = 0.0
-    graft.queries.Par.all(
+    // a setup crash must still yield a parseable artifact: swallow it here
+    // (recorded below), let the dependent queries land in `failed` — a JSON
+    // line with a setup_error beats an aborted run the driver parses as null
+    var setupError = ""
+    try graft.queries.Par.all(
       "gtfs" -> (() => {
         val t0 = System.nanoTime()
         graft.queries.GtfsPack.predictionState(spark)
@@ -37,6 +41,10 @@ object Bench {
         graft.queries.PipelinePack.prewarm(spark, sfDir)
         shingleSetup = (System.nanoTime() - t0) / 1e9
       }))
+    catch { case e: Throwable =>
+      setupError = Option(e.getMessage).getOrElse(e.getClass.getName)
+        .replaceAll("[\"\\\\\\r\\n\\t]", " ").take(200)
+    }
     val setup = (System.nanoTime() - s0) / 1e9
     // calibration probe: a fixed, seeded, deterministic computation whose
     // quiet-machine time is stable (measured quiet range: 0.3-0.5 s at
@@ -97,7 +105,7 @@ object Bench {
       graft.queries.PipelinePack.setupTimings).toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString(",")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","setup":$setup,""" +
-      s""""failed":$failed,""" +
+      s""""failed":$failed,"setup_error":"$setupError",""" +
       s""""probe_before":$probeBefore,"probe_after":$probeAfter,""" +
       s""""timing":"per-query min of 2 passes; probe quiet ref ~0.2s@local[4], 0.3-0.5s@local[32]; this run local[$cpus]",""" +
       s""""setup_detail":{"gtfs_fixture_pipeline":$gtfsSetup,"shingle_index":$shingleSetup,$gtfsDetail},""" +
@@ -109,7 +117,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","setup":$setup,""" +
-      s""""failed":$failed,""" +
+      s""""failed":$failed,"setup_error":"$setupError",""" +
       s""""probe_before":$probeBefore,"probe_after":$probeAfter,""" +
       s""""queries":$slowest,"queries_note":"10 slowest of ${results.size};""" +
       s""" min of 2 passes; full map in BENCH_SELF.json","sf":"$sfDir"}""")
