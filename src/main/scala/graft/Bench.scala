@@ -88,7 +88,16 @@ object Bench {
     val p2 = pass2.map { case (n, t, ok) => n -> ((t, ok)) }.toMap
     val runs = pass1.map { case (n, t1, ok1) =>
       val (t2, ok2) = p2(n)
-      (n, math.min(t1, t2), ok1 && ok2)
+      // the min is taken over SUCCESSFUL passes only: a fast crash (e.g. a
+      // transient OOM in one pass) must not replace the valid measurement —
+      // a 0.1 s failure beating a 5 s success would understate the
+      // governing total for a query that is flagged failed anyway
+      val t = (ok1, ok2) match {
+        case (true, false) => t1
+        case (false, true) => t2
+        case _             => math.min(t1, t2)
+      }
+      (n, t, ok1 && ok2)
     }
     val results = runs.map { case (n, t, _) => (n, t) }
     val failed = runs.collect { case (n, _, false) => s"\"" + n + "\"" }
@@ -107,7 +116,7 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","setup":$setup,""" +
       s""""failed":$failed,"setup_error":"$setupError",""" +
       s""""probe_before":$probeBefore,"probe_after":$probeAfter,""" +
-      s""""timing":"per-query min of 2 passes; probe quiet ref ~0.2s@local[4], 0.3-0.5s@local[32]; this run local[$cpus]",""" +
+      s""""timing":"per-query min of 2 passes (successful passes only; note pass 1 warms page/codegen caches, so minima are warm-path marginal costs — not comparable to pre-r6 single-pass rounds); probe quiet ref ~0.2s@local[4], 0.3-0.5s@local[32]; this run local[$cpus]",""" +
       s""""setup_detail":{"gtfs_fixture_pipeline":$gtfsSetup,"shingle_index":$shingleSetup,$gtfsDetail},""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     println(line)

@@ -184,7 +184,6 @@ object ScaleRehearsal {
 
     if (mode == "ann") {
       // ---- similarity search at corpus scale: 1M × 64-dim vectors ----
-      def annWanted(name: String): Boolean = opWanted(name)
       val n = sys.env.getOrElse("SPARK_GRAFT_SR_VECS", "1000000").toLong
       val embDir = java.nio.file.Files.createTempDirectory("sr_emb").toString + "/embeddings"
       spark.range(n).select(col("id").as("vec_id"),
@@ -197,21 +196,21 @@ object ScaleRehearsal {
       println(f"[scale] embeddings: rows=${emb.count()} parquet=${
         new java.io.File(embDir).listFiles().map(_.length).sum / 1e6}%.0fMB")
       val qids = Seq(0L, 1L, 2L, 3L, 4L)
-      if (annWanted("ann_brute")) runTimed("ann_brute")(
+      if (opWanted("ann_brute")) runTimed("ann_brute")(
         graft.ops.Similarity.bruteForceTopK(emb, qids, 10).count())
-      if (annWanted("ann_lsh")) runTimed("ann_lsh")(
+      if (opWanted("ann_lsh")) runTimed("ann_lsh")(
         graft.ops.Similarity.lshTopK(emb, qids, 10, numTables = 12,
           planesPerTable = 8).count())
       // default fitSampleMod=0 → auto-sized Lloyd fit (~100k vectors
       // regardless of n) — the knob the 10M run was previously fit-dominated
       // without
-      if (annWanted("ann_ivf")) runTimed("ann_ivf_fit+query")(
+      if (opWanted("ann_ivf")) runTimed("ann_ivf_fit+query")(
         graft.ops.Similarity.ivfTopK(emb, qids, 10, nCells = 64,
           nProbe = 8).count())
       // near-dup PAIRS with the auto-sized plane count (16 at n=1M): the
       // candidate set must stay ~numTables*n*targetBucket/2, never the
       // all-pairs blowup a fixed plane count degrades to
-      if (annWanted("near_dup_pairs")) runTimed("near_dup_pairs")(
+      if (opWanted("near_dup_pairs")) runTimed("near_dup_pairs")(
         graft.ops.Similarity.cosineNearDupPairs(emb, threshold = 0.9).count())
       spark.stop()
       return
@@ -380,38 +379,37 @@ object ScaleRehearsal {
 
     if (mode == "docs") {
       // ---- training-data pipeline ops at corpus scale ----
-      def wanted(name: String): Boolean = opWanted(name)
       val docsDir = java.nio.file.Files.createTempDirectory("sr_docs").toString + "/documents"
       syntheticDocs(spark, nDocs).write.mode("overwrite").parquet(docsDir)
       val docs = spark.read.parquet(docsDir)
       println(f"[scale] documents: rows=${docs.count()} parquet=${
         new java.io.File(docsDir).listFiles().map(_.length).sum / 1e6}%.0fMB")
-      if (wanted("dedup_exact"))
+      if (opWanted("dedup_exact"))
         runTimed("dedup_exact")(graft.ops.Dedup.exact(docs).count())
       lazy val sh = graft.ops.Dedup.shingles(docs, "doc_id", "text", 3, 100).cache()
-      if (wanted("shingle_index")) runTimed("shingle_index")(sh.count())
-      if (wanted("minhash_lsh")) runTimed("minhash_lsh")(
+      if (opWanted("shingle_index")) runTimed("shingle_index")(sh.count())
+      if (opWanted("minhash_lsh")) runTimed("minhash_lsh")(
         graft.ops.Dedup.minhashLshFromShingles(sh, 32, 8, 0.5).count())
-      if (wanted("simhash"))
+      if (opWanted("simhash"))
         runTimed("simhash")(graft.ops.Dedup.simhashPairs(docs, 3).count())
       lazy val pairs = graft.ops.Dedup.ngramJaccardFromShingles(sh, 0.5).cache()
-      if (wanted("ngram_pairs")) runTimed("ngram_pairs")(pairs.count())
-      if (wanted("clusters")) runTimed("clusters")(
+      if (opWanted("ngram_pairs")) runTimed("ngram_pairs")(pairs.count())
+      if (opWanted("clusters")) runTimed("clusters")(
         graft.ops.Dedup.clusters(docs, pairs).filter(!col("is_kept")).count())
-      if (wanted("sample_split")) runTimed("sample_split")(
+      if (opWanted("sample_split")) runTimed("sample_split")(
         graft.ops.Sampling.assign(docs,
           graft.ops.TextAnalysis.langIdCol(col("text")), Map("en" -> 40), 100)
           .filter(col("sampled")).count())
-      if (wanted("vocabulary")) runTimed("vocabulary")(
+      if (opWanted("vocabulary")) runTimed("vocabulary")(
         graft.ops.TextAnalysis.vocabulary(docs, 100).count())
-      if (wanted("pack_sequences")) runTimed("pack_sequences")(
+      if (opWanted("pack_sequences")) runTimed("pack_sequences")(
         graft.ops.Packing.concatChunkPack(docs, budget = 2048)
           .filter(col("straddles")).count())
       // the full curation chain (language/quality/repetition gates, near-dup
       // collapse, decontamination vs a 1/97 benchmark slice, stratified
       // sample) composed over the cached pair set — the pipeline_curate
       // query's shape at corpus scale
-      if (wanted("pipeline_curate")) runTimed("pipeline_curate") {
+      if (opWanted("pipeline_curate")) runTimed("pipeline_curate") {
         import graft.ops.{Dedup, Sampling, TextAnalysis}
         val kept = Dedup.clusters(docs, pairs).filter(col("is_kept")).select("doc_id")
         val contaminated = Dedup.contamination(
@@ -456,8 +454,7 @@ object ScaleRehearsal {
     // run in its own process with a fresh disk instead (a cluster gives
     // every executor its own scratch; one shared disk for 32 "executors"
     // is the local-mode bottleneck, not the plan)
-    def cWanted(name: String): Boolean = opWanted(name)
-    val needPredict = cWanted("batch_predict") || cWanted("batch_predict_realtime")
+    val needPredict = opWanted("batch_predict") || opWanted("batch_predict_realtime")
     // caching pays only when a later prediction op reuses the table
     lazy val sc = {
       val d = graft.gtfs.CurveAnalysis.specificCurves(spark, stored, schedule)
@@ -467,8 +464,8 @@ object ScaleRehearsal {
       val d = graft.gtfs.CurveAnalysis.defaultCurves(spark, stored, schedule)
       if (needPredict) d.cache() else d
     }
-    if (cWanted("specific_curves")) runTimed("specific_curves")(sc.count())
-    if (cWanted("default_curves")) runTimed("default_curves")(dc.count())
+    if (opWanted("specific_curves")) runTimed("specific_curves")(sc.count())
+    if (opWanted("default_curves")) runTimed("default_curves")(dc.count())
     // when the subset selects a prediction op but not the curve builds, the
     // lazy cached inputs must still materialize OUTSIDE the prediction's
     // timed block — otherwise the printed prediction wall silently includes
@@ -478,10 +475,10 @@ object ScaleRehearsal {
     // the prediction join paths over one service day against the full curve
     // tables: general/default broadcasts (batchPredict) and the curve-set
     // broadcast join with its rank-tier default fallback (batchPredictRealtime)
-    if (cWanted("batch_predict")) runTimed("batch_predict")(
+    if (opWanted("batch_predict")) runTimed("batch_predict")(
       graft.gtfs.Predictor.batchPredict(
         spark, schedule, "2024-01-15", "scale", sc, dc).count())
-    if (cWanted("batch_predict_realtime")) {
+    if (opWanted("batch_predict_realtime")) {
       // synthetic records delay EVERY stop, so the W3 basis would be each
       // vehicle's last stop (no later targets). Null the tail deltas to put
       // the basis mid-trip — stops 6..19 become realtime targets.

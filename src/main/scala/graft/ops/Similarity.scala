@@ -158,12 +158,27 @@ object Similarity {
         lr.relation match {
           case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
             val conf = df.sparkSession.sessionState.newHadoopConf()
-            fs.location.inputFiles.iterator.map { f =>
-              val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                  new org.apache.hadoop.fs.Path(f), conf))
-              try r.getRecordCount finally r.close()
-            }.sum
+            // footer opens run on a bounded thread pool, not serially: a
+            // large table has 10^5-10^6 files, and one blocking remote
+            // round-trip per file from a single driver thread would take
+            // minutes — 32-way concurrency keeps the walk metadata-cheap
+            val files = fs.location.inputFiles
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.max(1, math.min(32, files.length)))
+            try {
+              import scala.jdk.CollectionConverters._
+              val tasks = files.map { f =>
+                new java.util.concurrent.Callable[Long] {
+                  def call(): Long = {
+                    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                        new org.apache.hadoop.fs.Path(f), conf))
+                    try r.getRecordCount finally r.close()
+                  }
+                }
+              }.toSeq
+              pool.invokeAll(tasks.asJava).asScala.map(_.get()).sum
+            } finally pool.shutdown()
           case _ => df.count()
         }
       case _ => df.count()
