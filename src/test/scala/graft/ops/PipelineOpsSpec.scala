@@ -699,4 +699,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     val badFeat = Multimodal.decodeFeatures(spark, bad).collect().head
     assert(!badFeat.parse_ok && badFeat.decoded_width == -1)
   }
+
+  test("corpusCount: footer metadata equals count() through projection layers") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus_count").toString
+    spark.range(12345).selectExpr("id as vec_id", "cast(id as string) as pad")
+      .repartition(7).write.mode("overwrite").parquet(dir)
+    val base = spark.read.parquet(dir)
+    // bare scan, projection and alias layers are row-preserving -> footer path
+    assert(Similarity.corpusCount(base) == 12345L)
+    assert(Similarity.corpusCount(base.select("vec_id").as("t")) == 12345L)
+    // a FILTER is not row-preserving: must fall back to a real count
+    assert(Similarity.corpusCount(base.filter("vec_id < 100")) == 100L)
+    // caller hint wins without touching the plan
+    assert(Similarity.corpusCount(base, hint = 77L) == 77L)
+    // non-file relation (in-memory) falls back to count()
+    assert(Similarity.corpusCount(spark.range(9).toDF("vec_id")) == 9L)
+  }
 }
