@@ -347,7 +347,7 @@ object Dedup {
     // a BIGINT sum overflows (and under ANSI, throws) once node-count ×
     // id-magnitude passes 2^63, which a 100 TB corpus does easily.
     def labelSum(df: DataFrame) =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.get(0)
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().get(0)
     var checksum = labelSum(labels)
     var converged = checksum == null // empty pair graph: nothing to propagate
     var iter = 0

@@ -99,7 +99,7 @@ object Similarity {
     * (bit i set ⟺ dot(v, plane_i) > 0). */
   def signatureCol(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(plane.map(lit)): _*)
       when(dotCol(vec, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 

@@ -143,7 +143,7 @@ object MonitorPack extends QueryPack {
   private val TransferArrCurve =
     Array(graft.curves.CPoint(-60f, 0f), graft.curves.CPoint(60f, 1f))
   private def transferArrivalEpoch(s: SparkSession): Double = s.sql(
-    "SELECT unix_timestamp(to_timestamp('2024-03-04 07:55:00'))").head.getLong(0).toDouble
+    "SELECT unix_timestamp(to_timestamp('2024-03-04 07:55:00'))").head().getLong(0).toDouble
 
   private def stopPageTransfer(s: SparkSession, dir: String): DataFrame =
     cached(s, "stop_page_transfer") {
