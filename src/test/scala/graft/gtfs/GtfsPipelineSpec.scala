@@ -30,6 +30,34 @@ class GtfsPipelineSpec extends AnyFunSuite {
     assert(back == msg)
   }
 
+  test("codec round-trip property: random FeedMessages survive encode→decode") {
+    import GtfsRtCodec._
+    // randomized structural coverage the fixed case can't give: optional
+    // fields present/absent in every combination, negative delays (10-byte
+    // varints), empty update lists, unicode (incl. surrogate-pair) strings
+    val rnd = new scala.util.Random(4242)
+    def opt[A](a: => A): Option[A] = if (rnd.nextBoolean()) Some(a) else None
+    // sample WHOLE code points: indexing the pool by char could split the
+    // bus emoji's surrogate pair, and a lone surrogate is not a valid
+    // string (UTF-8 encodes it as '?' — a generator artifact, not a codec
+    // defect; the first draft of this test tripped exactly that way)
+    val pool = Seq("a", "b", "c", "X", "Y", "Z", "0", "1", "5", ":",
+      "ß", "官", "🚌", "-", "_", "/", " ")
+    def str(): String =
+      (0 until rnd.nextInt(12)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    def event() = StopTimeEvent(opt(rnd.nextInt()),
+      opt(rnd.nextLong() & Long.MaxValue))
+    for (_ <- 0 until 300) {
+      val msg = FeedMessage(opt(rnd.nextLong() & Long.MaxValue),
+        Seq.fill(rnd.nextInt(4))(TripUpdate(
+          TripDescriptor(opt(str()), opt(str()), opt(str()), opt(str())),
+          Seq.fill(rnd.nextInt(5))(StopTimeUpdate(
+            opt(rnd.nextInt() & Int.MaxValue), opt(str()),
+            opt(event()), opt(event()))))))
+      assert(decode(encode(msg)) == msg, s"round-trip mismatch for $msg")
+    }
+  }
+
   test("codec fuzz: adversarial bytes either decode or raise the typed error") {
     import GtfsRtCodec._
     val valid = encode(FeedMessage(Some(1700000000L), Seq(TripUpdate(
