@@ -100,6 +100,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaCol == viaSql)
   }
 
+  test("percent-encoding decodes back via the JDK decoder on random strings") {
+    // independent-decoder property: whatever the X14 encoder emits must
+    // decode to the original through java.net.URLDecoder with the same '+'
+    // protection MonitorServer applies to request paths. '%' is EXCLUDED
+    // from the pool on purpose: the reference escape set (CONTROLS /?"`
+    // + non-ASCII, monitor/mod.rs:25-27) passes a literal '%' through, so
+    // a stop name containing '%' is not reversible — faithfully mirrored,
+    // not a defect here.
+    import graft.functions.PercentEncodePath
+    val rnd = new scala.util.Random(777)
+    val pool = Seq("a", "Z", "0", " ", "+", "/", "?", "\"", "`", "&", "=",
+      "#", "ß", "官", "🚌", "\t", "", ".", "~", ";")
+    val inputs = (1 to 200)
+      .map(_ => (0 until rnd.nextInt(16)).map(_ => pool(rnd.nextInt(pool.length))).mkString)
+      .distinct.filter(_.nonEmpty)
+    val df = inputs.toDF("s")
+    val encoded = df.select(col("s"), PercentEncodePath(col("s")).as("e"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    encoded.foreach { case (orig, enc) =>
+      val back = java.net.URLDecoder.decode(
+        enc.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8)
+      assert(back == orig, s"decode(${enc}) = $back != $orig")
+    }
+  }
+
   test("config-time injection via GraftExtensions resolves the same functions") {
     // a sibling session over the same context, built WITH the extension
     SparkSession.clearActiveSession()
