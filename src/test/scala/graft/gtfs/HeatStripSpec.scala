@@ -66,6 +66,24 @@ class HeatStripSpec extends AnyFunSuite {
     assert(HeatStrip.color(HeatStrip.YlGnBu, 1.0) == (8, 29, 88))
   }
 
+  test("png decodes identically through the JDK's independent ImageIO decoder") {
+    // pngPixels round-trip uses OUR decoder; ImageIO is a fully independent
+    // implementation — it validates the signature, chunk CRCs, zlib stream
+    // and filter bytes, so an encoder bug our own decoder compensated for
+    // cannot hide here
+    val pixels = HeatStrip.pixels(uniform, 1000.0, 1000.0, 1080.0, 8, Codes.EventArrival)
+    val png = HeatStrip.png(uniform, 1000.0, 1000.0, 1080.0, 8, Codes.EventArrival)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO must accept the stream (signature/CRC validity)")
+    assert(img.getWidth == 8 && img.getHeight == 1)
+    for (x <- 0 until 8) {
+      val argb = img.getRGB(x, 0)
+      val got = ((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+      val want = (pixels(x * 3) & 0xff, pixels(x * 3 + 1) & 0xff, pixels(x * 3 + 2) & 0xff)
+      assert(got == want, s"pixel $x: ImageIO $got vs encoder input $want")
+    }
+  }
+
   test("png round-trips the exact pixel bytes") {
     val pixels = HeatStrip.pixels(uniform, 1000.0, 1000.0, 1080.0, 8, Codes.EventArrival)
     val png = HeatStrip.png(uniform, 1000.0, 1000.0, 1080.0, 8, Codes.EventArrival)

@@ -555,6 +555,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mimes(0L) == "image/png" && mimes(1L) == "audio/wav" && mimes(2L) == "video/mp4")
   }
 
+  test("png codec: multi-row image decodes identically through ImageIO") {
+    // independent-decoder cross-check for the MULTI-ROW case (per-scanline
+    // filter bytes): the JDK's ImageIO validates signature, CRCs, zlib and
+    // filter semantics with a completely separate implementation
+    val content = Array.tabulate(29)(i => (i * 53 + 11).toByte)
+    val w = 6; val h = 4
+    val png = MediaCodec.pngBytes(w, h, content)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    val own = MediaCodec.pngPixels(png).get
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val base = (y * w + x) * 3
+      val want = ((own(base) & 0xff) << 16) | ((own(base + 1) & 0xff) << 8) |
+        (own(base + 2) & 0xff)
+      assert((argb & 0xffffff) == want,
+        s"pixel ($x,$y): ImageIO ${argb & 0xffffff} vs own decoder $want")
+    }
+  }
+
   test("png codec: real zlib round-trip, genuine CRCs, corrupt stream rejected") {
     def be32(b: Array[Byte], o: Int): Int =
       ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
