@@ -624,6 +624,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("wav bytes parse identically through the JDK's independent audio stack") {
+    // javax.sound.sampled is a separate RIFF/WAVE implementation: header
+    // fields and the raw PCM payload must agree with MediaCodec's walker
+    val samples = Array.tabulate(64)(i => (i * 7 - 3).toByte)
+    val wav = MediaCodec.wavBytes(16000, 2, 16, samples)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 16000f && fmt.getChannels == 2
+      && fmt.getSampleSizeInBits == 16,
+      s"JDK parsed $fmt vs encoder (16000 Hz, 2 ch, 16 bit)")
+    val jdkPcm = ais.readAllBytes()
+    val ownPcm = MediaCodec.wavData(wav).get
+    assert(jdkPcm.sameElements(ownPcm),
+      "PCM payload must be byte-identical through both parsers")
+    assert(MediaCodec.parseWav(wav).exists { case (sr, ch, bits, _) =>
+      sr == 16000 && ch == 2 && bits == 16 })
+  }
+
   test("wav/mp4 walkers: corrupt chunk/box lengths never hang or throw") {
     val wav = MediaCodec.wavBytes(8000, 1, 16, Array.tabulate(32)(_.toByte))
     // negative RIFF chunk length (F8 FF FF FF) previously advanced the walk
