@@ -26,7 +26,7 @@ final case class CurveSetPrediction(set: Array[(Float, Array[CPoint])],
   */
 final class Predictor(
     specific: Array[SpecificCurveRow],
-    defaults: Array[DefaultCurveRow]) {
+    defaults: Array[DefaultCurveRow]) extends Serializable {
   import Codes._
 
   private val generalByKey: Map[(Long, Int, Int, Int), SpecificCurveRow] =
@@ -89,6 +89,26 @@ final class Predictor(
       .orElse(predictDefault(routeType, section, slotId, et))
 }
 
+/** One realtime prediction target: a (vehicle, later stop, event type) cell
+  * with its observed basis and schedule context — the typed-row input of the
+  * broadcast-lookup prediction path ([[Predictor.batchPredictRealtimeCached]]). */
+private[gtfs] final case class RealtimeTarget(
+    trip_id: String, trip_start_date: java.sql.Date, trip_start_time: Int,
+    route_id: String, route_variant: Long, route_type: Option[Int],
+    stop_sequence: Int, stop_id: String, stop_index: Int,
+    basis_idx: Int, basis_delay: Int,
+    scheduled_ts: java.sql.Timestamp, time_slot_id: Int, route_section: String,
+    event_type: Int)
+
+/** A resolved realtime prediction before the timestamp anchoring — the
+  * typed-row output of the broadcast-lookup path; `anchorAndSelect` turns it
+  * into the shared predictions schema. */
+private[gtfs] final case class RealtimePredRow(
+    trip_id: String, trip_start_date: java.sql.Date, trip_start_time: Int,
+    route_id: String, stop_sequence: Int, stop_id: String, event_type: Int,
+    scheduled_ts: java.sql.Timestamp, precision_type: Int, sample_size: Int,
+    prediction_curve: Array[CPoint])
+
 object Predictor {
   import Codes._
 
@@ -107,6 +127,36 @@ object Predictor {
       when(size(c) <= MaxCurvePoints, c).otherwise(
         transform(sequence(lit(0), lit(MaxCurvePoints - 1)),
           i => element_at(c, (i * (size(c) - 1) / (MaxCurvePoints - 1) + 1).cast("int")))))
+
+  /** JVM twin of [[capCurve]] for the broadcast-lookup path — same
+    * evenly-index-spaced 120-point selection, same integer arithmetic
+    * (`i * (n-1) / 119`, 0-based), so the two paths are bit-identical. */
+  def capCurveJvm(c: Array[CPoint]): Array[CPoint] =
+    if (c.length <= MaxCurvePoints) c
+    else Array.tabulate(MaxCurvePoints)(i =>
+      c(i * (c.length - 1) / (MaxCurvePoints - 1)))
+
+  /** Shared tail of every prediction producer: anchor the curve's min/max x
+    * at the scheduled instant (per_schedule_importer.rs:345-346) and emit the
+    * predictions-table schema. */
+  private def anchorAndSelect(df: DataFrame, source: String, originType: Int): DataFrame =
+    df
+      .withColumn("curve_min_secs", element_at(col("prediction_curve"), 1).getField("x"))
+      .withColumn("curve_max_secs", element_at(col("prediction_curve"), -1).getField("x"))
+      .withColumn("prediction_min",
+        col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
+          col("curve_min_secs").cast("decimal(18,6)")))
+      .withColumn("prediction_max",
+        col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
+          col("curve_max_secs").cast("decimal(18,6)")))
+      .select(
+        lit(source).as("source"), col("event_type"), col("stop_id"),
+        col("prediction_min"), col("prediction_max"),
+        col("route_id"), col("trip_id"), col("trip_start_date"),
+        col("trip_start_time"), col("stop_sequence"),
+        col("precision_type"), lit(originType).as("origin_type"),
+        col("sample_size"), col("prediction_curve"),
+        lit(source + "_schedule").as("schedule_file_name"))
 
   /** Rows above this bound indicate the statistics tables are no longer
     * driver-map material — use [[batchPredict]]'s join form instead. The
@@ -216,24 +266,34 @@ object Predictor {
       .withColumn("sample_size", coalesce(col("g_sample"), col("d_sample")))
       .filter(col("prediction_curve").isNotNull)
 
-    // curve min/max anchored at the scheduled time (per_schedule_importer.rs:345-346)
-    joined
-      .withColumn("curve_min_secs", element_at(col("prediction_curve"), 1).getField("x"))
-      .withColumn("curve_max_secs", element_at(col("prediction_curve"), -1).getField("x"))
-      .withColumn("prediction_min",
-        col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
-          col("curve_min_secs").cast("decimal(18,6)")))
-      .withColumn("prediction_max",
-        col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
-          col("curve_max_secs").cast("decimal(18,6)")))
-      .select(
-        lit(source).as("source"), col("event_type"), col("stop_id"),
-        col("prediction_min"), col("prediction_max"),
-        col("route_id"), col("trip_id"), col("trip_start_date"),
-        col("trip_start_time"), col("stop_sequence"),
-        col("precision_type"), lit(OriginSchedule).as("origin_type"),
-        col("sample_size"), col("prediction_curve"),
-        lit(source + "_schedule").as("schedule_file_name"))
+    anchorAndSelect(joined, source, OriginSchedule)
+  }
+
+  /** Realtime targets shared by the join and broadcast-lookup forms: every
+    * (vehicle with an observed basis) × (later stop) × (event type), with the
+    * basis columns attached. */
+  private def realtimeTargets(spark: SparkSession, schedule: GtfsSchedule,
+                              records: DataFrame, serviceDate: String): DataFrame = {
+    // latest basis per vehicle (W3: top-1 by stop, then recency)
+    val basisW = org.apache.spark.sql.expressions.Window
+      .partitionBy("trip_id", "trip_start_date", "trip_start_time")
+      .orderBy(col("stop_sequence").desc, col("time_of_recording").desc)
+    val basis = records
+      .filter(col("delay_departure").isNotNull
+        && col("trip_start_date") === to_date(lit(serviceDate), "yyyy-MM-dd"))
+      .withColumn("rn", row_number().over(basisW))
+      .filter(col("rn") === 1)
+      .select(col("trip_id"), col("trip_start_date"), col("trip_start_time"),
+        col("stop_index").as("basis_idx"),
+        col("delay_departure").as("basis_delay"))
+
+    // join on (trip_id, date): the vehicle's trip_start_time comes from the
+    // realtime feed and may differ by seconds from the schedule-derived
+    // first-stop departure — the basis row carries the authoritative value
+    targetsForDate(spark, schedule, serviceDate)
+      .drop("trip_start_time")
+      .join(basis, Seq("trip_id", "trip_start_date"))
+      .filter(col("stop_index") > col("basis_idx"))
   }
 
   /** Realtime-conditioned batch prediction (SURVEY.md §3.1 step 5 /
@@ -257,26 +317,7 @@ object Predictor {
                            defaults: Dataset[DefaultCurveRow]): DataFrame = {
     import spark.implicits._
 
-    // latest basis per vehicle (W3: top-1 by stop, then recency)
-    val basisW = org.apache.spark.sql.expressions.Window
-      .partitionBy("trip_id", "trip_start_date", "trip_start_time")
-      .orderBy(col("stop_sequence").desc, col("time_of_recording").desc)
-    val basis = records
-      .filter(col("delay_departure").isNotNull
-        && col("trip_start_date") === to_date(lit(serviceDate), "yyyy-MM-dd"))
-      .withColumn("rn", row_number().over(basisW))
-      .filter(col("rn") === 1)
-      .select(col("trip_id"), col("trip_start_date"), col("trip_start_time"),
-        col("stop_index").as("basis_idx"),
-        col("delay_departure").as("basis_delay"))
-
-    // join on (trip_id, date): the vehicle's trip_start_time comes from the
-    // realtime feed and may differ by seconds from the schedule-derived
-    // first-stop departure — the basis row carries the authoritative value
-    val targets = targetsForDate(spark, schedule, serviceDate)
-      .drop("trip_start_time")
-      .join(basis, Seq("trip_id", "trip_start_date"))
-      .filter(col("stop_index") > col("basis_idx"))
+    val targets = realtimeTargets(spark, schedule, records, serviceDate)
 
     val sets = specific.filter(_.curve_kind == "curveset").toDF()
       .select(col("route_variant").as("cs_variant"),
@@ -333,7 +374,7 @@ object Predictor {
     // min(slot_rank) afterwards — where a groupBy on (key, rank) followed
     // by a best-rank Window re-exchanged AND sorted the whole aggregate
     // stream a second time on the 7-col key
-    joined
+    val resolved = joined
       .groupBy(keyCols.map(col): _*)
       .agg(
         first("scheduled_ts").as("scheduled_ts"),
@@ -375,21 +416,61 @@ object Predictor {
           .otherwise(col("d_precision")))
       .withColumn("sample_size",
         when(col("best_rank") < 2, col("cs_sample")).otherwise(col("d_sample")))
-      .withColumn("curve_min_secs", element_at(col("prediction_curve"), 1).getField("x"))
-      .withColumn("curve_max_secs", element_at(col("prediction_curve"), -1).getField("x"))
-      .withColumn("prediction_min",
-        col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
-          col("curve_min_secs").cast("decimal(18,6)")))
-      .withColumn("prediction_max",
-        col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
-          col("curve_max_secs").cast("decimal(18,6)")))
-      .select(
-        lit(source).as("source"), col("event_type"), col("stop_id"),
-        col("prediction_min"), col("prediction_max"),
-        col("route_id"), col("trip_id"), col("trip_start_date"),
-        col("trip_start_time"), col("stop_sequence"),
-        col("precision_type"), lit(OriginRealtime).as("origin_type"),
-        col("sample_size"), col("prediction_curve"),
-        lit(source + "_schedule").as("schedule_file_name"))
+    anchorAndSelect(resolved, source, OriginRealtime)
+  }
+
+  /** The AMORTIZED realtime prediction path: the hierarchical lookup of
+    * [[batchPredictRealtime]] against a LONG-LIVED executor-resident
+    * `Broadcast[Predictor]` instead of a per-call broadcast exchange over the
+    * curve tables. Same values, same schema (the convergence spec pins form
+    * ≡ form), different cost model:
+    *
+    *   - zero per-call broadcast build — the curve maps ship to each executor
+    *     ONCE and are reused by every later call (a 5 s streaming trigger
+    *     otherwise rebuilds a multi-hundred-MB exchange 17k times/day — the
+    *     reference amortizes the same data as in-memory per-route curve
+    *     files, src/main.rs:321-393 FileCache, src/types/types.md:19-27);
+    *   - zero shuffle — each target row resolves independently through the
+    *     broadcast maps (specific → DEFAULT slot → default grid), so the
+    *     whole per-trigger plan is scan → mapPartitions → project, where the
+    *     join form needs a 7-col-key hash aggregation over the exploded
+    *     (target × curve-set member) stream.
+    *
+    * Gated by [[MaxDriverRows]] at broadcast-build time (CurveCache /
+    * startPredictionRefresh); past that, use the join form. */
+  def batchPredictRealtimeCached(spark: SparkSession, schedule: GtfsSchedule,
+      records: DataFrame, serviceDate: String, source: String,
+      bc: org.apache.spark.broadcast.Broadcast[Predictor]): DataFrame = {
+    import spark.implicits._
+    val targets = realtimeTargets(spark, schedule, records, serviceDate)
+      .select(col("trip_id"), col("trip_start_date"), col("trip_start_time"),
+        col("route_id"), col("route_variant"), col("route_type"),
+        col("stop_sequence"), col("stop_id"), col("stop_index"),
+        col("basis_idx"), col("basis_delay"),
+        col("scheduled_ts"), col("time_slot_id"), col("route_section"),
+        col("event_type"))
+      .as[RealtimeTarget]
+
+    val rows = targets.mapPartitions { it =>
+      val p = bc.value
+      it.flatMap { t =>
+        // specific (slot → DEFAULT-slot recursion inside predictSpecific,
+        // ranks 0/1) with default-grid fallback (rank 2); a null route_type
+        // never reaches the grid — the reference produces no prediction for
+        // such trips (predictor/mod.rs:219-221), same as the join form's
+        // null-excluding equi-join
+        p.predictSpecific(t.route_variant,
+            Some((t.basis_idx, Some(t.basis_delay))), t.stop_index,
+            t.time_slot_id, t.event_type)
+          .orElse(t.route_type.flatMap(rt =>
+            p.predictDefault(rt, t.route_section, t.time_slot_id, t.event_type)))
+          .iterator.collect { case CurvePrediction(curve, prec, sample) =>
+            RealtimePredRow(t.trip_id, t.trip_start_date, t.trip_start_time,
+              t.route_id, t.stop_sequence, t.stop_id, t.event_type,
+              t.scheduled_ts, prec, sample, capCurveJvm(curve))
+          }
+      }
+    }
+    anchorAndSelect(rows.toDF(), source, OriginRealtime)
   }
 }

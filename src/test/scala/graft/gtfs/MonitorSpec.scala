@@ -313,6 +313,67 @@ class MonitorSpec extends AnyFunSuite {
       s"expected exactly 1 Window op (the W3 basis), got $windows")
   }
 
+  test("broadcast-lookup realtime prediction ≡ join form (amortized path)") {
+    import org.apache.spark.sql.functions._
+    val sc = CurveAnalysis.specificCurves(spark, records, schedule)
+    val dc = CurveAnalysis.defaultCurves(spark, records, schedule)
+    val bc = spark.sparkContext.broadcast(
+      new Predictor(sc.collect(), dc.collect()))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(to_json(struct(df.columns.sorted.map(col): _*)).as("r"))
+    val joinForm = Predictor.batchPredictRealtime(spark, schedule, records,
+      "2024-01-15", "test", sc, dc)
+    val lookupForm = Predictor.batchPredictRealtimeCached(spark, schedule,
+      records, "2024-01-15", "test", bc)
+    assert(lookupForm.count() > 0)
+    assert(joinForm.columns.toSeq == lookupForm.columns.toSeq,
+      "schema order parity")
+    assert(canon(joinForm).except(canon(lookupForm)).count() == 0
+      && canon(lookupForm).except(canon(joinForm)).count() == 0,
+      "broadcast-lookup path must produce exactly the join form's rows")
+    bc.unpersist()
+  }
+
+  test("capCurveJvm ≡ the Column capCurve on an over-long curve") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    for (n <- Seq(2, 119, 120, 121, 240, 503)) {
+      val curve = Array.tabulate(n)(i => CPoint(i.toFloat, i.toFloat / (n - 1)))
+      val viaColumn = Seq(Tuple1(curve)).toDF("c")
+        .select(Predictor.capCurve(col("c")).as("c"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => CPoint(r.getFloat(0), r.getFloat(1)))
+      val viaJvm = Predictor.capCurveJvm(curve).toSeq
+      assert(viaColumn == viaJvm, s"n=$n")
+      assert(viaJvm.length == math.min(n, Predictor.MaxCurvePoints))
+      assert(viaJvm.head == curve.head && viaJvm.last == curve.last,
+        s"endpoints kept at n=$n")
+    }
+  }
+
+  test("CurveCache: stable broadcast while unchanged, rebuild on store rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("curvecache").toString
+    val sc = CurveAnalysis.specificCurves(spark, records, schedule)
+    val dc = CurveAnalysis.defaultCurves(spark, records, schedule)
+    CurveStore.saveSpecific(sc, dir + "/specific")
+    CurveStore.saveDefault(dc, dir + "/default")
+    val cache = new CurveCache(spark, dir + "/specific", dir + "/default")
+    val b1 = cache.get()
+    val b2 = cache.get()
+    assert(b1.id == b2.id, "unchanged store must reuse the same broadcast")
+    val variant = schedule.trips.filter("trip_id = 'T1'")
+      .select("route_variant").head().getLong(0)
+    assert(b1.value.predict(variant, 3, None, 1, "Beginning", 3,
+      Codes.EventArrival).isDefined)
+    // a re-analysis rewrites the store → next get() must rebuild
+    Thread.sleep(1100) // defeat coarse mtime granularity on some filesystems
+    CurveStore.saveSpecific(sc, dir + "/specific")
+    val b3 = cache.get()
+    assert(b3.id != b1.id, "rewritten store must invalidate the broadcast")
+    assert(b3.value.predict(variant, 3, None, 1, "Beginning", 3,
+      Codes.EventArrival).isDefined)
+  }
+
   test("curve store round-trips partitioned statistics tables (S16/S17)") {
     val dir = java.nio.file.Files.createTempDirectory("curvestore").toString
     val sc = CurveAnalysis.specificCurves(spark, records, schedule)

@@ -351,4 +351,32 @@ class StreamingImportSpec extends AnyFunSuite {
       && canon(batchPreds).except(canon(streamed)).count() == 0,
       "streamed refresh ≡ batch realtime prediction")
   }
+
+  test("store-backed prediction refresh (CurveCache) converges to the batch path") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("predrefresh_store").toString
+    val batchRecs = Importer.importDirectory(spark, rtDir, schedule, "test").cache()
+    val sc = CurveAnalysis.specificCurves(spark, batchRecs, schedule)
+    val dc = CurveAnalysis.defaultCurves(spark, batchRecs, schedule)
+    CurveStore.saveSpecific(sc, base + "/curves/specific")
+    CurveStore.saveDefault(dc, base + "/curves/default")
+
+    val q = StreamingImport.startPredictionRefreshFromStore(spark, rtDir,
+      schedule, "test", base + "/records", base + "/predictions",
+      base + "/ckpt", base + "/curves/specific", base + "/curves/default",
+      automatic = false, maxFilesPerTrigger = 16)
+    q.awaitTermination(300000)
+
+    val streamed = spark.read.parquet(base + "/predictions")
+    assert(streamed.count() > 0, "store-backed refresh produced predictions")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("trip_start_date") === "2024-01-15")
+      .select(col("trip_id"), col("stop_sequence"), col("event_type"),
+        col("precision_type"), to_json(col("prediction_curve")).as("curve"))
+    val batchPreds = Predictor.batchPredictRealtime(spark, schedule, batchRecs,
+      "2024-01-15", "test", sc, dc)
+    assert(canon(streamed).except(canon(batchPreds)).count() == 0
+      && canon(batchPreds).except(canon(streamed)).count() == 0,
+      "store-backed streamed refresh ≡ batch realtime prediction")
+  }
 }
