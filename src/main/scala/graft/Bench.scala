@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,6 +15,34 @@ object Bench {
     // JVM/codegen warmup so the first measured query doesn't absorb
     // session-initialization cost
     spark.range(1000).selectExpr("sum(id)").collect()
+    // calibration probe: a fixed, seeded, deterministic computation whose
+    // quiet-machine time is stable (measured quiet range: 0.3-0.5 s at
+    // local[32], ~0.2 s at local[4]). Timed around setup AND around the
+    // query passes; a probe several× the quiet ceiling means that window
+    // ran under external machine load — the artifact identifies its own
+    // contamination, and the query loop REACTS by taking extra passes
+    // (round-5/6 official benches were inflated this way).
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: a 1e8-element sum of 64-bit hashes overflows long
+      // and ANSI mode turns that into a query-killing exception. Guarded
+      // like the per-query runs: a probe crash (e.g. under the very machine
+      // load it exists to detect) must surface as a -1 sentinel in the
+      // artifact, not abort the bench with no JSON line at all
+      try {
+        spark.range(100000000L)
+          .selectExpr("bit_xor(xxhash64(id)) as s", "count(*) as c").collect()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case NonFatal(_) => -1.0 }
+    }
+    // quiet ceiling for THIS worker count; override for unusual machines
+    val quietCeiling = sys.env.getOrElse("SPARK_GRAFT_PROBE_QUIET",
+      if (cpus.toInt >= 16) "0.5" else "0.25").toDouble
+    def isContended(p: Double): Boolean = p < 0 || p > 1.5 * quietCeiling
+    // probe BEFORE setup: paired with probe_before it brackets the setup
+    // window, so a contended (single-pass, unguarded) setup is flagged
+    // numerically instead of inferred from per-chain deltas
+    val probeSetup = probe()
     // shared one-time state (GTFS fixture pipeline + curve builds + shingle
     // index) is built BEFORE timing and reported as a separate `setup`
     // metric — per-query numbers reflect marginal cost, not accounting luck
@@ -41,63 +70,57 @@ object Bench {
         graft.queries.PipelinePack.prewarm(spark, sfDir)
         shingleSetup = (System.nanoTime() - t0) / 1e9
       }))
-    catch { case e: Throwable =>
+    // NonFatal only: a fatal VM error (OOM, LinkageError) means any timings
+    // taken afterwards would come from a corrupt JVM — better no artifact
+    // (driver parses null) than a misleading one
+    catch { case NonFatal(e) =>
+      // strip quotes, backslashes and ALL control chars (not just \r\n\t —
+      // \b, \f, NULs in an exception message would still break the JSON
+      // line in exactly the failure path this hardens)
       setupError = Option(e.getMessage).getOrElse(e.getClass.getName)
-        .replaceAll("[\"\\\\\\r\\n\\t]", " ").take(200)
+        .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
     }
     val setup = (System.nanoTime() - s0) / 1e9
-    // calibration probe: a fixed, seeded, deterministic computation whose
-    // quiet-machine time is stable (measured quiet range: 0.3-0.5 s at
-    // local[32], ~0.2 s at local[4]). Timed before and
-    // after the query loop; if the artifact's probe numbers are several×
-    // the historical quiet value, the whole run was taken under external
-    // machine load and the totals are inflated — the artifact identifies
-    // its own contamination instead of silently governing the 2× gate
-    // (round-5 official bench inflated 3.2× this way).
-    def probe(): Double = {
-      val t0 = System.nanoTime()
-      // bit_xor, not sum: a 1e8-element sum of 64-bit hashes overflows long
-      // and ANSI mode turns that into a query-killing exception. Guarded
-      // like the per-query runs: a probe crash (e.g. under the very machine
-      // load it exists to detect) must surface as a -1 sentinel in the
-      // artifact, not abort the bench with no JSON line at all
-      try {
-        spark.range(100000000L)
-          .selectExpr("bit_xor(xxhash64(id)) as s", "count(*) as c").collect()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
-    }
     val probeBefore = probe()
-    // each query is timed TWICE and the per-query minimum reported: the
-    // first pass leaves cache state identical for the second, so min-of-2
-    // discards one-off contention spikes (GC, page cache miss, a competing
-    // process getting scheduled) that a single pass bakes into the
-    // governing artifact
+    // each query is timed at least TWICE and the per-query minimum over
+    // successful passes reported: the first pass leaves cache state
+    // identical for the second, so min-of-N discards one-off contention
+    // spikes (GC, page cache miss, a competing process getting scheduled)
+    // that a single pass bakes into the governing artifact
     def pass(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         // a crashing query must be VISIBLE in the artifact — recorded in a
         // `failed` list, not silently reported as a normal (fast) timing
         val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
+                 catch { case NonFatal(_) => false }
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-    val pass1 = pass()
-    val pass2 = pass()
-    val probeAfter = probe()
-    val p2 = pass2.map { case (n, t, ok) => n -> ((t, ok)) }.toMap
-    val runs = pass1.map { case (n, t1, ok1) =>
-      val (t2, ok2) = p2(n)
+    var passes = Vector(pass(), pass())
+    var probes = Vector(probe())
+    // ACT on the probe, don't just record it: a pass window counts as clean
+    // when the probes on BOTH sides of it are quiet; while no window is
+    // clean, take another full pass and fold it into the minima — the
+    // governing number stops being hostage to end-of-round machine load as
+    // long as ONE pass lands in a quiet window. Bounded: ≤ 2 extra passes.
+    def windowClean(a: Double, b: Double) = !isContended(a) && !isContended(b)
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "2").toInt
+    var anyClean = windowClean(probeBefore, probes.head)
+    while (passes.size - 2 < maxExtra && !anyClean) {
+      passes :+= pass()
+      probes :+= probe()
+      anyClean = windowClean(probes(probes.size - 2), probes.last)
+    }
+    val probeAfter = probes.last
+    val runs = passes.head.map(_._1).map { n =>
+      val obs = passes.map(_.find(_._1 == n).get)
+      val okTimes = obs.collect { case (_, t, true) => t }
       // the min is taken over SUCCESSFUL passes only: a fast crash (e.g. a
       // transient OOM in one pass) must not replace the valid measurement —
       // a 0.1 s failure beating a 5 s success would understate the
       // governing total for a query that is flagged failed anyway
-      val t = (ok1, ok2) match {
-        case (true, false) => t1
-        case (false, true) => t2
-        case _             => math.min(t1, t2)
-      }
-      (n, t, ok1 && ok2)
+      val t = if (okTimes.nonEmpty) okTimes.min else obs.map(_._2).min
+      (n, t, obs.forall(_._3))
     }
     val results = runs.map { case (n, t, _) => (n, t) }
     val failed = runs.collect { case (n, _, false) => s"\"" + n + "\"" }
@@ -113,10 +136,12 @@ object Bench {
     val gtfsDetail = (graft.queries.GtfsPack.setupTimings ++
       graft.queries.PipelinePack.setupTimings).toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString(",")
+    val probesJson = probes.mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","setup":$setup,""" +
       s""""failed":$failed,"setup_error":"$setupError",""" +
-      s""""probe_before":$probeBefore,"probe_after":$probeAfter,""" +
-      s""""timing":"per-query min of 2 passes (successful passes only; note pass 1 warms page/codegen caches, so minima are warm-path marginal costs — not comparable to pre-r6 single-pass rounds); probe quiet ref ~0.2s@local[4], 0.3-0.5s@local[32]; this run local[$cpus]",""" +
+      s""""probe_setup":$probeSetup,"probe_before":$probeBefore,"probe_after":$probeAfter,""" +
+      s""""probes_after_passes":$probesJson,"passes":${passes.size},"clean_window":$anyClean,""" +
+      s""""timing":"per-query min over ${passes.size} passes (successful passes only; pass 1 warms page/codegen caches, so minima are warm-path marginal costs — not comparable to pre-r6 single-pass rounds); extra passes auto-added while no pass window had quiet probes on both sides; probe quiet ceiling ${quietCeiling}s (probe_setup/probe_before bracket the single-pass setup); this run local[$cpus]",""" +
       s""""setup_detail":{"gtfs_fixture_pipeline":$gtfsSetup,"shingle_index":$shingleSetup,$gtfsDetail},""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     println(line)
@@ -127,9 +152,10 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","setup":$setup,""" +
       s""""failed":$failed,"setup_error":"$setupError",""" +
-      s""""probe_before":$probeBefore,"probe_after":$probeAfter,""" +
+      s""""probe_setup":$probeSetup,"probe_before":$probeBefore,"probe_after":$probeAfter,""" +
+      s""""passes":${passes.size},"clean_window":$anyClean,""" +
       s""""queries":$slowest,"queries_note":"10 slowest of ${results.size};""" +
-      s""" min of 2 passes; full map in BENCH_SELF.json","sf":"$sfDir"}""")
+      s""" min of ${passes.size} passes; full map in BENCH_SELF.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -226,7 +226,6 @@ object ScaleRehearsal {
       // state stays bounded by the live vehicle count.
       import graft.gtfs.GtfsRtCodec
       import GtfsRtCodec.{FeedMessage, StopTimeEvent, StopTimeUpdate, TripDescriptor, TripUpdate}
-      import org.apache.spark.sql.streaming.StreamingQueryListener
       val files = sys.env.getOrElse("SPARK_GRAFT_SR_FILES", "240").toInt
       val tripsPerFile = sys.env.getOrElse("SPARK_GRAFT_SR_TRIPS_PER_FILE", "500").toInt
       val filesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_SR_FPT", "16").toInt
@@ -274,22 +273,16 @@ object ScaleRehearsal {
       }
       lazy val rtDir = genFeed("full", stops)
 
-      // per-micro-batch walls via the streaming listener, keyed by query id
-      // so the two streams below don't mix
-      val progress = new java.util.concurrent.ConcurrentLinkedQueue[(java.util.UUID, Long, Double, Long)]
-      spark.streams.addListener(new StreamingQueryListener {
-        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-          val p = e.progress
-          val secs = Option(p.durationMs.get("triggerExecution"))
-            .map(_.toDouble / 1000.0).getOrElse(0.0)
-          progress.add((p.id, p.batchId, secs, p.numInputRows))
-        }
-      })
-      def batchReport(name: String, qid: java.util.UUID): Unit = {
-        import scala.jdk.CollectionConverters._
-        val bs = progress.asScala.filter(_._1 == qid).toSeq.sortBy(_._2)
+      // per-micro-batch walls read SYNCHRONOUSLY from the query object's
+      // recentProgress after awaitTermination — the StreamingQueryListener
+      // bus is asynchronous and trailing events may not have been delivered
+      // yet when the report prints, undercounting batches/walls
+      def batchReport(name: String, query: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+        val bs = query.recentProgress.toSeq
+          .map(p => (p.id, p.batchId,
+            Option(p.durationMs.get("triggerExecution"))
+              .map(_.toDouble / 1000.0).getOrElse(0.0), p.numInputRows))
+          .sortBy(_._2)
           .filter(_._4 > 0) // AvailableNow ends with an empty finalizing batch
         if (bs.nonEmpty) {
           val walls = bs.map(_._3)
@@ -303,22 +296,22 @@ object ScaleRehearsal {
       if (opWanted("ingest")) {
         val recordsDir = java.nio.file.Files.createTempDirectory("sr_srec").toString + "/records"
         val ckpt = java.nio.file.Files.createTempDirectory("sr_ckpt").toString
-        var qid: java.util.UUID = null
+        var qh: org.apache.spark.sql.streaming.StreamingQuery = null
         runTimed("stream_ingest") {
           val q = graft.streaming.StreamingImport.start(spark, rtDir.toString,
             schedule, "scale", recordsDir, ckpt,
             automatic = false, maxFilesPerTrigger = filesPerTrigger)
-          qid = q.id
+          qh = q
           q.awaitTermination()
           spark.read.parquet(recordsDir).count()
         }
-        batchReport("stream_ingest", qid)
+        batchReport("stream_ingest", qh)
       }
 
       if (opWanted("st2")) {
         val ckpt2 = java.nio.file.Files.createTempDirectory("sr_ckpt2").toString
         val emitted = new AtomicLong
-        var qid2: java.util.UUID = null
+        var qh2: org.apache.spark.sql.streaming.StreamingQuery = null
         runTimed("stream_st2_requests") {
           val rt = graft.streaming.StreamingImport.rtStream(
             spark, rtDir.toString, filesPerTrigger)
@@ -336,11 +329,11 @@ object ScaleRehearsal {
               emitted.addAndGet(b.count()); ()
             }
             .start()
-          qid2 = q.id
+          qh2 = q
           q.awaitTermination()
           emitted.get()
         }
-        batchReport("stream_st2_requests", qid2)
+        batchReport("stream_st2_requests", qh2)
       }
 
       if (opWanted("refresh")) {
@@ -361,16 +354,16 @@ object ScaleRehearsal {
         val recordsDir2 = java.nio.file.Files.createTempDirectory("sr_rrec").toString + "/records"
         val predsDir = java.nio.file.Files.createTempDirectory("sr_preds").toString + "/predictions"
         val ckpt3 = java.nio.file.Files.createTempDirectory("sr_ckpt3").toString
-        var qid3: java.util.UUID = null
+        var qh3: org.apache.spark.sql.streaming.StreamingQuery = null
         runTimed("stream_refresh") {
           val q = graft.streaming.StreamingImport.startPredictionRefresh(
             spark, rtDirMid.toString, schedule, "scale", recordsDir2, predsDir,
             ckpt3, sc2, dc2, automatic = false, maxFilesPerTrigger = filesPerTrigger)
-          qid3 = q.id
+          qh3 = q
           q.awaitTermination()
           spark.read.parquet(predsDir).count()
         }
-        batchReport("stream_refresh", qid3)
+        batchReport("stream_refresh", qh3)
         sc2.unpersist(); dc2.unpersist()
       }
       spark.stop()

@@ -142,7 +142,8 @@ object Similarity {
     * footer sum is exact anyway — and at 100 TB it replaces a full corpus
     * pass per invocation with a driver walk over file metadata the
     * FileIndex already holds. */
-  private[graft] def corpusCount(df: DataFrame, hint: Long = -1L): Long = {
+  private[graft] def corpusCount(df: DataFrame, hint: Long = -1L,
+                                 maxFooters: Int = 4096): Long = {
     if (hint > 0) return hint
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -162,23 +163,45 @@ object Similarity {
             // large table has 10^5-10^6 files, and one blocking remote
             // round-trip per file from a single driver thread would take
             // minutes — 32-way concurrency keeps the walk metadata-cheap
-            val files = fs.location.inputFiles
+            val statuses = fs.location.listFiles(Nil, Nil).flatMap(_.files)
+            // bound the walk: past `maxFooters` files, open an evenly
+            // strided SAMPLE of footers and extrapolate by bytes — sizing
+            // needs n only to a factor of ~2, and opening 10^5-10^6 footers
+            // would cost minutes of driver wall before the job starts
+            val sample =
+              if (statuses.length <= maxFooters) statuses
+              else Seq.tabulate(maxFooters)(i =>
+                statuses((i.toLong * statuses.length / maxFooters).toInt))
             val pool = java.util.concurrent.Executors.newFixedThreadPool(
-              math.max(1, math.min(32, files.length)))
-            try {
-              import scala.jdk.CollectionConverters._
-              val tasks = files.map { f =>
-                new java.util.concurrent.Callable[Long] {
-                  def call(): Long = {
-                    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-                      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                        new org.apache.hadoop.fs.Path(f), conf))
-                    try r.getRecordCount finally r.close()
+              math.max(1, math.min(32, sample.length)))
+            val sampledRows =
+              try {
+                import scala.jdk.CollectionConverters._
+                val tasks = sample.map { st =>
+                  new java.util.concurrent.Callable[Long] {
+                    def call(): Long = {
+                      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                          st.getPath, conf))
+                      try r.getRecordCount finally r.close()
+                    }
                   }
                 }
-              }.toSeq
-              pool.invokeAll(tasks.asJava).asScala.map(_.get()).sum
-            } finally pool.shutdown()
+                // unwrap ExecutionException: callers must see the original
+                // parquet/IO error naming the failing file, not the pool's
+                // wrapper
+                pool.invokeAll(tasks.asJava).asScala.map { f =>
+                  try f.get()
+                  catch { case e: java.util.concurrent.ExecutionException =>
+                    throw e.getCause }
+                }.sum
+              } finally pool.shutdown()
+            if (sample.length == statuses.length) sampledRows
+            else {
+              val sampledBytes = math.max(1L, sample.map(_.getLen).sum)
+              val totalBytes = statuses.map(_.getLen).sum
+              math.round(sampledRows.toDouble * totalBytes / sampledBytes)
+            }
           case _ => df.count()
         }
       case _ => df.count()

@@ -4,6 +4,7 @@ import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit, to_date, unix_timestamp}
 import graft.curves.CPoint
 import graft.gtfs.{Codes, GtfsSchedule, HeatStrip, Monitor}
 
@@ -15,11 +16,22 @@ import graft.gtfs.{Codes, GtfsSchedule, HeatStrip, Monitor}
   * oracled monitor_* queries check). Routes mirror the reference:
   *
   *   - `GET /`                         → search page
+  *   - `GET /embed`, `GET /noscript`   → search page variants
   *   - `GET /autocomplete?query=q`     → JSON list (F11)
   *   - `GET /stop-by-name?start=name`  → 302 to `/<dd.MM.yy HH:mm>/<name>/`
   *                                       with the X14 path escaping
   *   - `GET /<datetime>/<stop>/`       → stop page (F5/F6/W5/W6) with an
   *                                       X15 heat-strip data URL per row
+  *   - `GET /<datetime>/<stop>/<trip>/`            → trip page (the trip
+  *     descriptor is the reference's `"<type> <route> nach <headsign> um
+  *     <HH:mm>"` form, resolved via J8; mod.rs:690-795)
+  *   - `GET /<datetime>/<stop>/<trip>/<stop>/`     → journey stop page with
+  *     arrival context (per-row transfer probability, F8/X10/X11;
+  *     mod.rs:866-890); `Fußweg` path elements are walk legs
+  *     (journey_data.rs:211-218) and a journey may not END with a walk
+  *     (mod.rs:410 → 400)
+  *   - `GET /info/<datetime>/<journey…>/`          → journey info page
+  *     (component list with reach probabilities; mod.rs:1264)
   *
   * Page rendering collects only bounded page rows (same contract as the
   * reference building HTML per request); all heavy lifting stays in the
@@ -57,7 +69,8 @@ class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
         StandardCharsets.UTF_8))
     val q = queryParams(ex)
     parts.toSeq match {
-      case Seq() => respond(ex, 200, "text/html", searchPage)
+      case Seq() | Seq("embed") | Seq("noscript") =>
+        respond(ex, 200, "text/html", searchPage)
       case Seq("autocomplete") =>
         respond(ex, 200, "application/json",
           autocompleteJson(q.getOrElse("query", "")))
@@ -71,8 +84,20 @@ class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
         val loc = s"/${pathEncode(now)}/${pathEncode(name)}/".replace(" ", "%20")
         ex.getResponseHeaders.add("Location", loc)
         ex.sendResponseHeaders(302, -1)
+      case "info" +: datetime +: journey if journey.nonEmpty =>
+        respond(ex, 200, "text/html", infoPage(datetime, journey))
       case Seq(datetime, stopName) =>
         respond(ex, 200, "text/html", stopPage(datetime, stopName))
+      // a journey path: datetime then alternating stop / (trip|Fußweg)
+      // components (journey_data.rs:183-208)
+      case datetime +: journey if journey.nonEmpty =>
+        if (journey.size % 2 == 0) {
+          // even count → journey ends with a trip or walk component
+          if (journey.last == "Fußweg")
+            respond(ex, 400, "text/html",
+              "400: Journey may not end with a walk.") // mod.rs:410
+          else respond(ex, 200, "text/html", tripPageHtml(datetime, journey))
+        } else respond(ex, 200, "text/html", journeyStopPage(datetime, journey))
       case _ =>
         respond(ex, 404, "text/html",
           "<html><body><h1>404</h1></body></html>")
@@ -138,6 +163,221 @@ class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
     s"""<html><body><h1>${escapeHtml(stopName)}</h1>
        |<table><tr><th>route</th><th>type</th><th>trip</th><th>median</th>
        |<th>delay</th><th>density</th></tr>
+       |${trs.mkString("\n")}
+       |</table></body></html>""".stripMargin
+  }
+
+  // ---- journey-path machinery (reference journey_data.rs) ----
+
+  /** The reference's trip descriptor: `"<type> <route> nach <headsign> um
+    * <HH:mm>"` (journey_data.rs:352-355). */
+  private val TripRe = "(\\S+) (.+) nach (.+) um (\\d\\d):(\\d\\d)".r
+
+  /** Reverse of the X13 route-type labels (monitor/mod.rs:894-922). */
+  private val labelToType = Map(
+    "Tram" -> 0, "Subway" -> 1, "Rail" -> 2, "Bus" -> 3, "Ferry" -> 4,
+    "CableCar" -> 5, "Gondola" -> 6, "Funicular" -> 7, "Coach" -> 200,
+    "Air" -> 1100, "Taxi" -> 1500)
+
+  private val PathDtFmt = java.time.format.DateTimeFormatter.ofPattern("dd.MM.yy HH:mm")
+
+  private def serviceDate(datetime: String): String =
+    java.time.LocalDate.parse(datetime.split(" ").head,
+      java.time.format.DateTimeFormatter.ofPattern("dd.MM.yy")).toString
+
+  /** A resolved ride: vehicle identity + boarding stop sequence. */
+  private case class ResolvedTrip(tripId: String, tripStartDate: String,
+                                  tripStartTime: Int, boardSeq: Int)
+
+  /** J8 resolution of a descriptor path element at a boarding stop. */
+  private def resolveTrip(descr: String, boardingStop: String,
+                          date: String): ResolvedTrip = descr match {
+    case TripRe(label, routeName, headsign, hh, mm) =>
+      val routeType = labelToType.getOrElse(label,
+        throw new IllegalArgumentException(s"unknown route type label '$label'"))
+      // J8 at MINUTE granularity: the URL's descriptor carries HH:mm only
+      // (journey_data.rs:355 "%H:%M"), so the server matches the scheduled
+      // departure's minute-of-day; Monitor.resolveTrip (the oracled exact-
+      // seconds form) stays unchanged for callers that know the seconds
+      val mins = hh.toInt * 60 + mm.toInt
+      val stopIds = schedule.stops
+        .filter(col("stop_name") === lit(boardingStop)).select(col("stop_id"))
+      val rows = schedule.trips
+        .filter(col("trip_headsign") === lit(headsign)
+          && col("route_type") === routeType)
+        .join(schedule.routes
+          .filter(col("route_short_name") === lit(routeName))
+          .select("route_id"), Seq("route_id"))
+        .join(schedule.stopTimes, Seq("trip_id"))
+        .join(broadcast(stopIds), Seq("stop_id"))
+        .filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.floor(col("departure_secs") / 60),
+          lit(1440)) === mins)
+        .select("trip_id", "route_id", "route_variant", "stop_sequence")
+        .collect()
+      require(rows.nonEmpty, s"no trip matches descriptor '$descr' at $boardingStop")
+      val tripId = rows.head.getString(0)
+      val startTime = schedule.trips.filter(col("trip_id") === lit(tripId))
+        .select("trip_start_time").collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.toString.toInt)).getOrElse(0)
+      ResolvedTrip(tripId, date, startTime, rows.head.getInt(3))
+    case _ => throw new IllegalArgumentException(
+      s"Trip string does not contain a valid trip descriptor: '$descr'")
+  }
+
+  /** First stop sequence after `afterSeq` on the trip whose platform has
+    * `stopName` (the alighting stop of a ride leg). */
+  private def alightSeq(tripId: String, stopName: String, afterSeq: Int): Int = {
+    val rows = schedule.stopTimes
+      .filter(col("trip_id") === lit(tripId) && col("stop_sequence") > afterSeq)
+      .join(broadcast(schedule.stops.filter(col("stop_name") === lit(stopName))
+        .select("stop_id")), Seq("stop_id"))
+      .agg(org.apache.spark.sql.functions.min("stop_sequence")).collect()
+    require(rows.nonEmpty && !rows.head.isNullAt(0),
+      s"trip $tripId does not reach '$stopName' after sequence $afterSeq")
+    rows.head.getInt(0)
+  }
+
+  /** One prediction curve + absolute anchor from the predictions table
+    * (single-row collect, like the reference's per-leg queries). */
+  private def predictionAt(t: ResolvedTrip, stopSeq: Int, et: Int): (Array[CPoint], Double) = {
+    val rows = predictions
+      .filter(col("trip_id") === lit(t.tripId)
+        && col("trip_start_date") === to_date(lit(t.tripStartDate), "yyyy-MM-dd")
+        && col("trip_start_time") === t.tripStartTime
+        && col("stop_sequence") === stopSeq && col("event_type") === et)
+      .select(unix_timestamp(col("prediction_min")).cast("double"),
+        col("prediction_curve")).collect()
+    require(rows.nonEmpty, s"no prediction for ${t.tripId} seq $stopSeq et $et")
+    val curve = rows.head.getSeq[org.apache.spark.sql.Row](1)
+      .map(p => CPoint(p.getFloat(0), p.getFloat(1))).toArray
+    (curve, rows.head.getDouble(0) - curve.head.x)
+  }
+
+  /** Minimum platform-to-platform haversine between two stop NAMES (X8 via
+    * the shared Geo column expression; both groups are a handful of rows). */
+  private def stopDistanceM(a: String, b: String): Double = {
+    val s = schedule.stops.select(col("stop_name"), col("stop_lat"), col("stop_lon"))
+    val pa = s.filter(col("stop_name") === lit(a))
+      .select(col("stop_lat").as("lat1"), col("stop_lon").as("lon1"))
+    val pb = s.filter(col("stop_name") === lit(b))
+      .select(col("stop_lat").as("lat2"), col("stop_lon").as("lon2"))
+    val rows = pa.crossJoin(pb).select(graft.gtfs.Geo.haversineMeters(
+      col("lat1"), col("lon1"), col("lat2"), col("lon2")).as("d"))
+      .agg(org.apache.spark.sql.functions.min("d")).collect()
+    require(rows.nonEmpty && !rows.head.isNullAt(0), s"unknown stops '$a'/'$b'")
+    rows.head.getDouble(0)
+  }
+
+  /** Walks the journey components up to (exclusive) index `until`, returning
+    * the traveller's arrival curve + absolute anchor there. Components
+    * alternate stop / (trip|Fußweg), starting with a stop
+    * (journey_data.rs:183-208). */
+  private def arrivalState(datetime: String, journey: Seq[String],
+                           until: Int): (Array[CPoint], Double) = {
+    val date = serviceDate(datetime)
+    val startEpoch = java.time.LocalDateTime.parse(datetime, PathDtFmt)
+      .toEpochSecond(java.time.ZoneOffset.UTC).toDouble
+    // start: ±30 s uniform curve at the requested instant (journey_data.rs:317-321)
+    var curve: Array[CPoint] = Array(CPoint(-30f, 0f), CPoint(30f, 1f))
+    var anchor: Double = startEpoch
+    var i = 1
+    while (i < until) {
+      journey(i) match {
+        case "Fußweg" =>
+          // walk to the NEXT stop: X10 convolution with the X9 walk curve
+          curve = graft.curves.Curves.convolve(curve,
+            graft.curves.Curves.walkTimeCurve(
+              stopDistanceM(journey(i - 1), journey(i + 1)).toFloat))
+        case descr =>
+          val t = resolveTrip(descr, journey(i - 1), date)
+          val alight = alightSeq(t.tripId, journey(i + 1), t.boardSeq)
+          val (c, a) = predictionAt(t, alight, Codes.EventArrival)
+          curve = c; anchor = a
+      }
+      i += 2
+    }
+    (curve, anchor)
+  }
+
+  /** The trip page (mod.rs:690-795): journey ends with a trip descriptor. */
+  private def tripPageHtml(datetime: String, journey: Seq[String]): String = {
+    val date = serviceDate(datetime)
+    val t = resolveTrip(journey.last, journey(journey.size - 2), date)
+    val rows = Monitor.tripPage(spark, predictions, schedule, t.tripId,
+      t.tripStartDate, t.tripStartTime, t.boardSeq).collect()
+    val trs = rows.map { r =>
+      def ts(f: String) = Option(r.getAs[java.sql.Timestamp](f))
+        .map(_.toInstant.toString).getOrElse("?")
+      s"""<tr><td>${r.getAs[Int]("stop_sequence")}</td>
+         |<td>${if (r.getAs[Int]("event_type") == Codes.EventDeparture) "dep" else "arr"}</td>
+         |<td>${escapeHtml(Option(r.getAs[String]("stop_name")).getOrElse("?"))}</td>
+         |<td>${ts("sched_ts")}</td><td>${ts("q1_ts")}</td>
+         |<td>${ts("median_ts")}</td><td>${ts("q99_ts")}</td></tr>""".stripMargin
+    }
+    s"""<html><body><h1>${escapeHtml(journey.last)}</h1>
+       |<table><tr><th>seq</th><th>event</th><th>stop</th><th>scheduled</th>
+       |<th>-</th><th>o</th><th>+</th></tr>
+       |${trs.mkString("\n")}
+       |</table></body></html>""".stripMargin
+  }
+
+  /** Journey stop page (mod.rs:866-890): arrival context from the legs
+    * before the final stop; per-departure transfer probability, F8 cut. */
+  private def journeyStopPage(datetime: String, journey: Seq[String]): String = {
+    if (journey.size == 1) return stopPage(datetime, journey.head)
+    val stopName = journey.last
+    val (curve, anchor) = arrivalState(datetime, journey, journey.size - 1)
+    val day = java.time.LocalDate.parse(datetime.split(" ").head,
+      java.time.format.DateTimeFormatter.ofPattern("dd.MM.yy"))
+    val rows = Monitor.stopPageWithArrival(spark, predictions, schedule,
+      stopName, s"$day 00:00:00", s"${day.plusDays(1)} 00:00:00",
+      curve, anchor).collect()
+    val trs = rows.map { r =>
+      def s(f: String) = escapeHtml(Option(r.getAs[String](f)).getOrElse("?"))
+      s"""<tr><td>${s("route_short_name")}</td><td>${s("trip_id")}</td>
+         |<td>${r.getAs[java.sql.Timestamp]("median_ts").toInstant}</td>
+         |<td>${s("delay_label")}</td>
+         |<td>${(r.getAs[Double]("transfer_prob") * 100).round}%</td></tr>""".stripMargin
+    }
+    s"""<html><body><h1>${escapeHtml(stopName)}</h1>
+       |<table><tr><th>route</th><th>trip</th><th>median</th><th>delay</th>
+       |<th>transfer</th></tr>
+       |${trs.mkString("\n")}
+       |</table></body></html>""".stripMargin
+  }
+
+  /** Journey info page (mod.rs:1264 generate_info_page): one row per
+    * component with kind, reach probability and median instant. Journeys
+    * must end with a stop (ride legs need their alighting stop). */
+  private def infoPage(datetime: String, journey: Seq[String]): String = {
+    require(journey.size % 2 == 1, "info journeys must end with a stop")
+    val date = serviceDate(datetime)
+    val startEpoch = java.time.LocalDateTime.parse(datetime, PathDtFmt)
+      .toEpochSecond(java.time.ZoneOffset.UTC).toDouble
+    val legs = (1 until journey.size by 2).map { i =>
+      journey(i) match {
+        case "Fußweg" => Monitor.WalkLeg(
+          stopDistanceM(journey(i - 1), journey(i + 1)).toFloat)
+        case descr =>
+          val t = resolveTrip(descr, journey(i - 1), date)
+          Monitor.RideLeg(t.tripId, t.tripStartDate, t.tripStartTime,
+            t.boardSeq, alightSeq(t.tripId, journey(i + 1), t.boardSeq))
+      }
+    }
+    val rows = Monitor.journey(spark, predictions, schedule, startEpoch, legs)
+      .select("component_idx", "kind", "trip_id", "reach_prob", "median_epoch")
+      .collect()
+    val trs = rows.map { r =>
+      s"""<tr><td>${r.getAs[Int]("component_idx")}</td>
+         |<td>${escapeHtml(r.getAs[String]("kind"))}</td>
+         |<td>${escapeHtml(r.getAs[String]("trip_id"))}</td>
+         |<td>${r.getAs[Double]("reach_prob")}</td>
+         |<td>${java.time.Instant.ofEpochSecond(r.getAs[Double]("median_epoch").toLong)}</td></tr>""".stripMargin
+    }
+    s"""<html><body><h1>Journey</h1>
+       |<table><tr><th>#</th><th>kind</th><th>trip</th><th>reach</th>
+       |<th>median</th></tr>
        |${trs.mkString("\n")}
        |</table></body></html>""".stripMargin
   }

@@ -754,4 +754,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     // non-file relation (in-memory) falls back to count()
     assert(Similarity.corpusCount(spark.range(9).toDF("vec_id")) == 9L)
   }
+
+  test("corpusCount: many-file tables sample footers and extrapolate by bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus_count_many").toString
+    // 64 files of uneven row counts (range partitioning is contiguous)
+    spark.range(20000).selectExpr("id as vec_id", "cast(id as string) as pad")
+      .repartition(64).write.mode("overwrite").parquet(dir)
+    val base = spark.read.parquet(dir)
+    val nFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles > 8, s"fixture must have many files, got $nFiles")
+    // under the cap: exact
+    assert(Similarity.corpusCount(base) == 20000L)
+    // over the cap: strided sample + bytes extrapolation — sizing needs a
+    // factor-of-~2 estimate, assert well inside that
+    val est = Similarity.corpusCount(base, maxFooters = 8)
+    assert(est > 10000L && est < 40000L, s"estimate $est out of range")
+    // the estimate must feed the same auto plane count as the exact figure
+    assert(Similarity.autoPlanesPerTable(est) == Similarity.autoPlanesPerTable(20000L))
+  }
 }

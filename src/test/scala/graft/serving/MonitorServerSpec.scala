@@ -60,8 +60,11 @@ class MonitorServerSpec extends AnyFunSuite {
         assert(graft.ops.MediaCodec.pngPixels(png).exists(_.length == 120 * 3))
       }
 
+      // an unparseable journey path lands in the journey handler and renders
+      // the reference's 500 error page (mod.rs:188-190: any handler error →
+      // INTERNAL_SERVER_ERROR page, not a 404)
       val missing = get(port, "/a/b/c/d")
-      assert(missing.statusCode() == 404)
+      assert(missing.statusCode() == 500)
 
       // path segments must decode only %-escapes: a literal '+' (which the
       // X14 escaping passes through) is part of the name, NOT a space — so
@@ -70,6 +73,53 @@ class MonitorServerSpec extends AnyFunSuite {
       assert(plus.statusCode() == 200)
       assert(plus.body().contains("<h1>Stop+2</h1>"), s"got: ${plus.body().take(120)}")
       assert(plus.body().contains("no departures"))
+    } finally server.stop()
+  }
+
+  test("serves every reference journey route shape (trip page, walk legs, info)") {
+    val (sched, preds) = graft.queries.GtfsPack.predictionState(spark)
+    val server = new MonitorServer(spark, sched, preds)
+    val port = server.start()
+    // T1 (route R1 "10", Bus, headsign Downtown) departs Stop 2 at 08:05:30;
+    // the URL descriptor carries minute granularity (journey_data.rs:355)
+    val trip = "Bus%2010%20nach%20Downtown%20um%2008:05"
+    val dt = "04.03.24%2008:00"
+    try {
+      // search page variants (mod.rs:154-156)
+      assert(get(port, "/embed").statusCode() == 200)
+      assert(get(port, "/noscript").statusCode() == 200)
+
+      // trip page: boarding departure + later arrivals with [-/o/+] quantiles
+      val tp = get(port, s"/$dt/Stop%202/$trip/")
+      assert(tp.statusCode() == 200, tp.body().take(200))
+      assert(tp.body().contains("Stop 4") && tp.body().contains("Stop 6"),
+        s"later stops missing: ${tp.body().take(400)}")
+      assert(tp.body().contains("<td>dep</td>") && tp.body().contains("<td>arr</td>"))
+
+      // journey stop page: arrive at Stop 4 with T1, see departures with
+      // transfer probabilities (F8 keeps rows ≥ 5%)
+      val jp = get(port, s"/$dt/Stop%202/$trip/Stop%204/")
+      assert(jp.statusCode() == 200, jp.body().take(200))
+      assert(jp.body().contains("<h1>Stop 4</h1>"))
+      assert(jp.body().contains("transfer"))
+      assert("<td>\\d+%</td>".r.findFirstIn(jp.body()).isDefined,
+        s"no transfer-probability rows: ${jp.body().take(400)}")
+
+      // walk leg (Fußweg) between stops, then the stop page there
+      val wp = get(port, s"/$dt/Stop%202/$trip/Stop%204/Fu%C3%9Fweg/Stop%205/")
+      assert(wp.statusCode() == 200, wp.body().take(200))
+      assert(wp.body().contains("<h1>Stop 5</h1>"))
+
+      // a journey may not END with a walk (mod.rs:410 → 400)
+      val bad = get(port, s"/$dt/Stop%202/Fu%C3%9Fweg/")
+      assert(bad.statusCode() == 400)
+      assert(bad.body().contains("may not end with a walk"))
+
+      // info page over the composed journey (mod.rs:172-178, 1264)
+      val ip = get(port, s"/info/$dt/Stop%202/$trip/Stop%204/")
+      assert(ip.statusCode() == 200, ip.body().take(200))
+      assert(ip.body().contains("<td>start</td>") && ip.body().contains("<td>ride</td>"))
+      assert(ip.body().contains("T1"))
     } finally server.stop()
   }
 }
