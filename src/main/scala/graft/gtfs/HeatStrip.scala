@@ -12,8 +12,9 @@ import graft.curves.{CPoint, Curves}
   * the gradient floor; pixels fully outside the distribution render white.
   *
   * The strip encodes through the real zlib PNG writer
-  * ([[graft.ops.MediaCodec.pngBytes]], 8-bit truecolor with genuine CRCs);
-  * the reference's constant alpha=255 channel is omitted (RGB, not RGBA).
+  * ([[graft.ops.MediaCodec.pngBytes]], 8-bit truecolor with genuine CRCs)
+  * as RGBA with the reference's constant alpha 255 (color type 6;
+  * `src/monitor/mod.rs:1226`, `:1257` push alpha 255 per pixel).
   * Gradient evaluation follows the reference's `colorous` crate — a port of
   * d3-scale-chromatic, whose multi-anchor ramps evaluate a UNIFORM CUBIC
   * BASIS SPLINE over the public 9-class ColorBrewer anchors (d3's
@@ -101,9 +102,28 @@ object HeatStrip {
     out
   }
 
-  /** The strip as a real PNG (width × 1, 8-bit truecolor, zlib IDAT). */
+  /** RGBA pixel bytes: [[pixels]] with the reference's constant alpha 255
+    * appended per pixel (mod.rs:1226, :1257). */
+  def pixelsRgba(curve: Array[CPoint], anchorEpoch: Double, minEpoch: Double,
+                 maxEpoch: Double, width: Int, eventType: Int): Array[Byte] = {
+    val rgb = pixels(curve, anchorEpoch, minEpoch, maxEpoch, width, eventType)
+    val out = new Array[Byte](width * 4)
+    var i = 0
+    while (i < width) {
+      out(i * 4) = rgb(i * 3)
+      out(i * 4 + 1) = rgb(i * 3 + 1)
+      out(i * 4 + 2) = rgb(i * 3 + 2)
+      out(i * 4 + 3) = 255.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** The strip as a real PNG (width × 1, 8-bit truecolor + alpha — color
+    * type 6, matching the reference's RGBA byte format). */
   def png(curve: Array[CPoint], anchorEpoch: Double, minEpoch: Double,
           maxEpoch: Double, width: Int, eventType: Int): Array[Byte] =
     graft.ops.MediaCodec.pngBytes(width, 1,
-      pixels(curve, anchorEpoch, minEpoch, maxEpoch, width, eventType))
+      pixelsRgba(curve, anchorEpoch, minEpoch, maxEpoch, width, eventType),
+      channels = 4)
 }

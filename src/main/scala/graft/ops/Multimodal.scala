@@ -58,16 +58,20 @@ object MediaCodec {
   private def chunk(tag: String, data: Array[Byte]): Array[Byte] =
     be32(data.length) ++ tag.getBytes("ISO-8859-1") ++ data ++ crc32(tag, data)
 
-  /** REAL PNG: signature, IHDR (8-bit truecolor), a zlib-deflated IDAT of
-    * filter-0 scanlines whose channel bytes cycle through `content`
-    * row-major, IEND — all chunks with genuine CRC32s. Empty content emits
-    * an empty IDAT (such assets are skipped downstream, as a real pipeline
-    * skips zero-byte blobs). */
-  def pngBytes(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+  /** REAL PNG: signature, IHDR (8-bit truecolor, color type 2 for 3
+    * channels / 6 for RGBA), a zlib-deflated IDAT of filter-0 scanlines
+    * whose channel bytes cycle through `content` row-major, IEND — all
+    * chunks with genuine CRC32s. Empty content emits an empty IDAT (such
+    * assets are skipped downstream, as a real pipeline skips zero-byte
+    * blobs). */
+  def pngBytes(width: Int, height: Int, content: Array[Byte],
+               channels: Int = 3): Array[Byte] = {
+    require(channels == 3 || channels == 4,
+      s"channels must be 3 (RGB) or 4 (RGBA), got $channels")
     val idat: Array[Byte] =
       if (content.isEmpty) Array.emptyByteArray
       else {
-        val stride = 1 + width * 3
+        val stride = 1 + width * channels
         val raw = new Array[Byte](height * stride)
         var k = 0 // global pixel-channel index
         var y = 0
@@ -89,7 +93,8 @@ object MediaCodec {
         out.toByteArray
       }
     PngSig ++
-      chunk("IHDR", be32(width) ++ be32(height) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IHDR", be32(width) ++ be32(height) ++
+        Array[Byte](8, if (channels == 4) 6 else 2, 0, 0, 0)) ++
       chunk("IDAT", idat) ++
       chunk("IEND", Array.emptyByteArray)
   }
@@ -225,20 +230,27 @@ object MediaCodec {
   def pngPixels(b: Array[Byte]): Option[Array[Byte]] = {
     for {
       (w, h, _) <- parsePng(b)
+      // channel count from the IHDR color type: 2 = truecolor RGB,
+      // 6 = truecolor + alpha; other types unsupported
+      ch <- (b(25) & 0xff) match {
+        case 2 => Some(3)
+        case 6 => Some(4)
+        case _ => None
+      }
       idat <- pngIdat(b)
       if idat.nonEmpty && w > 0 && h > 0 &&
         // corrupt IHDR dims: the expected raw size must fit an Int without
         // overflow AND be achievable from this stream (zlib expands at most
         // ~1032:1) — otherwise a flipped dimension byte would turn the
         // allocation below into a NegativeArraySize/OOM task failure.
-        // Division form: h * (1 + 3w) itself can exceed Long for forged
+        // Division form: h * (1 + ch·w) itself can exceed Long for forged
         // w = h = 2^31-1, so never form the product
         h.toLong <= math.min(Int.MaxValue.toLong,
-          idat.length.toLong * 1032L + 1024L) / (1L + 3L * w.toLong)
+          idat.length.toLong * 1032L + 1024L) / (1L + ch.toLong * w.toLong)
       raw <- try {
         val inf = new java.util.zip.Inflater()
         inf.setInput(idat)
-        val stride = 1 + w * 3
+        val stride = 1 + w * ch
         val out = new Array[Byte](h * stride)
         var off = 0
         var stalled = false
@@ -250,13 +262,13 @@ object MediaCodec {
         if (off == out.length) Some(out) else None
       } catch { case _: java.util.zip.DataFormatException => None }
       pixels <- {
-        val stride = 1 + w * 3
+        val stride = 1 + w * ch
         var y = 0
         var filtersOk = true
-        val px = new Array[Byte](h * w * 3)
+        val px = new Array[Byte](h * w * ch)
         while (y < h && filtersOk) {
           if (raw(y * stride) != 0) filtersOk = false
-          else System.arraycopy(raw, y * stride + 1, px, y * w * 3, w * 3)
+          else System.arraycopy(raw, y * stride + 1, px, y * w * ch, w * ch)
           y += 1
         }
         if (filtersOk) Some(px) else None

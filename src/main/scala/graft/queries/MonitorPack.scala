@@ -180,9 +180,11 @@ object MonitorPack extends QueryPack {
       val curve = points
         .map(r => graft.curves.CPoint(r.getFloat(0), r.getFloat(1))).toArray
       val anchor = minE - curve.head.x
+      // RGBA (4 bytes/pixel): the PNG is color type 6 with the reference's
+      // constant alpha 255 — the oracle pins all four channels
       val bytes = HeatStrip.png(curve, anchor, w0, w1, HeatStripWidth, eventType)
       graft.ops.MediaCodec.pngPixels(bytes).getOrElse(Array.emptyByteArray)
-        .grouped(3).map(a => (a(0) & 0xff, a(1) & 0xff, a(2) & 0xff)).toSeq
+        .grouped(4).map(p => (p(0) & 0xff, p(1) & 0xff, p(2) & 0xff, p(3) & 0xff)).toSeq
     }
     rows.crossJoin(broadcast(win))
       .withColumn("pxs", strip(col("prediction_curve"), col("min_e"),
@@ -190,7 +192,8 @@ object MonitorPack extends QueryPack {
       .select(PredKeys.map(col) :+ posexplode(col("pxs")): _*)
       .select(PredKeys.map(col) ++ Seq(
         col("pos").cast("int").as("px"), col("col._1").as("r"),
-        col("col._2").as("g"), col("col._3").as("b")): _*)
+        col("col._2").as("g"), col("col._3").as("b"),
+        col("col._4").as("a")): _*)
       .orderBy(PredKeys.map(col) :+ col("px"): _*)
   }
 
@@ -515,7 +518,7 @@ object MonitorPack extends QueryPack {
                LEFT JOIN hs_anchors a1 ON a1.gi = w.event_type AND a1.i = w.seg
                LEFT JOIN hs_anchors a2 ON a2.gi = w.event_type AND a2.i = w.seg + 1
                LEFT JOIN hs_anchors a3 ON a3.gi = w.event_type AND a3.i = w.seg + 2)
-    SELECT ${keyList()}, CAST(px AS INT) AS px, r, g, b
+    SELECT ${keyList()}, CAST(px AS INT) AS px, r, g, b, 255 AS a
     FROM hs_col ORDER BY ${keyList()}, px"""
   }
 

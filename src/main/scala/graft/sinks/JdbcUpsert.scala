@@ -159,7 +159,13 @@ object JdbcUpsert {
   private def dupKey(e: SQLException): Boolean =
     stateOf(e).exists(s => s == "23505" || s == "23000")
 
-  private def retriable(e: SQLException): Boolean = stateOf(e).contains("40001")
+  // SQLSTATE 40001 is the standard serialization-failure code (MySQL maps
+  // ER_LOCK_DEADLOCK onto it); some drivers surface only the vendor code,
+  // so error 1213 — the exact number the reference retries on
+  // (batched_statements.rs:59-107) — is accepted as the deadlock signature too
+  private def retriable(e: SQLException): Boolean =
+    stateOf(e).contains("40001") || e.getErrorCode == 1213 ||
+      Option(e.getNextException).exists(_.getErrorCode == 1213)
 
   private def jdbcValue(r: Row, col: String): AnyRef = {
     val v = r.getAs[Any](col)

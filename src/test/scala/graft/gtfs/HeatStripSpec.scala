@@ -76,20 +76,28 @@ class HeatStripSpec extends AnyFunSuite {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
     assert(img != null, "ImageIO must accept the stream (signature/CRC validity)")
     assert(img.getWidth == 8 && img.getHeight == 1)
+    assert(img.getColorModel.hasAlpha, "color type 6 must decode with alpha")
     for (x <- 0 until 8) {
       val argb = img.getRGB(x, 0)
       val got = ((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
       val want = (pixels(x * 3) & 0xff, pixels(x * 3 + 1) & 0xff, pixels(x * 3 + 2) & 0xff)
       assert(got == want, s"pixel $x: ImageIO $got vs encoder input $want")
+      assert(((argb >>> 24) & 0xff) == 255,
+        s"pixel $x: the reference's constant alpha 255 (mod.rs:1226)")
     }
   }
 
-  test("png round-trips the exact pixel bytes") {
-    val pixels = HeatStrip.pixels(uniform, 1000.0, 1000.0, 1080.0, 8, Codes.EventArrival)
+  test("png round-trips the exact RGBA pixel bytes") {
+    val rgb = HeatStrip.pixels(uniform, 1000.0, 1000.0, 1080.0, 8, Codes.EventArrival)
+    val rgba = HeatStrip.pixelsRgba(uniform, 1000.0, 1000.0, 1080.0, 8, Codes.EventArrival)
+    // RGBA = RGB + constant 255 per pixel
+    for (x <- 0 until 8; c <- 0 until 3)
+      assert(rgba(x * 4 + c) == rgb(x * 3 + c))
+    assert((0 until 8).forall(x => (rgba(x * 4 + 3) & 0xff) == 255))
     val png = HeatStrip.png(uniform, 1000.0, 1000.0, 1080.0, 8, Codes.EventArrival)
     val meta = graft.ops.MediaCodec.parsePng(png)
     assert(meta.contains((8, 1, 8)))
     val decoded = graft.ops.MediaCodec.pngPixels(png)
-    assert(decoded.isDefined && decoded.get.sameElements(pixels))
+    assert(decoded.isDefined && decoded.get.sameElements(rgba))
   }
 }

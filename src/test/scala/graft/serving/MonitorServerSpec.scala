@@ -57,7 +57,8 @@ class MonitorServerSpec extends AnyFunSuite {
       b64s.foreach { b64 =>
         val png = java.util.Base64.getDecoder.decode(b64)
         assert(graft.ops.MediaCodec.parsePng(png).contains((120, 1, 8)))
-        assert(graft.ops.MediaCodec.pngPixels(png).exists(_.length == 120 * 3))
+        assert(graft.ops.MediaCodec.pngPixels(png).exists(_.length == 120 * 4),
+          "RGBA strip (color type 6, constant alpha)")
       }
 
       // an unparseable journey path lands in the journey handler and renders

@@ -90,4 +90,83 @@ class JdbcUpsertSpec extends AnyFunSuite {
       rs.next(); rs.getObject(1) == null
     })
   }
+
+  // ---- MySQL-semantics branches via the in-memory FakeMySql driver ----
+  // (no MySQL/H2 jar exists on the offline classpath; the fake implements
+  // the DIALECT behaviors Derby cannot produce — changed-row counts,
+  // SUCCESS_NO_INFO, 1213 deadlocks, 23000 duplicates)
+
+  private def mysqlCfg(maxRetries: Int = 5) = JdbcUpsert.Config(
+    FakeMySql.Url, "mysql_sink",
+    keyCols = Seq("trip_id", "stop_sequence"),
+    valueCols = Seq("delay", "src"),
+    maxRetries = maxRetries, retryDelayMs = 1)
+
+  private def mysqlFixture(): Unit = {
+    FakeMySql.ensureRegistered()
+    FakeMySql.reset()
+    FakeMySql.createTable("mysql_sink", keys = 2)
+    FakeMySql.seed("mysql_sink", Map(
+      Seq[Any]("T1", 1) -> Seq[Any](10, "old"),   // will arrive UNCHANGED
+      Seq[Any]("T2", 2) -> Seq[Any](20, "keep"))) // will arrive changed
+  }
+
+  // row order matters: the first missed row is NEW, so the INSERT batch
+  // half-applies before hitting the duplicate — exercising the savepoint
+  // rollback + per-row INSERT-IGNORE re-run, not just the throw
+  private def mysqlBatch = {
+    import spark.implicits._
+    Seq(
+      ("T0", 0, 5, "ins1"),  // new → UPDATE count 0 → INSERT leg
+      ("T1", 1, 10, "old"),  // matched but IDENTICAL → changed-rows count 0 → dup on INSERT → ignored
+      ("T2", 2, 99, "new2"), // matched and changed → UPDATE count 1
+      ("T4", 4, 40, "ins2")) // new → INSERT leg, after the duplicate
+      .toDF("trip_id", "stop_sequence", "delay", "src").coalesce(1)
+  }
+  private val mysqlExpected = Map(
+    Seq[Any]("T0", 0) -> Seq[Any](5, "ins1"),
+    Seq[Any]("T1", 1) -> Seq[Any](10, "old"),
+    Seq[Any]("T2", 2) -> Seq[Any](99, "new2"),
+    Seq[Any]("T4", 4) -> Seq[Any](40, "ins2"))
+
+  test("MySQL semantics: changed-row counts route unchanged rows through INSERT IGNORE") {
+    mysqlFixture()
+    JdbcUpsert.upsert(mysqlBatch, mysqlCfg())
+    assert(FakeMySql.rows("mysql_sink") == mysqlExpected)
+  }
+
+  test("MySQL semantics: SUCCESS_NO_INFO batches re-run per row for exact counts") {
+    mysqlFixture()
+    FakeMySql.successNoInfo = true
+    JdbcUpsert.upsert(mysqlBatch, mysqlCfg())
+    assert(FakeMySql.rows("mysql_sink") == mysqlExpected)
+  }
+
+  test("MySQL semantics: 1213/40001 deadlocks retry with backoff and converge") {
+    mysqlFixture()
+    FakeMySql.deadlocksToInject.set(2)
+    JdbcUpsert.upsert(mysqlBatch, mysqlCfg())
+    assert(FakeMySql.deadlocksToInject.get() == 0, "both deadlocks consumed")
+    assert(FakeMySql.rows("mysql_sink") == mysqlExpected)
+  }
+
+  test("MySQL semantics: bare vendor code 1213 (no SQLSTATE) still retries") {
+    mysqlFixture()
+    FakeMySql.deadlockAsVendorCodeOnly = true
+    FakeMySql.deadlocksToInject.set(1)
+    JdbcUpsert.upsert(mysqlBatch, mysqlCfg())
+    assert(FakeMySql.rows("mysql_sink") == mysqlExpected)
+  }
+
+  test("MySQL semantics: deadlock past maxRetries surfaces the SQLException") {
+    mysqlFixture()
+    FakeMySql.deadlocksToInject.set(99)
+    val e = intercept[Exception](JdbcUpsert.upsert(mysqlBatch, mysqlCfg(maxRetries = 2)))
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists {
+      case s: java.sql.SQLException => s.getErrorCode == 1213
+      case _ => false
+    }, s"expected a 1213 SQLException in the cause chain, got $e")
+  }
 }
