@@ -243,7 +243,8 @@ object ScaleRehearsal {
       // feedStops < stops puts the W3 basis mid-trip, leaving the later
       // stops as realtime prediction targets (the refresh op needs them;
       // with every stop delayed there would be nothing left to predict)
-      def genFeed(label: String, feedStops: Int): java.nio.file.Path = {
+      def genFeed(label: String, feedStops: Int,
+                  dateFor: Int => String = _ => "20240115"): java.nio.file.Path = {
         val dir = java.nio.file.Files.createTempDirectory(s"sr_rt_$label")
         val tGen = System.nanoTime()
         for (f <- 0 until files) {
@@ -254,7 +255,7 @@ object ScaleRehearsal {
             val t = (g % tripsPerVariant).toInt
             TripUpdate(
               TripDescriptor(Some(s"T${r}_0_$t"), Some(s"R$r"),
-                Some(fmtHms(5 * 3600 + t * 1200)), Some("20240115")),
+                Some(fmtHms(5 * 3600 + t * 1200)), Some(dateFor(f))),
               (1 to feedStops).map { i =>
                 val d = (((g * 31 + i * 13 + f) % 500) - 100).toInt
                 StopTimeUpdate(Some(i), Some(s"S$i"),
@@ -336,6 +337,86 @@ object ScaleRehearsal {
         batchReport("stream_st2_requests", qh2)
       }
 
+      if (opWanted("st2_ttl")) {
+        // ---- ST2 state EVICTION under identity churn (SCALE.md row) ----
+        // The service date in the trip descriptor advances every `rotEvery`
+        // files, so the stream keeps minting fresh VehicleIdentifiers
+        // (trip_id, start_date, start_time) while earlier generations go
+        // silent. With the TTL shrunk to rehearsal scale, the state store
+        // must track the LIVE vehicle set — rows ≈ one TTL window of
+        // identities, falling back to ZERO once the feed goes quiet — not
+        // the cumulative identity count. That is the production claim
+        // behind the 12 h TTL: an importer running for months holds state
+        // proportional to vehicles currently on the road.
+        val ttl = sys.env.getOrElse("SPARK_GRAFT_SR_TTL", "12 seconds")
+        val rotEvery = sys.env.getOrElse("SPARK_GRAFT_SR_ROT_FILES", "20").toInt
+        val drainSecs = sys.env.getOrElse("SPARK_GRAFT_SR_DRAIN", "45").toInt
+        val rtDirRot = genFeed("rot", stops, f =>
+          java.time.LocalDate.of(2024, 1, 1).plusDays((f / rotEvery).toLong)
+            .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE))
+        val generations = (files + rotEvery - 1) / rotEvery
+        val cumulativeIds = generations.toLong * math.min(nTrips, rotEvery.toLong * tripsPerFile)
+        val ckptT = java.nio.file.Files.createTempDirectory("sr_ckpt_ttl").toString
+        val emitted = new AtomicLong
+        runTimed("stream_st2_ttl") {
+          val rt = graft.streaming.StreamingImport.rtStream(
+            spark, rtDirRot.toString, filesPerTrigger)
+          val recs = graft.streaming.StreamingImport.recordsStream(
+            spark, rt, schedule, "scale")
+          val reqs = graft.streaming.StreamingImport.predictionRequests(
+            spark, recs,
+            org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+            ttl)
+          val q = reqs.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckptT)
+            .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[
+              graft.streaming.PredictionRequest], _: Long) =>
+              emitted.addAndGet(b.count()); ()
+            }
+            .start()
+          // recentProgress retains only the trailing ~100 progresses — far
+          // fewer than this run's batch count — so the trajectory is polled
+          // LIVE from lastProgress (keyed by batchId; poll period well under
+          // the 1 s trigger so no batch is skipped)
+          val traj = scala.collection.mutable.TreeMap[Long, (Long, Long, Long)]()
+          def poll(): Unit = Option(q.lastProgress).foreach { p =>
+            if (p.stateOperators.nonEmpty)
+              traj(p.batchId) = (p.numInputRows,
+                p.stateOperators.head.numRowsTotal,
+                p.stateOperators.head.numRowsRemoved)
+          }
+          // run until the file backlog is consumed, then keep the trigger
+          // firing (empty batches process timeouts) so eviction completes
+          val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+          var drained = 0
+          while (drained < drainSecs * 4 && System.nanoTime() < deadline) {
+            Thread.sleep(250)
+            poll()
+            if (traj.valuesIterator.map(_._1).sum >= files) drained += 1 // 250 ms ticks
+          }
+          q.stop(); q.awaitTermination(); poll()
+          val rows = traj.toSeq
+          val peak = if (rows.isEmpty) 0L else rows.map(_._2._2).max
+          val fin = if (rows.isEmpty) 0L else rows.last._2._2
+          val removed = rows.map(_._2._3).sum
+          println(f"[scale] stream_st2_ttl: ttl=$ttl rotEvery=$rotEvery " +
+            f"generations=$generations cumulative_ids=$cumulativeIds " +
+            f"peak_state_rows=$peak final_state_rows=$fin evicted=$removed " +
+            f"requests=${emitted.get()}")
+          // print only the informative batches: state or eviction changed
+          var lastPrinted = (-1L, -1L)
+          rows.foreach { case (b, (in, tot, rem)) =>
+            if ((tot, rem) != lastPrinted || in > 0) {
+              println(s"[scale]   ttl batch=$b files=$in state_rows=$tot removed=$rem")
+              lastPrinted = (tot, rem)
+            }
+          }
+          peak
+        }
+      }
+
       if (opWanted("refresh")) {
         // the reference importer's FULL realtime loop at scale: each
         // micro-batch upserts records, re-predicts the touched service date
@@ -379,13 +460,31 @@ object ScaleRehearsal {
         new java.io.File(docsDir).listFiles().map(_.length).sum / 1e6}%.0fMB")
       if (opWanted("dedup_exact"))
         runTimed("dedup_exact")(graft.ops.Dedup.exact(docs).count())
-      lazy val sh = graft.ops.Dedup.shingles(docs, "doc_id", "text", 3, 100).cache()
+      // cache the shingle index (and the pair set below) only when MORE THAN
+      // ONE selected op consumes it: at 30M docs the cached index is ~60 GB
+      // of disk blocks that this box's single scratch disk cannot hold next
+      // to the consumer's own shuffle (SCALE.md 30M abort). A lone op runs
+      // UNCACHED — inside one op the doc-keyed repartition exchange is
+      // already reused across its aggregations (signatures + doc sets read
+      // one shuffle), so nothing is computed twice; only cross-op sharing
+      // needs the cache.
+      val shConsumers = Seq("shingle_index", "minhash_lsh", "ngram_pairs",
+        "clusters", "pipeline_curate").count(opWanted)
+      lazy val sh = {
+        val d = graft.ops.Dedup.shingles(docs, "doc_id", "text", 3, 100)
+        if (shConsumers > 1) d.cache() else d
+      }
       if (opWanted("shingle_index")) runTimed("shingle_index")(sh.count())
       if (opWanted("minhash_lsh")) runTimed("minhash_lsh")(
         graft.ops.Dedup.minhashLshFromShingles(sh, 32, 8, 0.5).count())
       if (opWanted("simhash"))
         runTimed("simhash")(graft.ops.Dedup.simhashPairs(docs, 3).count())
-      lazy val pairs = graft.ops.Dedup.ngramJaccardFromShingles(sh, 0.5).cache()
+      val pairConsumers = Seq("ngram_pairs", "clusters", "pipeline_curate")
+        .count(opWanted)
+      lazy val pairs = {
+        val d = graft.ops.Dedup.ngramJaccardFromShingles(sh, 0.5)
+        if (pairConsumers > 1) d.cache() else d
+      }
       if (opWanted("ngram_pairs")) runTimed("ngram_pairs")(pairs.count())
       if (opWanted("clusters")) runTimed("clusters")(
         graft.ops.Dedup.clusters(docs, pairs).filter(!col("is_kept")).count())

@@ -143,7 +143,8 @@ object StreamingImport {
     * processing-time timeouts schedule a batch every trigger, which makes
     * `processAllAvailable` block forever). */
   def predictionRequests(spark: SparkSession, records: DataFrame,
-                         timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+                         timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout,
+                         ttl: String = "12 hours")
       : Dataset[PredictionRequest] = {
     import spark.implicits._
     val slim = records.select(
@@ -179,7 +180,7 @@ object StreamingImport {
                   (basis.stopSequence == s.stopSequence && basis.lastSeen < s.lastSeen))
               if (!regress) state.update(basis)
               if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
-                state.setTimeoutDuration("12 hours") // ST2 TTL
+                state.setTimeoutDuration(ttl) // ST2 TTL (12 h in production)
               val unchanged = regress || stored.exists(s =>
                 s.stopSequence == basis.stopSequence && s.delayDeparture == basis.delayDeparture)
               if (unchanged) Iterator.empty
