@@ -453,8 +453,17 @@ object ScaleRehearsal {
 
     if (mode == "docs") {
       // ---- training-data pipeline ops at corpus scale ----
-      val docsDir = java.nio.file.Files.createTempDirectory("sr_docs").toString + "/documents"
-      syntheticDocs(spark, nDocs).write.mode("overwrite").parquet(docsDir)
+      // SPARK_GRAFT_SR_DOCS_DIR: persistent corpus location, reused when it
+      // already holds a committed write. The corpus is deterministic (pure
+      // hash arithmetic), so sharing one generation across the per-op
+      // fresh-disk processes changes nothing about the ops measured — while
+      // saving the ~20 min the interpreted higher-order string build costs
+      // at 30M docs, and leaving the whole scratch budget to the op's
+      // shuffle.
+      val docsDir = sys.env.getOrElse("SPARK_GRAFT_SR_DOCS_DIR",
+        java.nio.file.Files.createTempDirectory("sr_docs").toString + "/documents")
+      if (!new java.io.File(docsDir, "_SUCCESS").exists())
+        syntheticDocs(spark, nDocs).write.mode("overwrite").parquet(docsDir)
       val docs = spark.read.parquet(docsDir)
       println(f"[scale] documents: rows=${docs.count()} parquet=${
         new java.io.File(docsDir).listFiles().map(_.length).sum / 1e6}%.0fMB")
