@@ -465,7 +465,13 @@ object ScaleRehearsal {
       if (!new java.io.File(docsDir, "_SUCCESS").exists())
         syntheticDocs(spark, nDocs).write.mode("overwrite").parquet(docsDir)
       val docs = spark.read.parquet(docsDir)
-      println(f"[scale] documents: rows=${docs.count()} parquet=${
+      val nHave = docs.count()
+      // a reused dir holding a DIFFERENT-sized corpus would silently turn
+      // every "30M" measurement into a measurement of whatever is on disk —
+      // fail loudly instead (the caller deletes the dir or fixes SR_DOCS)
+      require(nHave == nDocs, s"corpus at $docsDir has $nHave rows but " +
+        s"SPARK_GRAFT_SR_DOCS=$nDocs — delete the dir or match the size")
+      println(f"[scale] documents: rows=$nHave parquet=${
         new java.io.File(docsDir).listFiles().map(_.length).sum / 1e6}%.0fMB")
       if (opWanted("dedup_exact"))
         runTimed("dedup_exact")(graft.ops.Dedup.exact(docs).count())
@@ -477,8 +483,15 @@ object ScaleRehearsal {
       // already reused across its aggregations (signatures + doc sets read
       // one shuffle), so nothing is computed twice; only cross-op sharing
       // needs the cache.
-      val shConsumers = Seq("shingle_index", "minhash_lsh", "ngram_pairs",
-        "clusters", "pipeline_curate").count(opWanted)
+      // the pairs chain counts as ONE sh consumer no matter how many pair
+      // ops run: when several do, `pairs` itself is cached, so sh is only
+      // materialized once by the pairs build — counting each pair op as a
+      // direct sh reader would cache the ~60 GB index for a single read,
+      // recreating the very disk exhaustion the conditional cache avoids
+      val anyPairOp = Seq("ngram_pairs", "clusters", "pipeline_curate")
+        .exists(opWanted)
+      val shConsumers = Seq("shingle_index", "minhash_lsh").count(opWanted) +
+        (if (anyPairOp) 1 else 0)
       lazy val sh = {
         val d = graft.ops.Dedup.shingles(docs, "doc_id", "text", 3, 100)
         if (shConsumers > 1) d.cache() else d

@@ -19,12 +19,19 @@ import org.apache.spark.sql.SparkSession
   *
   * Sized for statistics tables that fit the driver
   * ([[Predictor.MaxDriverRows]], same bound as the point-query Predictor);
-  * past that, use the broadcast-join form ([[Predictor.batchPredictRealtime]])
-  * whose curve side stays distributed.
+  * past that, [[tryGet]] returns None and the caller keeps the
+  * broadcast-join form ([[Predictor.batchPredictRealtime]]) whose curve
+  * side stays distributed — the size gate reads parquet FOOTER row counts
+  * (no data scan, re-checked only when the store version changes), so an
+  * analyser re-run that grows the store past the bound downgrades the next
+  * trigger to the join form instead of killing the stream on the
+  * [[Predictor.guarded]] require.
   */
 final class CurveCache(spark: SparkSession, specificDir: String, defaultDir: String) {
 
-  @volatile private var cached: Option[(Long, Broadcast[Predictor])] = None
+  // None inside the value slot = this store version is known oversized —
+  // remembered so the footer walk runs once per version, not per trigger
+  @volatile private var cached: Option[(Long, Option[Broadcast[Predictor]])] = None
 
   /** Cheap store fingerprint: FNV-1a over (file name, length, mtime) of every
     * file under both store directories. Any CurveStore.save* rewrite changes
@@ -49,21 +56,38 @@ final class CurveCache(spark: SparkSession, specificDir: String, defaultDir: Str
     h
   }
 
-  /** The current broadcast Predictor, rebuilt only when the store changed on
-    * disk. Thread-safe; callers must not destroy the returned broadcast. */
-  def get(): Broadcast[Predictor] = synchronized {
+  /** The current broadcast Predictor, rebuilt only when the store changed
+    * on disk — or None when the store exceeds [[Predictor.MaxDriverRows]]
+    * (decided from footer metadata BEFORE any collect, so an oversized
+    * store never OOMs the driver on the way to the guard). Thread-safe;
+    * callers must not destroy the returned broadcast. */
+  def tryGet(): Option[Broadcast[Predictor]] = synchronized {
     val v = storeVersion()
     cached match {
-      case Some((ver, bc)) if ver == v => bc
+      case Some((ver, bcOpt)) if ver == v => bcOpt
       case stale =>
         // unpersist (not destroy): in-flight tasks of the previous trigger
         // may still read the old value; unpersist drops executor copies and
         // lets them re-fetch from the driver if needed
-        stale.foreach(_._2.unpersist(blocking = false))
-        val bc = spark.sparkContext.broadcast(
-          CurveStore.loadMerged(spark, specificDir, defaultDir))
-        cached = Some((v, bc))
-        bc
+        stale.foreach(_._2.foreach(_.unpersist(blocking = false)))
+        def footerRows(dir: String): Long = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+            graft.ops.Similarity.corpusCount(spark.read.parquet(dir))
+          else 0L
+        }
+        val bcOpt =
+          if (footerRows(specificDir) + footerRows(defaultDir) <= Predictor.MaxDriverRows)
+            Some(spark.sparkContext.broadcast(
+              CurveStore.loadMerged(spark, specificDir, defaultDir)))
+          else None
+        cached = Some((v, bcOpt))
+        bcOpt
     }
   }
+
+  /** [[tryGet]] for callers that require the in-memory form. */
+  def get(): Broadcast[Predictor] = tryGet().getOrElse(throw new IllegalStateException(
+    s"curve store at $specificDir + $defaultDir exceeds Predictor.MaxDriverRows " +
+      s"(${Predictor.MaxDriverRows}); use the distributed join form"))
 }

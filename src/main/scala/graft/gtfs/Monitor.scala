@@ -232,9 +232,22 @@ object Monitor {
     * issues the same one-row queries per leg, journey_data.rs:487-493);
     * the returned frame has one row per component with the reach
     * probability and the 50% quantile instant. */
-  def journey(spark: SparkSession, predictions: DataFrame, schedule: GtfsSchedule,
-              startEpoch: Double, legs: Seq[JourneyLeg]): DataFrame = {
-    import spark.implicits._
+  /** One journey component's EXACT fold state (unrounded): the traveller's
+    * relative-time curve and absolute anchor after the component, plus the
+    * running reach probability. [[journey]] rounds these at its DataFrame
+    * boundary; the serving layer consumes the last state directly — one
+    * copy of the composition for both the oracled query and the HTTP
+    * pages. */
+  final case class JourneyState(idx: Int, kind: String, tripId: String,
+                                prob: Double, curve: Array[CPoint], anchor: Double)
+
+  /** The X10/X11 journey fold: start = ±30 s uniform curve at `startEpoch`
+    * (journey_data.rs:317-321); a ride multiplies in the transfer
+    * probability onto its boarding departure and replaces state with the
+    * alighting arrival prediction; a walk convolves the X9 walk-time
+    * curve. */
+  def journeyStates(predictions: DataFrame, startEpoch: Double,
+                    legs: Seq[JourneyLeg]): Seq[JourneyState] = {
 
     def predictionAt(tripId: String, date: String, startTime: Int, stopSeq: Int,
                      et: Int): (Array[CPoint], Double) = {
@@ -259,14 +272,8 @@ object Monitor {
     // double like the oracle's product of (1 - miss) terms — see
     // Curves.transferProbability
     var prob: Double = 1.0
-    // each row also carries the component's current relative-time curve —
-    // the journey QUERY drops it, but the oracle aux dump explodes it so the
-    // DuckDB reconstruction can replay the walk convolution's consumers
-    // (median + next transfer) without re-running the X10 recursion
-    val out = Seq.newBuilder[(Int, String, String, Double, Double, Double, Seq[CPoint])]
-    out += ((0, "start", "", 1.0,
-      anchor, anchor + Curves.xAtY(curve, 0.5f), curve.toSeq))
-
+    val out = Seq.newBuilder[JourneyState]
+    out += JourneyState(0, "start", "", 1.0, curve, anchor)
     legs.zipWithIndex.foreach {
       case (RideLeg(tripId, date, startTime, board, alight), i) =>
         val (depCurve, depAnchor) =
@@ -275,14 +282,25 @@ object Monitor {
         val (arrCurve, arrAnchor) =
           predictionAt(tripId, date, startTime, alight, Codes.EventArrival)
         curve = arrCurve; anchor = arrAnchor
-        out += ((i + 1, "ride", tripId, (math.rint(prob * 10000) / 10000).toDouble,
-          anchor, anchor + Curves.xAtY(curve, 0.5f), curve.toSeq))
+        out += JourneyState(i + 1, "ride", tripId, prob, curve, anchor)
       case (WalkLeg(dist), i) =>
         curve = Curves.convolve(curve, Curves.walkTimeCurve(dist))
-        out += ((i + 1, "walk", "", (math.rint(prob * 10000) / 10000).toDouble,
-          anchor, anchor + Curves.xAtY(curve, 0.5f), curve.toSeq))
+        out += JourneyState(i + 1, "walk", "", prob, curve, anchor)
     }
     out.result()
+  }
+
+  def journey(spark: SparkSession, predictions: DataFrame, schedule: GtfsSchedule,
+              startEpoch: Double, legs: Seq[JourneyLeg]): DataFrame = {
+    import spark.implicits._
+    // each row also carries the component's current relative-time curve —
+    // the journey QUERY drops it, but the oracle aux dump explodes it so the
+    // DuckDB reconstruction can replay the walk convolution's consumers
+    // (median + next transfer) without re-running the X10 recursion
+    journeyStates(predictions, startEpoch, legs)
+      .map(s => (s.idx, s.kind, s.tripId,
+        (math.rint(s.prob * 10000) / 10000).toDouble,
+        s.anchor, s.anchor + Curves.xAtY(s.curve, 0.5f), s.curve.toSeq))
       .toDF("component_idx", "kind", "trip_id", "reach_prob",
         "anchor_epoch", "median_epoch", "curve")
       .withColumn("anchor_epoch", round(col("anchor_epoch"), 2))

@@ -398,6 +398,12 @@ object Multimodal {
           (srcW, srcH, _) <- MediaCodec.parsePng(a.payload)
           px <- MediaCodec.pngPixels(a.payload).filter(_.nonEmpty)
         } yield {
+          // pixel stride from the IHDR color type — pngPixels returns
+          // 4 bytes/px for RGBA (type 6) and 3 for RGB (type 2, the only
+          // other type it decodes); a fixed 3-byte stride would garble the
+          // channel sampling on RGBA inputs (e.g. this engine's own heat
+          // strips)
+          val ch = if ((a.payload(25) & 0xff) == 6) 4 else 3
           val out = new Array[Byte](dstW * dstH)
           var y = 0
           while (y < dstH) {
@@ -405,7 +411,7 @@ object Multimodal {
             var x = 0
             while (x < dstW) {
               val sx = x * srcW / dstW
-              out(y * dstW + x) = px((sy * srcW + sx) * 3) // red channel
+              out(y * dstW + x) = px((sy * srcW + sx) * ch) // red channel
               x += 1
             }
             y += 1

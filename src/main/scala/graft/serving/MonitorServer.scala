@@ -216,11 +216,16 @@ class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
         .select("trip_id", "route_id", "route_variant", "stop_sequence")
         .collect()
       require(rows.nonEmpty, s"no trip matches descriptor '$descr' at $boardingStop")
-      val tripId = rows.head.getString(0)
+      // collect() order varies with partitioning — pick deterministically:
+      // the first matching trip id, boarding at its EARLIEST matching stop
+      // (a loop trip can pass the boarding platform twice in one minute;
+      // identical URLs must serve identical pages)
+      val best = rows.minBy(r => (r.getString(0), r.getInt(3)))
+      val tripId = best.getString(0)
       val startTime = schedule.trips.filter(col("trip_id") === lit(tripId))
         .select("trip_start_time").collect().headOption
         .flatMap(r => Option(r.get(0)).map(_.toString.toInt)).getOrElse(0)
-      ResolvedTrip(tripId, date, startTime, rows.head.getInt(3))
+      ResolvedTrip(tripId, date, startTime, best.getInt(3))
     case _ => throw new IllegalArgumentException(
       s"Trip string does not contain a valid trip descriptor: '$descr'")
   }
@@ -240,20 +245,6 @@ class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
 
   /** One prediction curve + absolute anchor from the predictions table
     * (single-row collect, like the reference's per-leg queries). */
-  private def predictionAt(t: ResolvedTrip, stopSeq: Int, et: Int): (Array[CPoint], Double) = {
-    val rows = predictions
-      .filter(col("trip_id") === lit(t.tripId)
-        && col("trip_start_date") === to_date(lit(t.tripStartDate), "yyyy-MM-dd")
-        && col("trip_start_time") === t.tripStartTime
-        && col("stop_sequence") === stopSeq && col("event_type") === et)
-      .select(unix_timestamp(col("prediction_min")).cast("double"),
-        col("prediction_curve")).collect()
-    require(rows.nonEmpty, s"no prediction for ${t.tripId} seq $stopSeq et $et")
-    val curve = rows.head.getSeq[org.apache.spark.sql.Row](1)
-      .map(p => CPoint(p.getFloat(0), p.getFloat(1))).toArray
-    (curve, rows.head.getDouble(0) - curve.head.x)
-  }
-
   /** Minimum platform-to-platform haversine between two stop NAMES (X8 via
     * the shared Geo column expression; both groups are a handful of rows). */
   private def stopDistanceM(a: String, b: String): Double = {
@@ -269,35 +260,35 @@ class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
     rows.head.getDouble(0)
   }
 
-  /** Walks the journey components up to (exclusive) index `until`, returning
-    * the traveller's arrival curve + absolute anchor there. Components
-    * alternate stop / (trip|Fußweg), starting with a stop
+  /** The journey's leg list for components 1 until `until` (exclusive).
+    * Components alternate stop / (trip|Fußweg), starting with a stop
     * (journey_data.rs:183-208). */
-  private def arrivalState(datetime: String, journey: Seq[String],
-                           until: Int): (Array[CPoint], Double) = {
+  private def buildLegs(datetime: String, journey: Seq[String],
+                        until: Int): Seq[Monitor.JourneyLeg] = {
     val date = serviceDate(datetime)
-    val startEpoch = java.time.LocalDateTime.parse(datetime, PathDtFmt)
-      .toEpochSecond(java.time.ZoneOffset.UTC).toDouble
-    // start: ±30 s uniform curve at the requested instant (journey_data.rs:317-321)
-    var curve: Array[CPoint] = Array(CPoint(-30f, 0f), CPoint(30f, 1f))
-    var anchor: Double = startEpoch
-    var i = 1
-    while (i < until) {
+    (1 until until by 2).map { i =>
       journey(i) match {
-        case "Fußweg" =>
-          // walk to the NEXT stop: X10 convolution with the X9 walk curve
-          curve = graft.curves.Curves.convolve(curve,
-            graft.curves.Curves.walkTimeCurve(
-              stopDistanceM(journey(i - 1), journey(i + 1)).toFloat))
+        case "Fußweg" => Monitor.WalkLeg(
+          stopDistanceM(journey(i - 1), journey(i + 1)).toFloat)
         case descr =>
           val t = resolveTrip(descr, journey(i - 1), date)
-          val alight = alightSeq(t.tripId, journey(i + 1), t.boardSeq)
-          val (c, a) = predictionAt(t, alight, Codes.EventArrival)
-          curve = c; anchor = a
+          Monitor.RideLeg(t.tripId, t.tripStartDate, t.tripStartTime,
+            t.boardSeq, alightSeq(t.tripId, journey(i + 1), t.boardSeq))
       }
-      i += 2
     }
-    (curve, anchor)
+  }
+
+  /** Walks the journey components up to (exclusive) index `until` through
+    * the ORACLED fold ([[Monitor.journeyStates]] — one copy of the X10/X11
+    * composition for query and serving), returning the traveller's arrival
+    * curve + absolute anchor there. */
+  private def arrivalState(datetime: String, journey: Seq[String],
+                           until: Int): (Array[CPoint], Double) = {
+    val startEpoch = java.time.LocalDateTime.parse(datetime, PathDtFmt)
+      .toEpochSecond(java.time.ZoneOffset.UTC).toDouble
+    val last = Monitor.journeyStates(predictions, startEpoch,
+      buildLegs(datetime, journey, until)).last
+    (last.curve, last.anchor)
   }
 
   /** The trip page (mod.rs:690-795): journey ends with a trip descriptor. */
@@ -352,19 +343,9 @@ class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
     * must end with a stop (ride legs need their alighting stop). */
   private def infoPage(datetime: String, journey: Seq[String]): String = {
     require(journey.size % 2 == 1, "info journeys must end with a stop")
-    val date = serviceDate(datetime)
     val startEpoch = java.time.LocalDateTime.parse(datetime, PathDtFmt)
       .toEpochSecond(java.time.ZoneOffset.UTC).toDouble
-    val legs = (1 until journey.size by 2).map { i =>
-      journey(i) match {
-        case "Fußweg" => Monitor.WalkLeg(
-          stopDistanceM(journey(i - 1), journey(i + 1)).toFloat)
-        case descr =>
-          val t = resolveTrip(descr, journey(i - 1), date)
-          Monitor.RideLeg(t.tripId, t.tripStartDate, t.tripStartTime,
-            t.boardSeq, alightSeq(t.tripId, journey(i + 1), t.boardSeq))
-      }
-    }
+    val legs = buildLegs(datetime, journey, journey.size)
     val rows = Monitor.journey(spark, predictions, schedule, startEpoch, legs)
       .select("component_idx", "kind", "trip_id", "reach_prob", "median_epoch")
       .collect()

@@ -300,11 +300,28 @@ object StreamingImport {
     // amortizes the same data as in-memory per-route curve files,
     // src/main.rs:321-393 FileCache). Tables past the driver-map bound keep
     // the broadcast-join form, whose curve side stays distributed.
-    val bc: Option[org.apache.spark.broadcast.Broadcast[Predictor]] =
-      if (specific.count() + defaults.count() <= Predictor.MaxDriverRows)
-        Some(spark.sparkContext.broadcast(
-          new Predictor(specific.collect(), defaults.collect())))
-      else None
+    // persist around the gate: the size count and the collect would
+    // otherwise each run the caller's full curve-analysis plan — twice per
+    // table — before the stream starts (tens of seconds at 80k rows,
+    // minutes at scale). One evaluation, cached, then released: the
+    // broadcast (or, past the bound, the per-trigger join form) owns the
+    // data afterwards.
+    val bc: Option[org.apache.spark.broadcast.Broadcast[Predictor]] = {
+      // respect a caller-managed cache: persist only what we persisted
+      val spOwned = specific.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      val dpOwned = defaults.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      if (spOwned) specific.persist()
+      if (dpOwned) defaults.persist()
+      try {
+        if (specific.count() + defaults.count() <= Predictor.MaxDriverRows)
+          Some(spark.sparkContext.broadcast(
+            new Predictor(specific.collect(), defaults.collect())))
+        else None
+      } finally {
+        if (spOwned) specific.unpersist(blocking = false)
+        if (dpOwned) defaults.unpersist(blocking = false)
+      }
+    }
     refreshLoop(spark, rtDir, source, recordsDir, predictionsDir,
       checkpointDir, automatic, maxFilesPerTrigger,
       predict = (stored, date) => bc match {
@@ -330,8 +347,18 @@ object StreamingImport {
     val cache = new graft.gtfs.CurveCache(spark, specificDir, defaultDir)
     refreshLoop(spark, rtDir, source, recordsDir, predictionsDir,
       checkpointDir, automatic, maxFilesPerTrigger,
-      predict = (stored, date) => Predictor.batchPredictRealtimeCached(
-        spark, schedule, stored, date, source, cache.get()),
+      // a store grown past the driver-map bound by a re-analysis downgrades
+      // the trigger to the distributed join form (curve side stays
+      // distributed, read lazily from the store) instead of killing the
+      // stream on the size guard — mirroring startPredictionRefresh's gate
+      predict = (stored, date) => cache.tryGet() match {
+        case Some(b) => Predictor.batchPredictRealtimeCached(
+          spark, schedule, stored, date, source, b)
+        case None => Predictor.batchPredictRealtime(
+          spark, schedule, stored, date, source,
+          graft.gtfs.CurveStore.loadSpecific(spark, specificDir),
+          graft.gtfs.CurveStore.loadDefault(spark, defaultDir))
+      },
       decode = batch => recordsStream(spark, batch, schedule, source))
   }
 

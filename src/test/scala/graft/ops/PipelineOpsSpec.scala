@@ -701,6 +701,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     val dr = Multimodal.resizeImages(spark, drifted, 2, 2).collect().head
     assert(dr.getAs[Int]("src_w") == 4 && dr.getAs[Int]("src_h") == 2)
     assert(dr.getAs[Array[Byte]]("pixels").toSeq == Seq[Byte](10, 30, 10, 30))
+    // RGBA (color type 6): the pixel stride is 4, so the red channel of
+    // pixel (0, x) is byte 4x — a fixed 3-byte stride would read byte 3
+    // (the previous pixel's alpha) for x=1. Discriminating values chosen so
+    // the wrong stride yields a different pixel sequence.
+    val rgbaContent = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val rgba = Seq(MediaAsset(5L, "image/png",
+      MediaCodec.pngBytes(2, 1, rgbaContent, channels = 4), 2, 1, 0L)).toDS()
+    val rr = Multimodal.resizeImages(spark, rgba, 2, 1).collect().head
+    assert(rr.getAs[Array[Byte]]("pixels").toSeq == Seq[Byte](1, 5),
+      "RGBA resize samples the red channel at 4-byte stride")
   }
 
   test("media codecs: header parse round-trips the declared metadata") {
