@@ -76,10 +76,22 @@ final class CurveCache(spark: SparkSession, specificDir: String, defaultDir: Str
             graft.ops.Similarity.corpusCount(spark.read.parquet(dir))
           else 0L
         }
+        // PER-TABLE bound, matching Predictor.guarded (each collected array
+        // is checked on its own — a 1.2M + 0.9M store loads fine). Past
+        // 4096 files corpusCount EXTRAPOLATES from a footer sample, so a
+        // near-the-bound underestimate can still reach guarded's hard
+        // require — the catch downgrades that band to None (join form)
+        // instead of letting the require escape into the streaming loop.
         val bcOpt =
-          if (footerRows(specificDir) + footerRows(defaultDir) <= Predictor.MaxDriverRows)
-            Some(spark.sparkContext.broadcast(
+          if (footerRows(specificDir) <= Predictor.MaxDriverRows &&
+              footerRows(defaultDir) <= Predictor.MaxDriverRows)
+            try Some(spark.sparkContext.broadcast(
               CurveStore.loadMerged(spark, specificDir, defaultDir)))
+            catch { case e: IllegalArgumentException
+                if e.getMessage != null &&
+                  e.getMessage.contains("too large for the driver-map Predictor") =>
+              None
+            }
           else None
         cached = Some((v, bcOpt))
         bcOpt

@@ -398,12 +398,11 @@ object Multimodal {
           (srcW, srcH, _) <- MediaCodec.parsePng(a.payload)
           px <- MediaCodec.pngPixels(a.payload).filter(_.nonEmpty)
         } yield {
-          // pixel stride from the IHDR color type — pngPixels returns
-          // 4 bytes/px for RGBA (type 6) and 3 for RGB (type 2, the only
-          // other type it decodes); a fixed 3-byte stride would garble the
-          // channel sampling on RGBA inputs (e.g. this engine's own heat
-          // strips)
-          val ch = if ((a.payload(25) & 0xff) == 6) 4 else 3
+          // pixel stride from the DECODE itself (pngPixels returns exactly
+          // h·w·channels bytes), so it can never disagree with the decoder's
+          // color-type mapping — a fixed 3-byte stride garbled the channel
+          // sampling on RGBA inputs (e.g. this engine's own heat strips)
+          val ch = px.length / (srcW * srcH)
           val out = new Array[Byte](dstW * dstH)
           var y = 0
           while (y < dstH) {

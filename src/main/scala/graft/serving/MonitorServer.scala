@@ -281,7 +281,10 @@ class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
   /** Walks the journey components up to (exclusive) index `until` through
     * the ORACLED fold ([[Monitor.journeyStates]] — one copy of the X10/X11
     * composition for query and serving), returning the traveller's arrival
-    * curve + absolute anchor there. */
+    * curve + absolute anchor there. Like the query form, every ride leg
+    * requires its boarding DEPARTURE prediction too (for the transfer-
+    * probability fold) — a store missing that row fails the request rather
+    * than silently serving a page outside the oracle's semantics. */
   private def arrivalState(datetime: String, journey: Seq[String],
                            until: Int): (Array[CPoint], Double) = {
     val startEpoch = java.time.LocalDateTime.parse(datetime, PathDtFmt)

@@ -303,24 +303,21 @@ object StreamingImport {
     // persist around the gate: the size count and the collect would
     // otherwise each run the caller's full curve-analysis plan — twice per
     // table — before the stream starts (tens of seconds at 80k rows,
-    // minutes at scale). One evaluation, cached, then released: the
-    // broadcast (or, past the bound, the per-trigger join form) owns the
-    // data afterwards.
+    // minutes at scale). One evaluation per table, cached, then released;
+    // short-circuited so an oversized `specific` never even counts
+    // `defaults`, and bounds applied PER TABLE exactly like
+    // Predictor.guarded (the authoritative driver-map check).
     val bc: Option[org.apache.spark.broadcast.Broadcast[Predictor]] = {
-      // respect a caller-managed cache: persist only what we persisted
-      val spOwned = specific.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-      val dpOwned = defaults.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-      if (spOwned) specific.persist()
-      if (dpOwned) defaults.persist()
-      try {
-        if (specific.count() + defaults.count() <= Predictor.MaxDriverRows)
-          Some(spark.sparkContext.broadcast(
-            new Predictor(specific.collect(), defaults.collect())))
-        else None
-      } finally {
-        if (spOwned) specific.unpersist(blocking = false)
-        if (dpOwned) defaults.unpersist(blocking = false)
+      def gated[T](ds: Dataset[T])(k: => Option[Predictor]): Option[Predictor] = {
+        // respect a caller-managed cache: persist only what we persisted
+        val owned = ds.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+        if (owned) ds.persist()
+        try { if (ds.count() <= Predictor.MaxDriverRows) k else None }
+        finally { if (owned) ds.unpersist(blocking = false) }
       }
+      gated(specific) { gated(defaults) {
+        Some(new Predictor(specific.collect(), defaults.collect()))
+      } }.map(spark.sparkContext.broadcast(_))
     }
     refreshLoop(spark, rtDir, source, recordsDir, predictionsDir,
       checkpointDir, automatic, maxFilesPerTrigger,
