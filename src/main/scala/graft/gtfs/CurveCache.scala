@@ -27,7 +27,8 @@ import org.apache.spark.sql.SparkSession
   * trigger to the join form instead of killing the stream on the
   * [[Predictor.guarded]] require.
   */
-final class CurveCache(spark: SparkSession, specificDir: String, defaultDir: String) {
+final class CurveCache(spark: SparkSession, specificDir: String, defaultDir: String,
+                       maxRows: Long = Predictor.MaxDriverRows) {
 
   // None inside the value slot = this store version is known oversized —
   // remembered so the footer walk runs once per version, not per trigger
@@ -83,8 +84,8 @@ final class CurveCache(spark: SparkSession, specificDir: String, defaultDir: Str
         // require — the catch downgrades that band to None (join form)
         // instead of letting the require escape into the streaming loop.
         val bcOpt =
-          if (footerRows(specificDir) <= Predictor.MaxDriverRows &&
-              footerRows(defaultDir) <= Predictor.MaxDriverRows)
+          if (footerRows(specificDir) <= maxRows &&
+              footerRows(defaultDir) <= maxRows)
             try Some(spark.sparkContext.broadcast(
               CurveStore.loadMerged(spark, specificDir, defaultDir)))
             catch { case e: IllegalArgumentException

@@ -374,6 +374,27 @@ class MonitorSpec extends AnyFunSuite {
       Codes.EventArrival).isDefined)
   }
 
+  test("CurveCache: a store past the row bound downgrades to None, never throws") {
+    val dir = java.nio.file.Files.createTempDirectory("curvecache_big").toString
+    val sc = CurveAnalysis.specificCurves(spark, records, schedule)
+    val dc = CurveAnalysis.defaultCurves(spark, records, schedule)
+    CurveStore.saveSpecific(sc, dir + "/specific")
+    CurveStore.saveDefault(dc, dir + "/default")
+    val nSpecific = sc.count()
+    assert(nSpecific > 10, "fixture sanity")
+    // bound below the store's actual size: tryGet must decide from footer
+    // metadata and return None (the streaming loop then keeps the
+    // distributed join form) instead of throwing inside a trigger
+    val small = new CurveCache(spark, dir + "/specific", dir + "/default",
+      maxRows = nSpecific - 1)
+    assert(small.tryGet().isEmpty, "oversized store must downgrade to None")
+    assert(small.tryGet().isEmpty, "the verdict is remembered per store version")
+    intercept[IllegalStateException](small.get())
+    // same store under a fitting bound loads normally
+    val fits = new CurveCache(spark, dir + "/specific", dir + "/default")
+    assert(fits.tryGet().isDefined, "in-bound store must load the broadcast")
+  }
+
   test("curve store round-trips partitioned statistics tables (S16/S17)") {
     val dir = java.nio.file.Files.createTempDirectory("curvestore").toString
     val sc = CurveAnalysis.specificCurves(spark, records, schedule)
