@@ -116,7 +116,11 @@ object Dedup {
         FROM toks JOIN series ON i <= len(t) - $n)),
     sh AS (
       SELECT doc, shingle FROM sh0
-      WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= $maxDf)),
+      ${ // mirror shingles()'s documented convention: maxDf <= 0 disables
+         // the df cap — an unconditional HAVING <= 0 would drop EVERY
+         // shingle and make the oracle spuriously empty for capless runs
+         if (maxDf <= 0) ""
+         else s"WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= $maxDf)"}),
     sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc),
     inter AS (
       SELECT s1.doc AS a, s2.doc AS b, COUNT(*) AS n_common
@@ -407,13 +411,13 @@ object Dedup {
       SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
     comp AS (SELECT src, LEAST(src, MIN(dst)) AS cluster_id
              FROM reach GROUP BY src),
-    lab AS (SELECT d.$idCol AS doc_id,
+    lab AS (SELECT d.$idCol AS $idCol,
                    COALESCE(c.cluster_id, d.$idCol) AS cluster_id
             FROM $table d LEFT JOIN comp c ON c.src = d.$idCol)
-    SELECT doc_id, cluster_id,
+    SELECT $idCol, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-           (doc_id = cluster_id) AS is_kept
-    FROM lab ORDER BY doc_id"""
+           ($idCol = cluster_id) AS is_kept
+    FROM lab ORDER BY $idCol"""
 
   // ---- SimHash ------------------------------------------------------------
 

@@ -95,8 +95,27 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Fail fast when the embedding column's length disagrees with `dim`:
+    * [[graft.functions.HyperplaneSignatures]] dots over min(vec, plane)
+    * length, so a forgotten dim override would silently bucket on a PREFIX
+    * of each vector and collapse LSH recall with no error. One 1-row probe
+    * job; an empty or null-leading corpus passes (nothing to mis-bucket
+    * that the scan itself won't surface). */
+  private def requireDim(embeddings: DataFrame, vecCol: String, dim: Int): Unit =
+    embeddings.select(size(col(vecCol)).as("n")).take(1)
+      .foreach { r =>
+        if (!r.isNullAt(0))
+          require(r.getInt(0) == dim,
+            s"$vecCol length ${r.getInt(0)} != dim $dim — pass the actual dimension")
+      }
+
   /** Sign-bit signature of a vector against the hyperplanes, as a Column
-    * (bit i set ⟺ dot(v, plane_i) > 0). */
+    * (bit i set ⟺ dot(v, plane_i) > 0). NOT on any hot path — the
+    * per-plane Column composition builds a huge expression tree (the
+    * analysis/codegen pathology documented on
+    * [[graft.functions.HyperplaneSignatures]], which supersedes it) — but
+    * kept as the independent re-implementation the equivalence spec checks
+    * the native expression against. */
   def signatureCol(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, i) =>
       val planeCol = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(plane.map(lit)): _*)
@@ -246,6 +265,7 @@ object Similarity {
                          dim: Int = 64, idCol: String = "vec_id",
                          vecCol: String = "embedding",
                          corpusCountHint: Long = -1L): DataFrame = {
+    requireDim(embeddings, vecCol, dim)
     val k = if (planesPerTable > 0) planesPerTable
             else autoPlanesPerTable(corpusCount(embeddings, corpusCountHint))
     val planes: Array[Array[Array[Double]]] =
@@ -352,6 +372,17 @@ object Similarity {
       // cells that lost every member keep their previous centroid
       centroids.zipWithIndex.foreach { case (c, i) => c.copyToArray(next(i)) }
       means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      // SPHERICAL k-means: the mean of unit vectors has norm < 1, and by a
+      // different amount per cell (tight cluster ≈ 1, diffuse ≈ 0.5) —
+      // leaving centroids unnormalized biases the next round's
+      // nearest-centroid assignment toward diffuse cells instead of the
+      // max-cosine cell. Renormalize every round (c := mean(v̂)/|mean(v̂)|,
+      // the textbook update); a degenerate all-zero mean keeps its length.
+      next.foreach { c =>
+        var ss = 0.0; var j = 0
+        while (j < dim) { ss += c(j) * c(j); j += 1 }
+        if (ss > 0) { val nrm = math.sqrt(ss); j = 0; while (j < dim) { c(j) /= nrm; j += 1 } }
+      }
       centroids = next
       it += 1
     }
@@ -504,6 +535,7 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
               numTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireDim(embeddings, vecCol, dim)
     // All tables' sign-bit signatures in ONE native-expression pass (the
     // Column-composed per-plane form built a ~3000-literal tree whose
     // analysis + Janino compile dominated the query; see

@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization; trim first so boundary spaces don't produce
-    * empty tokens. */
-  def tokensCol(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenization. Boundary whitespace produces empty split
+    * fields — and `trim` alone only strips ASCII SPACES, so a trailing
+    * newline/tab (ubiquitous in real corpora) used to leave a phantom ""
+    * token that inflated token counts, entered shingle windows and could
+    * reach the vocabulary. `array_remove` drops every empty field (native
+    * collection op, codegen'd), covering all whitespace kinds on both
+    * boundaries. */
+  def tokensCol(text: Column): Column =
+    array_remove(split(text, "\\s+"), "")
 
   /** `let`-binding for Column expressions: evaluates `bound` ONCE and feeds
     * it to `body` as a lambda variable. Without it, a composed expression
@@ -25,7 +31,7 @@ object TextAnalysis {
     element_at(transform(array(bound), body), 1)
 
   def duckDbTokensSql(textExpr: String): String =
-    s"string_split_regex(trim($textExpr), '\\s+')"
+    s"list_filter(string_split_regex($textExpr, '\\s+'), t -> t <> '')"
 
   // ---- language-ID stopword tables (shared between engines) --------------
   // n-gram/stopword heuristic: score = number of tokens found in each
@@ -42,7 +48,10 @@ object TextAnalysis {
     * `filter(…, isInCollection)` lambdas (higher-order functions never
     * code-generate); count semantics identical. */
   def langIdCol(text: Column): Column =
-    letCol(graft.functions.MarkerCounts(tokensCol(text), LangMarkers.map(_._2))) { cnt =>
+    // lowercase BEFORE tokenizing: the marker lists are lowercase, and
+    // case-sensitive matching classified title-cased prose ("The Sun And
+    // The Moon") as "und" because no capitalized stopword ever counted
+    letCol(graft.functions.MarkerCounts(tokensCol(lower(text)), LangMarkers.map(_._2))) { cnt =>
       val Seq(en, de, es, fr) = (1 to 4).map(i => element_at(cnt, i))
       when(en >= de && en >= es && en >= fr && en > 0, "en")
         .when(de >= es && de >= fr && de > 0, "de")
@@ -52,7 +61,7 @@ object TextAnalysis {
     }
 
   def duckDbLangIdSql(textExpr: String): String = {
-    val toks = duckDbTokensSql(textExpr)
+    val toks = duckDbTokensSql(s"lower($textExpr)")
     def cnt(words: Seq[String]): String = {
       val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
       s"len(list_filter($toks, t -> list_contains($lst, t)))"
@@ -114,12 +123,16 @@ object TextAnalysis {
   /** Repetition in integer basis points (fraction × 10000, floored) — see
     * [[qualityBpCol]] for why aggregations want the integer form. */
   def dupNgramBpCol(text: Column, n: Int = 3): Column =
-    letCol(graft.functions.ShingleHashes(tokensCol(text), n)) { grams =>
-      when(size(grams) > 0,
-        floor((size(grams) - size(array_distinct(grams))).cast("double") * 10000 /
-          size(grams)).cast("long"))
-        .otherwise(lit(0L))
-    }
+    // null text stays null (like qualityBpCol) so a report averaging both
+    // metrics computes them over the same effective doc set — otherwise(0)
+    // counted null docs as perfectly non-repetitive
+    when(text.isNull, lit(null).cast("long")).otherwise(
+      letCol(graft.functions.ShingleHashes(tokensCol(text), n)) { grams =>
+        when(size(grams) > 0,
+          floor((size(grams) - size(array_distinct(grams))).cast("double") * 10000 /
+            size(grams)).cast("long"))
+          .otherwise(lit(0L))
+      })
 
   def dupNgramFracCol(text: Column, n: Int = 3): Column =
     dupNgramBpCol(text, n).cast("double") / 10000
@@ -132,7 +145,8 @@ object TextAnalysis {
       list_transform(range(len($toks) - $n + 1),
         i -> array_to_string(($toks)[i+1:i+$n], ' '))
       ELSE []::VARCHAR[] END)"""
-    s"""(CASE WHEN len($grams) > 0 THEN
+    s"""(CASE WHEN $textExpr IS NULL THEN NULL
+      WHEN len($grams) > 0 THEN
       CAST(FLOOR((len($grams) - len(list_distinct($grams))) * 10000.0
         / len($grams)) AS BIGINT)
       ELSE 0 END)"""

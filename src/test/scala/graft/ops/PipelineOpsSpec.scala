@@ -124,8 +124,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top.forall(r => !r.getDouble(3).isNaN))
     assert(top.find(_.getLong(2) == 99L).forall(_.getDouble(3) == 0.0))
     // NaN >= threshold evaluates true in Spark: without the guard the zero
-    // vector pairs with EVERYTHING above any threshold
-    val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.9).collect()
+    // vector pairs with EVERYTHING above any threshold. dim must match the
+    // data now — a mismatch fails fast instead of silently bucketing on a
+    // truncated prefix
+    intercept[IllegalArgumentException](
+      Similarity.cosineNearDupPairs(vecs, threshold = 0.9))
+    val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.9, dim = 2).collect()
     assert(pairs.forall(r => r.getLong(0) != 99L && r.getLong(1) != 99L))
     // kMeans fit survives a zero vector (col/nrm would be NaN in the mean)
     val cents = Similarity.kMeansCentroids(vecs, nCells = 2, iters = 2, dim = 2)
