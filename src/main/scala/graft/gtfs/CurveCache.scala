@@ -34,9 +34,12 @@ final class CurveCache(spark: SparkSession, specificDir: String, defaultDir: Str
   // remembered so the footer walk runs once per version, not per trigger
   @volatile private var cached: Option[(Long, Option[Broadcast[Predictor]])] = None
 
-  /** Cheap store fingerprint: FNV-1a over (file name, length, mtime) of every
-    * file under both store directories. Any CurveStore.save* rewrite changes
-    * it; listing is pure namenode/inode metadata. */
+  /** Cheap store fingerprint: FNV-1a over (full file path, length, mtime) of
+    * every file under both store directories. Any CurveStore.save* rewrite
+    * changes it; listing is pure namenode/inode metadata. The FULL path (not
+    * the bare file name) goes into the mix: two same-named, same-length
+    * part files whose mtimes swap across partition subdirectories must not
+    * collide to the same version. */
   private[gtfs] def storeVersion(): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     var h = 0xcbf29ce484222325L
@@ -48,7 +51,7 @@ final class CurveCache(spark: SparkSession, specificDir: String, defaultDir: Str
         val it = fs.listFiles(p, true)
         while (it.hasNext) {
           val st = it.next()
-          mix(st.getPath.getName.hashCode.toLong)
+          mix(st.getPath.toUri.getPath.hashCode.toLong)
           mix(st.getLen)
           mix(st.getModificationTime)
         }
@@ -81,18 +84,16 @@ final class CurveCache(spark: SparkSession, specificDir: String, defaultDir: Str
         // is checked on its own — a 1.2M + 0.9M store loads fine). Past
         // 4096 files corpusCount EXTRAPOLATES from a footer sample, so a
         // near-the-bound underestimate can still reach guarded's hard
-        // require — the catch downgrades that band to None (join form)
-        // instead of letting the require escape into the streaming loop.
+        // check — the TYPED catch downgrades that band to None (join form)
+        // instead of letting the failure escape into the streaming loop.
+        // The instance maxRows threads all the way into guarded, so gate,
+        // guard and diagnostics agree on one bound.
         val bcOpt =
           if (footerRows(specificDir) <= maxRows &&
               footerRows(defaultDir) <= maxRows)
             try Some(spark.sparkContext.broadcast(
-              CurveStore.loadMerged(spark, specificDir, defaultDir)))
-            catch { case e: IllegalArgumentException
-                if e.getMessage != null &&
-                  e.getMessage.contains("too large for the driver-map Predictor") =>
-              None
-            }
+              CurveStore.loadMerged(spark, specificDir, defaultDir, maxRows)))
+            catch { case _: CurveStoreTooLargeException => None }
           else None
         cached = Some((v, bcOpt))
         bcOpt
@@ -101,6 +102,6 @@ final class CurveCache(spark: SparkSession, specificDir: String, defaultDir: Str
 
   /** [[tryGet]] for callers that require the in-memory form. */
   def get(): Broadcast[Predictor] = tryGet().getOrElse(throw new IllegalStateException(
-    s"curve store at $specificDir + $defaultDir exceeds Predictor.MaxDriverRows " +
-      s"(${Predictor.MaxDriverRows}); use the distributed join form"))
+    s"curve store at $specificDir + $defaultDir exceeds the driver-map bound " +
+      s"($maxRows rows); use the distributed join form"))
 }

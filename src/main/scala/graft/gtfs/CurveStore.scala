@@ -36,8 +36,11 @@ object CurveStore {
     * loaded side by side (src/main.rs:295-318); the Predictor consumes both.
     * Collects to driver maps, gated by [[Predictor.MaxDriverRows]] — beyond
     * that, use the broadcast-join form ([[Predictor.batchPredict]]). */
-  def loadMerged(spark: SparkSession, specificDir: String, defaultDir: String): Predictor =
+  def loadMerged(spark: SparkSession, specificDir: String, defaultDir: String,
+                 maxRows: Long = Predictor.MaxDriverRows): Predictor =
     new Predictor(
-      Predictor.guarded(loadSpecific(spark, specificDir).collect(), "specific_curves"),
-      Predictor.guarded(loadDefault(spark, defaultDir).collect(), "default_curves"))
+      Predictor.guarded(loadSpecific(spark, specificDir).collect(),
+        "specific_curves", maxRows),
+      Predictor.guarded(loadDefault(spark, defaultDir).collect(),
+        "default_curves", maxRows))
 }

@@ -109,6 +109,14 @@ private[gtfs] final case class RealtimePredRow(
     scheduled_ts: java.sql.Timestamp, precision_type: Int, sample_size: Int,
     prediction_curve: Array[CPoint])
 
+/** A statistics table exceeds the driver-map bound — the TYPED contract for
+  * the broadcast-downgrade path: [[CurveCache.tryGet]] catches exactly this
+  * (never a message substring) and falls back to the distributed join form.
+  * Extends IllegalArgumentException so pre-existing callers that treated the
+  * bound as a plain argument violation keep working. */
+final class CurveStoreTooLargeException(message: String)
+    extends IllegalArgumentException(message)
+
 object Predictor {
   import Codes._
 
@@ -164,10 +172,12 @@ object Predictor {
     * hundreds of MB of curves, far past any sane point-query use. */
   val MaxDriverRows = 2000000
 
-  private[gtfs] def guarded[T](rows: Array[T], what: String): Array[T] = {
-    require(rows.length <= MaxDriverRows,
-      s"$what has ${rows.length} rows — too large for the driver-map Predictor; " +
-        "use Predictor.batchPredict (broadcast-join form) instead")
+  private[gtfs] def guarded[T](rows: Array[T], what: String,
+                               bound: Long = MaxDriverRows): Array[T] = {
+    if (rows.length > bound)
+      throw new CurveStoreTooLargeException(
+        s"$what has ${rows.length} rows — over the driver-map bound $bound; " +
+          "use Predictor.batchPredict (broadcast-join form) instead")
     rows
   }
 

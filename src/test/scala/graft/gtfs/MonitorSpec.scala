@@ -395,6 +395,75 @@ class MonitorSpec extends AnyFunSuite {
     assert(fits.tryGet().isDefined, "in-bound store must load the broadcast")
   }
 
+  test("driver-map bound is a TYPED contract, not a message substring") {
+    // CurveCache.tryGet downgrades on CurveStoreTooLargeException by TYPE:
+    // rewording the guard message must never un-wire the catch. guarded
+    // throws the dedicated type with the caller's own bound in the message.
+    val e = intercept[CurveStoreTooLargeException](
+      Predictor.guarded(Array.fill(5)(0), "specific_curves", bound = 4))
+    assert(e.isInstanceOf[IllegalArgumentException], "stays an IAE for old callers")
+    assert(e.getMessage.contains("bound 4"), "diagnostics report the caller's bound")
+    // and loadMerged threads a custom bound through to the same typed guard
+    val dir = java.nio.file.Files.createTempDirectory("curvecache_typed").toString
+    val sc = CurveAnalysis.specificCurves(spark, records, schedule)
+    val dc = CurveAnalysis.defaultCurves(spark, records, schedule)
+    CurveStore.saveSpecific(sc, dir + "/specific")
+    CurveStore.saveDefault(dc, dir + "/default")
+    intercept[CurveStoreTooLargeException](
+      CurveStore.loadMerged(spark, dir + "/specific", dir + "/default", maxRows = 1))
+  }
+
+  test("amortized lookup path: no curve broadcast, no set aggregation, zero probe shuffle (plan guard)") {
+    // SCALE.md's per-trigger claim for the cached refresh path, pinned
+    // structurally like RecordStoreSpec's zero-exchange J3 guard: the
+    // broadcast Predictor removes (a) the per-call BroadcastExchange over
+    // the curve tables and (b) the join form's 7-col collect_list
+    // aggregation; what remains on the probe stream is ONE shuffle — the
+    // W3 basis window — feeding the mapPartitions lookup. A reintroduced
+    // per-trigger curve exchange or aggregation fails here.
+    import org.apache.spark.sql.execution.{MapPartitionsExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sc = CurveAnalysis.specificCurves(spark, records, schedule)
+    val dc = CurveAnalysis.defaultCurves(spark, records, schedule)
+    val bc = spark.sparkContext.broadcast(new Predictor(sc.collect(), dc.collect()))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // stable plan shape
+      val plan = Predictor.batchPredictRealtimeCached(spark, schedule,
+        records, "2024-01-15", "test", bc).queryExecution.executedPlan
+
+      // (a) the whole tree ships NO curve-table columns through any exchange
+      val curveBuilds = plan.collect { case b: BroadcastExchangeExec => b }
+        .filter(_.child.output.exists(a =>
+          a.name == "focus_delay" || a.name == "curve_kind" || a.name == "curve"))
+      assert(curveBuilds.isEmpty,
+        s"curve tables must live in the long-lived broadcast, not a per-call exchange: $curveBuilds")
+      // (b) no curve-set aggregation anywhere (the join form's signature)
+      val setAggs = plan.collect { case a: BaseAggregateExec
+        if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a }
+      assert(setAggs.isEmpty, s"no per-trigger curve-set aggregation: $setAggs")
+      // (c) the PROBE spine (broadcast build subtrees excluded — the
+      // calendar semi-join legitimately distincts a KB-scale table inside
+      // its own broadcast build, and the batch-bounded W3 basis rides a
+      // broadcast build of its own): ZERO shuffles and ZERO aggregates —
+      // the per-trigger big-data path is scan → joins → mapPartitions →
+      // project, exactly SCALE.md's claim
+      def spine(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.children.filterNot(_.isInstanceOf[BroadcastExchangeExec])
+          .flatMap(spine)
+      val probe = spine(plan)
+      val shuffles = probe.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"probe stream must not shuffle, got ${shuffles.size}: $shuffles")
+      assert(probe.collect { case a: BaseAggregateExec => a }.isEmpty,
+        "no aggregation on the probe stream")
+      assert(plan.collect { case m: MapPartitionsExec => m }.size == 1,
+        "exactly one broadcast-lookup mapPartitions")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    bc.unpersist()
+  }
+
   test("curve store round-trips partitioned statistics tables (S16/S17)") {
     val dir = java.nio.file.Files.createTempDirectory("curvestore").toString
     val sc = CurveAnalysis.specificCurves(spark, records, schedule)
