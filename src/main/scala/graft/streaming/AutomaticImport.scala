@@ -1,0 +1,203 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import java.util.concurrent.locks.ReentrantLock
+import scala.util.control.NonFatal
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.gtfs._
+
+/** One committed idle-backfill iteration (or a buffer-full back-off), for
+  * observability and tests: `decidedAtNanos` is the instant the loop decided
+  * the stream was idle (two consecutive idle observations), BEFORE any work
+  * ran. */
+final case class BackfillEvent(decidedAtNanos: Long, fromHwm: Long,
+                               toHwm: Long, tripCount: Long, bufferFull: Boolean)
+
+/** The reference's flagship `import automatic` deployment mode composed in
+  * ONE process (`run_as_non_manual(is_automatic = true)`,
+  * /root/reference/src/importer/mod.rs:295-344): the realtime directory
+  * stream keeps ingesting .pb files and refreshing realtime predictions,
+  * and WHENEVER the stream goes idle — the reference's
+  * `process_all_files() == Ok(false)` "no realtime data to import" branch —
+  * the scheduled-predictions high-water mark advances one ST4 batch at a
+  * time (`make_scheduled_predictions`,
+  * scheduled_predictions_importer.rs:64-242), resuming realtime processing
+  * the moment files arrive.
+  *
+  * Composition of the two already-proven halves:
+  *  - realtime: [[StreamingImport.startPredictionRefresh]] — ProcessingTime
+  *    trigger = TIME_BETWEEN_DIR_SCANS (importer/mod.rs:30);
+  *  - idle: [[ScheduledPredictions.advance]] from an in-memory high-water
+  *    mark, recovered at startup from the predictions table itself exactly
+  *    like the reference (`get_latest_prediction_time_from_database`,
+  *    scheduled_predictions_importer.rs:81 — the A15 max over stored
+  *    schedule-origin trip starts), so a restart resumes where the last
+  *    process stopped without any extra state file.
+  *
+  * Idleness = no data available AND no trigger running, observed on TWO
+  * consecutive polls spaced longer than the trigger interval — a single
+  * observation can land in the gap between a finished batch and the next
+  * backlog check. Backfill iterations and rt micro-batches are serialized
+  * by a shared lock (the reference's single loop runs the phases strictly
+  * in turn): both sides merge into the same predictions table, and
+  * unserialized read-merge-overwrite of one partition directory would lose
+  * a writer. The ST4 minimum-batch sizing bounds how long one backfill
+  * iteration can delay a freshly-arrived file — the same latency trade the
+  * reference makes.
+  *
+  * A full prediction buffer (advance → None) backs off
+  * PREDICTION_FULL_TIMEOUT (scheduled_predictions_importer.rs:43,
+  * mod.rs:92-94) while realtime processing continues; an iteration failure
+  * is logged and the loop keeps running (mod.rs:321-327 prints and sleeps).
+  *
+  * Backfill rows upsert with `refresh_seq` = −1 so any realtime refresh of
+  * the same (vehicle, stop, event) cell wins. The reference's blind UPDATE
+  * would let a later schedule write clobber a realtime row in the rare
+  * overlap (future trip already realtime-predicted); its own TODO
+  * (importer/mod.rs:614 "update where old.time_of_recording < new…") marks
+  * that as an acknowledged wart, and the LWW tier here implements the
+  * intended semantics instead.
+  */
+final class AutomaticImport private (
+    val query: StreamingQuery,
+    spark: SparkSession, schedule: GtfsSchedule, source: String,
+    predictionsDir: String,
+    specific: Dataset[SpecificCurveRow], defaults: Dataset[DefaultCurveRow],
+    nowEpochSecs: () => Long, idlePollMs: Long, idleConfirmMs: Long,
+    bufferFullBackoffSecs: Long, gate: ReentrantLock) {
+
+  private val stopFlag = new AtomicBoolean(false)
+  private val hwm = new AtomicLong(
+    AutomaticImport.recoverHighWaterMark(spark, predictionsDir))
+  private val events = scala.collection.mutable.ArrayBuffer.empty[BackfillEvent]
+
+  /** Current scheduled-predictions high-water mark (epoch seconds). */
+  def highWaterMark: Long = hwm.get()
+
+  /** Committed backfill iterations so far, oldest first. */
+  def backfillEvents: Seq[BackfillEvent] =
+    events.synchronized { events.toVector }
+
+  private def record(e: BackfillEvent): Unit =
+    events.synchronized { events += e }
+
+  /** No pending rt work: nothing available, no trigger mid-flight, and the
+    * source has reported at least once (before the first progress event the
+    * stream has not yet LISTED the directory — deciding "idle" then could
+    * start a backfill ahead of a pre-existing backlog, which the reference's
+    * scan-first loop never does). */
+  private def streamIdle(): Boolean = {
+    val st = query.status
+    query.lastProgress != null && !st.isDataAvailable && !st.isTriggerActive
+  }
+
+  private val loop = new Thread(() => {
+    var backoffUntil = Long.MinValue
+    try {
+      while (!stopFlag.get() && query.isActive) {
+        if (!streamIdle()) Thread.sleep(idlePollMs)
+        else {
+          Thread.sleep(idleConfirmMs) // second look, > one trigger interval
+          val now = nowEpochSecs()
+          if (!stopFlag.get() && query.isActive && streamIdle()
+              && now >= backoffUntil) {
+            val decided = System.nanoTime()
+            gate.lock()
+            try {
+              ScheduledPredictions.advance(spark, schedule, source,
+                specific, defaults, hwm.get(), now) match {
+                case None =>
+                  backoffUntil = now + bufferFullBackoffSecs
+                  record(BackfillEvent(decided, hwm.get(), hwm.get(), 0L,
+                    bufferFull = true))
+                case Some(batch) =>
+                  if (batch.tripCount > 0)
+                    StreamingImport.upsertTable(
+                      batch.predictions.withColumn("refresh_seq",
+                        lit(AutomaticImport.BackfillSeq)),
+                      predictionsDir,
+                      keyCols = StreamingImport.PredictionKeyCols,
+                      newestBy = col("refresh_seq"))
+                  record(BackfillEvent(decided, hwm.get(),
+                    batch.newHighWaterMark, batch.tripCount, bufferFull = false))
+                  hwm.updateAndGet(h => math.max(h, batch.newHighWaterMark))
+              }
+            } catch {
+              case _: InterruptedException => throw new InterruptedException
+              case NonFatal(e) =>
+                // the reference prints and sleeps until the next scan
+                // (importer/mod.rs:321-327); a transient failure must not
+                // kill the mode
+                System.err.println(s"[automatic] backfill iteration failed: $e")
+                Thread.sleep(idlePollMs)
+            } finally gate.unlock()
+          }
+        }
+      }
+    } catch { case _: InterruptedException => () }
+  }, "graft-automatic-backfill")
+  loop.setDaemon(true)
+  loop.start()
+
+  /** Stops the backfill loop, then the stream. Idempotent. */
+  def stop(): Unit = {
+    stopFlag.set(true)
+    loop.interrupt()
+    loop.join(60000)
+    if (query.isActive) query.stop()
+  }
+}
+
+object AutomaticImport {
+
+  /** Backfill rows sit BELOW every realtime refresh batch id in the
+    * predictions LWW (batch ids start at 0). */
+  val BackfillSeq: Long = -1L
+
+  /** Startup high-water-mark recovery — the reference's
+    * `get_latest_prediction_time_from_database`
+    * (scheduled_predictions_importer.rs:81): the greatest scheduled trip
+    * start among stored SCHEDULE-origin predictions; 0 when the table does
+    * not exist yet. Like the reference, an empty-window mark advance (no
+    * trips, mark jumped to the buffer end) is not persisted — the next
+    * process re-scans that window, finds it empty again, and jumps again. */
+  def recoverHighWaterMark(spark: SparkSession, predictionsDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(predictionsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val r = spark.read.parquet(predictionsDir)
+        .filter(col("origin_type") === Codes.OriginSchedule)
+        .agg(max(unix_timestamp(GtfsTime.dateAndTime(
+          col("trip_start_date"), col("trip_start_time"))))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+  }
+
+  /** Starts the composed automatic mode; see the class doc. The curve
+    * tables serve BOTH halves: the realtime stream snapshots them into the
+    * long-lived broadcast Predictor, the idle backfill joins them per ST4
+    * batch. `nowEpochSecs` is injectable so tests (and replays) can pin the
+    * prediction buffer. */
+  def start(spark: SparkSession, rtDir: String, schedule: GtfsSchedule,
+      source: String, recordsDir: String, predictionsDir: String,
+      checkpointDir: String,
+      specific: Dataset[SpecificCurveRow], defaults: Dataset[DefaultCurveRow],
+      nowEpochSecs: () => Long = () => System.currentTimeMillis() / 1000,
+      triggerInterval: String = "5 seconds",
+      idlePollMs: Long = 1000L,
+      idleConfirmMs: Long = 10000L,
+      bufferFullBackoffSecs: Long = 20 * 60L,
+      maxFilesPerTrigger: Int = 256): AutomaticImport = {
+    val gate = new ReentrantLock()
+    val query = StreamingImport.startPredictionRefresh(spark, rtDir, schedule,
+      source, recordsDir, predictionsDir, checkpointDir, specific, defaults,
+      automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
+      triggerInterval = triggerInterval, gate = Some(gate))
+    new AutomaticImport(query, spark, schedule, source, predictionsDir,
+      specific, defaults, nowEpochSecs, idlePollMs, idleConfirmMs,
+      bufferFullBackoffSecs, gate)
+  }
+}

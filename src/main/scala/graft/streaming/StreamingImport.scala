@@ -290,7 +290,10 @@ object StreamingImport {
       specific: Dataset[graft.gtfs.SpecificCurveRow],
       defaults: Dataset[graft.gtfs.DefaultCurveRow],
       automatic: Boolean = false,
-      maxFilesPerTrigger: Int = 256): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxFilesPerTrigger: Int = 256,
+      triggerInterval: String = "5 seconds",
+      gate: Option[java.util.concurrent.locks.Lock] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     // AMORTIZE the curve tables across triggers: curves change only on
     // re-analysis (the caller hands fixed Datasets), so snapshot them ONCE
     // into an executor-resident Broadcast[Predictor] — every trigger then
@@ -320,7 +323,7 @@ object StreamingImport {
       } }.map(spark.sparkContext.broadcast(_))
     }
     refreshLoop(spark, rtDir, source, recordsDir, predictionsDir,
-      checkpointDir, automatic, maxFilesPerTrigger,
+      checkpointDir, automatic, maxFilesPerTrigger, triggerInterval, gate,
       predict = (stored, date) => bc match {
         case Some(b) => Predictor.batchPredictRealtimeCached(
           spark, schedule, stored, date, source, b)
@@ -340,10 +343,13 @@ object StreamingImport {
       predictionsDir: String, checkpointDir: String,
       specificDir: String, defaultDir: String,
       automatic: Boolean = false,
-      maxFilesPerTrigger: Int = 256): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxFilesPerTrigger: Int = 256,
+      triggerInterval: String = "5 seconds",
+      gate: Option[java.util.concurrent.locks.Lock] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val cache = new graft.gtfs.CurveCache(spark, specificDir, defaultDir)
     refreshLoop(spark, rtDir, source, recordsDir, predictionsDir,
-      checkpointDir, automatic, maxFilesPerTrigger,
+      checkpointDir, automatic, maxFilesPerTrigger, triggerInterval, gate,
       // a store grown past the driver-map bound by a re-analysis downgrades
       // the trigger to the distributed join form (curve side stays
       // distributed, read lazily from the store) instead of killing the
@@ -362,15 +368,37 @@ object StreamingImport {
   private def refreshLoop(spark: SparkSession, rtDir: String, source: String,
       recordsDir: String, predictionsDir: String, checkpointDir: String,
       automatic: Boolean, maxFilesPerTrigger: Int,
+      triggerInterval: String = "5 seconds",
+      gate: Option[java.util.concurrent.locks.Lock] = None,
       predict: (DataFrame, String) => DataFrame,
       decode: Dataset[RtRow] => DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
     val rt = rtStream(spark, rtDir, maxFilesPerTrigger)
-    val trigger = if (automatic) Trigger.ProcessingTime("5 seconds") else Trigger.AvailableNow()
+    val trigger = if (automatic) Trigger.ProcessingTime(triggerInterval)
+                  else Trigger.AvailableNow()
     rt.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[RtRow], batchId: Long) =>
+        // the AUTOMATIC composition serializes rt batches against the idle
+        // backfill (AutomaticImport): both upsert the predictions table via
+        // read-merge-overwrite, and an unserialized overlap on the same
+        // partition directory would lose one writer's merge — the reference
+        // runs the two phases strictly in turn in its single loop
+        // (importer/mod.rs:302-330)
+        gate.foreach(_.lock())
+        try { refreshBatch(spark, source, recordsDir, predictionsDir,
+          predict, decode, batch, batchId) }
+        finally gate.foreach(_.unlock())
+      }
+      .start()
+  }
+
+  private def refreshBatch(spark: SparkSession, source: String,
+      recordsDir: String, predictionsDir: String,
+      predict: (DataFrame, String) => DataFrame,
+      decode: Dataset[RtRow] => DataFrame,
+      batch: Dataset[RtRow], batchId: Long): Unit = {
         // persist: the decode + schedule joins otherwise re-run for the
         // upsert's actions AND the dates collect below (~3 full replays of
         // the batch plan per trigger)
@@ -417,14 +445,17 @@ object StreamingImport {
                 .withColumn("refresh_seq", lit(batchId))
                 .persist()
               try upsertTable(preds, predictionsDir,
-                keyCols = Seq("source", "trip_id", "trip_start_date",
-                  "trip_start_time", "stop_sequence", "event_type"),
-                newestBy = col("refresh_seq"))
+                keyCols = PredictionKeyCols, newestBy = col("refresh_seq"))
               finally preds.unpersist()
             }
           }
         } finally recs.unpersist()
-      }
-      .start()
   }
+
+  /** The predictions-table upsert key shared by the realtime refresh and the
+    * idle backfill — the reference's `predictions` WHERE clause
+    * (importer/mod.rs:560-578; route_id is functionally determined by
+    * trip_id and stays a value column here). */
+  private[streaming] val PredictionKeyCols = Seq("source", "trip_id",
+    "trip_start_date", "trip_start_time", "stop_sequence", "event_type")
 }

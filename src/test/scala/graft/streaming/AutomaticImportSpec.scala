@@ -1,0 +1,166 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.gtfs._
+
+/** Busy/idle rehearsal of the composed `automatic` mode (the reference's
+  * main deployment loop, importer/mod.rs:295-344): realtime ingestion and
+  * ST4 idle backfill alternate in ONE process — backfill advances only
+  * while the stream is idle, the high-water mark moves monotonically, and
+  * realtime processing resumes the moment files arrive. */
+class AutomaticImportSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val (schedDir, stagingRt) = GtfsFixtures.create()
+  lazy val schedule: GtfsSchedule = GtfsSchedule.load(spark, schedDir)
+
+  private def ms(nanos: Long): Long = nanos / 1000000L
+
+  test("automatic mode: idle backfill + rt ingest alternate; hwm monotonic; backfill never runs against a backlog") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("automatic").toString
+    val rtDir = Files.createDirectories(java.nio.file.Paths.get(base, "rt")).toString
+    val recordsDir = s"$base/records"
+    val predictionsDir = s"$base/predictions"
+
+    // curve tables from the staged batch import (cached: every ST4 batch
+    // joins them, every rt trigger's fallback could too)
+    val staged = Importer.importDirectory(spark, stagingRt, schedule, "test").cache()
+    val sc = CurveAnalysis.specificCurves(spark, staged, schedule).cache()
+    val dc = CurveAnalysis.defaultCurves(spark, staged, schedule).cache()
+    sc.count(); dc.count()
+
+    // injected clock: 2024-02-01 12:00 UTC — the fixture calendar runs all
+    // of 2024, so the 7d12h buffer holds ~37 future trips
+    val clock = new AtomicLong(
+      java.time.LocalDateTime.of(2024, 2, 1, 12, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC))
+
+    // idle progress events must flow quickly for the idle gate
+    val prevNoData = spark.conf.get(
+      "spark.sql.streaming.noDataProgressEventInterval", "10000ms")
+    spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "1000ms")
+    val auto = AutomaticImport.start(spark, rtDir, schedule, "test",
+      recordsDir, predictionsDir, s"$base/ckpt", sc, dc,
+      nowEpochSecs = () => clock.get(),
+      triggerInterval = "500 milliseconds",
+      idlePollMs = 200L, idleConfirmMs = 1200L,
+      bufferFullBackoffSecs = 600L,
+      maxFilesPerTrigger = 1)
+    try {
+      // ---- phase A: empty rt dir → the idle branch backfills ----
+      val deadlineA = System.nanoTime() + 120L * 1000000000L
+      while (!auto.backfillEvents.exists(_.bufferFull)
+          && System.nanoTime() < deadlineA) Thread.sleep(300)
+      val phaseA = auto.backfillEvents
+      assert(phaseA.exists(e => !e.bufferFull && e.tripCount > 0),
+        s"idle phase must commit at least one trip-bearing ST4 batch: $phaseA")
+      assert(phaseA.exists(_.bufferFull),
+        s"the exhausted buffer must back off (PREDICTION_FULL_TIMEOUT): $phaseA")
+      // hwm advances monotonically across the committed events
+      val hwms = phaseA.filterNot(_.bufferFull).map(_.toHwm)
+      assert(hwms == hwms.sorted && auto.highWaterMark == hwms.max,
+        s"high-water mark must be monotonic: $hwms")
+      assert(phaseA.filterNot(_.bufferFull)
+        .forall(e => e.toHwm >= e.fromHwm), "no event may regress the mark")
+      val schedRows = spark.read.parquet(predictionsDir)
+        .filter(col("origin_type") === Codes.OriginSchedule)
+      assert(schedRows.count() > 0, "schedule-origin predictions landed")
+      assert(spark.read.parquet(predictionsDir)
+        .filter(col("origin_type") === Codes.OriginRealtime).count() == 0,
+        "no realtime rows before any rt file exists")
+
+      // ---- phase B: a sustained rt backlog suppresses the backfill ----
+      val pbs = new java.io.File(stagingRt).listFiles()
+        .filter(_.getName.endsWith(".pb")).sortBy(_.getName).take(8)
+      assert(pbs.length == 8, "fixture sanity")
+      pbs.foreach(f => Files.copy(f.toPath,
+        java.nio.file.Paths.get(rtDir, f.getName),
+        StandardCopyOption.COPY_ATTRIBUTES))
+      val tDrop = System.nanoTime()
+      // drain = the stream has ingested all 8 files (1 per trigger) and
+      // reports idle again
+      val deadlineB = System.nanoTime() + 180L * 1000000000L
+      def ingested(): Long = auto.query.recentProgress.map(_.numInputRows).sum
+      while ((ingested() < 8 || auto.query.status.isDataAvailable)
+          && System.nanoTime() < deadlineB) Thread.sleep(300)
+      val tDrain = System.nanoTime()
+      assert(ingested() >= 8, s"rt backlog must drain, ingested=${ingested()}")
+      assert(ms(tDrain - tDrop) > 4000,
+        "rehearsal sanity: the backlog window must be long enough to catch " +
+          s"a backfill decision (got ${ms(tDrain - tDrop)} ms); raise the file count")
+      // records + realtime predictions landed (the rt half worked)
+      val recCount = spark.read.parquet(recordsDir).count()
+      assert(recCount > 0, "rt records upserted")
+      assert(spark.read.parquet(predictionsDir)
+        .filter(col("origin_type") === Codes.OriginRealtime).count() > 0,
+        "realtime-origin predictions from the changed vehicles")
+      // NO backfill decision inside the sustained-backlog window. Margins:
+      // a decision needs two idle observations 1200 ms apart, and the
+      // source lists new files within one 500 ms trigger — so any decision
+      // 2.5 s past the drop contradicts the backlog; the window end backs
+      // off 1.5 s for the observation lag of the drain poll.
+      val busyLo = tDrop + 2500L * 1000000L
+      val busyHi = tDrain - 1500L * 1000000L
+      val inBusy = auto.backfillEvents
+        .filter(e => e.decidedAtNanos > busyLo && e.decidedAtNanos < busyHi)
+      assert(inBusy.isEmpty,
+        s"backfill decided against a pending rt backlog: $inBusy")
+
+      // ---- phase C: idle again + reopened buffer → backfill resumes ----
+      clock.addAndGet(86400L) // a day passes: the 7d12h buffer reopens
+      val before = auto.backfillEvents.size
+      val deadlineC = System.nanoTime() + 120L * 1000000000L
+      while (!auto.backfillEvents.drop(before).exists(e =>
+          !e.bufferFull && e.tripCount > 0 && e.decidedAtNanos > tDrain)
+          && System.nanoTime() < deadlineC) Thread.sleep(300)
+      val resumed = auto.backfillEvents.drop(before)
+        .filter(e => !e.bufferFull && e.tripCount > 0 && e.decidedAtNanos > tDrain)
+      assert(resumed.nonEmpty, "backfill must resume once the stream is idle " +
+        s"and the buffer reopens: ${auto.backfillEvents}")
+      assert(resumed.head.fromHwm >= hwms.max, "resumed from the advanced mark")
+    } finally {
+      auto.stop()
+      spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", prevNoData)
+    }
+
+    // ---- restart: the mark recovers from the predictions table ----
+    // (the reference re-derives it from the DB each iteration,
+    // scheduled_predictions_importer.rs:81; recovery = the A15 max over
+    // schedule-origin trip starts)
+    val recovered = AutomaticImport.recoverHighWaterMark(spark, predictionsDir)
+    assert(recovered > 0 && recovered <= auto.highWaterMark,
+      s"recovered mark $recovered must be a committed trip start ≤ ${auto.highWaterMark}")
+    val keyCols = StreamingImport.PredictionKeyCols
+    val preA = spark.read.parquet(predictionsDir)
+    val preCount = preA.count()
+    assert(preA.select(keyCols.map(col): _*).distinct().count() == preCount,
+      "upsert key is unique before restart")
+    // a restarted process re-advancing from the recovered mark must not
+    // duplicate or shrink the stored predictions (idempotent re-cover of
+    // the trailing window)
+    ScheduledPredictions.advance(spark, schedule, "test", sc, dc,
+      recovered, clock.get()).foreach { b =>
+      if (b.tripCount > 0)
+        StreamingImport.upsertTable(
+          b.predictions.withColumn("refresh_seq",
+            org.apache.spark.sql.functions.lit(AutomaticImport.BackfillSeq)),
+          predictionsDir, keyCols, col("refresh_seq"))
+    }
+    val post = spark.read.parquet(predictionsDir)
+    assert(post.count() >= preCount, "restart advance never shrinks the table")
+    assert(post.select(keyCols.map(col): _*).distinct().count() == post.count(),
+      "upsert key stays unique after the restart advance")
+    staged.unpersist(); sc.unpersist(); dc.unpersist()
+  }
+}
