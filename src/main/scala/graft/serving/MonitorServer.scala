@@ -32,13 +32,19 @@ import graft.gtfs.{Codes, GtfsSchedule, HeatStrip, Monitor}
   *     (mod.rs:410 → 400)
   *   - `GET /info/<datetime>/<journey…>/`          → journey info page
   *     (component list with reach probabilities; mod.rs:1264)
+  *   - `GET /style.css`, `/favicon.ico`, `/impressum.html`, and the
+  *     `fonts/ favicons/ help/ images/` trees → static files under
+  *     `docRoot` (mod.rs:153 / serve_static_file; the reference's
+  *     `web-assets/`), 404 on a missing file, absent root, or any
+  *     path-traversal escape
   *
   * Page rendering collects only bounded page rows (same contract as the
   * reference building HTML per request); all heavy lifting stays in the
   * cached prediction DataFrame. Failures render the reference's 500 page.
   */
 class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
-                    predictions: DataFrame, port: Int = 0) {
+                    predictions: DataFrame, port: Int = 0,
+                    docRoot: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -69,6 +75,11 @@ class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
         StandardCharsets.UTF_8))
     val q = queryParams(ex)
     parts.toSeq match {
+      // static assets FIRST, exactly the reference's prefix set
+      // (mod.rs:153: fonts/_, favicons/_, favicon.ico, impressum.html,
+      // style.css, help/.., images/..) — anything else falls through to
+      // the dynamic routes
+      case p if isStaticPath(p) => serveStatic(ex, p)
       case Seq() | Seq("embed") | Seq("noscript") =>
         respond(ex, 200, "text/html", searchPage)
       case Seq("autocomplete") =>
@@ -101,6 +112,53 @@ class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
       case _ =>
         respond(ex, 404, "text/html",
           "<html><body><h1>404</h1></body></html>")
+    }
+  }
+
+  // ---- static assets (mod.rs:153 + serve_static_file/mod.rs:192, the
+  // reference's hyper_staticfile over "web-assets/") ----
+
+  private def isStaticPath(parts: Seq[String]): Boolean = parts match {
+    case Seq("fonts", _) | Seq("favicons", _) => true
+    case Seq("favicon.ico") | Seq("impressum.html") | Seq("style.css") => true
+    case "help" +: _ => true
+    case "images" +: _ => true
+    case _ => false
+  }
+
+  private val mimeByExt = Map(
+    "html" -> "text/html", "css" -> "text/css",
+    "js" -> "application/javascript", "json" -> "application/json",
+    "png" -> "image/png", "jpg" -> "image/jpeg", "jpeg" -> "image/jpeg",
+    "svg" -> "image/svg+xml", "gif" -> "image/gif",
+    "ico" -> "image/x-icon", "woff" -> "font/woff", "woff2" -> "font/woff2",
+    "ttf" -> "font/ttf", "otf" -> "font/otf", "txt" -> "text/plain")
+
+  /** Serves one file from the doc root. 404 for a missing root, a missing
+    * file, or any path that escapes the root — the parts are already
+    * %-decoded, so a `%2e%2e` ("..") element lands here and must be caught
+    * by the canonical-path containment check, not by string matching. */
+  private def serveStatic(ex: HttpExchange, parts: Seq[String]): Unit = {
+    val file = docRoot.map { root =>
+      val rootF = new java.io.File(root).getCanonicalFile
+      val f = new java.io.File(rootF, parts.mkString(java.io.File.separator))
+        .getCanonicalFile
+      (rootF, f)
+    }.filter { case (rootF, f) =>
+      f.getPath.startsWith(rootF.getPath + java.io.File.separator) && f.isFile
+    }.map(_._2)
+    file match {
+      case None =>
+        respond(ex, 404, "text/html", "<html><body><h1>404</h1></body></html>")
+      case Some(f) =>
+        val ext = f.getName.split('.').last.toLowerCase
+        val mime = mimeByExt.getOrElse(ext, "application/octet-stream")
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        ex.getResponseHeaders.add("Content-Type", mime)
+        // JDK HttpServer: length 0 means "chunked, unknown" — an empty
+        // asset must send -1 (no body) instead
+        ex.sendResponseHeaders(200, if (bytes.length == 0) -1 else bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
     }
   }
 

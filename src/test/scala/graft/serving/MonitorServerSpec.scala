@@ -123,4 +123,80 @@ class MonitorServerSpec extends AnyFunSuite {
       assert(ip.body().contains("T1"))
     } finally server.stop()
   }
+
+  test("serves the reference's static-asset routes with traversal rejection") {
+    // one round-trip per asset class of mod.rs:153 (fonts/_, favicons/_,
+    // favicon.ico, impressum.html, style.css, help/.., images/..) out of a
+    // doc root — the reference's web-assets/ via hyper_staticfile
+    val (sched, preds) = graft.queries.GtfsPack.predictionState(spark)
+    val root = java.nio.file.Files.createTempDirectory("webassets")
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = root.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, bytes)
+    }
+    val pngBytes = graft.gtfs.HeatStrip.png(
+      Array(graft.curves.CPoint(0f, 0f), graft.curves.CPoint(10f, 1f)),
+      0.0, 0.0, 10.0, 16, graft.gtfs.Codes.EventDeparture)
+    put("style.css", "body { color: #222; }".getBytes("UTF-8"))
+    put("impressum.html", "<html><body>Impressum</body></html>".getBytes("UTF-8"))
+    put("favicon.ico", Array[Byte](0, 0, 1, 0))
+    put("fonts/mono.woff2", Array[Byte](0x77, 0x4f, 0x46, 0x32))
+    put("favicons/icon-32.png", pngBytes)
+    put("help/index.html", "<html><body>Hilfe</body></html>".getBytes("UTF-8"))
+    put("images/logo.svg", "<svg xmlns='http://www.w3.org/2000/svg'/>".getBytes("UTF-8"))
+    // a file OUTSIDE the root that traversal must never reach
+    java.nio.file.Files.write(root.getParent.resolve("secret_outside.txt"),
+      "secret".getBytes("UTF-8"))
+
+    val server = new MonitorServer(spark, sched, preds,
+      docRoot = Some(root.toString))
+    val port = server.start()
+    try {
+      def mime(r: java.net.http.HttpResponse[_]): String =
+        r.headers().firstValue("Content-Type").orElse("")
+      val css = get(port, "/style.css")
+      assert(css.statusCode() == 200 && css.body().contains("#222"))
+      assert(mime(css) == "text/css")
+      val imp = get(port, "/impressum.html")
+      assert(imp.statusCode() == 200 && imp.body().contains("Impressum"))
+      assert(mime(imp) == "text/html")
+      val hlp = get(port, "/help/index.html")
+      assert(hlp.statusCode() == 200 && hlp.body().contains("Hilfe"))
+      val svg = get(port, "/images/logo.svg")
+      assert(svg.statusCode() == 200 && mime(svg) == "image/svg+xml")
+      val woff = get(port, "/fonts/mono.woff2")
+      assert(woff.statusCode() == 200 && mime(woff) == "font/woff2")
+      val ico = get(port, "/favicon.ico")
+      assert(ico.statusCode() == 200 && mime(ico) == "image/x-icon")
+      // binary fidelity: the PNG survives byte-for-byte
+      val fav = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/favicons/icon-32.png"))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      assert(fav.statusCode() == 200 && mime(fav) == "image/png")
+      assert(fav.body().toSeq == pngBytes.toSeq, "asset bytes must round-trip")
+
+      // missing file under a static prefix → 404 (not the dynamic 500 page)
+      assert(get(port, "/images/absent.png").statusCode() == 404)
+      // deeper nesting under the single-level prefixes is NOT a static
+      // route (mod.rs:153 matches exactly ["fonts", _]) — falls through to
+      // the journey handler like any other path
+      assert(get(port, "/fonts/a/b.woff").statusCode() != 200)
+
+      // path traversal: %2e%2e decodes to ".." AFTER the prefix match, so
+      // only the canonical containment check stands between the request
+      // and the filesystem — both spellings must 404
+      assert(get(port, "/help/../secret_outside.txt").statusCode() == 404)
+      assert(get(port, "/help/%2e%2e/secret_outside.txt").statusCode() == 404)
+      assert(get(port, "/images/%2e%2e/%2e%2e/secret_outside.txt").statusCode() == 404)
+    } finally server.stop()
+
+    // without a doc root every static route 404s (nothing to serve)
+    val bare = new MonitorServer(spark, sched, preds)
+    val p2 = bare.start()
+    try assert(get(p2, "/style.css").statusCode() == 404)
+    finally bare.stop()
+  }
 }
