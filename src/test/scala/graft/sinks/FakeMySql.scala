@@ -17,11 +17,13 @@ import scala.collection.mutable
   *    SQLSTATE 40001, or (some driver configs) the bare vendor code;
   *  - duplicate keys as MySQL reports them — SQLSTATE 23000 / error 1062.
   *
-  * Transactions are real: each connection works on an overlay snapshot,
-  * `commit` publishes it, `rollback` discards it, savepoints restore
-  * mid-transaction state (so the sink's half-applied-INSERT-batch rollback
-  * is genuinely verified). Interfaces are implemented via dynamic proxies —
-  * only the methods the sink calls exist.
+  * Transactions are real: each connection works on an overlay of its
+  * CHANGED keys with read-committed fall-through, `commit` publishes the
+  * delta row-by-row (so two concurrent writers merge instead of one
+  * clobbering the other's table), `rollback` discards it, savepoints
+  * restore mid-transaction state (so the sink's half-applied-INSERT-batch
+  * rollback is genuinely verified). Interfaces are implemented via dynamic
+  * proxies — only the methods the sink calls exist.
   */
 object FakeMySql {
   val Url = "jdbc:fakemysql:mem"
@@ -45,10 +47,15 @@ object FakeMySql {
     global(name) = global(name) ++ rows
   }
   def rows(name: String): Map[Seq[Any], Seq[Any]] = synchronized { global(name) }
-  private def snapshot(name: String): Map[Seq[Any], Seq[Any]] =
-    synchronized { global.getOrElse(name, Map.empty) }
+  private def committed(name: String, key: Seq[Any]): Option[Seq[Any]] =
+    synchronized { global.getOrElse(name, Map.empty).get(key) }
+  // row-level publish (InnoDB-style): only the transaction's CHANGED keys
+  // merge into the committed state, atomically — two concurrent writers on
+  // disjoint keys both keep their rows (a whole-table swap would lose the
+  // other writer's committed updates)
   private def publish(txn: Map[String, Map[Seq[Any], Seq[Any]]]): Unit =
-    synchronized { txn.foreach { case (n, t) => global(n) = t } }
+    synchronized { txn.foreach { case (n, delta) =>
+      global(n) = global.getOrElse(n, Map.empty) ++ delta } }
   private def keysOf(name: String): Int = synchronized { keyArity(name) }
 
   DriverManager.registerDriver(new java.sql.Driver {
@@ -81,11 +88,17 @@ object FakeMySql {
   }
 
   private final class ConnState {
-    // overlay: immutable tables, so savepoints are free snapshots
+    // overlay of CHANGED keys only (immutable maps, so savepoints are free
+    // snapshots); reads fall through to the CURRENT committed state —
+    // read-committed visibility, like MySQL's locking reads for
+    // UPDATE/INSERT. Simplification vs real InnoDB: two uncommitted INSERTs
+    // of the same new key don't block each other, the later commit wins —
+    // the per-key outcome is still "exactly one writer's value".
     var txn: Map[String, Map[Seq[Any], Seq[Any]]] = Map.empty
-    def tbl(name: String): Map[Seq[Any], Seq[Any]] =
-      txn.getOrElse(name, { val t = snapshot(name); txn += name -> t; t })
-    def put(name: String, t: Map[Seq[Any], Seq[Any]]): Unit = txn += name -> t
+    def read(name: String, key: Seq[Any]): Option[Seq[Any]] =
+      txn.getOrElse(name, Map.empty).get(key).orElse(committed(name, key))
+    def write(name: String, key: Seq[Any], vals: Seq[Any]): Unit =
+      txn += name -> txn.getOrElse(name, Map.empty).updated(key, vals)
     def commit(): Unit = { publish(txn); txn = Map.empty }
     def rollbackAll(): Unit = txn = Map.empty
   }
@@ -126,18 +139,16 @@ object FakeMySql {
     // MySQL affected-rows: 1 only when the stored value actually CHANGES
     def runUpdate(table: String, nSet: Int, row: Seq[Any]): Int = {
       val (vals, key) = row.splitAt(nSet)
-      val t = st.tbl(table)
-      t.get(key) match {
+      st.read(table, key) match {
         case Some(existing) if existing == vals => 0
-        case Some(_) => st.put(table, t.updated(key, vals)); 1
+        case Some(_) => st.write(table, key, vals); 1
         case None => 0
       }
     }
     def runInsert(table: String, row: Seq[Any]): Int = {
       val (key, vals) = row.splitAt(keysOf(table))
-      val t = st.tbl(table)
-      if (t.contains(key)) throw dup(key)
-      st.put(table, t.updated(key, vals)); 1
+      if (st.read(table, key).isDefined) throw dup(key)
+      st.write(table, key, vals); 1
     }
     def runOne(row: Seq[Any]): Int = sql match {
       case UpdateRe(table, setPart, _) =>

@@ -169,4 +169,88 @@ class JdbcUpsertSpec extends AnyFunSuite {
       case _ => false
     }, s"expected a 1213 SQLException in the cause chain, got $e")
   }
+
+  // ---- concurrent writers: the retry/convergence contract under REAL
+  // interleaving, not single-threaded replay ----
+
+  private def inThreads(bodies: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = bodies.zipWithIndex.map { case (b, i) =>
+      val t = new Thread(() => try b() catch { case e: Throwable => errs.add(e) },
+        s"upsert-writer-$i")
+      t.start(); t
+    }
+    ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer thread failed: ${errs.peek()}")
+  }
+
+  test("concurrent overlapping writers with injected deadlocks converge per key (FakeMySql)") {
+    import spark.implicits._
+    FakeMySql.ensureRegistered()
+    FakeMySql.reset()
+    FakeMySql.createTable("mysql_conc", keys = 1)
+    // both writers hit the SAME 100 keys with different values; four
+    // deadlocks land on whichever writer's batches come first and must be
+    // retried away under the real interleaving
+    FakeMySql.deadlocksToInject.set(4)
+    val cfg = JdbcUpsert.Config(FakeMySql.Url, "mysql_conc",
+      keyCols = Seq("k"), valueCols = Seq("src"),
+      batchSize = 16, maxRetries = 8, retryDelayMs = 1)
+    def df(writer: String) = (0 until 100).map(k => (f"K$k%03d", writer))
+      .toDF("k", "src").repartition(4)
+    inThreads(
+      () => JdbcUpsert.upsert(df("A"), cfg),
+      () => JdbcUpsert.upsert(df("B"), cfg))
+    assert(FakeMySql.deadlocksToInject.get() == 0, "all injected deadlocks consumed")
+    val rows = FakeMySql.rows("mysql_conc")
+    assert(rows.size == 100, s"every key present exactly once, got ${rows.size}")
+    assert(rows.values.forall(v => v == Seq("A") || v == Seq("B")),
+      s"each key holds exactly one writer's value: ${rows.values.toSet}")
+    // a later deterministic pass is a clean last writer over every key
+    JdbcUpsert.upsert(df("C"), cfg)
+    assert(FakeMySql.rows("mysql_conc").values.forall(_ == Seq("C")),
+      "the final writer wins every key")
+  }
+
+  test("concurrent overlapping writers converge on Derby (real row locks)") {
+    import spark.implicits._
+    // real lock interleaving on a real engine: blocked UPDATEs, INSERT
+    // races resolved by the sink's per-row INSERT-IGNORE leg, and any
+    // genuine 40001 deadlock retried. Short waits keep a detected
+    // deadlock from stalling the suite.
+    System.setProperty("derby.locks.deadlockTimeout", "1")
+    System.setProperty("derby.locks.waitTimeout", "30")
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    withConn { c =>
+      c.createStatement().execute(
+        """CREATE TABLE conc_sink (
+             k VARCHAR(16) NOT NULL PRIMARY KEY,
+             src VARCHAR(16))""")
+    }
+    val cfg = JdbcUpsert.Config(url, "conc_sink",
+      keyCols = Seq("k"), valueCols = Seq("src"),
+      batchSize = 8, maxRetries = 8, retryDelayMs = 5,
+      driver = Some("org.apache.derby.jdbc.EmbeddedDriver"))
+    def df(writer: String) = (0 until 60).map(k => (f"K$k%03d", writer))
+      .toDF("k", "src").repartition(3)
+    inThreads(
+      () => JdbcUpsert.upsert(df("A"), cfg),
+      () => JdbcUpsert.upsert(df("B"), cfg))
+    val stored = withConn { c =>
+      val rs = c.createStatement().executeQuery("SELECT k, src FROM conc_sink")
+      val b = Map.newBuilder[String, String]
+      while (rs.next()) b += rs.getString(1) -> rs.getString(2)
+      b.result()
+    }
+    assert(stored.size == 60, s"every key present exactly once, got ${stored.size}")
+    assert(stored.values.forall(v => v == "A" || v == "B"),
+      s"each key holds one writer's value: ${stored.values.toSet}")
+    JdbcUpsert.upsert(df("C"), cfg)
+    val after = withConn { c =>
+      val rs = c.createStatement().executeQuery(
+        "SELECT COUNT(*) FROM conc_sink WHERE src = 'C'")
+      rs.next(); rs.getInt(1)
+    }
+    assert(after == 60, "the final writer wins every key")
+  }
 }
