@@ -381,12 +381,20 @@ object ScaleRehearsal {
           // LIVE from lastProgress (keyed by batchId; poll period well under
           // the 1 s trigger so no batch is skipped)
           val traj = scala.collection.mutable.TreeMap[Long, (Long, Long, Long)]()
-          def poll(): Unit = Option(q.lastProgress).foreach { p =>
-            if (p.stateOperators.nonEmpty)
-              traj(p.batchId) = (p.numInputRows,
-                p.stateOperators.head.numRowsTotal,
-                p.stateOperators.head.numRowsRemoved)
-          }
+          // lastProgress alone can lose a batch when two complete
+          // back-to-back between 250 ms polls (e.g. after one slow batch
+          // under load): the overwritten entry's numInputRows would
+          // undercount the drain condition — possibly pinning the loop to
+          // the 600 s deadline — and the evicted/peak totals. Merging the
+          // recentProgress window too (keyed by batchId, so re-merging is
+          // idempotent) recovers briefly-missed batches.
+          def poll(): Unit =
+            (q.recentProgress.toSeq ++ Option(q.lastProgress)).foreach { p =>
+              if (p.stateOperators.nonEmpty)
+                traj(p.batchId) = (p.numInputRows,
+                  p.stateOperators.head.numRowsTotal,
+                  p.stateOperators.head.numRowsRemoved)
+            }
           // run until the file backlog is consumed, then keep the trigger
           // firing (empty batches process timeouts) so eviction completes
           val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000

@@ -101,13 +101,25 @@ object Similarity {
     * of each vector and collapse LSH recall with no error. One 1-row probe
     * job; an empty or null-leading corpus passes (nothing to mis-bucket
     * that the scan itself won't surface). */
-  private def requireDim(embeddings: DataFrame, vecCol: String, dim: Int): Unit =
+  private def requireDim(embeddings: DataFrame, vecCol: String, dim: Int): Unit = {
     embeddings.select(size(col(vecCol)).as("n")).take(1)
       .foreach { r =>
         if (!r.isNullAt(0))
           require(r.getInt(0) == dim,
             s"$vecCol length ${r.getInt(0)} != dim $dim — pass the actual dimension")
       }
+    // the probe sees only the first non-null row; a corpus with
+    // HETEROGENEOUS vector lengths deeper in still prefix-buckets
+    // silently. Full validation costs one corpus pass, so it rides behind
+    // a debug conf instead of taxing every production call.
+    if (embeddings.sparkSession.conf
+        .get("spark.graft.ann.validateDims", "false").toBoolean) {
+      val bad = embeddings
+        .filter(col(vecCol).isNotNull && size(col(vecCol)) =!= dim).count()
+      require(bad == 0,
+        s"$bad rows have $vecCol length != dim $dim (spark.graft.ann.validateDims)")
+    }
+  }
 
   /** Sign-bit signature of a vector against the hyperplanes, as a Column
     * (bit i set ⟺ dot(v, plane_i) > 0). NOT on any hot path — the

@@ -88,6 +88,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("ANN dim validation: the debug conf catches deep heterogeneous vector lengths") {
+    import spark.implicits._
+    // first row matches dim → the cheap fail-fast probe passes; row 7 is
+    // shorter and would silently prefix-bucket
+    val emb = (0L until 10L).map(i =>
+      (i, Array.fill(if (i == 7) 3 else 4)(0.1f * (i + 1))))
+      .toDF("vec_id", "embedding")
+    Similarity.lshTopK(emb, Seq(0L), 3, numTables = 2, planesPerTable = 3,
+      dim = 4).collect() // default: no full scan, no error
+    spark.conf.set("spark.graft.ann.validateDims", "true")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Similarity.lshTopK(emb, Seq(0L), 3, numTables = 2, planesPerTable = 3,
+          dim = 4))
+      assert(e.getMessage.contains("validateDims"))
+    } finally spark.conf.unset("spark.graft.ann.validateDims")
+  }
+
   test("cosine near-dup pairs: auto-sized planes, identical vectors always found") {
     // the sizing rule keeps expected bucket occupancy n/2^k near the target,
     // so candidate volume stays linear in n instead of collapsing to
