@@ -9,9 +9,50 @@ import graft.gtfs._
   * `<dir>/records` (archiving processed files), then runs one scheduled-
   * prediction backfill batch into `<dir>/predictions`.
   *
-  * Usage: sbt "runMain graft.ImportCli <baseDir> [source] [serviceDateForNow]"
+  * Usage:
+  *   sbt "runMain graft.ImportCli <baseDir> [source] [serviceDateForNow]"
+  *   sbt "runMain graft.ImportCli automatic <baseDir> [source] [nowDate]"
+  *
+  * `automatic` is the reference's flagship deployment subcommand
+  * (importer/mod.rs:295-344): the long-running composed mode — streaming rt
+  * ingest + prediction refresh from the curve STORE written by a previous
+  * batch pass (`<baseDir>/curves`), with ST4 idle backfill whenever the
+  * stream has nothing to do. Runs until interrupted.
   */
 object ImportCli {
+
+  /** Starts the composed automatic mode off a previously-analysed tree
+    * (schedule + curve store); returns the handle so tests can stop it.
+    * Streaming state lives under `<baseDir>/stream` — the batch layout's
+    * `<baseDir>/records` (a plain overwrite dump) is left alone. */
+  def runAutomatic(spark: SparkSession, baseDir: String, source: String,
+                   nowDate: Option[String],
+                   triggerInterval: String = "5 seconds",
+                   idlePollMs: Long = 1000L,
+                   idleConfirmMs: Long = 10000L): graft.streaming.AutomaticImport = {
+    val schedDirs = Option(new java.io.File(s"$baseDir/schedule").listFiles())
+      .getOrElse(Array.empty)
+      .map(_.getPath).filter(p => Directory.dateFromFilename(p).isDefined)
+    require(schedDirs.nonEmpty, s"no dated schedule directory under $baseDir/schedule")
+    val schedule = GtfsSchedule.load(spark, schedDirs.max)
+    val specificDir = s"$baseDir/curves/specific"
+    val defaultDir = s"$baseDir/curves/default"
+    require(new java.io.File(specificDir).exists() &&
+      new java.io.File(defaultDir).exists(),
+      s"no curve store under $baseDir/curves — run the batch pass first")
+    val clock: () => Long = nowDate match {
+      case Some(d) =>
+        val fixed = java.time.LocalDate.parse(d).toEpochDay * 86400 + 12 * 3600
+        () => fixed
+      case None => () => System.currentTimeMillis() / 1000
+    }
+    graft.streaming.AutomaticImport.startFromStore(spark, s"$baseDir/rt",
+      schedule, source, s"$baseDir/stream/records",
+      s"$baseDir/stream/predictions", s"$baseDir/stream/checkpoint",
+      specificDir, defaultDir, nowEpochSecs = clock,
+      triggerInterval = triggerInterval, idlePollMs = idlePollMs,
+      idleConfirmMs = idleConfirmMs)
+  }
 
   /** The whole import→analyse→predict pass, session-agnostic so tests can
     * drive it against a shared SparkSession. */
@@ -61,10 +102,12 @@ object ImportCli {
   }
 
   def main(args: Array[String]): Unit = {
-    val baseDir = args.headOption.getOrElse(
-      sys.error("usage: ImportCli <baseDir> [source] [nowDate]"))
-    val source = if (args.length > 1) args(1) else "graft"
-    val nowDate = if (args.length > 2) args(2) else java.time.LocalDate.now().toString
+    val automatic = args.headOption.contains("automatic")
+    val rest = if (automatic) args.drop(1) else args
+    val baseDir = rest.headOption.getOrElse(
+      sys.error("usage: ImportCli [automatic] <baseDir> [source] [nowDate]"))
+    val source = if (rest.length > 1) rest(1) else "graft"
+    val nowDate = if (rest.length > 2) Some(rest(2)) else None
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -73,7 +116,13 @@ object ImportCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try run(spark, baseDir, source, nowDate)
-    finally spark.stop()
+    try {
+      if (automatic) {
+        val auto = runAutomatic(spark, baseDir, source, nowDate)
+        println(s"[automatic] running; hwm=${auto.highWaterMark} (interrupt to stop)")
+        auto.query.awaitTermination() // runs until interrupted, like the reference loop
+      } else run(spark, baseDir, source,
+        nowDate.getOrElse(java.time.LocalDate.now().toString))
+    } finally spark.stop()
   }
 }

@@ -455,6 +455,102 @@ object ScaleRehearsal {
         batchReport("stream_refresh", qh3)
         sc2.unpersist(); dc2.unpersist()
       }
+
+      if (opWanted("automatic")) {
+        // ---- the COMPOSED automatic mode at scale (SCALE.md row) ----
+        // Claim under test: the idle backfill drains a full 7d12h buffer of
+        // scheduled trips in ≥1000-trip ST4 batches at a flat per-batch
+        // wall (each advance is O(batch + horizon scan over the broadcast
+        // schedule), never O(already-predicted history)); a sustained rt
+        // backlog suppresses backfill decisions entirely; the drain + a
+        // reopened buffer resume them.
+        val histDays = sys.env.getOrElse("SPARK_GRAFT_SR_HIST_DAYS", "2").toInt
+        val hist = syntheticRecords(schedule, histDays)
+        val scA = graft.gtfs.CurveAnalysis.specificCurves(spark, hist, schedule).cache()
+        val dcA = graft.gtfs.CurveAnalysis.defaultCurves(spark, hist, schedule).cache()
+        scA.count(); dcA.count()
+        val rtLive = java.nio.file.Files.createTempDirectory("sr_auto_rt")
+        val recDir = java.nio.file.Files.createTempDirectory("sr_auto_rec").toString + "/records"
+        val predDir = java.nio.file.Files.createTempDirectory("sr_auto_pred").toString + "/predictions"
+        val ckptA = java.nio.file.Files.createTempDirectory("sr_auto_ckpt").toString
+        val clock = new AtomicLong(1705320000L) // 2024-01-15 12:00 UTC
+        spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "1000ms")
+        val tripsPerDay = routes * 2 * tripsPerVariant
+        println(s"[scale] automatic: ${tripsPerDay} trips/day, buffer " +
+          s"${graft.gtfs.ScheduledPredictions.BufferSecs / 3600}h ≈ " +
+          s"${tripsPerDay * graft.gtfs.ScheduledPredictions.BufferSecs / 86400} trips")
+        runTimed("automatic_mode") {
+          val auto = graft.streaming.AutomaticImport.start(spark,
+            rtLive.toString, schedule, "scale", recDir, predDir, ckptA,
+            scA, dcA, nowEpochSecs = () => clock.get(),
+            triggerInterval = "1 second", idlePollMs = 200L,
+            idleConfirmMs = 1500L, bufferFullBackoffSecs = 3600L,
+            maxFilesPerTrigger = filesPerTrigger)
+          try {
+            // phase 1: drain the whole buffer while idle
+            val dl1 = System.nanoTime() + 2400L * 1000000000L
+            while (!auto.backfillEvents.exists(_.bufferFull)
+                && System.nanoTime() < dl1) Thread.sleep(500)
+            val evs = auto.backfillEvents.filterNot(_.bufferFull)
+            val walls = evs.map(_.decidedAtNanos).sliding(2).collect {
+              case Seq(a, b) => (b - a) / 1e9 - 1.5 // minus the confirm sleep
+            }.toSeq
+            val trips = evs.map(_.tripCount).sum
+            println(f"[scale] automatic backfill: batches=${evs.size} " +
+              f"trips=$trips buffer_full=${auto.backfillEvents.exists(_.bufferFull)} " +
+              (if (walls.nonEmpty)
+                f"batch wall median=${walls.sorted.apply(walls.size / 2)}%.1fs " +
+                f"max=${walls.max}%.1fs" else ""))
+            println(f"[scale] automatic predictions: rows=${
+              spark.read.parquet(predDir).count()} hwm=${auto.highWaterMark}")
+
+            // phase 2: sustained rt backlog → zero backfill decisions
+            val pre = auto.backfillEvents.size
+            val tDrop = System.nanoTime()
+            rtDirBusyFiles(rtLive)
+            val dl2 = System.nanoTime() + 1800L * 1000000000L
+            def ingested() = auto.query.recentProgress.map(_.numInputRows).sum
+            while ((ingested() < files || auto.query.status.isDataAvailable)
+                && System.nanoTime() < dl2) Thread.sleep(500)
+            val tDrain = System.nanoTime()
+            val during = auto.backfillEvents.drop(pre).count(e =>
+              e.decidedAtNanos > tDrop + 3000L * 1000000L
+                && e.decidedAtNanos < tDrain - 2000L * 1000000L)
+            println(f"[scale] automatic busy phase: files=$files " +
+              f"drain=${(tDrain - tDrop) / 1e9}%.1fs " +
+              f"backfill_decisions_during_backlog=$during " +
+              f"records=${spark.read.parquet(recDir).count()}")
+
+            // phase 3: buffer reopens → backfill resumes
+            clock.addAndGet(86400L)
+            val dl3 = System.nanoTime() + 600L * 1000000000L
+            while (!auto.backfillEvents.drop(pre).exists(e =>
+                !e.bufferFull && e.tripCount > 0 && e.decidedAtNanos > tDrain)
+                && System.nanoTime() < dl3) Thread.sleep(500)
+            val resumed = auto.backfillEvents.drop(pre)
+              .filter(e => !e.bufferFull && e.tripCount > 0)
+            println(s"[scale] automatic resume: resumed_batches=${resumed.size} " +
+              s"trips=${resumed.map(_.tripCount).sum}")
+            trips
+          } finally auto.stop()
+        }
+        val tRec = System.nanoTime()
+        val rec = graft.streaming.AutomaticImport.recoverHighWaterMark(spark, predDir)
+        println(f"[scale] automatic hwm recovery: hwm=$rec " +
+          f"wall=${(System.nanoTime() - tRec) / 1e9}%.1fs")
+        scA.unpersist(); dcA.unpersist()
+      }
+
+      // copies the standard rotating feed into a LIVE directory (the
+      // automatic op drops the backlog mid-run rather than pointing the
+      // stream at a pre-populated dir)
+      def rtDirBusyFiles(live: java.nio.file.Path): Unit = {
+        val src = genFeed("autobusy", stops * 3 / 5)
+        src.toFile.listFiles().foreach { f =>
+          java.nio.file.Files.copy(f.toPath, live.resolve(f.getName),
+            java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+        }
+      }
       spark.stop()
       return
     }

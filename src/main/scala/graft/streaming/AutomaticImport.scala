@@ -64,7 +64,7 @@ final class AutomaticImport private (
     val query: StreamingQuery,
     spark: SparkSession, schedule: GtfsSchedule, source: String,
     predictionsDir: String,
-    specific: Dataset[SpecificCurveRow], defaults: Dataset[DefaultCurveRow],
+    curves: () => (Dataset[SpecificCurveRow], Dataset[DefaultCurveRow]),
     nowEpochSecs: () => Long, idlePollMs: Long, idleConfirmMs: Long,
     bufferFullBackoffSecs: Long, gate: ReentrantLock) {
 
@@ -106,6 +106,10 @@ final class AutomaticImport private (
             val decided = System.nanoTime()
             gate.lock()
             try {
+              // re-resolved per iteration: the store-backed mode reads the
+              // CURRENT curve directories, so a re-analysis mid-run feeds
+              // the next backfill batch (FileCache discipline)
+              val (specific, defaults) = curves()
               ScheduledPredictions.advance(spark, schedule, source,
                 specific, defaults, hwm.get(), now) match {
                 case None =>
@@ -197,7 +201,34 @@ object AutomaticImport {
       automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
       triggerInterval = triggerInterval, gate = Some(gate))
     new AutomaticImport(query, spark, schedule, source, predictionsDir,
-      specific, defaults, nowEpochSecs, idlePollMs, idleConfirmMs,
+      () => (specific, defaults), nowEpochSecs, idlePollMs, idleConfirmMs,
       bufferFullBackoffSecs, gate)
+  }
+
+  /** [[start]] against an on-disk [[graft.gtfs.CurveStore]]: the realtime
+    * half runs the mtime-invalidated CurveCache loop
+    * ([[StreamingImport.startPredictionRefreshFromStore]]) and the idle
+    * backfill re-reads the store directories per iteration — re-running the
+    * analyser mid-run feeds both halves without a restart, the reference's
+    * FileCache discipline (src/main.rs:321-393). */
+  def startFromStore(spark: SparkSession, rtDir: String, schedule: GtfsSchedule,
+      source: String, recordsDir: String, predictionsDir: String,
+      checkpointDir: String, specificDir: String, defaultDir: String,
+      nowEpochSecs: () => Long = () => System.currentTimeMillis() / 1000,
+      triggerInterval: String = "5 seconds",
+      idlePollMs: Long = 1000L,
+      idleConfirmMs: Long = 10000L,
+      bufferFullBackoffSecs: Long = 20 * 60L,
+      maxFilesPerTrigger: Int = 256): AutomaticImport = {
+    val gate = new ReentrantLock()
+    val query = StreamingImport.startPredictionRefreshFromStore(spark, rtDir,
+      schedule, source, recordsDir, predictionsDir, checkpointDir,
+      specificDir, defaultDir,
+      automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
+      triggerInterval = triggerInterval, gate = Some(gate))
+    new AutomaticImport(query, spark, schedule, source, predictionsDir,
+      () => (CurveStore.loadSpecific(spark, specificDir),
+        CurveStore.loadDefault(spark, defaultDir)),
+      nowEpochSecs, idlePollMs, idleConfirmMs, bufferFullBackoffSecs, gate)
   }
 }

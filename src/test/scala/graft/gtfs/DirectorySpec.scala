@@ -70,6 +70,52 @@ class DirectorySpec extends AnyFunSuite {
     assert(new java.io.File(s"$base/schedule/current").isDirectory)
   }
 
+  test("ImportCli automatic: store-backed composed mode over the analysed tree") {
+    // batch pass first (the reference's prerequisite: `automatic` runs off
+    // an existing analysis), then the composed mode on the SAME tree:
+    // idle → store-backed ST4 backfill into stream/predictions; a file
+    // landing in rt/ → streaming ingest into stream/records
+    val base = Files.createTempDirectory("cliauto").toString
+    val schedDir = s"$base/schedule/2024-01-01"
+    new java.io.File(schedDir).mkdirs()
+    FixtureGen.writeSchedule(java.nio.file.Paths.get(schedDir))
+    new java.io.File(s"$base/rt").mkdirs()
+    FixtureGen.writeRtFiles(java.nio.file.Paths.get(s"$base/rt"))
+    graft.ImportCli.run(spark, base, "cli", "2024-01-15")
+    assert(new java.io.File(s"$base/rt").listFiles().isEmpty, "batch pass archived rt")
+
+    val prevNoData = spark.conf.get(
+      "spark.sql.streaming.noDataProgressEventInterval", "10000ms")
+    spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "1000ms")
+    val auto = graft.ImportCli.runAutomatic(spark, base, "cli",
+      Some("2024-01-15"), triggerInterval = "500 milliseconds",
+      idlePollMs = 200L, idleConfirmMs = 1200L)
+    try {
+      val dl1 = System.nanoTime() + 120L * 1000000000L
+      while (!auto.backfillEvents.exists(e => !e.bufferFull && e.tripCount > 0)
+          && System.nanoTime() < dl1) Thread.sleep(300)
+      assert(auto.backfillEvents.exists(e => !e.bufferFull && e.tripCount > 0),
+        s"no store-backed backfill committed: ${auto.backfillEvents}")
+      assert(spark.read.parquet(s"$base/stream/predictions")
+        .filter(org.apache.spark.sql.functions.col("origin_type")
+          === Codes.OriginSchedule).count() > 0)
+      // a new rt file resumes ingestion (copied from the batch archive)
+      val archived = new java.io.File(s"$base/imported").listFiles()
+        .filter(_.getName.endsWith(".pb")).minBy(_.getName)
+      Files.copy(archived.toPath,
+        java.nio.file.Paths.get(s"$base/rt", archived.getName))
+      val dl2 = System.nanoTime() + 120L * 1000000000L
+      def recs(): Long =
+        try spark.read.parquet(s"$base/stream/records").count()
+        catch { case _: Exception => 0L } // table not written yet
+      while (recs() == 0 && System.nanoTime() < dl2) Thread.sleep(300)
+      assert(recs() > 0, "rt ingestion resumed into stream/records")
+    } finally {
+      auto.stop()
+      spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", prevNoData)
+    }
+  }
+
   test("X2: filename datetime regex with X1 date-midnight fallback") {
     assert(Directory.dateTimeFromFilename("feed-2024-03-04T08:15:30.pb")
       .contains(java.time.LocalDateTime.of(2024, 3, 4, 8, 15, 30)))
