@@ -69,8 +69,14 @@ final class AutomaticImport private (
     bufferFullBackoffSecs: Long, gate: ReentrantLock) {
 
   private val stopFlag = new AtomicBoolean(false)
-  private val hwm = new AtomicLong(
-    AutomaticImport.recoverHighWaterMark(spark, predictionsDir))
+  // recovery runs UNDER the gate: the rt query is already live, and a
+  // pre-existing backlog batch could be mid-overwrite of the predictions
+  // table — an ungated read could hit the dynamic-overwrite file swap
+  private val hwm = new AtomicLong({
+    gate.lock()
+    try AutomaticImport.recoverHighWaterMark(spark, predictionsDir)
+    finally gate.unlock()
+  })
   private val events = scala.collection.mutable.ArrayBuffer.empty[BackfillEvent]
 
   /** Current scheduled-predictions high-water mark (epoch seconds). */
@@ -104,6 +110,7 @@ final class AutomaticImport private (
           if (!stopFlag.get() && query.isActive && streamIdle()
               && now >= backoffUntil) {
             val decided = System.nanoTime()
+            var failed = false
             gate.lock()
             try {
               // re-resolved per iteration: the store-backed mode reads the
@@ -129,14 +136,17 @@ final class AutomaticImport private (
                   hwm.updateAndGet(h => math.max(h, batch.newHighWaterMark))
               }
             } catch {
-              case _: InterruptedException => throw new InterruptedException
+              case e: InterruptedException => throw e
               case NonFatal(e) =>
                 // the reference prints and sleeps until the next scan
                 // (importer/mod.rs:321-327); a transient failure must not
                 // kill the mode
                 System.err.println(s"[automatic] backfill iteration failed: $e")
-                Thread.sleep(idlePollMs)
+                failed = true
             } finally gate.unlock()
+            // back-off OUTSIDE the gate: sleeping while holding it would
+            // stall any rt micro-batch that arrived during the failure
+            if (failed) Thread.sleep(idlePollMs)
           }
         }
       }
