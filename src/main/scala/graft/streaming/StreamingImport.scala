@@ -375,6 +375,20 @@ object StreamingImport {
     val rt = rtStream(spark, rtDir, maxFilesPerTrigger)
     val trigger = if (automatic) Trigger.ProcessingTime(triggerInterval)
                   else Trigger.AvailableNow()
+    // refresh_seq must be monotonic ACROSS process incarnations, not just
+    // within one checkpoint lineage: a restart with a FRESH checkpoint
+    // restarts batch ids at 0, and bare ids would lose the predictions LWW
+    // to every row a previous incarnation wrote (seq 57 beats seq 0) until
+    // the ids caught up — silently serving stale predictions. The offset
+    // lifts this run's ids past the stored maximum, resolved ONCE at the
+    // first batch (one footer-statistics max over the table). It is
+    // self-consistent across same-checkpoint restarts: the first replayed
+    // batch B sees maxSeq = offset_old + (B-1) from its predecessors (or
+    // +B if B itself half-committed, which only bumps the replay one seq
+    // higher — same values, still newest), so offset_new = offset_old.
+    // Within a run the offset is fixed, so an engine-level batch retry
+    // reuses its seq — the ST5 replay contract is unchanged.
+    val seqOffset = new java.util.concurrent.atomic.AtomicLong(-1L)
     rt.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -387,18 +401,35 @@ object StreamingImport {
         // runs the two phases strictly in turn in its single loop
         // (importer/mod.rs:302-330)
         gate.foreach(_.lock())
-        try { refreshBatch(spark, source, recordsDir, predictionsDir,
-          predict, decode, batch, batchId) }
-        finally gate.foreach(_.unlock())
+        try {
+          if (seqOffset.get() < 0)
+            seqOffset.set(math.max(0L,
+              maxStoredRefreshSeq(spark, predictionsDir) + 1 - batchId))
+          refreshBatch(spark, source, recordsDir, predictionsDir,
+            predict, decode, batch, batchId + seqOffset.get())
+        } finally gate.foreach(_.unlock())
       }
       .start()
+  }
+
+  /** Greatest refresh_seq in the stored predictions table; −1 when the
+    * table does not exist or is empty (footer column statistics make the
+    * max a metadata-cheap scan). */
+  private def maxStoredRefreshSeq(spark: SparkSession, predictionsDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(predictionsDir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) -1L
+    else {
+      val r = spark.read.parquet(predictionsDir)
+        .agg(max(col("refresh_seq"))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
   }
 
   private def refreshBatch(spark: SparkSession, source: String,
       recordsDir: String, predictionsDir: String,
       predict: (DataFrame, String) => DataFrame,
       decode: Dataset[RtRow] => DataFrame,
-      batch: Dataset[RtRow], batchId: Long): Unit = {
+      batch: Dataset[RtRow], refreshSeq: Long): Unit = {
         // persist: the decode + schedule joins otherwise re-run for the
         // upsert's actions AND the dates collect below (~3 full replays of
         // the batch plan per trigger)
@@ -442,7 +473,7 @@ object StreamingImport {
               // otherwise run the whole predict plan once, and the merge
               // write a second time — the dominant per-trigger cost doubled
               val preds = predict(storedChanged, d.toString)
-                .withColumn("refresh_seq", lit(batchId))
+                .withColumn("refresh_seq", lit(refreshSeq))
                 .persist()
               try upsertTable(preds, predictionsDir,
                 keyCols = PredictionKeyCols, newestBy = col("refresh_seq"))

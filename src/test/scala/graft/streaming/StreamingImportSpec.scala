@@ -352,6 +352,50 @@ class StreamingImportSpec extends AnyFunSuite {
       "streamed refresh ≡ batch realtime prediction")
   }
 
+  test("refresh restarted with a FRESH checkpoint supersedes a previous incarnation's rows (ST5)") {
+    import org.apache.spark.sql.functions._
+    // a redeploy that clears the checkpoint restarts batch ids at 0; bare
+    // ids would lose the predictions LWW to every row the previous
+    // incarnation wrote (stale predictions served until ids caught up).
+    // Seed the table with DOCTORED rows carrying refresh_seq = 99, then
+    // run a fresh-checkpoint refresh: the recomputed rows must win.
+    val base = Files.createTempDirectory("predrefresh_restart").toString
+    val batchRecs = Importer.importDirectory(spark, rtDir, schedule, "test").cache()
+    val sc = CurveAnalysis.specificCurves(spark, batchRecs, schedule).cache()
+    val dc = CurveAnalysis.defaultCurves(spark, batchRecs, schedule).cache()
+    sc.count(); dc.count()
+
+    val truth = Predictor.batchPredictRealtime(spark, schedule, batchRecs,
+      "2024-01-15", "test", sc, dc)
+    val doctored = truth
+      .withColumn("prediction_min", col("prediction_min") + expr("INTERVAL 1 HOUR"))
+      .withColumn("prediction_max", col("prediction_max") + expr("INTERVAL 1 HOUR"))
+      .withColumn("sample_size", lit(-1))
+      .withColumn("refresh_seq", lit(99L))
+    StreamingImport.upsertTable(doctored, base + "/predictions",
+      keyCols = StreamingImport.PredictionKeyCols, newestBy = col("refresh_seq"))
+    assert(spark.read.parquet(base + "/predictions")
+      .filter(col("sample_size") === -1).count() > 0, "doctored seed in place")
+
+    val q = StreamingImport.startPredictionRefresh(spark, rtDir, schedule,
+      "test", base + "/records", base + "/predictions", base + "/ckpt_fresh",
+      sc, dc, automatic = false, maxFilesPerTrigger = 64)
+    q.awaitTermination(300000)
+
+    val stored = spark.read.parquet(base + "/predictions")
+    assert(stored.filter(col("sample_size") === -1
+        && col("trip_start_date") === "2024-01-15").count() == 0,
+      "every doctored 2024-01-15 row was superseded by the fresh run")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("trip_start_date") === "2024-01-15")
+      .select(col("trip_id"), col("stop_sequence"), col("event_type"),
+        col("prediction_min"), to_json(col("prediction_curve")).as("curve"))
+    assert(canon(stored).except(canon(truth)).count() == 0
+      && canon(truth).except(canon(stored)).count() == 0,
+      "restarted refresh state ≡ the batch realtime computation")
+    batchRecs.unpersist(); sc.unpersist(); dc.unpersist()
+  }
+
   test("store-backed prediction refresh (CurveCache) converges to the batch path") {
     import org.apache.spark.sql.functions._
     val base = Files.createTempDirectory("predrefresh_store").toString
