@@ -29,7 +29,8 @@ object ImportCli {
                    nowDate: Option[String],
                    triggerInterval: String = "5 seconds",
                    idlePollMs: Long = 1000L,
-                   idleConfirmMs: Long = 10000L): graft.streaming.AutomaticImport = {
+                   idleConfirmMs: Long = 10000L,
+                   performCleanup: Boolean = false): graft.streaming.AutomaticImport = {
     val schedDirs = Option(new java.io.File(s"$baseDir/schedule").listFiles())
       .getOrElse(Array.empty)
       .map(_.getPath).filter(p => Directory.dateFromFilename(p).isDefined)
@@ -51,7 +52,7 @@ object ImportCli {
       s"$baseDir/stream/predictions", s"$baseDir/stream/checkpoint",
       specificDir, defaultDir, nowEpochSecs = clock,
       triggerInterval = triggerInterval, idlePollMs = idlePollMs,
-      idleConfirmMs = idleConfirmMs)
+      idleConfirmMs = idleConfirmMs, performCleanup = performCleanup)
   }
 
   /** The whole import→analyse→predict pass, session-agnostic so tests can
@@ -102,10 +103,15 @@ object ImportCli {
   }
 
   def main(args: Array[String]): Unit = {
-    val automatic = args.headOption.contains("automatic")
-    val rest = if (automatic) args.drop(1) else args
+    // --cleanup = the reference's per-iteration outdated-prediction delete
+    // (importer/mod.rs:72: "on each run, outdated predictions shall be
+    // deleted"); valid only with `automatic`
+    val cleanup = args.contains("--cleanup")
+    val positional = args.filterNot(_ == "--cleanup")
+    val automatic = positional.headOption.contains("automatic")
+    val rest = if (automatic) positional.drop(1) else positional
     val baseDir = rest.headOption.getOrElse(
-      sys.error("usage: ImportCli [automatic] <baseDir> [source] [nowDate]"))
+      sys.error("usage: ImportCli [automatic [--cleanup]] <baseDir> [source] [nowDate]"))
     val source = if (rest.length > 1) rest(1) else "graft"
     val nowDate = if (rest.length > 2) Some(rest(2)) else None
 
@@ -118,7 +124,8 @@ object ImportCli {
     spark.sparkContext.setLogLevel("ERROR")
     try {
       if (automatic) {
-        val auto = runAutomatic(spark, baseDir, source, nowDate)
+        val auto = runAutomatic(spark, baseDir, source, nowDate,
+          performCleanup = cleanup)
         println(s"[automatic] running; hwm=${auto.highWaterMark} (interrupt to stop)")
         auto.query.awaitTermination() // runs until interrupted, like the reference loop
       } else run(spark, baseDir, source,

@@ -159,6 +159,46 @@ object Directory {
         >= cutoff)
   }
 
+  /** S15 at TABLE level, for the long-running automatic mode: deletes whole
+    * `source=<s>/trip_start_date=<d>` partition directories of the stored
+    * predictions table once every trip they can possibly hold started more
+    * than 12 h ago (MAX_ESTIMATED_TRIP_DURATION; the reference's
+    * `run_cleanup` DELETE, importer/mod.rs:174-198). The reference deletes
+    * row-exact in SQL; here the delete is PARTITION-granular — pure
+    * directory metadata, no data rewrite, which is what keeps the table
+    * bounded at cluster scale — conservatively keeping a date directory
+    * until even a `maxTripStartSecs` past-midnight start (GTFS times may
+    * exceed 24:00) would be outdated. Rows inside the boundary directory
+    * linger at most two extra days and are excluded exactly at read time by
+    * [[predictionWindowFilter]]. The null-date directory
+    * (`__HIVE_DEFAULT_PARTITION__`) is never deleted, matching the
+    * reference's SQL where a NULL date never satisfies the comparison.
+    * Returns the deleted partition paths. */
+  def cleanupOutdatedPredictionsTable(spark: SparkSession, predictionsDir: String,
+      source: String, nowEpochSecs: Long,
+      maxTripStartSecs: Long = 48 * 3600L): Seq[String] = {
+    val cutoff = nowEpochSecs - 12 * 3600
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$predictionsDir/source=$source")
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+      val name = st.getPath.getName
+      val value = name.stripPrefix("trip_start_date=")
+      if (value == name) None // not a date partition directory
+      else
+        try {
+          val dayEpoch = java.time.LocalDate.parse(value).toEpochDay * 86400L
+          if (dayEpoch + maxTripStartSecs < cutoff) {
+            fs.delete(st.getPath, true)
+            Some(st.getPath.toString)
+          } else None
+        } catch { // __HIVE_DEFAULT_PARTITION__ and friends: keep
+          case _: java.time.format.DateTimeParseException => None
+        }
+    }
+  }
+
   /** ST3: keep predictions only inside the live window
     * [now − 12 h, now + 7 d 12 h] (MAX_ESTIMATED_TRIP_DURATION and
     * PREDICTION_BUFFER_SIZE, scheduled_predictions_importer.rs:29-30). */

@@ -51,6 +51,9 @@ final case class BackfillEvent(decidedAtNanos: Long, fromHwm: Long,
   * PREDICTION_FULL_TIMEOUT (scheduled_predictions_importer.rs:43,
   * mod.rs:92-94) while realtime processing continues; an iteration failure
   * is logged and the loop keeps running (mod.rs:321-327 prints and sleeps).
+  * With `performCleanup` (the reference's opt-in `--cleanup`,
+  * mod.rs:72/355-359), each idle iteration also drops outdated prediction
+  * partitions ([[graft.gtfs.Directory.cleanupOutdatedPredictionsTable]]).
   *
   * Backfill rows upsert with `refresh_seq` = −1 so any realtime refresh of
   * the same (vehicle, stop, event) cell wins. The reference's blind UPDATE
@@ -66,7 +69,8 @@ final class AutomaticImport private (
     predictionsDir: String,
     curves: () => (Dataset[SpecificCurveRow], Dataset[DefaultCurveRow]),
     nowEpochSecs: () => Long, idlePollMs: Long, idleConfirmMs: Long,
-    bufferFullBackoffSecs: Long, gate: ReentrantLock) {
+    bufferFullBackoffSecs: Long, performCleanup: Boolean,
+    gate: ReentrantLock) {
 
   private val stopFlag = new AtomicBoolean(false)
   // recovery runs UNDER the gate: the rt query is already live, and a
@@ -135,6 +139,12 @@ final class AutomaticImport private (
                     batch.newHighWaterMark, batch.tripCount, bufferFull = false))
                   hwm.updateAndGet(h => math.max(h, batch.newHighWaterMark))
               }
+              // the reference's per-iteration --cleanup (run_cleanup,
+              // importer/mod.rs:355-359): partition-granular here, under
+              // the gate like every other predictions-table writer
+              if (performCleanup)
+                Directory.cleanupOutdatedPredictionsTable(
+                  spark, predictionsDir, source, now)
             } catch {
               case e: InterruptedException => throw e
               case NonFatal(e) =>
@@ -204,7 +214,8 @@ object AutomaticImport {
       idlePollMs: Long = 1000L,
       idleConfirmMs: Long = 10000L,
       bufferFullBackoffSecs: Long = 20 * 60L,
-      maxFilesPerTrigger: Int = 256): AutomaticImport = {
+      maxFilesPerTrigger: Int = 256,
+      performCleanup: Boolean = false): AutomaticImport = {
     val gate = new ReentrantLock()
     val query = StreamingImport.startPredictionRefresh(spark, rtDir, schedule,
       source, recordsDir, predictionsDir, checkpointDir, specific, defaults,
@@ -212,7 +223,7 @@ object AutomaticImport {
       triggerInterval = triggerInterval, gate = Some(gate))
     new AutomaticImport(query, spark, schedule, source, predictionsDir,
       () => (specific, defaults), nowEpochSecs, idlePollMs, idleConfirmMs,
-      bufferFullBackoffSecs, gate)
+      bufferFullBackoffSecs, performCleanup, gate)
   }
 
   /** [[start]] against an on-disk [[graft.gtfs.CurveStore]]: the realtime
@@ -229,7 +240,8 @@ object AutomaticImport {
       idlePollMs: Long = 1000L,
       idleConfirmMs: Long = 10000L,
       bufferFullBackoffSecs: Long = 20 * 60L,
-      maxFilesPerTrigger: Int = 256): AutomaticImport = {
+      maxFilesPerTrigger: Int = 256,
+      performCleanup: Boolean = false): AutomaticImport = {
     val gate = new ReentrantLock()
     val query = StreamingImport.startPredictionRefreshFromStore(spark, rtDir,
       schedule, source, recordsDir, predictionsDir, checkpointDir,
@@ -239,6 +251,7 @@ object AutomaticImport {
     new AutomaticImport(query, spark, schedule, source, predictionsDir,
       () => (CurveStore.loadSpecific(spark, specificDir),
         CurveStore.loadDefault(spark, defaultDir)),
-      nowEpochSecs, idlePollMs, idleConfirmMs, bufferFullBackoffSecs, gate)
+      nowEpochSecs, idlePollMs, idleConfirmMs, bufferFullBackoffSecs,
+      performCleanup, gate)
   }
 }

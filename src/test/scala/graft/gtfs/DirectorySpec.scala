@@ -116,6 +116,39 @@ class DirectorySpec extends AnyFunSuite {
     }
   }
 
+  test("S15 table cleanup: outdated date partitions deleted, boundary + null kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a predictions-shaped table across old / boundary / future / null
+    // date partitions, written through the streaming upsert layout
+    val dir = Files.createTempDirectory("pred_cleanup").toString + "/predictions"
+    def row(date: java.sql.Date, trip: String) =
+      ("cli", trip, date, 28800, 1, 1, 0L)
+    val cols = Seq("source", "trip_id", "trip_start_date", "trip_start_time",
+      "stop_sequence", "event_type", "refresh_seq")
+    val now = java.time.LocalDate.parse("2024-03-01").toEpochDay * 86400 + 12 * 3600
+    val rows = Seq(
+      row(java.sql.Date.valueOf("2024-01-15"), "OLD"),      // far outdated
+      row(java.sql.Date.valueOf("2024-02-28"), "BOUNDARY"), // < 48h before now: kept
+      row(java.sql.Date.valueOf("2024-03-03"), "FUTURE"),   // kept
+      row(null.asInstanceOf[java.sql.Date], "NULLDATE"))    // kept, always
+    graft.streaming.StreamingImport.upsertTable(rows.toDF(cols: _*), dir,
+      keyCols = Seq("source", "trip_id"), newestBy = col("refresh_seq"))
+
+    val deleted = Directory.cleanupOutdatedPredictionsTable(spark, dir, "cli", now)
+    assert(deleted.size == 1 && deleted.head.contains("trip_start_date=2024-01-15"),
+      s"exactly the outdated partition goes: $deleted")
+    val remaining = spark.read.parquet(dir).select("trip_id")
+      .collect().map(_.getString(0)).toSet
+    assert(remaining == Set("BOUNDARY", "FUTURE", "NULLDATE"),
+      s"boundary, future and null-date rows survive: $remaining")
+    // idempotent: nothing more to delete, table still readable
+    assert(Directory.cleanupOutdatedPredictionsTable(spark, dir, "cli", now).isEmpty)
+    // a different source's partitions are untouched (reference DELETE is
+    // per source)
+    assert(Directory.cleanupOutdatedPredictionsTable(spark, dir, "other", now).isEmpty)
+  }
+
   test("X2: filename datetime regex with X1 date-midnight fallback") {
     assert(Directory.dateTimeFromFilename("feed-2024-03-04T08:15:30.pb")
       .contains(java.time.LocalDateTime.of(2024, 3, 4, 8, 15, 30)))
