@@ -381,7 +381,7 @@ object StreamingImport {
     // to every row a previous incarnation wrote (seq 57 beats seq 0) until
     // the ids caught up — silently serving stale predictions. The offset
     // lifts this run's ids past the stored maximum, resolved ONCE at the
-    // first batch (one footer-statistics max over the table). It is
+    // first batch (one single-column max over the bounded table). It is
     // self-consistent across same-checkpoint restarts: the first replayed
     // batch B sees maxSeq = offset_old + (B-1) from its predecessors (or
     // +B if B itself half-committed, which only bumps the replay one seq
@@ -413,8 +413,9 @@ object StreamingImport {
   }
 
   /** Greatest refresh_seq in the stored predictions table; −1 when the
-    * table does not exist or is empty (footer column statistics make the
-    * max a metadata-cheap scan). */
+    * table does not exist or is empty. One single-column scan, ONCE per
+    * query start (never per trigger), over a table the automatic mode's
+    * cleanup keeps bounded to the live prediction window. */
   private def maxStoredRefreshSeq(spark: SparkSession, predictionsDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(predictionsDir)
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) -1L

@@ -56,7 +56,8 @@ class AutomaticImportSpec extends AnyFunSuite {
       triggerInterval = "500 milliseconds",
       idlePollMs = 200L, idleConfirmMs = 1200L,
       bufferFullBackoffSecs = 600L,
-      maxFilesPerTrigger = 1)
+      maxFilesPerTrigger = 1,
+      performCleanup = true) // the reference's --cleanup, proven in phase C
     try {
       // ---- phase A: empty rt dir → the idle branch backfills ----
       val deadlineA = System.nanoTime() + 120L * 1000000000L
@@ -129,6 +130,24 @@ class AutomaticImportSpec extends AnyFunSuite {
       assert(resumed.nonEmpty, "backfill must resume once the stream is idle " +
         s"and the buffer reopens: ${auto.backfillEvents}")
       assert(resumed.head.fromHwm >= hwms.max, "resumed from the advanced mark")
+
+      // cleanup wiring (--cleanup): the rt files' January trips are months
+      // before the injected clock, so the idle iteration that just resumed
+      // must also have dropped their outdated prediction partitions, while
+      // every future (backfilled) partition survives
+      val deadlineD = System.nanoTime() + 60L * 1000000000L
+      def janParts(): Array[java.io.File] = {
+        val d = new java.io.File(s"$predictionsDir/source=test")
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("trip_start_date=2024-01-"))
+      }
+      while (janParts().nonEmpty && System.nanoTime() < deadlineD)
+        Thread.sleep(300)
+      assert(janParts().isEmpty,
+        "outdated realtime-prediction partitions deleted by the loop's cleanup")
+      assert(spark.read.parquet(predictionsDir)
+        .filter(col("origin_type") === Codes.OriginSchedule).count() > 0,
+        "future schedule-origin partitions survive the cleanup")
     } finally {
       auto.stop()
       spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", prevNoData)
