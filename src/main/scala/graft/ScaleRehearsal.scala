@@ -492,9 +492,7 @@ object ScaleRehearsal {
             while (!auto.backfillEvents.exists(_.bufferFull)
                 && System.nanoTime() < dl1) Thread.sleep(500)
             val evs = auto.backfillEvents.filterNot(_.bufferFull)
-            val walls = evs.map(_.decidedAtNanos).sliding(2).collect {
-              case Seq(a, b) => (b - a) / 1e9 - 1.5 // minus the confirm sleep
-            }.toSeq
+            val walls = evs.map(e => (e.completedAtNanos - e.decidedAtNanos) / 1e9)
             val trips = evs.map(_.tripCount).sum
             println(f"[scale] automatic backfill: batches=${evs.size} " +
               f"trips=$trips buffer_full=${auto.backfillEvents.exists(_.bufferFull)} " +

@@ -11,9 +11,11 @@ import graft.gtfs._
 /** One committed idle-backfill iteration (or a buffer-full back-off), for
   * observability and tests: `decidedAtNanos` is the instant the loop decided
   * the stream was idle (two consecutive idle observations), BEFORE any work
-  * ran. */
-final case class BackfillEvent(decidedAtNanos: Long, fromHwm: Long,
-                               toHwm: Long, tripCount: Long, bufferFull: Boolean)
+  * ran; `completedAtNanos` is after the batch's upsert committed, so
+  * `completedAtNanos - decidedAtNanos` is the iteration's true wall. */
+final case class BackfillEvent(decidedAtNanos: Long, completedAtNanos: Long,
+                               fromHwm: Long, toHwm: Long, tripCount: Long,
+                               bufferFull: Boolean)
 
 /** The reference's flagship `import automatic` deployment mode composed in
   * ONE process (`run_as_non_manual(is_automatic = true)`,
@@ -125,8 +127,8 @@ final class AutomaticImport private (
                 specific, defaults, hwm.get(), now) match {
                 case None =>
                   backoffUntil = now + bufferFullBackoffSecs
-                  record(BackfillEvent(decided, hwm.get(), hwm.get(), 0L,
-                    bufferFull = true))
+                  record(BackfillEvent(decided, System.nanoTime(),
+                    hwm.get(), hwm.get(), 0L, bufferFull = true))
                 case Some(batch) =>
                   if (batch.tripCount > 0)
                     StreamingImport.upsertTable(
@@ -135,7 +137,7 @@ final class AutomaticImport private (
                       predictionsDir,
                       keyCols = StreamingImport.PredictionKeyCols,
                       newestBy = col("refresh_seq"))
-                  record(BackfillEvent(decided, hwm.get(),
+                  record(BackfillEvent(decided, System.nanoTime(), hwm.get(),
                     batch.newHighWaterMark, batch.tripCount, bufferFull = false))
                   hwm.updateAndGet(h => math.max(h, batch.newHighWaterMark))
               }
