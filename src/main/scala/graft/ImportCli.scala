@@ -41,10 +41,17 @@ object ImportCli {
     require(new java.io.File(specificDir).exists() &&
       new java.io.File(defaultDir).exists(),
       s"no curve store under $baseDir/curves — run the batch pass first")
+    // nowDate is a replay ANCHOR, not a frozen instant: the clock starts at
+    // noon of the given date and advances in real time. A constant `now`
+    // would halt backfill permanently once the buffer fills (advance → None
+    // sets backoffUntil = now + backoff, which a frozen clock never
+    // reaches) and freeze the --cleanup cutoff, silently degrading the
+    // long-running mode to rt-only.
     val clock: () => Long = nowDate match {
       case Some(d) =>
-        val fixed = java.time.LocalDate.parse(d).toEpochDay * 86400 + 12 * 3600
-        () => fixed
+        val anchor = java.time.LocalDate.parse(d).toEpochDay * 86400 + 12 * 3600
+        val t0 = System.currentTimeMillis() / 1000
+        () => anchor + (System.currentTimeMillis() / 1000 - t0)
       case None => () => System.currentTimeMillis() / 1000
     }
     graft.streaming.AutomaticImport.startFromStore(spark, s"$baseDir/rt",
@@ -109,6 +116,9 @@ object ImportCli {
     val cleanup = args.contains("--cleanup")
     val positional = args.filterNot(_ == "--cleanup")
     val automatic = positional.headOption.contains("automatic")
+    require(!cleanup || automatic,
+      "--cleanup is valid only with the automatic subcommand (the batch " +
+        "pass applies the outdated-prediction filter unconditionally)")
     val rest = if (automatic) positional.drop(1) else positional
     val baseDir = rest.headOption.getOrElse(
       sys.error("usage: ImportCli [automatic [--cleanup]] <baseDir> [source] [nowDate]"))

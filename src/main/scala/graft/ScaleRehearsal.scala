@@ -502,12 +502,29 @@ object ScaleRehearsal {
             println(f"[scale] automatic predictions: rows=${
               spark.read.parquet(predDir).count()} hwm=${auto.highWaterMark}")
 
-            // phase 2: sustained rt backlog → zero backfill decisions
+            // phase 2: sustained rt backlog → zero backfill decisions.
+            // Generate the feed BEFORE stamping tDrop: genFeed's protobuf
+            // synthesis takes seconds and must not inflate the measured
+            // ingest window (the files only become visible at the copy).
             val pre = auto.backfillEvents.size
+            val busySrc = genFeed("autobusy", stops * 3 / 5)
             val tDrop = System.nanoTime()
-            rtDirBusyFiles(rtLive)
+            busySrc.toFile.listFiles().foreach { f =>
+              java.nio.file.Files.copy(f.toPath, rtLive.resolve(f.getName),
+                java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+            }
             val dl2 = System.nanoTime() + 1800L * 1000000000L
-            def ingested() = auto.query.recentProgress.map(_.numInputRows).sum
+            // batchId-keyed accumulation: recentProgress is a ROLLING window
+            // (default 100 entries), so summing it directly undercounts once
+            // data batches + 1 s no-data events exceed the cap (same shape
+            // as the st2_ttl poll fix)
+            val seenBatches = scala.collection.mutable.HashMap.empty[Long, Long]
+            def ingested(): Long = {
+              auto.query.recentProgress.foreach(p =>
+                seenBatches(p.batchId) =
+                  math.max(seenBatches.getOrElse(p.batchId, 0L), p.numInputRows))
+              seenBatches.values.sum
+            }
             while ((ingested() < files || auto.query.status.isDataAvailable)
                 && System.nanoTime() < dl2) Thread.sleep(500)
             val tDrain = System.nanoTime()
@@ -539,16 +556,6 @@ object ScaleRehearsal {
         scA.unpersist(); dcA.unpersist()
       }
 
-      // copies the standard rotating feed into a LIVE directory (the
-      // automatic op drops the backlog mid-run rather than pointing the
-      // stream at a pre-populated dir)
-      def rtDirBusyFiles(live: java.nio.file.Path): Unit = {
-        val src = genFeed("autobusy", stops * 3 / 5)
-        src.toFile.listFiles().foreach { f =>
-          java.nio.file.Files.copy(f.toPath, live.resolve(f.getName),
-            java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
-        }
-      }
       spark.stop()
       return
     }

@@ -199,6 +199,28 @@ object Directory {
     }
   }
 
+  /** True when the parquet table at `dir` holds at least one DATA file.
+    * [[cleanupOutdatedPredictionsTable]] can legitimately delete EVERY date
+    * partition (expired calendar + quiet feed for a few days), leaving the
+    * table root with only metadata (`_SUCCESS`, empty `source=` dirs) — a
+    * state `spark.read.parquet` rejects with "unable to infer schema".
+    * Readers of upsert-maintained tables treat that state as "table
+    * absent". Short-circuits on the first data file, so the listing cost is
+    * O(1) for any non-empty table. */
+  def tableHasData(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
+  }
+
   /** ST3: keep predictions only inside the live window
     * [now − 12 h, now + 7 d 12 h] (MAX_ESTIMATED_TRIP_DURATION and
     * PREDICTION_BUFFER_SIZE, scheduled_predictions_importer.rs:29-30). */

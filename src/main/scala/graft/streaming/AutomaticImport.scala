@@ -41,7 +41,10 @@ final case class BackfillEvent(decidedAtNanos: Long, completedAtNanos: Long,
   * Idleness = no data available AND no trigger running, observed on TWO
   * consecutive polls spaced longer than the trigger interval — a single
   * observation can land in the gap between a finished batch and the next
-  * backlog check. Backfill iterations and rt micro-batches are serialized
+  * backlog check. Exception: immediately after a COMMITTED backfill batch
+  * one still-idle observation suffices, so an initial buffer drain runs
+  * back-to-back like the reference loop instead of paying the confirm
+  * sleep between every batch. Backfill iterations and rt micro-batches are serialized
   * by a shared lock (the reference's single loop runs the phases strictly
   * in turn): both sides merge into the same predictions table, and
   * unserialized read-merge-overwrite of one partition directory would lose
@@ -107,11 +110,21 @@ final class AutomaticImport private (
 
   private val loop = new Thread(() => {
     var backoffUntil = Long.MinValue
+    // true right after a COMMITTED backfill batch: the idle-confirm sleep is
+    // skipped so a fresh deployment drains its buffer back-to-back (the
+    // reference loop runs idle iterations consecutively). A single stale
+    // observation here costs at most one rt batch delayed by one ST4
+    // iteration — the latency trade the class doc already accepts. Every
+    // other path (startup, busy, buffer-full, failure) keeps the
+    // two-observation rule.
+    var skipConfirm = false
     try {
       while (!stopFlag.get() && query.isActive) {
-        if (!streamIdle()) Thread.sleep(idlePollMs)
+        if (!streamIdle()) { skipConfirm = false; Thread.sleep(idlePollMs) }
         else {
-          Thread.sleep(idleConfirmMs) // second look, > one trigger interval
+          if (!skipConfirm)
+            Thread.sleep(idleConfirmMs) // second look, > one trigger interval
+          skipConfirm = false
           val now = nowEpochSecs()
           if (!stopFlag.get() && query.isActive && streamIdle()
               && now >= backoffUntil) {
@@ -140,6 +153,7 @@ final class AutomaticImport private (
                   record(BackfillEvent(decided, System.nanoTime(), hwm.get(),
                     batch.newHighWaterMark, batch.tripCount, bufferFull = false))
                   hwm.updateAndGet(h => math.max(h, batch.newHighWaterMark))
+                  skipConfirm = true // committed: drain back-to-back
               }
               // the reference's per-iteration --cleanup (run_cleanup,
               // importer/mod.rs:355-359): partition-granular here, under
@@ -158,7 +172,7 @@ final class AutomaticImport private (
             } finally gate.unlock()
             // back-off OUTSIDE the gate: sleeping while holding it would
             // stall any rt micro-batch that arrived during the failure
-            if (failed) Thread.sleep(idlePollMs)
+            if (failed) { skipConfirm = false; Thread.sleep(idlePollMs) }
           }
         }
       }
@@ -190,9 +204,10 @@ object AutomaticImport {
     * trips, mark jumped to the buffer end) is not persisted — the next
     * process re-scans that window, finds it empty again, and jumps again. */
   def recoverHighWaterMark(spark: SparkSession, predictionsDir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(predictionsDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
+    // tableHasData, not exists: --cleanup can delete every date partition
+    // (expired calendar + days-quiet feed), and a metadata-only root must
+    // read as "no marks stored", not crash schema inference at startup
+    if (!Directory.tableHasData(spark, predictionsDir)) 0L
     else {
       val r = spark.read.parquet(predictionsDir)
         .filter(col("origin_type") === Codes.OriginSchedule)

@@ -82,20 +82,19 @@ object StreamingImport {
                   newestBy: org.apache.spark.sql.Column): Unit = {
     val spark = batch.sparkSession
     val partCols = Seq("source", "trip_start_date")
-    val target = new org.apache.hadoop.fs.Path(targetDir)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
     val touched = batch.select(partCols.map(col): _*).distinct().collect()
     if (touched.isEmpty) return
 
     // read only the touched partitions (partition pruning on the scan); a
-    // missing table is the only tolerated "empty" state — corruption surfaces.
+    // missing table OR a data-less root (partition-level cleanup can delete
+    // every date directory, leaving only _SUCCESS — Directory.tableHasData)
+    // are the tolerated "empty" states — corruption still surfaces.
     // NULL-SAFE equality on the date: TripDescriptor.start_date is optional,
     // and `=== lit(null)` never matches — a plain equality would exclude the
     // stored null-date rows from the merge while the dynamic overwrite still
     // replaces their partition directory, silently erasing them
     val existing =
-      if (!fs.exists(target)) None
+      if (!Directory.tableHasData(spark, targetDir)) None
       else {
         val cond = touched.map(r =>
             col("source") === lit(r.getString(0))
@@ -413,12 +412,12 @@ object StreamingImport {
   }
 
   /** Greatest refresh_seq in the stored predictions table; −1 when the
-    * table does not exist or is empty. One single-column scan, ONCE per
-    * query start (never per trigger), over a table the automatic mode's
+    * table does not exist or holds no data files (cleanup can empty it —
+    * [[graft.gtfs.Directory.tableHasData]]). One single-column scan, ONCE
+    * per query start (never per trigger), over a table the automatic mode's
     * cleanup keeps bounded to the live prediction window. */
   private def maxStoredRefreshSeq(spark: SparkSession, predictionsDir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(predictionsDir)
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) -1L
+    if (!graft.gtfs.Directory.tableHasData(spark, predictionsDir)) -1L
     else {
       val r = spark.read.parquet(predictionsDir)
         .agg(max(col("refresh_seq"))).head()

@@ -149,6 +149,50 @@ class DirectorySpec extends AnyFunSuite {
     assert(Directory.cleanupOutdatedPredictionsTable(spark, dir, "other", now).isEmpty)
   }
 
+  test("S15 robustness: cleanup that empties the WHOLE table leaves it readable as absent") {
+    // expired calendar + quiet feed for a few days: every date partition
+    // ends up outdated and the cleanup deletes them ALL, leaving the table
+    // root with only metadata (_SUCCESS, empty source= dir). Readers must
+    // treat that as "table absent" — spark.read.parquet on it throws
+    // "unable to infer schema", which would kill the streaming query and
+    // then block the next AutomaticImport startup in recoverHighWaterMark.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("pred_cleanup_all").toString + "/predictions"
+    val cols = Seq("source", "trip_id", "trip_start_date", "trip_start_time",
+      "stop_sequence", "event_type", "origin_type", "refresh_seq")
+    def rows(date: String, trip: String, seq: Long) =
+      ("cli", trip, java.sql.Date.valueOf(date), 28800, 1, 1,
+        Codes.OriginSchedule, seq)
+    graft.streaming.StreamingImport.upsertTable(
+      Seq(rows("2024-01-10", "A", 0L), rows("2024-01-11", "B", 0L)).toDF(cols: _*),
+      dir, keyCols = Seq("source", "trip_id"), newestBy = col("refresh_seq"))
+    assert(Directory.tableHasData(spark, dir))
+
+    // months later: both partitions outdated → all deleted
+    val now = java.time.LocalDate.parse("2024-03-01").toEpochDay * 86400 + 12 * 3600
+    val deleted = Directory.cleanupOutdatedPredictionsTable(spark, dir, "cli", now)
+    assert(deleted.size == 2, s"both partitions outdated: $deleted")
+    assert(!Directory.tableHasData(spark, dir), "root exists but holds no data")
+
+    // every reader of the upsert-maintained table survives the state:
+    assert(graft.streaming.AutomaticImport.recoverHighWaterMark(spark, dir) == 0L)
+    assert(Directory.cleanupOutdatedPredictionsTable(spark, dir, "cli", now).isEmpty)
+    // and the next upsert re-seeds the table from scratch
+    graft.streaming.StreamingImport.upsertTable(
+      Seq(rows("2024-03-02", "C", 1L)).toDF(cols: _*),
+      dir, keyCols = Seq("source", "trip_id"), newestBy = col("refresh_seq"))
+    assert(spark.read.parquet(dir).select("trip_id").head().getString(0) == "C")
+  }
+
+  test("--cleanup without automatic is rejected, not silently dropped") {
+    // the flag used to be filtered out of the positional args and ignored;
+    // a batch user would believe the outdated-prediction delete ran
+    val e = intercept[IllegalArgumentException](
+      graft.ImportCli.main(Array("--cleanup", "/nonexistent")))
+    assert(e.getMessage.contains("--cleanup"))
+  }
+
   test("X2: filename datetime regex with X1 date-midnight fallback") {
     assert(Directory.dateTimeFromFilename("feed-2024-03-04T08:15:30.pb")
       .contains(java.time.LocalDateTime.of(2024, 3, 4, 8, 15, 30)))
