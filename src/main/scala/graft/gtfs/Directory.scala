@@ -211,11 +211,17 @@ object Directory {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && {
+      // every path segment BELOW the root must be visible: a part file
+      // inside an in-flight `.spark-staging-…` or `_temporary` directory is
+      // not committed data
+      val root = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
       val it = fs.listFiles(p, true)
       var found = false
       while (!found && it.hasNext) {
-        val n = it.next().getPath.getName
-        found = !n.startsWith("_") && !n.startsWith(".")
+        val rel = it.next().getPath.toUri.getPath
+          .stripPrefix(root).stripPrefix("/")
+        found = !rel.split('/')
+          .exists(seg => seg.startsWith("_") || seg.startsWith("."))
       }
       found
     }
