@@ -513,7 +513,6 @@ object ScaleRehearsal {
               java.nio.file.Files.copy(f.toPath, rtLive.resolve(f.getName),
                 java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
             }
-            val dl2 = System.nanoTime() + 1800L * 1000000000L
             // batchId-keyed accumulation: recentProgress is a ROLLING window
             // (default 100 entries), so summing it directly undercounts once
             // data batches + 1 s no-data events exceed the cap (same shape
@@ -525,19 +524,31 @@ object ScaleRehearsal {
                   math.max(seenBatches.getOrElse(p.batchId, 0L), p.numInputRows))
               seenBatches.values.sum
             }
+            // Once the source has SEEN the backlog, reopen the buffer:
+            // phase 1 ended buffer-full with the clock frozen, so the
+            // back-off alone would suppress every decision and "zero
+            // decisions during the backlog" would be vacuous. With the
+            // buffer open, only the idle gate — the property under test —
+            // stands between the backlog and a backfill decision.
+            val seenDl = System.nanoTime() + 120L * 1000000000L
+            while (!(auto.query.status.isDataAvailable || ingested() >= 1)
+                && System.nanoTime() < seenDl) Thread.sleep(250)
+            clock.addAndGet(86400L)
+            val tOpen = System.nanoTime()
+            val dl2 = System.nanoTime() + 1800L * 1000000000L
             while ((ingested() < files || auto.query.status.isDataAvailable)
                 && System.nanoTime() < dl2) Thread.sleep(500)
             val tDrain = System.nanoTime()
             val during = auto.backfillEvents.drop(pre).count(e =>
-              e.decidedAtNanos > tDrop + 3000L * 1000000L
+              e.decidedAtNanos > tOpen + 1000L * 1000000L
                 && e.decidedAtNanos < tDrain - 2000L * 1000000L)
             println(f"[scale] automatic busy phase: files=$files " +
               f"drain=${(tDrain - tDrop) / 1e9}%.1fs " +
               f"backfill_decisions_during_backlog=$during " +
               f"records=${spark.read.parquet(recDir).count()}")
 
-            // phase 3: buffer reopens → backfill resumes
-            clock.addAndGet(86400L)
+            // phase 3: stream idle again + open buffer → backfill resumes
+            clock.addAndGet(86400L) // another day of buffer room
             val dl3 = System.nanoTime() + 600L * 1000000000L
             while (!auto.backfillEvents.drop(pre).exists(e =>
                 !e.bufferFull && e.tripCount > 0 && e.decidedAtNanos > tDrain)

@@ -205,26 +205,24 @@ object Directory {
     * table root with only metadata (`_SUCCESS`, empty `source=` dirs) — a
     * state `spark.read.parquet` rejects with "unable to infer schema".
     * Readers of upsert-maintained tables treat that state as "table
-    * absent". Short-circuits on the first data file, so the listing cost is
-    * O(1) for any non-empty table. */
+    * absent". Walks level by level and NEVER descends into a hidden
+    * (`_`/`.`-prefixed) subtree — a killed writer's leftover
+    * `.spark-staging-…` or `_temporary` tree of any size costs nothing, and
+    * its uncommitted part files are not data. Short-circuits on the first
+    * visible file, so the cost is O(visited directories), not O(files). */
   def tableHasData(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && {
-      // every path segment BELOW the root must be visible: a part file
-      // inside an in-flight `.spark-staging-…` or `_temporary` directory is
-      // not committed data
-      val root = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
-      val it = fs.listFiles(p, true)
-      var found = false
-      while (!found && it.hasNext) {
-        val rel = it.next().getPath.toUri.getPath
-          .stripPrefix(root).stripPrefix("/")
-        found = !rel.split('/')
-          .exists(seg => seg.startsWith("_") || seg.startsWith("."))
-      }
-      found
+    def visible(path: org.apache.hadoop.fs.Path): Boolean = {
+      val n = path.getName
+      !n.startsWith("_") && !n.startsWith(".")
     }
+    def probe(d: org.apache.hadoop.fs.Path): Boolean = {
+      val children = fs.listStatus(d)
+      children.exists(c => c.isFile && visible(c.getPath)) ||
+        children.exists(c => c.isDirectory && visible(c.getPath) && probe(c.getPath))
+    }
+    fs.exists(p) && probe(p)
   }
 
   /** ST3: keep predictions only inside the live window

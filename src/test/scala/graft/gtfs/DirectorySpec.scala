@@ -175,6 +175,14 @@ class DirectorySpec extends AnyFunSuite {
     assert(deleted.size == 2, s"both partitions outdated: $deleted")
     assert(!Directory.tableHasData(spark, dir), "root exists but holds no data")
 
+    // an uncommitted part file inside a killed writer's staging tree is NOT
+    // data (and the hidden subtree is never descended into)
+    val staging = new java.io.File(s"$dir/.spark-staging-dead/source=cli")
+    staging.mkdirs()
+    java.nio.file.Files.write(staging.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(!Directory.tableHasData(spark, dir), "staging files are not data")
+
     // every reader of the upsert-maintained table survives the state:
     assert(graft.streaming.AutomaticImport.recoverHighWaterMark(spark, dir) == 0L)
     assert(Directory.cleanupOutdatedPredictionsTable(spark, dir, "cli", now).isEmpty)

@@ -88,38 +88,60 @@ class AutomaticImportSpec extends AnyFunSuite {
       pbs.foreach(f => Files.copy(f.toPath,
         java.nio.file.Paths.get(rtDir, f.getName),
         StandardCopyOption.COPY_ATTRIBUTES))
-      val tDrop = System.nanoTime()
       // drain = the stream has ingested all 8 files (1 per trigger) and
-      // reports idle again
+      // reports idle again. Progress is accumulated by batchId:
+      // recentProgress is a ROLLING window (default 100 entries), so
+      // summing it directly undercounts once data batches + 1 s no-data
+      // events exceed the cap on a slow machine.
+      val seenBatches = scala.collection.mutable.HashMap.empty[Long, Long]
+      def ingested(): Long = {
+        auto.query.recentProgress.foreach(p =>
+          seenBatches(p.batchId) =
+            math.max(seenBatches.getOrElse(p.batchId, 0L), p.numInputRows))
+        seenBatches.values.sum
+      }
+      // Wait until the source has SEEN the backlog, then reopen the buffer:
+      // phase A ended in a buffer-full back-off, and with the injected
+      // clock frozen, `now >= backoffUntil` alone would suppress every
+      // backfill decision — the "no decision during the backlog" assertion
+      // below would hold vacuously even if busy detection were broken. With
+      // the buffer OPEN and the back-off expired, the ONLY suppressor left
+      // is the idle gate, which is the property under test.
+      val seenDl = System.nanoTime() + 60L * 1000000000L
+      while (!(auto.query.status.isDataAvailable || ingested() >= 1)
+          && System.nanoTime() < seenDl) Thread.sleep(100)
+      clock.addAndGet(86400L) // a day passes: buffer reopens, back-off over
+      val tOpen = System.nanoTime()
       val deadlineB = System.nanoTime() + 180L * 1000000000L
-      def ingested(): Long = auto.query.recentProgress.map(_.numInputRows).sum
       while ((ingested() < 8 || auto.query.status.isDataAvailable)
           && System.nanoTime() < deadlineB) Thread.sleep(300)
       val tDrain = System.nanoTime()
       assert(ingested() >= 8, s"rt backlog must drain, ingested=${ingested()}")
-      assert(ms(tDrain - tDrop) > 4000,
-        "rehearsal sanity: the backlog window must be long enough to catch " +
-          s"a backfill decision (got ${ms(tDrain - tDrop)} ms); raise the file count")
+      assert(ms(tDrain - tOpen) > 4000,
+        "rehearsal sanity: the open-buffer backlog window must be long enough " +
+          s"to catch a backfill decision (got ${ms(tDrain - tOpen)} ms); raise the file count")
       // records + realtime predictions landed (the rt half worked)
       val recCount = spark.read.parquet(recordsDir).count()
       assert(recCount > 0, "rt records upserted")
       assert(spark.read.parquet(predictionsDir)
         .filter(col("origin_type") === Codes.OriginRealtime).count() > 0,
         "realtime-origin predictions from the changed vehicles")
-      // NO backfill decision inside the sustained-backlog window. Margins:
-      // a decision needs two idle observations 1200 ms apart, and the
-      // source lists new files within one 500 ms trigger — so any decision
-      // 2.5 s past the drop contradicts the backlog; the window end backs
-      // off 1.5 s for the observation lag of the drain poll.
-      val busyLo = tDrop + 2500L * 1000000L
+      // NO backfill decision inside the open-buffer backlog window. From
+      // tOpen the source has already seen the backlog (waited for above),
+      // the buffer is open and the back-off expired — a decision here can
+      // only mean the idle gate fired against pending rt work. Margins: a
+      // small lead for a decision already past its backoff check at the
+      // clock advance, and 1.5 s at the end for the drain poll's
+      // observation lag.
+      val busyLo = tOpen + 500L * 1000000L
       val busyHi = tDrain - 1500L * 1000000L
       val inBusy = auto.backfillEvents
         .filter(e => e.decidedAtNanos > busyLo && e.decidedAtNanos < busyHi)
       assert(inBusy.isEmpty,
         s"backfill decided against a pending rt backlog: $inBusy")
 
-      // ---- phase C: idle again + reopened buffer → backfill resumes ----
-      clock.addAndGet(86400L) // a day passes: the 7d12h buffer reopens
+      // ---- phase C: idle again + open buffer → backfill resumes ----
+      clock.addAndGet(86400L) // another day: yet more buffer room
       val before = auto.backfillEvents.size
       val deadlineC = System.nanoTime() + 120L * 1000000000L
       while (!auto.backfillEvents.drop(before).exists(e =>
