@@ -31,11 +31,13 @@ object ImportCli {
                    idlePollMs: Long = 1000L,
                    idleConfirmMs: Long = 10000L,
                    performCleanup: Boolean = false): graft.streaming.AutomaticImport = {
-    val schedDirs = Option(new java.io.File(s"$baseDir/schedule").listFiles())
-      .getOrElse(Array.empty)
-      .map(_.getPath).filter(p => Directory.dateFromFilename(p).isDefined)
-    require(schedDirs.nonEmpty, s"no dated schedule directory under $baseDir/schedule")
-    val schedule = GtfsSchedule.load(spark, schedDirs.max)
+    // newest by PARSED date (Directory.newestDatedDir): a lexicographic max
+    // over full paths picks `b-2024-05-01` over `a-2024-06-01`
+    val schedDir = Directory.newestDatedDir(
+      Option(new java.io.File(s"$baseDir/schedule").listFiles())
+        .getOrElse(Array.empty).map(_.getPath).toSeq)
+      .getOrElse(sys.error(s"no dated schedule directory under $baseDir/schedule"))
+    val schedule = GtfsSchedule.load(spark, schedDir)
     val specificDir = s"$baseDir/curves/specific"
     val defaultDir = s"$baseDir/curves/default"
     require(new java.io.File(specificDir).exists() &&
@@ -80,11 +82,11 @@ object ImportCli {
         // newest DATED schedule: undated directories stay in schedule/
         // (importTree no longer archives them) and must not win a
         // lexicographic max ("current" > "2024-…")
-        val schedDirs = Option(new java.io.File(s"$baseDir/schedule").listFiles())
-          .getOrElse(Array.empty)
-          .map(_.getPath).filter(p => Directory.dateFromFilename(p).isDefined)
-        require(schedDirs.nonEmpty, s"no dated schedule directory under $baseDir/schedule")
-        val schedule = GtfsSchedule.load(spark, schedDirs.max)
+        val schedDir = Directory.newestDatedDir(
+          Option(new java.io.File(s"$baseDir/schedule").listFiles())
+            .getOrElse(Array.empty).map(_.getPath).toSeq)
+          .getOrElse(sys.error(s"no dated schedule directory under $baseDir/schedule"))
+        val schedule = GtfsSchedule.load(spark, schedDir)
         val sc = CurveAnalysis.specificCurves(spark, recs, schedule).cache()
         val dc = CurveAnalysis.defaultCurves(spark, recs, schedule).cache()
         try {
@@ -136,8 +138,19 @@ object ImportCli {
       if (automatic) {
         val auto = runAutomatic(spark, baseDir, source, nowDate,
           performCleanup = cleanup)
+        // graceful shutdown: interrupt must close the backfill loop and the
+        // stream BETWEEN phases (stop() joins the in-flight iteration under
+        // the gate) — the reference loop likewise only exits between phases.
+        // The hook covers SIGINT/SIGTERM; the finally covers a normal or
+        // exceptional awaitTermination return. stop() is idempotent, so the
+        // hook firing after the finally is a no-op.
+        val hook = sys.addShutdownHook(auto.stop())
         println(s"[automatic] running; hwm=${auto.highWaterMark} (interrupt to stop)")
-        auto.query.awaitTermination() // runs until interrupted, like the reference loop
+        try auto.query.awaitTermination() // runs until interrupted, like the reference loop
+        finally {
+          auto.stop()
+          hook.remove()
+        }
       } else run(spark, baseDir, source,
         nowDate.getOrElse(java.time.LocalDate.now().toString))
     } finally spark.stop()

@@ -561,7 +561,7 @@ object ScaleRehearsal {
           } finally auto.stop()
         }
         val tRec = System.nanoTime()
-        val rec = graft.streaming.AutomaticImport.recoverHighWaterMark(spark, predDir)
+        val rec = graft.streaming.AutomaticImport.recoverHighWaterMark(spark, predDir, "scale")
         println(f"[scale] automatic hwm recovery: hwm=$rec " +
           f"wall=${(System.nanoTime() - tRec) / 1e9}%.1fs")
         scA.unpersist(); dcA.unpersist()

@@ -87,6 +87,16 @@ object Directory {
       skipped.toSeq, invalid.toSeq, invalidSchedules)
   }
 
+  /** Newest DATED path by PARSED date (undated paths ignored): the pick the
+    * reference makes with `read_dir_simple(...).last()` (src/main.rs:278-293),
+    * but safe under mixed naming prefixes — `b-2024-05-01` must not beat
+    * `a-2024-06-01` the way a lexicographic max would. Ties on the date fall
+    * back to path order so the pick stays deterministic. */
+  def newestDatedDir(paths: Seq[String]): Option[String] = {
+    val dated = paths.flatMap(p => dateFromFilename(p).map(d => (d.toEpochDay, p)))
+    if (dated.isEmpty) None else Some(dated.max._2)
+  }
+
   /** S5: move a processed/failed file into a sibling directory. */
   def moveTo(file: String, dir: String): Unit = {
     val src = Paths.get(file)

@@ -83,20 +83,33 @@ final class AutomaticImport private (
   // table — an ungated read could hit the dynamic-overwrite file swap
   private val hwm = new AtomicLong({
     gate.lock()
-    try AutomaticImport.recoverHighWaterMark(spark, predictionsDir)
+    try AutomaticImport.recoverHighWaterMark(spark, predictionsDir, source)
     finally gate.unlock()
   })
+  // ring buffer, like Spark's own recentProgress: the mode runs until
+  // interrupted, and an unbounded event log (one entry per idle iteration,
+  // forever) would be a slow driver leak. Totals survive eviction.
   private val events = scala.collection.mutable.ArrayBuffer.empty[BackfillEvent]
+  private val committedTotal = new AtomicLong(0)
 
   /** Current scheduled-predictions high-water mark (epoch seconds). */
   def highWaterMark: Long = hwm.get()
 
-  /** Committed backfill iterations so far, oldest first. */
+  /** The most recent backfill iterations (oldest first, bounded to the last
+    * [[AutomaticImport.MaxRecentEvents]]). */
   def backfillEvents: Seq[BackfillEvent] =
     events.synchronized { events.toVector }
 
-  private def record(e: BackfillEvent): Unit =
-    events.synchronized { events += e }
+  /** Backfill iterations recorded over the whole run (committed batches +
+    * buffer-full back-offs), unaffected by ring-buffer eviction. */
+  def backfillEventCount: Long = committedTotal.get()
+
+  private def record(e: BackfillEvent): Unit = events.synchronized {
+    committedTotal.incrementAndGet()
+    events += e
+    if (events.size > AutomaticImport.MaxRecentEvents)
+      events.remove(0, events.size - AutomaticImport.MaxRecentEvents)
+  }
 
   /** No pending rt work: nothing available, no trigger mid-flight, and the
     * source has reported at least once (before the first progress event the
@@ -196,21 +209,36 @@ object AutomaticImport {
     * predictions LWW (batch ids start at 0). */
   val BackfillSeq: Long = -1L
 
+  /** [[backfillEvents]] keeps at most this many recent entries. */
+  val MaxRecentEvents: Int = 512
+
   /** Startup high-water-mark recovery — the reference's
     * `get_latest_prediction_time_from_database`
-    * (scheduled_predictions_importer.rs:81): the greatest scheduled trip
-    * start among stored SCHEDULE-origin predictions; 0 when the table does
-    * not exist yet. Like the reference, an empty-window mark advance (no
-    * trips, mark jumped to the buffer end) is not persisted — the next
+    * (scheduled_predictions_importer.rs:304-336): the greatest scheduled trip
+    * start among stored SCHEDULE-origin predictions OF THIS SOURCE (source is
+    * part of the reference's WHERE clause — with several sources sharing one
+    * table, another source's mark must not make this source's backfill skip
+    * its own unpredicted windows); 0 when the table does not exist yet.
+    * `scheduleFileName` narrows further to marks written from one schedule
+    * version (the reference filters by its current schedule file, so a NEW
+    * schedule version restarts the mark and re-predicts the buffer window
+    * with the new data). Like the reference, an empty-window mark advance
+    * (no trips, mark jumped to the buffer end) is not persisted — the next
     * process re-scans that window, finds it empty again, and jumps again. */
-  def recoverHighWaterMark(spark: SparkSession, predictionsDir: String): Long = {
+  def recoverHighWaterMark(spark: SparkSession, predictionsDir: String,
+      source: String, scheduleFileName: Option[String] = None): Long = {
     // tableHasData, not exists: --cleanup can delete every date partition
     // (expired calendar + days-quiet feed), and a metadata-only root must
     // read as "no marks stored", not crash schema inference at startup
     if (!Directory.tableHasData(spark, predictionsDir)) 0L
     else {
-      val r = spark.read.parquet(predictionsDir)
-        .filter(col("origin_type") === Codes.OriginSchedule)
+      // source is a partition column: the filter prunes the scan to this
+      // source's directories before any data is read
+      val scoped = spark.read.parquet(predictionsDir)
+        .filter(col("origin_type") === Codes.OriginSchedule
+          && col("source") === lit(source))
+      val r = scheduleFileName.fold(scoped)(n =>
+          scoped.filter(col("schedule_file_name") === lit(n)))
         .agg(max(unix_timestamp(GtfsTime.dateAndTime(
           col("trip_start_date"), col("trip_start_time"))))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)

@@ -29,6 +29,50 @@ class DirectorySpec extends AnyFunSuite {
     assert(a.invalidSchedules == Seq("/s/badname"))
   }
 
+  test("newest-schedule pick is by PARSED date, not string order") {
+    // lexicographic max over full paths would pick b-2024-05-01 here
+    assert(Directory.newestDatedDir(Seq(
+      "/s/b-2024-05-01", "/s/a-2024-06-01", "/s/current")).contains("/s/a-2024-06-01"))
+    assert(Directory.newestDatedDir(Seq("/s/current", "/s/latest")).isEmpty)
+    assert(Directory.newestDatedDir(Nil).isEmpty)
+    // date tie: deterministic (path max among the tied)
+    assert(Directory.newestDatedDir(Seq(
+      "/s/a-2024-06-01", "/s/b-2024-06-01")).contains("/s/b-2024-06-01"))
+  }
+
+  test("A15 recovery scopes to (source, schedule_file_name) like the reference WHERE clause") {
+    // two sources share one predictions table; source B's mark is far ahead.
+    // An unscoped max would recover B's mark for A and silently skip every
+    // window A has not predicted yet (scheduled_predictions_importer.rs:304-336).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("pred_sources").toString + "/predictions"
+    val cols = Seq("source", "trip_id", "trip_start_date", "trip_start_time",
+      "stop_sequence", "event_type", "origin_type", "refresh_seq",
+      "schedule_file_name")
+    def row(src: String, date: String, trip: String, sched: String) =
+      (src, trip, java.sql.Date.valueOf(date), 28800, 1, 1,
+        Codes.OriginSchedule, -1L, sched)
+    graft.streaming.StreamingImport.upsertTable(
+      Seq(row("a", "2024-01-10", "T1", "a_schedule"),
+        row("a", "2024-01-12", "T2", "a_schedule"),
+        row("b", "2024-03-01", "T3", "b_schedule")).toDF(cols: _*),
+      dir, keyCols = Seq("source", "trip_id"), newestBy = col("refresh_seq"))
+    def epoch(d: String) = java.time.LocalDate.parse(d).toEpochDay * 86400 + 28800
+    val recA = graft.streaming.AutomaticImport.recoverHighWaterMark(spark, dir, "a")
+    val recB = graft.streaming.AutomaticImport.recoverHighWaterMark(spark, dir, "b")
+    assert(recA == epoch("2024-01-12"), s"source a's own mark, got $recA")
+    assert(recB == epoch("2024-03-01"), s"source b's own mark, got $recB")
+    assert(graft.streaming.AutomaticImport.recoverHighWaterMark(
+      spark, dir, "missing") == 0L, "unknown source starts from scratch")
+    // schedule-version scoping: a NEW schedule file restarts the mark
+    assert(graft.streaming.AutomaticImport.recoverHighWaterMark(
+      spark, dir, "a", Some("a_schedule")) == epoch("2024-01-12"))
+    assert(graft.streaming.AutomaticImport.recoverHighWaterMark(
+      spark, dir, "a", Some("a_schedule_v2")) == 0L,
+      "marks written from an older schedule version do not count")
+  }
+
   test("importTree: grouped import + archive moves (S4/S5)") {
     val base = Files.createTempDirectory("tree").toString
     val schedDir = s"$base/schedule/2024-01-01"
@@ -184,7 +228,7 @@ class DirectorySpec extends AnyFunSuite {
     assert(!Directory.tableHasData(spark, dir), "staging files are not data")
 
     // every reader of the upsert-maintained table survives the state:
-    assert(graft.streaming.AutomaticImport.recoverHighWaterMark(spark, dir) == 0L)
+    assert(graft.streaming.AutomaticImport.recoverHighWaterMark(spark, dir, "cli") == 0L)
     assert(Directory.cleanupOutdatedPredictionsTable(spark, dir, "cli", now).isEmpty)
     // and the next upsert re-seeds the table from scratch
     graft.streaming.StreamingImport.upsertTable(

@@ -179,7 +179,7 @@ class AutomaticImportSpec extends AnyFunSuite {
     // (the reference re-derives it from the DB each iteration,
     // scheduled_predictions_importer.rs:81; recovery = the A15 max over
     // schedule-origin trip starts)
-    val recovered = AutomaticImport.recoverHighWaterMark(spark, predictionsDir)
+    val recovered = AutomaticImport.recoverHighWaterMark(spark, predictionsDir, "test")
     assert(recovered > 0 && recovered <= auto.highWaterMark,
       s"recovered mark $recovered must be a committed trip start ≤ ${auto.highWaterMark}")
     val keyCols = StreamingImport.PredictionKeyCols
