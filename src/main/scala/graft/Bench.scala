@@ -98,19 +98,72 @@ object Bench {
       }
     var passes = Vector(pass(), pass())
     var probes = Vector(probe())
-    // ACT on the probe, don't just record it: a pass window counts as clean
-    // when the probes on BOTH sides of it are quiet; while no window is
-    // clean, take another full pass and fold it into the minima — the
-    // governing number stops being hostage to end-of-round machine load as
-    // long as ONE pass lands in a quiet window. Bounded: ≤ 2 extra passes.
+
+    // SECOND contamination signal (the burst probe misses SUSTAINED load —
+    // round-8's official artifact passed quiet probes while every query,
+    // including untouched scalar ones, ran ~47 % over): per-query clean
+    // floors persisted across runs in tools/bench_floor.tsv, keyed by
+    // (sf dir, worker count). Uniform inflation of the per-query minima
+    // against those floors = the MACHINE is loaded, not the code — a real
+    // code regression moves few queries, not the median.
+    val floorKey = s"$sfDir@local[$cpus]"
+    val floorFile = java.nio.file.Paths.get("tools/bench_floor.tsv")
+    val floors: Map[String, Double] = try {
+      if (java.nio.file.Files.exists(floorFile))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(floorFile)).asScala
+          .map(_.split('\t')).collect {
+            case Array(k, n, t) if k == floorKey => n -> t.toDouble
+          }.toMap
+      else Map.empty
+    } catch { case NonFatal(_) => Map.empty }
+    def curMinima: Map[String, Double] = passes.head.map(_._1).map { n =>
+      val obs = passes.flatMap(_.find(_._1 == n))
+      val ok = obs.collect { case (_, t, true) => t }
+      n -> (if (ok.nonEmpty) ok.min else obs.map(_._2).min)
+    }.toMap
+    // median per-query inflation vs the floors; None below 20 comparable
+    // queries (first run, or a large rename) — sub-50 ms floors are skipped
+    // (their ratios are scheduler noise, not load)
+    def medianInflation: Option[Double] = {
+      val infl = curMinima.toSeq.collect {
+        case (n, t) if floors.get(n).exists(_ > 0.05) => t / floors(n)
+      }.sorted
+      if (infl.size >= 20) Some(infl(infl.size / 2)) else None
+    }
+    // third signal: the two passes themselves disagreeing by >15 % in total
+    // means at least one ran under load — spend budget on another pass
+    def lastPassesDisagree: Boolean = {
+      val a = passes(passes.size - 2).map(_._2).sum
+      val b = passes.last.map(_._2).sum
+      math.abs(a - b) / math.max(1e-9, math.min(a, b)) > 0.15
+    }
+
+    // ACT on the signals, don't just record them: a pass window counts as
+    // clean when the probes on BOTH sides of it are quiet; while no window
+    // is probe-clean, OR the minima sit uniformly above the persisted
+    // floors, OR the last two passes disagree, take another full pass and
+    // fold it into the minima — the governing number stops being hostage to
+    // end-of-round machine load as long as ONE pass lands in a quiet
+    // window. Bounded: ≤ maxExtra extra passes.
     def windowClean(a: Double, b: Double) = !isContended(a) && !isContended(b)
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "2").toInt
+    val inflationCeiling = sys.env.getOrElse(
+      "SPARK_GRAFT_FLOOR_INFLATION", "1.2").toDouble
     var anyClean = windowClean(probeBefore, probes.head)
-    while (passes.size - 2 < maxExtra && !anyClean) {
+    def floorOk = medianInflation.forall(_ <= inflationCeiling)
+    while (passes.size - 2 < maxExtra
+        && (!anyClean || !floorOk || lastPassesDisagree)) {
       passes :+= pass()
       probes :+= probe()
-      anyClean = windowClean(probes(probes.size - 2), probes.last)
+      anyClean = anyClean || windowClean(probes(probes.size - 2), probes.last)
     }
+    // the artifact's verdict on itself: quiet probes around ≥1 pass AND the
+    // minima within the floor ceiling (when floors exist). A run that fails
+    // either marks ITSELF contaminated instead of leaving the driver a
+    // number that lies (BENCH_r08 lesson).
+    val floorVerdict = floorOk
+    anyClean = anyClean && floorVerdict
     val probeAfter = probes.last
     val runs = passes.head.map(_._1).map { n =>
       val obs = passes.map(_.find(_._1 == n).get)
@@ -123,6 +176,25 @@ object Bench {
       (n, t, obs.forall(_._3))
     }
     val results = runs.map { case (n, t, _) => (n, t) }
+    // persist the clean floor for future runs' second signal: per-query min
+    // over every prior clean window plus this one. Only a BOTH-signals-clean
+    // run may lower floors (folding a contaminated run in would ratchet the
+    // baseline up and blind the signal); other (sf, cpus) keys pass through.
+    if (anyClean) try {
+      val others = if (java.nio.file.Files.exists(floorFile))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(floorFile)).asScala
+          .filterNot(_.startsWith(floorKey + "\t")).toSeq
+      else Seq.empty
+      val mine = results.map { case (n, t) =>
+        s"$floorKey\t$n\t${math.min(t, floors.getOrElse(n, Double.MaxValue))}"
+      }.sorted
+      java.nio.file.Files.createDirectories(floorFile.getParent)
+      java.nio.file.Files.write(floorFile,
+        scala.jdk.CollectionConverters.SeqHasAsJava(others ++ mine).asJava)
+    } catch { case NonFatal(_) => () }
+    val inflationJson = medianInflation.map(_.toString).getOrElse("null")
+    val floorN = curMinima.keySet.count(n => floors.get(n).exists(_ > 0.05))
     val failed = runs.collect { case (n, _, false) => s"\"" + n + "\"" }
       .mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -141,7 +213,8 @@ object Bench {
       s""""failed":$failed,"setup_error":"$setupError",""" +
       s""""probe_setup":$probeSetup,"probe_before":$probeBefore,"probe_after":$probeAfter,""" +
       s""""probes_after_passes":$probesJson,"passes":${passes.size},"clean_window":$anyClean,""" +
-      s""""timing":"per-query min over ${passes.size} passes (successful passes only; pass 1 warms page/codegen caches, so minima are warm-path marginal costs — not comparable to pre-r6 single-pass rounds); extra passes auto-added while no pass window had quiet probes on both sides; probe quiet ceiling ${quietCeiling}s (probe_setup/probe_before bracket the single-pass setup); this run local[$cpus]",""" +
+      s""""median_inflation_vs_floor":$inflationJson,"floor_queries":$floorN,"floor_ceiling":$inflationCeiling,""" +
+      s""""timing":"per-query min over ${passes.size} passes (successful passes only; pass 1 warms page/codegen caches, so minima are warm-path marginal costs — not comparable to pre-r6 single-pass rounds); extra passes auto-added while no pass window had quiet probes on both sides, the minima sat above the persisted per-query floors (tools/bench_floor.tsv; catches SUSTAINED load the burst probe misses), or consecutive passes disagreed >15%; clean_window requires quiet probes AND median inflation vs floor <= $inflationCeiling; probe quiet ceiling ${quietCeiling}s (probe_setup/probe_before bracket the single-pass setup); this run local[$cpus]",""" +
       s""""setup_detail":{"gtfs_fixture_pipeline":$gtfsSetup,"shingle_index":$shingleSetup,$gtfsDetail},""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     println(line)
@@ -154,6 +227,7 @@ object Bench {
       s""""failed":$failed,"setup_error":"$setupError",""" +
       s""""probe_setup":$probeSetup,"probe_before":$probeBefore,"probe_after":$probeAfter,""" +
       s""""passes":${passes.size},"clean_window":$anyClean,""" +
+      s""""median_inflation_vs_floor":$inflationJson,"floor_queries":$floorN,""" +
       s""""queries":$slowest,"queries_note":"10 slowest of ${results.size};""" +
       s""" min of ${passes.size} passes; full map in BENCH_SELF.json","sf":"$sfDir"}""")
     spark.stop()

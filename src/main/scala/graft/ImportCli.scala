@@ -31,13 +31,6 @@ object ImportCli {
                    idlePollMs: Long = 1000L,
                    idleConfirmMs: Long = 10000L,
                    performCleanup: Boolean = false): graft.streaming.AutomaticImport = {
-    // newest by PARSED date (Directory.newestDatedDir): a lexicographic max
-    // over full paths picks `b-2024-05-01` over `a-2024-06-01`
-    val schedDir = Directory.newestDatedDir(
-      Option(new java.io.File(s"$baseDir/schedule").listFiles())
-        .getOrElse(Array.empty).map(_.getPath).toSeq)
-      .getOrElse(sys.error(s"no dated schedule directory under $baseDir/schedule"))
-    val schedule = GtfsSchedule.load(spark, schedDir)
     val specificDir = s"$baseDir/curves/specific"
     val defaultDir = s"$baseDir/curves/default"
     require(new java.io.File(specificDir).exists() &&
@@ -56,8 +49,12 @@ object ImportCli {
         () => anchor + (System.currentTimeMillis() / 1000 - t0)
       case None => () => System.currentTimeMillis() / 1000
     }
-    graft.streaming.AutomaticImport.startFromStore(spark, s"$baseDir/rt",
-      schedule, source, s"$baseDir/stream/records",
+    // schedules hot-reload from <baseDir>/schedule: each rt file joins its
+    // J6 as-of version, the backfill tracks the newest version per
+    // iteration, and a GTFS drop mid-run needs no restart (the reference's
+    // 5 s re-scan + FileCache, importer/mod.rs:361-460, main.rs:321-393)
+    graft.streaming.AutomaticImport.startFromDirs(spark, s"$baseDir/rt",
+      s"$baseDir/schedule", source, s"$baseDir/stream/records",
       s"$baseDir/stream/predictions", s"$baseDir/stream/checkpoint",
       specificDir, defaultDir, nowEpochSecs = clock,
       triggerInterval = triggerInterval, idlePollMs = idlePollMs,

@@ -75,8 +75,10 @@ final class CurveCache(spark: SparkSession, specificDir: String, defaultDir: Str
         // lets them re-fetch from the driver if needed
         stale.foreach(_._2.foreach(_.unpersist(blocking = false)))
         def footerRows(dir: String): Long = {
-          val p = new org.apache.hadoop.fs.Path(dir)
-          if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+          // tableHasData, not exists: a zero-row save leaves a root with
+          // only _SUCCESS, and reading it would kill the refresh stream
+          // with UNABLE_TO_INFER_SCHEMA (empty store = 0 curves)
+          if (Directory.tableHasData(spark, dir))
             graft.ops.Similarity.corpusCount(spark.read.parquet(dir))
           else 0L
         }

@@ -15,9 +15,17 @@ object CurveStore {
   def saveDefault(curves: Dataset[DefaultCurveRow], dir: String): Unit =
     curves.write.mode("overwrite").partitionBy("route_type").parquet(dir)
 
+  /** A store table with no data files — a young feed whose min-sample gates
+    * (F9) passed nothing yet, or a just-overwritten-empty re-analysis —
+    * means "no curves of this kind", never a dead reader: save* with zero
+    * rows leaves only `_SUCCESS` under the partitioned root, and a bare
+    * spark.read.parquet on that throws UNABLE_TO_INFER_SCHEMA (which would
+    * kill the streaming refresh loop mid-trigger). The reference returns an
+    * empty statistics tree for a missing file (main.rs:321-340). */
   def loadSpecific(spark: SparkSession, dir: String): Dataset[SpecificCurveRow] = {
     import spark.implicits._
-    spark.read.parquet(dir)
+    if (!Directory.tableHasData(spark, dir)) spark.emptyDataset[SpecificCurveRow]
+    else spark.read.parquet(dir)
       .select("route_id", "route_variant", "event_type", "time_slot_id",
         "start_stop_index", "end_stop_index", "curve_kind", "focus_delay",
         "curve", "precision_type", "sample_size")
@@ -26,7 +34,8 @@ object CurveStore {
 
   def loadDefault(spark: SparkSession, dir: String): Dataset[DefaultCurveRow] = {
     import spark.implicits._
-    spark.read.parquet(dir)
+    if (!Directory.tableHasData(spark, dir)) spark.emptyDataset[DefaultCurveRow]
+    else spark.read.parquet(dir)
       .select("route_type", "route_section", "time_slot_id", "event_type",
         "curve", "precision_type", "sample_size")
       .as[DefaultCurveRow]

@@ -209,6 +209,75 @@ object Directory {
     }
   }
 
+  /** The reference's post-backfill stale-schedule delete
+    * (`delete_outdated_predictions`, scheduled_predictions_importer.rs:
+    * 234-265): after a schedule swap, SCHEDULE-origin predictions written
+    * from an OLDER schedule version that sit INSIDE the window the new
+    * version has already re-predicted (trip start < `endEpochSecs`) are
+    * deleted — changed trip_ids would otherwise show up as duplicate trips
+    * in the monitor. Realtime-origin rows are never touched.
+    *
+    * Scale shape: a cheap PROBE first — one scan of three columns, partition-
+    * pruned to this source and filtered by parquet predicate pushdown
+    * (origin_type / schedule_file_name are dictionary-encoded low-cardinality
+    * columns, so untouched row groups are skipped on footer stats) — and only
+    * when stale rows EXIST are their partitions rewritten (read-filter-
+    * overwrite of the touched directories, the same partition-scoped merge
+    * discipline as [[graft.streaming.StreamingImport.upsertTable]]). In the
+    * steady state (no schedule change) every call is probe-only. Partitions
+    * whose every row is stale are directory-deleted (dynamic overwrite never
+    * rewrites a partition absent from the output). Returns the deleted row
+    * count. Callers in the automatic mode hold the predictions gate. */
+  def deleteStaleSchedulePredictions(spark: SparkSession, predictionsDir: String,
+      source: String, currentScheduleName: String, endEpochSecs: Long): Long = {
+    if (!tableHasData(spark, predictionsDir)) return 0L
+    val startTs = unix_timestamp(
+      GtfsTime.dateAndTime(col("trip_start_date"), col("trip_start_time")))
+    val stale = col("origin_type") === Codes.OriginSchedule &&
+      col("source") === lit(source) &&
+      col("schedule_file_name") =!= lit(currentScheduleName) &&
+      startTs < lit(endEpochSecs)
+    val table = spark.read.parquet(predictionsDir)
+    val staleParts = table.filter(stale)
+      .groupBy(col("source"), col("trip_start_date"))
+      .agg(count(lit(1)).as("n")).collect()
+    if (staleParts.isEmpty) return 0L
+    val deleted = staleParts.map(_.getLong(2)).sum
+
+    val cond = staleParts.map(r =>
+        col("source") === lit(r.getString(0))
+          && col("trip_start_date") <=> lit(r.getDate(1)))
+      .reduce(_ || _)
+    // materialize + truncate lineage BEFORE overwriting the path being read.
+    // coalesce the predicate: a NULL start instant makes `stale` NULL, and
+    // filter(!NULL) would silently DROP that kept row during the rewrite
+    val kept = table.filter(cond && !coalesce(stale, lit(false)))
+      .localCheckpoint(true)
+    val keptParts = kept.select(col("source"), col("trip_start_date"))
+      .distinct().collect()
+      .map(r => (r.getString(0), Option(r.getDate(1)).map(_.toString))).toSet
+    if (keptParts.nonEmpty)
+      kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("source", "trip_start_date").parquet(predictionsDir)
+    // all-stale partitions produced no output rows — drop their directories
+    val conf = spark.sparkContext.hadoopConfiguration
+    staleParts
+      .map(r => (r.getString(0), Option(r.getDate(1)).map(_.toString)))
+      .filterNot(keptParts)
+      .foreach { case (src, dateOpt) =>
+        val leaf = dateOpt match {
+          case Some(d) => s"trip_start_date=$d"
+          case None => "trip_start_date=__HIVE_DEFAULT_PARTITION__"
+        }
+        val p = new org.apache.hadoop.fs.Path(
+          s"$predictionsDir/source=$src/$leaf")
+        val pfs = p.getFileSystem(conf)
+        if (pfs.exists(p)) pfs.delete(p, true)
+      }
+    deleted
+  }
+
   /** True when the parquet table at `dir` holds at least one DATA file.
     * [[cleanupOutdatedPredictionsTable]] can legitimately delete EVERY date
     * partition (expired calendar + quiet feed for a few days), leaving the

@@ -19,9 +19,16 @@ object FixtureGen {
   /** Deterministic pseudo-delay in seconds, varied but bounded. */
   def delay(day: Int, stop: Int): Int = 24 + ((day * 7 + stop * 13) % 25) * 12
 
-  def writeSchedule(dir: Path): Unit = {
+  /** `version` 2 models a realistic GTFS re-publication: every T1 time
+    * shifts +60 s and the duplicate trip T1b is RENAMED to T1b2 — the
+    * changed-trip_id case the reference's stale-schedule delete exists for
+    * ("changed trip_ids would show up as duplicate trips in the monitor",
+    * scheduled_predictions_importer.rs:234-237). */
+  def writeSchedule(dir: Path, version: Int = 1): Unit = {
     def w(name: String, lines: Seq[String]): Unit =
       Files.write(dir.resolve(name), String.join("\n", lines: _*).getBytes("UTF-8"))
+    val shift = if (version >= 2) 60 else 0
+    val t1bId = if (version >= 2) "T1b2" else "T1b"
 
     w("agency.txt", Seq("agency_id,agency_name", "AG1,Test Agency"))
     w("stops.txt", "stop_id,stop_name,stop_lat,stop_lon" +:
@@ -32,15 +39,15 @@ object FixtureGen {
     // variant); T1sub: 4-stop sub-sequence variant; T2: 16-stop rail trip
     // (exercises min(5, n/3)=5); T3: crosses midnight.
     w("trips.txt", Seq("trip_id,route_id,service_id,trip_headsign",
-      "T1,R1,WD,Downtown", "T1b,R1,WD,Downtown", "T1sub,R1,WD,Midtown",
+      "T1,R1,WD,Downtown", s"$t1bId,R1,WD,Downtown", "T1sub,R1,WD,Midtown",
       "T2,R2,WD,Central", "T3,R1,WD,NightOwl"))
     val t1Stops = (1 to 6).map { i =>
-      val arr = 8 * 3600 + (i - 1) * 300
+      val arr = 8 * 3600 + (i - 1) * 300 + shift
       s"T1,${i * 10},S$i,${fmt(arr)},${fmt(arr + 30)}"
     }
     val t1bStops = (1 to 6).map { i =>
-      val arr = 9 * 3600 + (i - 1) * 300
-      s"T1b,${i * 10},S$i,${fmt(arr)},${fmt(arr + 30)}"
+      val arr = 9 * 3600 + (i - 1) * 300 + shift
+      s"$t1bId,${i * 10},S$i,${fmt(arr)},${fmt(arr + 30)}"
     }
     val t1subStops = (2 to 5).map { i =>
       val arr = 10 * 3600 + (i - 2) * 300

@@ -50,9 +50,14 @@ final case class GtfsSchedule(
 object GtfsSchedule {
 
   private def csv(spark: SparkSession, dir: String, name: String, schema: StructType): DataFrame = {
-    val path = s"$dir/$name.txt"
-    if (new java.io.File(path).exists())
-      spark.read.option("header", "true").schema(schema).csv(path)
+    // Hadoop-FS existence probe, not java.io.File: `dir` may carry a scheme
+    // (ScheduleCache lists versions via the FileSystem API, and production
+    // schedules live on hdfs://-like stores where a local File check would
+    // silently read EVERY optional table as absent-empty).
+    val path = new org.apache.hadoop.fs.Path(dir, s"$name.txt")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      spark.read.option("header", "true").schema(schema).csv(path.toString)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }

@@ -76,7 +76,8 @@ object Importer {
     */
   def recordsFromRt(spark: SparkSession, rt: Dataset[RtRow],
                     schedule: GtfsSchedule, source: String,
-                    dedupe: Boolean = true): DataFrame = {
+                    dedupe: Boolean = true,
+                    scheduleFileName: Option[String] = None): DataFrame = {
     val trips = schedule.trips.select(
       col("trip_id"), col("route_id"), col("route_variant"))
     val stopTimes = schedule.stopTimes.select(
@@ -105,7 +106,8 @@ object Importer {
 
     val withMeta = joined
       .withColumn("source", lit(source))
-      .withColumn("schedule_file_name", lit(source + "_schedule"))
+      .withColumn("schedule_file_name",
+        lit(scheduleFileName.getOrElse(source + "_schedule")))
     // W2 last-writer-wins: a window on the batch path; the streaming path
     // (no windows on streaming DFs) defers it to the upsert/state layer.
     val deduped =

@@ -146,8 +146,12 @@ object Predictor {
 
   /** Shared tail of every prediction producer: anchor the curve's min/max x
     * at the scheduled instant (per_schedule_importer.rs:345-346) and emit the
-    * predictions-table schema. */
-  private def anchorAndSelect(df: DataFrame, source: String, originType: Int): DataFrame =
+    * predictions-table schema. `scheduleFileName` is the reference's
+    * per-row schedule provenance (scheduled_predictions_importer.rs:297:
+    * `"schedule_file_name" => self.filename`) — the stale-schedule delete
+    * and the per-version HWM recovery key on it after a schedule swap. */
+  private def anchorAndSelect(df: DataFrame, source: String, originType: Int,
+                              scheduleFileName: String): DataFrame =
     df
       .withColumn("curve_min_secs", element_at(col("prediction_curve"), 1).getField("x"))
       .withColumn("curve_max_secs", element_at(col("prediction_curve"), -1).getField("x"))
@@ -164,7 +168,7 @@ object Predictor {
         col("trip_start_time"), col("stop_sequence"),
         col("precision_type"), lit(originType).as("origin_type"),
         col("sample_size"), col("prediction_curve"),
-        lit(source + "_schedule").as("schedule_file_name"))
+        lit(scheduleFileName).as("schedule_file_name"))
 
   /** Rows above this bound indicate the statistics tables are no longer
     * driver-map material — use [[batchPredict]]'s join form instead. The
@@ -242,7 +246,8 @@ object Predictor {
   def batchPredict(spark: SparkSession, schedule: GtfsSchedule,
                    serviceDate: String, source: String,
                    specific: Dataset[SpecificCurveRow],
-                   defaults: Dataset[DefaultCurveRow]): DataFrame = {
+                   defaults: Dataset[DefaultCurveRow],
+                   scheduleFileName: Option[String] = None): DataFrame = {
     val base = targetsForDate(spark, schedule, serviceDate)
 
     // DEFAULT-slot general curves only: the reference serves the
@@ -276,7 +281,8 @@ object Predictor {
       .withColumn("sample_size", coalesce(col("g_sample"), col("d_sample")))
       .filter(col("prediction_curve").isNotNull)
 
-    anchorAndSelect(joined, source, OriginSchedule)
+    anchorAndSelect(joined, source, OriginSchedule,
+      scheduleFileName.getOrElse(source + "_schedule"))
   }
 
   /** Realtime targets shared by the join and broadcast-lookup forms: every
@@ -324,7 +330,8 @@ object Predictor {
   def batchPredictRealtime(spark: SparkSession, schedule: GtfsSchedule,
                            records: DataFrame, serviceDate: String, source: String,
                            specific: Dataset[SpecificCurveRow],
-                           defaults: Dataset[DefaultCurveRow]): DataFrame = {
+                           defaults: Dataset[DefaultCurveRow],
+                           scheduleFileName: Option[String] = None): DataFrame = {
     import spark.implicits._
 
     val targets = realtimeTargets(spark, schedule, records, serviceDate)
@@ -426,7 +433,8 @@ object Predictor {
           .otherwise(col("d_precision")))
       .withColumn("sample_size",
         when(col("best_rank") < 2, col("cs_sample")).otherwise(col("d_sample")))
-    anchorAndSelect(resolved, source, OriginRealtime)
+    anchorAndSelect(resolved, source, OriginRealtime,
+      scheduleFileName.getOrElse(source + "_schedule"))
   }
 
   /** The AMORTIZED realtime prediction path: the hierarchical lookup of
@@ -450,7 +458,8 @@ object Predictor {
     * startPredictionRefresh); past that, use the join form. */
   def batchPredictRealtimeCached(spark: SparkSession, schedule: GtfsSchedule,
       records: DataFrame, serviceDate: String, source: String,
-      bc: org.apache.spark.broadcast.Broadcast[Predictor]): DataFrame = {
+      bc: org.apache.spark.broadcast.Broadcast[Predictor],
+      scheduleFileName: Option[String] = None): DataFrame = {
     import spark.implicits._
     val targets = realtimeTargets(spark, schedule, records, serviceDate)
       .select(col("trip_id"), col("trip_start_date"), col("trip_start_time"),
@@ -481,6 +490,7 @@ object Predictor {
           }
       }
     }
-    anchorAndSelect(rows.toDF(), source, OriginRealtime)
+    anchorAndSelect(rows.toDF(), source, OriginRealtime,
+      scheduleFileName.getOrElse(source + "_schedule"))
   }
 }

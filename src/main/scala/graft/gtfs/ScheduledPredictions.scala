@@ -162,7 +162,8 @@ object ScheduledPredictions {
     * ≤ hwm are already predicted). */
   def advance(spark: SparkSession, schedule: GtfsSchedule, source: String,
               specific: Dataset[SpecificCurveRow], defaults: Dataset[DefaultCurveRow],
-              highWaterMark: Long, nowEpochSecs: Long): Option[Batch] = {
+              highWaterMark: Long, nowEpochSecs: Long,
+              scheduleFileName: Option[String] = None): Option[Batch] = {
     val bufferEnd = nowEpochSecs + BufferSecs
     val from = math.max(highWaterMark, nowEpochSecs)
     if (from >= bufferEnd) return None // buffer full → PREDICTION_FULL_TIMEOUT
@@ -189,7 +190,7 @@ object ScheduledPredictions {
     // empty state. A limit(0) over the real plan keeps the exact schema.
     def emptyPredictions = Predictor.batchPredict(spark, schedule,
       java.time.LocalDate.ofEpochDay(from / 86400).toString,
-      source, specific, defaults).limit(0)
+      source, specific, defaults, scheduleFileName).limit(0)
 
     if (total == 0) {
       allStarts.unpersist()
@@ -205,7 +206,8 @@ object ScheduledPredictions {
     val dates = batchTrips.select("service_date").distinct()
       .collect().map(_.getString(0)).sorted
     val preds = dates.map { d =>
-      Predictor.batchPredict(spark, schedule, d, source, specific, defaults)
+      Predictor.batchPredict(spark, schedule, d, source, specific, defaults,
+          scheduleFileName)
         .join(broadcast(batchTrips.filter(col("service_date") === d)
           .select(col("trip_id"))), Seq("trip_id"), "left_semi")
     }.reduceOption(_ unionByName _).getOrElse(emptyPredictions)

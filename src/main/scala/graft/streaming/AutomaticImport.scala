@@ -70,7 +70,8 @@ final case class BackfillEvent(decidedAtNanos: Long, completedAtNanos: Long,
   */
 final class AutomaticImport private (
     val query: StreamingQuery,
-    spark: SparkSession, schedule: GtfsSchedule, source: String,
+    spark: SparkSession,
+    scheduleProvider: () => (String, GtfsSchedule), source: String,
     predictionsDir: String,
     curves: () => (Dataset[SpecificCurveRow], Dataset[DefaultCurveRow]),
     nowEpochSecs: () => Long, idlePollMs: Long, idleConfirmMs: Long,
@@ -78,13 +79,21 @@ final class AutomaticImport private (
     gate: ReentrantLock) {
 
   private val stopFlag = new AtomicBoolean(false)
+  // schedule version the mark currently belongs to — recovery and the
+  // stale-schedule delete are keyed per version, like the reference's
+  // per-filename WHERE clauses
+  private val scheduleName = new java.util.concurrent.atomic.AtomicReference[String]
   // recovery runs UNDER the gate: the rt query is already live, and a
   // pre-existing backlog batch could be mid-overwrite of the predictions
   // table — an ungated read could hit the dynamic-overwrite file swap
   private val hwm = new AtomicLong({
     gate.lock()
-    try AutomaticImport.recoverHighWaterMark(spark, predictionsDir, source)
-    finally gate.unlock()
+    try {
+      val (name, _) = scheduleProvider()
+      scheduleName.set(name)
+      AutomaticImport.recoverHighWaterMark(spark, predictionsDir, source,
+        Some(name))
+    } finally gate.unlock()
   })
   // ring buffer, like Spark's own recentProgress: the mode runs until
   // interrupted, and an unbounded event log (one entry per idle iteration,
@@ -147,10 +156,25 @@ final class AutomaticImport private (
             try {
               // re-resolved per iteration: the store-backed mode reads the
               // CURRENT curve directories, so a re-analysis mid-run feeds
-              // the next backfill batch (FileCache discipline)
+              // the next backfill batch (FileCache discipline); the SCHEDULE
+              // re-resolves the same way (the reference recreates its
+              // ScheduledPredictionsImporter with main.get_schedule() every
+              // idle iteration, importer/mod.rs:309) — a version dropped
+              // mid-run drives the very next backfill batch
               val (specific, defaults) = curves()
-              ScheduledPredictions.advance(spark, schedule, source,
-                specific, defaults, hwm.get(), now) match {
+              val (schedName, sched) = scheduleProvider()
+              if (schedName != scheduleName.get()) {
+                // new schedule version: the mark is per-version (the
+                // reference's recovery filters by its current filename, so
+                // an unseen version starts from scratch and RE-PREDICTS the
+                // buffer window with the new data; the stale delete below
+                // then retires the old version's rows batch by batch)
+                hwm.set(AutomaticImport.recoverHighWaterMark(spark,
+                  predictionsDir, source, Some(schedName)))
+                scheduleName.set(schedName)
+              }
+              ScheduledPredictions.advance(spark, sched, source,
+                specific, defaults, hwm.get(), now, Some(schedName)) match {
                 case None =>
                   backoffUntil = now + bufferFullBackoffSecs
                   record(BackfillEvent(decided, System.nanoTime(),
@@ -159,10 +183,21 @@ final class AutomaticImport private (
                   if (batch.tripCount > 0)
                     StreamingImport.upsertTable(
                       batch.predictions.withColumn("refresh_seq",
-                        lit(AutomaticImport.BackfillSeq)),
+                        lit(AutomaticImport.backfillSeq(now))),
                       predictionsDir,
                       keyCols = StreamingImport.PredictionKeyCols,
                       newestBy = col("refresh_seq"))
+                  // the reference's post-batch stale-schedule delete
+                  // (delete_outdated_predictions): schedule-origin rows from
+                  // an OLDER version inside the window this batch just
+                  // re-predicted would duplicate renamed trips. Runs for
+                  // ZERO-trip batches too — they still advance the mark, and
+                  // skipping them would leave old-version rows alive inside a
+                  // window the new version has (vacuously) covered. Steady
+                  // state (one version) pays only the partition-pruned,
+                  // footer-filtered probe.
+                  Directory.deleteStaleSchedulePredictions(spark,
+                    predictionsDir, source, schedName, batch.newHighWaterMark)
                   record(BackfillEvent(decided, System.nanoTime(), hwm.get(),
                     batch.newHighWaterMark, batch.tripCount, bufferFull = false))
                   hwm.updateAndGet(h => math.max(h, batch.newHighWaterMark))
@@ -208,6 +243,16 @@ object AutomaticImport {
   /** Backfill rows sit BELOW every realtime refresh batch id in the
     * predictions LWW (batch ids start at 0). */
   val BackfillSeq: Long = -1L
+
+  /** The backfill tier's LWW sequence: strictly below every realtime batch
+    * id (those are ≥ 0), but monotonic WITH THE CLOCK inside the tier — a
+    * schedule swap resets the mark and RE-predicts windows the old version
+    * already covered, and the newer write must deterministically win the
+    * shared-key upsert (the reference's blind UPDATE always overwrites;
+    * a constant tier value would leave the tie to shuffle order, and the
+    * stale-schedule delete could then remove the surviving OLD row —
+    * losing the prediction for an unchanged trip entirely). */
+  def backfillSeq(nowEpochSecs: Long): Long = -(1L << 62) + nowEpochSecs
 
   /** [[backfillEvents]] keeps at most this many recent entries. */
   val MaxRecentEvents: Int = 512
@@ -266,7 +311,8 @@ object AutomaticImport {
       source, recordsDir, predictionsDir, checkpointDir, specific, defaults,
       automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
       triggerInterval = triggerInterval, gate = Some(gate))
-    new AutomaticImport(query, spark, schedule, source, predictionsDir,
+    new AutomaticImport(query, spark,
+      () => (source + "_schedule", schedule), source, predictionsDir,
       () => (specific, defaults), nowEpochSecs, idlePollMs, idleConfirmMs,
       bufferFullBackoffSecs, performCleanup, gate)
   }
@@ -293,7 +339,49 @@ object AutomaticImport {
       specificDir, defaultDir,
       automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
       triggerInterval = triggerInterval, gate = Some(gate))
-    new AutomaticImport(query, spark, schedule, source, predictionsDir,
+    new AutomaticImport(query, spark,
+      () => (source + "_schedule", schedule), source, predictionsDir,
+      () => (CurveStore.loadSpecific(spark, specificDir),
+        CurveStore.loadDefault(spark, defaultDir)),
+      nowEpochSecs, idlePollMs, idleConfirmMs, bufferFullBackoffSecs,
+      performCleanup, gate)
+  }
+
+  /** The PRODUCTION-FAITHFUL automatic mode: everything hot-reloads.
+    * [[startFromStore]]'s curve discipline plus a [[ScheduleCache]] over the
+    * dated versions under `scheduleParentDir` — rt files join their J6 as-of
+    * schedule per batch, the idle backfill re-resolves the NEWEST version
+    * per iteration (reference: `ScheduledPredictionsImporter::new` calls
+    * `main.get_schedule()` every idle turn, importer/mod.rs:309), a version
+    * dropped mid-run restarts the per-version high-water mark and
+    * re-predicts the buffer window, and each committed batch retires the
+    * old version's schedule-origin rows inside its window
+    * (`delete_outdated_predictions`). Requires at least one dated schedule
+    * directory at startup. */
+  def startFromDirs(spark: SparkSession, rtDir: String,
+      scheduleParentDir: String,
+      source: String, recordsDir: String, predictionsDir: String,
+      checkpointDir: String, specificDir: String, defaultDir: String,
+      nowEpochSecs: () => Long = () => System.currentTimeMillis() / 1000,
+      triggerInterval: String = "5 seconds",
+      idlePollMs: Long = 1000L,
+      idleConfirmMs: Long = 10000L,
+      bufferFullBackoffSecs: Long = 20 * 60L,
+      maxFilesPerTrigger: Int = 256,
+      performCleanup: Boolean = false): AutomaticImport = {
+    val schedules = new ScheduleCache(spark, scheduleParentDir)
+    require(schedules.newestDir().isDefined,
+      s"no dated schedule directory under $scheduleParentDir")
+    val gate = new ReentrantLock()
+    val query = StreamingImport.startPredictionRefreshFromDirs(spark, rtDir,
+      schedules, source, recordsDir, predictionsDir, checkpointDir,
+      specificDir, defaultDir,
+      automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
+      triggerInterval = triggerInterval, gate = Some(gate))
+    new AutomaticImport(query, spark,
+      () => schedules.newest().getOrElse(throw new IllegalStateException(
+        s"every dated schedule directory under $scheduleParentDir vanished mid-run")),
+      source, predictionsDir,
       () => (CurveStore.loadSpecific(spark, specificDir),
         CurveStore.loadDefault(spark, defaultDir)),
       nowEpochSecs, idlePollMs, idleConfirmMs, bufferFullBackoffSecs,

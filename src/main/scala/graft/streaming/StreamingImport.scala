@@ -56,6 +56,61 @@ object StreamingImport {
                     schedule: GtfsSchedule, source: String): DataFrame =
     Importer.recordsFromRt(spark, rt, schedule, source, dedupe = false)
 
+  /** [[recordsStream]] with the reference's J6 per-file schedule assignment
+    * INSIDE the streaming path (importer/mod.rs:361-460): each rt file of
+    * the micro-batch joins the newest schedule dated ≤ the file's own date,
+    * resolved against the CURRENT directory listing — so a schedule version
+    * dropped mid-run takes effect from the next batch (the reference
+    * re-scans `dir/schedule` every 5 s), while a late-arriving old-dated
+    * file still joins the schedule that was current on its day. Files with
+    * no parseable date, or older than every schedule, are logged and
+    * skipped (the reference moves them to `failed/` / skips them,
+    * mod.rs:385-406 — the streaming checkpoint already owns the files, so
+    * no archive move happens here).
+    *
+    * Driver cost per batch: one distinct-file-names collect (bounded by
+    * maxFilesPerTrigger) + one schedule-directory listing; each schedule
+    * group then runs the unchanged distributed decode+join plan. With the
+    * steady-state single group this is the same plan as [[recordsStream]]
+    * plus one bounded collect. */
+  def recordsStreamAsOf(spark: SparkSession, rt: Dataset[RtRow],
+                        schedules: graft.gtfs.ScheduleCache,
+                        source: String): DataFrame = {
+    val dirs = schedules.datedDirs()
+    require(dirs.nonEmpty,
+      "No schedule data (but realtime data may be present)") // mod.rs:372-374
+    val oldest = dirs.head._1
+    def group(dir: String, files: Seq[String]): DataFrame =
+      Importer.recordsFromRt(spark,
+        rt.filter(col("file_name").isin(files: _*)),
+        schedules.get(dir), source, dedupe = false,
+        scheduleFileName = Some(schedules.shortName(dir)))
+    // bounded by the trigger's file cap — same driver-state assumption as
+    // the refresh loop's dates collect
+    val files = rt.select(col("file_name")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val assigned = files.flatMap { f =>
+      Directory.dateFromFilename(f) match {
+        case None =>
+          System.err.println(s"[stream] rt file $f has no parseable date, skipping")
+          None
+        case Some(d) if d.isBefore(oldest) =>
+          System.err.println(s"[stream] rt file $f is older than any schedule, skipping")
+          None
+        case Some(d) =>
+          // d >= oldest, so the as-of pick always exists
+          Some((schedules.asOfDir(d).get, f))
+      }
+    }
+    val grouped = assigned.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (dir, fs) => group(dir, fs.toSeq.map(_._2)) }
+    // schema-correct empty batch (all files skipped / empty trigger): the
+    // caller persists + upserts the result, so it must carry the records
+    // schema — limit(0) over the real plan against the newest schedule
+    grouped.reduceOption(_ unionByName _)
+      .getOrElse(group(dirs.last._2, Seq.empty).limit(0))
+  }
+
   /** Idempotent last-writer-wins merge of a micro-batch into a parquet
     * records table (the engine-internal variant of the reference's
     * UPDATE-then-INSERT-IGNORE upsert, batched_statements.rs:59-107).
@@ -362,6 +417,45 @@ object StreamingImport {
           graft.gtfs.CurveStore.loadDefault(spark, defaultDir))
       },
       decode = batch => recordsStream(spark, batch, schedule, source))
+  }
+
+  /** The FULLY hot-reloading refresh loop: curve store AND schedule resolve
+    * per trigger. [[startPredictionRefreshFromStore]]'s mtime-invalidated
+    * CurveCache, plus a [[graft.gtfs.ScheduleCache]] that (a) assigns each
+    * rt file its J6 as-of schedule inside the decode
+    * ([[recordsStreamAsOf]]) and (b) predicts each service date with the
+    * schedule current FOR THAT DATE — so a GTFS drop mid-run takes effect on
+    * the next trigger without a restart, exactly the reference's 5 s
+    * re-scan + FileCache reload (importer/mod.rs:361-460,
+    * main.rs:321-393). */
+  def startPredictionRefreshFromDirs(spark: SparkSession, rtDir: String,
+      schedules: graft.gtfs.ScheduleCache, source: String, recordsDir: String,
+      predictionsDir: String, checkpointDir: String,
+      specificDir: String, defaultDir: String,
+      automatic: Boolean = false,
+      maxFilesPerTrigger: Int = 256,
+      triggerInterval: String = "5 seconds",
+      gate: Option[java.util.concurrent.locks.Lock] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cache = new graft.gtfs.CurveCache(spark, specificDir, defaultDir)
+    refreshLoop(spark, rtDir, source, recordsDir, predictionsDir,
+      checkpointDir, automatic, maxFilesPerTrigger, triggerInterval, gate,
+      predict = (stored, date) => {
+        // the schedule current for the predicted service date (the reference
+        // predicts a file's records with the schedule the file matched)
+        val (name, sched) = schedules.asOf(java.time.LocalDate.parse(date))
+          .getOrElse(throw new IllegalStateException(
+            s"no schedule version available for service date $date"))
+        cache.tryGet() match {
+          case Some(b) => Predictor.batchPredictRealtimeCached(
+            spark, sched, stored, date, source, b, Some(name))
+          case None => Predictor.batchPredictRealtime(
+            spark, sched, stored, date, source,
+            graft.gtfs.CurveStore.loadSpecific(spark, specificDir),
+            graft.gtfs.CurveStore.loadDefault(spark, defaultDir), Some(name))
+        }
+      },
+      decode = batch => recordsStreamAsOf(spark, batch, schedules, source))
   }
 
   private def refreshLoop(spark: SparkSession, rtDir: String, source: String,

@@ -1,0 +1,99 @@
+package graft.gtfs
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The schedule-side FileCache (reference main.rs:321-393 + the 5 s
+  * directory re-scan of importer/mod.rs:361-460): dated versions listed
+  * fresh per call, loads cached per version until the directory's
+  * fingerprint changes, LRU-bounded. */
+class ScheduleCacheSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def mkVersion(parent: java.nio.file.Path, name: String,
+                        version: Int = 1): String = {
+    val d = parent.resolve(name)
+    Files.createDirectories(d)
+    FixtureGen.writeSchedule(d, version)
+    d.toString
+  }
+
+  test("dated listing, as-of pick and newest are by PARSED date (fresh per call)") {
+    val parent = Files.createTempDirectory("sched_cache")
+    mkVersion(parent, "b-2024-05-01")
+    mkVersion(parent, "a-2024-06-01")
+    Files.createDirectories(parent.resolve("current")) // undated: ignored
+    val cache = new ScheduleCache(spark, parent.toString)
+
+    assert(cache.datedDirs().map(_._1.toString) == Seq("2024-05-01", "2024-06-01"))
+    // string max would pick b-2024-05-01
+    assert(cache.newestDir().exists(_.endsWith("a-2024-06-01")))
+    assert(cache.asOfDir(java.time.LocalDate.parse("2024-05-15"))
+      .exists(_.endsWith("b-2024-05-01")), "as-of: newest version <= date")
+    assert(cache.asOfDir(java.time.LocalDate.parse("2024-04-01")).isEmpty,
+      "older than every version")
+    assert(cache.shortName(cache.newestDir().get) == "a-2024-06-01")
+
+    // a version dropped AFTER construction is seen by the next call — the
+    // listing is never cached (the reference re-scans every iteration)
+    mkVersion(parent, "c-2024-07-01")
+    assert(cache.newestDir().exists(_.endsWith("c-2024-07-01")))
+    cache.close()
+  }
+
+  test("loads are cached per version, invalidated by any file change, LRU-bounded") {
+    val parent = Files.createTempDirectory("sched_cache2")
+    val v1 = mkVersion(parent, "2024-01-01")
+    val v2 = mkVersion(parent, "2024-02-01", version = 2)
+    val cache = new ScheduleCache(spark, parent.toString, maxLoaded = 2)
+
+    val s1a = cache.get(v1)
+    assert(cache.get(v1) eq s1a, "unchanged version returns the cached object")
+    val s2 = cache.get(v2)
+    assert(s2.trips.filter(org.apache.spark.sql.functions.col("trip_id") === "T1b2")
+      .count() == 1, "version 2 content (renamed T1b2) loaded")
+
+    // touch one file -> fingerprint changes -> reload (fresh object)
+    val st = Paths.get(v1, "stop_times.txt")
+    Files.setLastModifiedTime(st,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(st).toMillis + 5000))
+    val s1b = cache.get(v1)
+    assert(!(s1b eq s1a), "mtime change reloads the version")
+    assert(cache.get(v1) eq s1b, "and the reload is cached again")
+
+    // LRU bound 2: loading a third version evicts the least recently USED
+    // (v2 — v1 was touched last); the evicted object keeps working because
+    // unpersist only drops cache blocks
+    val v3 = mkVersion(parent, "2024-03-01")
+    cache.get(v1) // v1 most recent
+    val s3 = cache.get(v3)
+    assert(s3.trips.count() == 5)
+    assert(s2.trips.count() == 5, "evicted schedule still computes (S2 cache dropped only)")
+    cache.close()
+  }
+
+  test("asOf falls back to the OLDEST version for a pre-history date; newest() loads") {
+    val parent = Files.createTempDirectory("sched_cache3")
+    mkVersion(parent, "2024-03-01")
+    mkVersion(parent, "2024-04-01", version = 2)
+    val cache = new ScheduleCache(spark, parent.toString)
+    assert(cache.asOf(java.time.LocalDate.parse("2024-01-01"))
+      .exists(_._1 == "2024-03-01"), "pre-history service date -> oldest version")
+    assert(cache.asOf(java.time.LocalDate.parse("2024-03-20"))
+      .exists(_._1 == "2024-03-01"))
+    assert(cache.newest().exists(_._1 == "2024-04-01"))
+    val empty = new ScheduleCache(spark,
+      Files.createTempDirectory("sched_cache_empty").toString)
+    assert(empty.newest().isEmpty
+      && empty.asOf(java.time.LocalDate.parse("2026-01-01")).isEmpty)
+    cache.close()
+  }
+}

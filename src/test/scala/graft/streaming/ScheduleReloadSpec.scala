@@ -1,0 +1,227 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.gtfs._
+
+/** Mid-run schedule-drop rehearsal of the hot-reloading automatic mode
+  * (VERDICT r8 #1): the reference re-scans `dir/schedule` every 5 s and
+  * reloads a changed schedule through its mtime FileCache
+  * (importer/mod.rs:361-460, main.rs:321-393) — so a GTFS version published
+  * while the loop runs takes effect without a restart, old-dated rt files
+  * keep their old schedule (J6), the backfill re-predicts the buffer window
+  * with the new version, and the old version's schedule-origin rows inside
+  * the re-predicted window are deleted (`delete_outdated_predictions`,
+  * scheduled_predictions_importer.rs:234-265). */
+class ScheduleReloadSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Polls `cond`, treating a read-side AnalysisException as "not yet": a
+    * concurrent upsert creates the table directory (staging files) before
+    * any data file commits, and spark.read.parquet on it throws
+    * UNABLE_TO_INFER_SCHEMA until the first commit lands. */
+  private def await(timeoutSecs: Long)(cond: => Boolean): Boolean = {
+    def softCond: Boolean =
+      try cond
+      catch {
+        // UNABLE_TO_INFER_SCHEMA before the first commit lands
+        case _: org.apache.spark.sql.AnalysisException => false
+        // FAILED_READ_FILE when the overwrite swaps a partition mid-read
+        case e: org.apache.spark.SparkException
+          if e.getMessage.contains("FAILED_READ_FILE") => false
+      }
+    val dl = System.nanoTime() + timeoutSecs * 1000000000L
+    // capture the last evaluation — re-evaluating after the loop could
+    // catch a DIFFERENT (mid-swap) snapshot and report false for a
+    // condition that was just observed true
+    var ok = softCond
+    while (!ok && System.nanoTime() < dl) { Thread.sleep(300); ok = softCond }
+    ok
+  }
+
+  test("a schedule version dropped mid-run takes effect without restart") {
+    val base = Files.createTempDirectory("hotreload")
+    val schedParent = base.resolve("schedule"); Files.createDirectories(schedParent)
+    val v1Dir = schedParent.resolve("2024-01-01"); Files.createDirectories(v1Dir)
+    FixtureGen.writeSchedule(v1Dir)
+    val stagingRt = base.resolve("staging"); Files.createDirectories(stagingRt)
+    FixtureGen.writeRtFiles(stagingRt)
+    val rtDir = Files.createDirectories(base.resolve("rt")).toString
+    val recordsDir = s"$base/records"
+    val predictionsDir = s"$base/predictions"
+
+    // curve STORE from a batch pass against v1 (the automatic mode's input)
+    val schedule1 = GtfsSchedule.load(spark, v1Dir.toString)
+    val staged = Importer.importDirectory(spark, stagingRt.toString, schedule1, "test").cache()
+    val sc = CurveAnalysis.specificCurves(spark, staged, schedule1).cache()
+    val dc = CurveAnalysis.defaultCurves(spark, staged, schedule1).cache()
+    CurveStore.saveSpecific(sc, s"$base/curves/specific")
+    CurveStore.saveDefault(dc, s"$base/curves/default")
+    staged.unpersist(); sc.unpersist(); dc.unpersist(); schedule1.unpersist()
+
+    def copyRt(name: String): Unit = Files.copy(stagingRt.resolve(name),
+      Paths.get(rtDir, name), StandardCopyOption.COPY_ATTRIBUTES)
+
+    // injected clock: 2024-02-01 12:00 UTC
+    val clock = new AtomicLong(
+      java.time.LocalDateTime.of(2024, 2, 1, 12, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC))
+    val prevNoData = spark.conf.get(
+      "spark.sql.streaming.noDataProgressEventInterval", "10000ms")
+    spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "1000ms")
+    val auto = AutomaticImport.startFromDirs(spark, rtDir, schedParent.toString,
+      "test", recordsDir, predictionsDir, s"$base/ckpt",
+      s"$base/curves/specific", s"$base/curves/default",
+      nowEpochSecs = () => clock.get(),
+      triggerInterval = "500 milliseconds",
+      idlePollMs = 200L, idleConfirmMs = 1200L,
+      bufferFullBackoffSecs = 600L,
+      maxFilesPerTrigger = 1)
+    try {
+      def records() = spark.read.parquet(recordsDir)
+      def schedOrigin(name: String) = spark.read.parquet(predictionsDir)
+        .filter(col("origin_type") === Codes.OriginSchedule
+          && col("schedule_file_name") === name)
+
+      // ---- phase 1: rt under v1 + one committed v1 backfill batch ----
+      copyRt("2024-01-05-feed.pb")
+      assert(await(120)(new java.io.File(recordsDir).exists()
+          && records().filter(col("trip_start_date") === "2024-01-05").count() > 0),
+        "v1-era rt file ingested")
+      assert(records().filter(col("trip_start_date") === "2024-01-05")
+        .select("schedule_file_name").distinct().collect().map(_.getString(0)).toSeq
+        == Seq("2024-01-01"), "v1-era records carry the v1 version name (J6)")
+      assert(await(120)(auto.backfillEvents.exists(e => !e.bufferFull && e.tripCount > 0)),
+        s"v1 backfill must commit: ${auto.backfillEvents}")
+      val hwmV1 = auto.highWaterMark
+      // await, not a one-shot count: the stream/backfill concurrently
+      // dynamic-overwrites these partitions, and a read mid-swap sees an
+      // empty directory listing
+      assert(hwmV1 > 0 && await(60)(schedOrigin("2024-01-01").count() > 0),
+        "v1 schedule-origin predictions landed")
+      val rtPredsBefore = spark.read.parquet(predictionsDir)
+        .filter(col("origin_type") === Codes.OriginRealtime).count()
+
+      // ---- phase 2: drop v2 ATOMICALLY mid-run; mixed-date rt backlog ----
+      val tmpV2 = Files.createDirectories(base.resolve("incoming_v2"))
+      FixtureGen.writeSchedule(tmpV2, version = 2)
+      Files.move(tmpV2, schedParent.resolve("2024-02-15"),
+        StandardCopyOption.ATOMIC_MOVE)
+      copyRt("2024-02-20-feed.pb") // dated after v2 -> joins v2
+      copyRt("2024-01-10-feed.pb") // old-dated -> KEEPS v1
+      assert(await(120)(new java.io.File(recordsDir).exists()
+          && records().filter(col("trip_start_date") === "2024-02-20").count() > 0
+          && records().filter(col("trip_start_date") === "2024-01-10").count() > 0),
+        "both rt files of the mixed-date backlog ingested")
+      assert(records().filter(col("trip_start_date") === "2024-02-20")
+        .select("schedule_file_name").distinct().collect().map(_.getString(0)).toSeq
+        == Seq("2024-02-15"), "post-drop file joins the NEW version without restart")
+      assert(records().filter(col("trip_start_date") === "2024-01-10")
+        .select("schedule_file_name").distinct().collect().map(_.getString(0)).toSeq
+        == Seq("2024-01-01"), "old-dated file still joins the OLD version (J6 as-of)")
+      // v2 content actually used: T1's stop 10 arrival shifted +60s
+      val arrV2 = records().filter(col("trip_start_date") === "2024-02-20"
+          && col("trip_id") === "T1" && col("stop_sequence") === 10)
+        .select("arrival_secs").head().getInt(0)
+      assert(arrV2 == 8 * 3600 + 60, s"v2's shifted stop_times joined, got $arrV2")
+
+      // ---- phase 3: idle again -> backfill re-predicts under v2 ----
+      clock.addAndGet(86400L) // reopen the buffer / expire the back-off
+      assert(await(180)(schedOrigin("2024-02-15").count() > 0),
+        "backfill switched to the new version without restart")
+      // the renamed duplicate trip exists only in v2
+      assert(await(120)(schedOrigin("2024-02-15")
+          .filter(col("trip_id") === "T1b2").count() > 0),
+        "v2-only trip (renamed T1b2) predicted")
+      // reference delete_outdated_predictions: v1 rows inside the window v2
+      // has re-predicted are retired batch by batch
+      assert(await(180)({
+        val start = org.apache.spark.sql.functions.unix_timestamp(
+          GtfsTime.dateAndTime(col("trip_start_date"), col("trip_start_time")))
+        schedOrigin("2024-01-01").filter(start <= auto.highWaterMark).count() == 0
+      }), "stale v1 schedule-origin rows below the v2 mark are deleted")
+      // realtime rows are NEVER touched by the stale-schedule delete
+      assert(await(60)(spark.read.parquet(predictionsDir)
+        .filter(col("origin_type") === Codes.OriginRealtime).count() >= rtPredsBefore),
+        "realtime-origin predictions survive the swap")
+      // per-version mark discipline: committed v2 events advance monotonically
+      val afterSwap = auto.backfillEvents.filterNot(_.bufferFull)
+        .map(_.toHwm).filter(_ > 0)
+      assert(afterSwap == afterSwap.sorted, s"marks advance monotonically: $afterSwap")
+      // key uniqueness across the whole swap (duplicate-trip cleanup worked)
+      assert(await(60)({
+        val all = spark.read.parquet(predictionsDir)
+        all.count() > 0 && all.select(StreamingImport.PredictionKeyCols.map(col): _*)
+          .distinct().count() == all.count()
+      }), "upsert key unique after the swap")
+    } finally {
+      auto.stop()
+      spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", prevNoData)
+    }
+  }
+
+  test("stop() under an in-flight backfill leaves the predictions table consistent") {
+    val base = Files.createTempDirectory("stopmid")
+    val schedParent = base.resolve("schedule"); Files.createDirectories(schedParent)
+    val v1Dir = schedParent.resolve("2024-01-01"); Files.createDirectories(v1Dir)
+    FixtureGen.writeSchedule(v1Dir)
+    val stagingRt = base.resolve("staging"); Files.createDirectories(stagingRt)
+    FixtureGen.writeRtFiles(stagingRt)
+    val rtDir = Files.createDirectories(base.resolve("rt")).toString
+    val schedule1 = GtfsSchedule.load(spark, v1Dir.toString)
+    val staged = Importer.importDirectory(spark, stagingRt.toString, schedule1, "test").cache()
+    val sc = CurveAnalysis.specificCurves(spark, staged, schedule1).cache()
+    val dc = CurveAnalysis.defaultCurves(spark, staged, schedule1).cache()
+    CurveStore.saveSpecific(sc, s"$base/curves/specific")
+    CurveStore.saveDefault(dc, s"$base/curves/default")
+    staged.unpersist(); sc.unpersist(); dc.unpersist(); schedule1.unpersist()
+
+    val clock = new AtomicLong(
+      java.time.LocalDateTime.of(2024, 2, 1, 12, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC))
+    val prevNoData = spark.conf.get(
+      "spark.sql.streaming.noDataProgressEventInterval", "10000ms")
+    spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "1000ms")
+    val predictionsDir = s"$base/predictions"
+    val auto = AutomaticImport.startFromDirs(spark, rtDir, schedParent.toString,
+      "test", s"$base/records", predictionsDir, s"$base/ckpt",
+      s"$base/curves/specific", s"$base/curves/default",
+      nowEpochSecs = () => clock.get(),
+      triggerInterval = "500 milliseconds",
+      idlePollMs = 200L, idleConfirmMs = 1200L,
+      bufferFullBackoffSecs = 600L)
+    try {
+      // wait for the FIRST committed batch, then stop immediately — with
+      // skipConfirm the loop is already deciding/running the next iteration,
+      // so stop() lands against in-flight backfill work (interrupt-or-join
+      // under the gate, never mid-partition-swap)
+      val dl = System.nanoTime() + 120L * 1000000000L
+      while (!auto.backfillEvents.exists(e => !e.bufferFull && e.tripCount > 0)
+          && System.nanoTime() < dl) Thread.sleep(50)
+      assert(auto.backfillEvents.nonEmpty, "a backfill iteration must have run")
+    } finally {
+      auto.stop()
+      spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", prevNoData)
+    }
+    assert(!auto.query.isActive, "stream closed")
+    // table consistent: readable, unique on the upsert key, recovery works
+    val all = spark.read.parquet(predictionsDir)
+    assert(all.count() > 0)
+    assert(all.select(StreamingImport.PredictionKeyCols.map(col): _*)
+      .distinct().count() == all.count(), "no half-merged partition")
+    val rec = AutomaticImport.recoverHighWaterMark(spark, predictionsDir, "test",
+      Some("2024-01-01"))
+    assert(rec > 0 && rec <= auto.highWaterMark, "mark recoverable after stop")
+    // stop() is idempotent
+    auto.stop()
+  }
+}
