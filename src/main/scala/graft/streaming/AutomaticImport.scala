@@ -241,7 +241,11 @@ final class AutomaticImport private (
 object AutomaticImport {
 
   /** Backfill rows sit BELOW every realtime refresh batch id in the
-    * predictions LWW (batch ids start at 0). */
+    * predictions LWW (batch ids start at 0). Legacy constant tier — the
+    * live loop writes [[backfillSeq]] instead (a store holding BOTH forms
+    * would let a -1 row beat every clock-tier re-prediction); kept for the
+    * restart-advance idempotence test, which re-covers a window where
+    * identical values make the tie harmless. */
   val BackfillSeq: Long = -1L
 
   /** The backfill tier's LWW sequence: strictly below every realtime batch

@@ -98,8 +98,12 @@ object StreamingImport {
           System.err.println(s"[stream] rt file $f is older than any schedule, skipping")
           None
         case Some(d) =>
-          // d >= oldest, so the as-of pick always exists
-          Some((schedules.asOfDir(d).get, f))
+          // as-of pick against the ONE listing this batch took (d >= oldest,
+          // so it exists): re-listing per file would cost up to
+          // maxFilesPerTrigger directory scans per trigger AND could see a
+          // listing that changed mid-batch — every file of a batch must be
+          // assigned against the same snapshot
+          Some((dirs.takeWhile(!_._1.isAfter(d)).last._2, f))
       }
     }
     val grouped = assigned.groupBy(_._1).toSeq.sortBy(_._1)

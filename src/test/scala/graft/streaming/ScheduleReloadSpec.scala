@@ -38,6 +38,9 @@ class ScheduleReloadSpec extends AnyFunSuite {
         // FAILED_READ_FILE when the overwrite swaps a partition mid-read
         case e: org.apache.spark.SparkException
           if e.getMessage.contains("FAILED_READ_FILE") => false
+        // a listed partition directory deleted (stale-schedule retirement /
+        // cleanup) before the scan opened it
+        case _: java.io.IOException => false
       }
     val dl = System.nanoTime() + timeoutSecs * 1000000000L
     // capture the last evaluation — re-evaluating after the loop could
@@ -97,9 +100,9 @@ class ScheduleReloadSpec extends AnyFunSuite {
       assert(await(120)(new java.io.File(recordsDir).exists()
           && records().filter(col("trip_start_date") === "2024-01-05").count() > 0),
         "v1-era rt file ingested")
-      assert(records().filter(col("trip_start_date") === "2024-01-05")
+      assert(await(60)(records().filter(col("trip_start_date") === "2024-01-05")
         .select("schedule_file_name").distinct().collect().map(_.getString(0)).toSeq
-        == Seq("2024-01-01"), "v1-era records carry the v1 version name (J6)")
+        == Seq("2024-01-01")), "v1-era records carry the v1 version name (J6)")
       assert(await(120)(auto.backfillEvents.exists(e => !e.bufferFull && e.tripCount > 0)),
         s"v1 backfill must commit: ${auto.backfillEvents}")
       val hwmV1 = auto.highWaterMark
@@ -122,17 +125,17 @@ class ScheduleReloadSpec extends AnyFunSuite {
           && records().filter(col("trip_start_date") === "2024-02-20").count() > 0
           && records().filter(col("trip_start_date") === "2024-01-10").count() > 0),
         "both rt files of the mixed-date backlog ingested")
-      assert(records().filter(col("trip_start_date") === "2024-02-20")
+      assert(await(60)(records().filter(col("trip_start_date") === "2024-02-20")
         .select("schedule_file_name").distinct().collect().map(_.getString(0)).toSeq
-        == Seq("2024-02-15"), "post-drop file joins the NEW version without restart")
-      assert(records().filter(col("trip_start_date") === "2024-01-10")
+        == Seq("2024-02-15")), "post-drop file joins the NEW version without restart")
+      assert(await(60)(records().filter(col("trip_start_date") === "2024-01-10")
         .select("schedule_file_name").distinct().collect().map(_.getString(0)).toSeq
-        == Seq("2024-01-01"), "old-dated file still joins the OLD version (J6 as-of)")
+        == Seq("2024-01-01")), "old-dated file still joins the OLD version (J6 as-of)")
       // v2 content actually used: T1's stop 10 arrival shifted +60s
-      val arrV2 = records().filter(col("trip_start_date") === "2024-02-20"
+      assert(await(60)(records().filter(col("trip_start_date") === "2024-02-20"
           && col("trip_id") === "T1" && col("stop_sequence") === 10)
-        .select("arrival_secs").head().getInt(0)
-      assert(arrV2 == 8 * 3600 + 60, s"v2's shifted stop_times joined, got $arrV2")
+        .select("arrival_secs").head().getInt(0) == 8 * 3600 + 60),
+        "v2's shifted stop_times joined")
 
       // ---- phase 3: idle again -> backfill re-predicts under v2 ----
       clock.addAndGet(86400L) // reopen the buffer / expire the back-off
