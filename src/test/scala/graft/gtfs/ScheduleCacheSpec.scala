@@ -45,6 +45,13 @@ class ScheduleCacheSpec extends AnyFunSuite {
     // listing is never cached (the reference re-scans every iteration)
     mkVersion(parent, "c-2024-07-01")
     assert(cache.newestDir().exists(_.endsWith("c-2024-07-01")))
+    // regression (r9): the listed dirs carry a scheme ("file:/..."), and
+    // GtfsSchedule.load once probed members with java.io.File — every
+    // table silently loaded EMPTY (on a real cluster, any hdfs:// dir)
+    assert(cache.newestDir().get.startsWith("file:"),
+      "precondition: FileSystem listing is scheme-qualified")
+    assert(cache.get(cache.newestDir().get).trips.count() == 5,
+      "scheme-qualified schedule dir loads real rows")
     cache.close()
   }
 
