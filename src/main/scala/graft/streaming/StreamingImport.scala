@@ -77,8 +77,25 @@ object StreamingImport {
                         schedules: graft.gtfs.ScheduleCache,
                         source: String): DataFrame = {
     val dirs = schedules.datedDirs()
-    require(dirs.nonEmpty,
-      "No schedule data (but realtime data may be present)") // mod.rs:372-374
+    if (dirs.isEmpty) {
+      // the reference logs "No schedule data (but realtime data may be
+      // present)" and RETRIES on the next 5 s scan (mod.rs:372-374); a
+      // throw here would kill the streaming query permanently, turning a
+      // transient listing blip (schedule tree being replaced, FS hiccup)
+      // into an outage. This batch's files are checkpoint-consumed and
+      // skipped, like the undated-file case above.
+      System.err.println(
+        "[stream] No schedule data (but realtime data may be present); skipping batch")
+      // records schema from the REAL plan against an all-empty schedule
+      // (a nonexistent dir loads every member table empty); unpersist at
+      // once so the degraded state leaks no S2 cache entries per trigger
+      val empty = graft.gtfs.GtfsSchedule.load(spark,
+        "/graft-no-schedule-sentinel")
+      val df = Importer.recordsFromRt(spark, rt.limit(0), empty, source,
+        dedupe = false).limit(0)
+      empty.unpersist()
+      return df
+    }
     val oldest = dirs.head._1
     def group(dir: String, files: Seq[String]): DataFrame =
       Importer.recordsFromRt(spark,

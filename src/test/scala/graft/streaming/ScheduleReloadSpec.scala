@@ -172,6 +172,31 @@ class ScheduleReloadSpec extends AnyFunSuite {
     }
   }
 
+  test("no schedule data: the batch degrades to a schema-correct empty, not a dead query") {
+    val base = Files.createTempDirectory("nosched")
+    val rtDir = base.resolve("rt"); Files.createDirectories(rtDir)
+    FixtureGen.writeRtFiles(rtDir)
+    val emptyParent = Files.createTempDirectory("nosched_sched")
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pb").load(rtDir.toString)
+    val rt = Importer.decodeRtFiles(spark, bin)
+    assert(rt.count() > 0, "precondition: rt rows decoded")
+    // the reference logs and retries the next scan (mod.rs:372-374); the
+    // streaming wrapper must therefore return an EMPTY records batch the
+    // upsert can consume, never throw into the query thread
+    val recs = StreamingImport.recordsStreamAsOf(spark, rt,
+      new ScheduleCache(spark, emptyParent.toString), "test")
+    assert(recs.count() == 0)
+    // schema matches the real decode (so upsertBatch/refresh stay legal)
+    val v1Dir = Files.createDirectories(base.resolve("sched/2024-01-01"))
+    FixtureGen.writeSchedule(v1Dir)
+    val real = Importer.recordsFromRt(spark, rt,
+      GtfsSchedule.load(spark, v1Dir.toString), "test", dedupe = false)
+    assert(recs.schema.map(f => (f.name, f.dataType))
+      == real.schema.map(f => (f.name, f.dataType)),
+      s"records schema preserved: ${recs.schema} vs ${real.schema}")
+  }
+
   test("stop() under an in-flight backfill leaves the predictions table consistent") {
     val base = Files.createTempDirectory("stopmid")
     val schedParent = base.resolve("schedule"); Files.createDirectories(schedParent)
