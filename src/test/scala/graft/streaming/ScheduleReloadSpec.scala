@@ -172,6 +172,37 @@ class ScheduleReloadSpec extends AnyFunSuite {
     }
   }
 
+  test("steady state: the as-of path plans exactly like the pinned-schedule decode") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val base = Files.createTempDirectory("asofplan")
+    val rtDir = base.resolve("rt"); Files.createDirectories(rtDir)
+    FixtureGen.writeRtFiles(rtDir)
+    val schedParent = base.resolve("schedule")
+    val v1Dir = Files.createDirectories(schedParent.resolve("2024-01-01"))
+    FixtureGen.writeSchedule(v1Dir)
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pb").load(rtDir.toString)
+    val rt = Importer.decodeRtFiles(spark, bin)
+    val schedule = GtfsSchedule.load(spark, v1Dir.toString)
+    // the single-version steady state must cost ONE extra bounded driver
+    // collect and an isin filter — never an extra distributed exchange —
+    // over the r8 pinned-schedule plan (SCALE.md: hot-reload's per-trigger
+    // price is namenode metadata, not shuffle)
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }.size
+    val pinned = StreamingImport.recordsStream(spark, rt, schedule, "test")
+    val asOf = StreamingImport.recordsStreamAsOf(spark, rt,
+      new ScheduleCache(spark, schedParent.toString), "test")
+    assert(shuffles(asOf) == shuffles(pinned),
+      s"as-of adds no exchange: ${shuffles(asOf)} vs ${shuffles(pinned)}")
+    // and produces the same records modulo the version-name column, which
+    // the as-of path stamps with the real directory name
+    val a = asOf.drop("schedule_file_name").collect().map(_.toString).sorted.toSeq
+    val p = pinned.drop("schedule_file_name").collect().map(_.toString).sorted.toSeq
+    assert(a == p, "same records as the pinned decode in the steady state")
+    schedule.unpersist()
+  }
+
   test("no schedule data: the batch degrades to a schema-correct empty, not a dead query") {
     val base = Files.createTempDirectory("nosched")
     val rtDir = base.resolve("rt"); Files.createDirectories(rtDir)
