@@ -75,6 +75,15 @@ class ScheduleCacheSpec extends AnyFunSuite {
     val s1b = cache.get(v1)
     assert(!(s1b eq s1a), "mtime change reloads the version")
     assert(cache.get(v1) eq s1b, "and the reload is cached again")
+    // an ADDED file (calendar_dates dropped in later) invalidates too —
+    // the fingerprint covers the whole directory, not a fixed member list
+    Files.write(Paths.get(v1, "calendar_dates.txt"),
+      "service_id,date,exception_type\n".getBytes("UTF-8"))
+    val s1c = cache.get(v1)
+    assert(!(s1c eq s1b), "added file reloads the version")
+    // ... and a REMOVED file
+    Files.delete(Paths.get(v1, "calendar_dates.txt"))
+    assert(!(cache.get(v1) eq s1c), "removed file reloads the version")
 
     // LRU bound 2: loading a third version evicts the least recently USED
     // (v2 — v1 was touched last); the evicted object keeps working because
