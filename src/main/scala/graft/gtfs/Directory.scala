@@ -15,6 +15,13 @@ object Directory {
 
   private val DateRe = raw"(\d{4})-(\d{2})-(\d{2})".r // X1, src/main.rs:101-121
 
+  /** Everything after the last '/': date parsing over a PATH must only see
+    * the entry's own name — a dated ANCESTOR directory (a dated baseDir)
+    * would otherwise date every child, including undated ones like
+    * `current`, which could then tie with (and out-sort) the real dated
+    * entries. */
+  private def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
   def dateFromFilename(name: String): Option[java.time.LocalDate] =
     DateRe.findFirstMatchIn(name).flatMap { m =>
       try Some(java.time.LocalDate.of(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt))
@@ -62,10 +69,13 @@ object Directory {
 
   /** J6 as-of assignment: each rt file → newest schedule with date ≤ rt date. */
   def assignSchedules(rtFiles: Seq[String], scheduleFiles: Seq[String]): Assignment = {
+    // basenames only (see [[baseName]]): a date in an ancestor directory
+    // must neither date an undated schedule nor rescue an undated rt file
+    // from failed/
     val schedules = scheduleFiles
-      .flatMap(f => dateFromFilename(f).map(d => (f, d)))
+      .flatMap(f => dateFromFilename(baseName(f)).map(d => (f, d)))
       .sortBy(_._2.toEpochDay)
-    val invalidSchedules = scheduleFiles.filter(f => dateFromFilename(f).isEmpty)
+    val invalidSchedules = scheduleFiles.filter(f => dateFromFilename(baseName(f)).isEmpty)
     require(schedules.nonEmpty || rtFiles.isEmpty,
       "No schedule data (but real time data is present)")
     val oldest = schedules.headOption.map(_._2)
@@ -74,7 +84,7 @@ object Directory {
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
     val groups = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
     rtFiles.sorted.foreach { rt =>
-      dateFromFilename(rt) match {
+      dateFromFilename(baseName(rt)) match {
         case None => invalid += rt
         case Some(d) if oldest.exists(d.isBefore) => skipped += rt
         case Some(d) =>
@@ -91,9 +101,12 @@ object Directory {
     * reference makes with `read_dir_simple(...).last()` (src/main.rs:278-293),
     * but safe under mixed naming prefixes — `b-2024-05-01` must not beat
     * `a-2024-06-01` the way a lexicographic max would. Ties on the date fall
-    * back to path order so the pick stays deterministic. */
+    * back to path order so the pick stays deterministic. The date is parsed
+    * from the BASENAME only — a dated ancestor (e.g. a dated baseDir) must
+    * not date its undated children (see [[baseName]]). */
   def newestDatedDir(paths: Seq[String]): Option[String] = {
-    val dated = paths.flatMap(p => dateFromFilename(p).map(d => (d.toEpochDay, p)))
+    val dated = paths.flatMap(p =>
+      dateFromFilename(baseName(p)).map(d => (d.toEpochDay, p)))
     if (dated.isEmpty) None else Some(dated.max._2)
   }
 

@@ -119,12 +119,28 @@ final class ScheduleCache(spark: SparkSession, scheduleParentDir: String,
     }
   }
 
+  /** The directory [[asOf]] resolves: newest version dated ≤ `date`, else
+    * the OLDEST version (pre-history fallback) — both derived from the ONE
+    * listing passed in, so a concurrent version drop can never hand the
+    * fallback a different view of the tree than the as-of pick. */
+  private[gtfs] def asOfDirOrOldest(
+      ds: Seq[(java.time.LocalDate, String)],
+      date: java.time.LocalDate): Option[String] =
+    ds.filter(!_._1.isAfter(date)).lastOption.orElse(ds.headOption).map(_._2)
+
   /** (short name, schedule) as of `date`, falling back to the OLDEST version
     * when none is dated ≤ `date` — used by the prediction refresh, where a
-    * service date has to resolve to SOME schedule (records for it exist). */
+    * service date has to resolve to SOME schedule (records for it exist).
+    * Takes ONE directory listing ([[asOfDirOrOldest]]). */
   def asOf(date: java.time.LocalDate): Option[(String, GtfsSchedule)] =
-    asOfDir(date).orElse(datedDirs().headOption.map(_._2))
-      .map(d => (shortName(d), get(d)))
+    asOfDirOrOldest(datedDirs(), date).map(d => (shortName(d), get(d)))
+
+  /** The live version whose SHORT NAME is `name` — the reverse of
+    * [[shortName]], for resolving the schedule a stored record row was
+    * DECODED with (its `schedule_file_name` column); None when that version
+    * has since been removed from the tree. */
+  def byName(name: String): Option[GtfsSchedule] =
+    datedDirs().map(_._2).find(shortName(_) == name).map(get)
 
   /** (short name, schedule) of the newest version; None when no dated
     * version exists yet. */

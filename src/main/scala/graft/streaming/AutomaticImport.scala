@@ -298,7 +298,9 @@ object AutomaticImport {
     * tables serve BOTH halves: the realtime stream snapshots them into the
     * long-lived broadcast Predictor, the idle backfill joins them per ST4
     * batch. `nowEpochSecs` is injectable so tests (and replays) can pin the
-    * prediction buffer. */
+    * prediction buffer. PINS `schedule` and the curve Datasets for the
+    * process lifetime — a compat/test surface; production deployments use
+    * [[startFromDirs]], which hot-reloads both. */
   def start(spark: SparkSession, rtDir: String, schedule: GtfsSchedule,
       source: String, recordsDir: String, predictionsDir: String,
       checkpointDir: String,
@@ -326,7 +328,9 @@ object AutomaticImport {
     * ([[StreamingImport.startPredictionRefreshFromStore]]) and the idle
     * backfill re-reads the store directories per iteration — re-running the
     * analyser mid-run feeds both halves without a restart, the reference's
-    * FileCache discipline (src/main.rs:321-393). */
+    * FileCache discipline (src/main.rs:321-393). Still PINS `schedule` for
+    * the process lifetime — a compat/test surface; production uses
+    * [[startFromDirs]], which hot-reloads the schedule too. */
   def startFromStore(spark: SparkSession, rtDir: String, schedule: GtfsSchedule,
       source: String, recordsDir: String, predictionsDir: String,
       checkpointDir: String, specificDir: String, defaultDir: String,

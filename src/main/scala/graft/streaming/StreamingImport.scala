@@ -358,7 +358,12 @@ object StreamingImport {
     * batch are rewritten. The records read-back is partition-pruned to the
     * touched `(source, trip_start_date)` directories and then semi-joined
     * to the batch's vehicles, so per-trigger prediction work is O(changed
-    * vehicles), and the upsert O(batch ∪ touched partitions). */
+    * vehicles), and the upsert O(batch ∪ touched partitions).
+    *
+    * PINS `schedule` and the curve Datasets for the query's lifetime — a
+    * compat/test surface: a GTFS version dropped mid-run is invisible here.
+    * Production deployments use [[startPredictionRefreshFromDirs]], which
+    * hot-reloads both. */
   def startPredictionRefresh(spark: SparkSession, rtDir: String,
       schedule: GtfsSchedule, source: String, recordsDir: String,
       predictionsDir: String, checkpointDir: String,
@@ -412,7 +417,10 @@ object StreamingImport {
     * with mtime invalidation — the full FileCache parity: re-running the
     * analyser rewrites the store, and the NEXT trigger picks up the new
     * curves (one metadata listing per trigger, no data scan while
-    * unchanged). */
+    * unchanged). Still PINS `schedule` for the query's lifetime — a
+    * compat/test surface; production uses
+    * [[startPredictionRefreshFromDirs]], which hot-reloads the schedule
+    * too. */
   def startPredictionRefreshFromStore(spark: SparkSession, rtDir: String,
       schedule: GtfsSchedule, source: String, recordsDir: String,
       predictionsDir: String, checkpointDir: String,

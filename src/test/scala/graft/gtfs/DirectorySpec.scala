@@ -38,6 +38,31 @@ class DirectorySpec extends AnyFunSuite {
     // date tie: deterministic (path max among the tied)
     assert(Directory.newestDatedDir(Seq(
       "/s/a-2024-06-01", "/s/b-2024-06-01")).contains("/s/b-2024-06-01"))
+    // a dated ANCESTOR (dated baseDir) must not date undated children:
+    // with full-path parsing every entry would inherit 2024-09-01, all
+    // would tie, and 'current' could win the lexicographic tiebreak — the
+    // exact failure the parsed-date pick was added to prevent
+    assert(Directory.newestDatedDir(Seq(
+      "/data/2024-09-01/schedule/current",
+      "/data/2024-09-01/schedule/2024-05-01")).contains(
+      "/data/2024-09-01/schedule/2024-05-01"))
+    assert(Directory.newestDatedDir(Seq(
+      "/data/2024-09-01/schedule/current")).isEmpty)
+  }
+
+  test("assignSchedules parses dates from basenames, not ancestor directories") {
+    // under a dated baseDir, an undated schedule dir and an undated rt file
+    // must still be reported invalid — full-path parsing would date both
+    // from the ancestor and silently group them
+    val a = Directory.assignSchedules(
+      rtFiles = Seq("/data/2024-09-01/rt/2024-09-05T08.pb",
+        "/data/2024-09-01/rt/nodate.pb"),
+      scheduleFiles = Seq("/data/2024-09-01/schedule/2024-09-01",
+        "/data/2024-09-01/schedule/current"))
+    assert(a.bySchedule.toMap.apply("/data/2024-09-01/schedule/2024-09-01")
+      == Seq("/data/2024-09-01/rt/2024-09-05T08.pb"))
+    assert(a.invalid == Seq("/data/2024-09-01/rt/nodate.pb"))
+    assert(a.invalidSchedules == Seq("/data/2024-09-01/schedule/current"))
   }
 
   test("A15 recovery scopes to (source, schedule_file_name) like the reference WHERE clause") {

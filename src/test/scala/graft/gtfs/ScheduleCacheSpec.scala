@@ -106,10 +106,77 @@ class ScheduleCacheSpec extends AnyFunSuite {
     assert(cache.asOf(java.time.LocalDate.parse("2024-03-20"))
       .exists(_._1 == "2024-03-01"))
     assert(cache.newest().exists(_._1 == "2024-04-01"))
+    // byName: the reverse of shortName, for resolving a stored
+    // schedule_file_name back to its live version
+    assert(cache.byName("2024-03-01").exists(_.trips.count() == 5))
+    assert(cache.byName("2024-99-99").isEmpty)
     val empty = new ScheduleCache(spark,
       Files.createTempDirectory("sched_cache_empty").toString)
     assert(empty.newest().isEmpty
       && empty.asOf(java.time.LocalDate.parse("2026-01-01")).isEmpty)
     cache.close()
   }
+
+  test("asOf resolves pick AND pre-history fallback from ONE listing") {
+    // both arms must read the same snapshot: a version dropped between two
+    // listings could otherwise hand the fallback a dir the pick never saw.
+    // Pinned two ways: (a) the pick-else-oldest helper is a pure function
+    // of one listing value; (b) a counting FileSystem observes exactly one
+    // parent listStatus per asOf-resolution.
+    val parent = Files.createTempDirectory("sched_cache4")
+    mkVersion(parent, "2024-03-01")
+    mkVersion(parent, "2024-04-01", version = 2)
+    val cache = new ScheduleCache(spark, parent.toString)
+    val snap = cache.datedDirs()
+    assert(cache.asOfDirOrOldest(snap, java.time.LocalDate.parse("2024-03-20"))
+      .exists(_.endsWith("2024-03-01")), "as-of pick from the snapshot")
+    assert(cache.asOfDirOrOldest(snap, java.time.LocalDate.parse("2020-01-01"))
+      .exists(_.endsWith("2024-03-01")), "pre-history fallback from the SAME snapshot")
+    assert(cache.asOfDirOrOldest(Nil, java.time.LocalDate.parse("2020-01-01")).isEmpty)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftcount.impl", classOf[CountingLocalFs].getName)
+    val counted = new ScheduleCache(spark, "graftcount:" + parent)
+    assert(counted.datedDirs().size == 2,
+      "precondition: the counting scheme lists the same tree")
+    CountingLocalFs.parentPath = parent.toString
+    CountingLocalFs.parentListings.set(0)
+    // pre-history date: exercises the fallback arm — the arm that used to
+    // take a SECOND listing (schedule load + fingerprint only touch the
+    // VERSION directory, so parent listings isolate the as-of resolution)
+    val pick = counted.asOf(java.time.LocalDate.parse("2020-01-01"))
+    assert(pick.exists(_._1 == "2024-03-01"))
+    assert(CountingLocalFs.parentListings.get() == 1,
+      s"one parent listing per asOf resolution, saw ${CountingLocalFs.parentListings.get()}")
+    counted.close()
+    cache.close()
+  }
+}
+
+/** A local FileSystem under the `graftcount:` scheme that counts listStatus
+  * calls on [[CountingLocalFs.parentPath]] — lets a spec observe how many
+  * directory listings one cache operation takes. */
+class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftcount:///")
+  // plain FileStatus copies: the raw local statuses lazy-load permissions
+  // through java.io.File(uri), which rejects the custom scheme — the cache
+  // only reads path/length/mtime anyway
+  private def plain(s: org.apache.hadoop.fs.FileStatus): org.apache.hadoop.fs.FileStatus =
+    new org.apache.hadoop.fs.FileStatus(s.getLen, s.isDirectory, 1,
+      s.getBlockSize, s.getModificationTime, s.getAccessTime,
+      org.apache.hadoop.fs.permission.FsPermission.getDirDefault, "", "",
+      s.getPath)
+  override def getFileStatus(f: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus = plain(super.getFileStatus(f))
+  override def listStatus(f: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    if (f.toUri.getPath == CountingLocalFs.parentPath)
+      CountingLocalFs.parentListings.incrementAndGet()
+    super.listStatus(f).map(plain)
+  }
+}
+
+object CountingLocalFs {
+  val parentListings = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var parentPath: String = ""
 }
