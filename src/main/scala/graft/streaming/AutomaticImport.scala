@@ -60,18 +60,24 @@ final case class BackfillEvent(decidedAtNanos: Long, completedAtNanos: Long,
   * mod.rs:72/355-359), each idle iteration also drops outdated prediction
   * partitions ([[graft.gtfs.Directory.cleanupOutdatedPredictionsTable]]).
   *
-  * Backfill rows upsert with `refresh_seq` = −1 so any realtime refresh of
-  * the same (vehicle, stop, event) cell wins. The reference's blind UPDATE
+  * Backfill rows upsert in a NEGATIVE refresh_seq tier ([[AutomaticImport
+  * .backfillSeq]]: clock-monotonic, strictly below every realtime batch
+  * id), so any realtime refresh of the same (vehicle, stop, event) cell
+  * wins while later backfill re-predictions beat earlier ones; sequence
+  * ties within the tier break toward the current schedule version
+  * ([[AutomaticImport.backfillOrdering]]). The reference's blind UPDATE
   * would let a later schedule write clobber a realtime row in the rare
   * overlap (future trip already realtime-predicted); its own TODO
   * (importer/mod.rs:614 "update where old.time_of_recording < new…") marks
   * that as an acknowledged wart, and the LWW tier here implements the
-  * intended semantics instead.
+  * intended semantics instead. Legacy constant-tier (−1) rows from older
+  * builds are normalized to the tier floor at startup
+  * ([[AutomaticImport.normalizeLegacyBackfillSeq]]).
   */
 final class AutomaticImport private (
     val query: StreamingQuery,
     spark: SparkSession,
-    scheduleProvider: () => (String, GtfsSchedule), source: String,
+    scheduleProvider: () => Option[(String, GtfsSchedule)], source: String,
     predictionsDir: String,
     curves: () => (Dataset[SpecificCurveRow], Dataset[DefaultCurveRow]),
     nowEpochSecs: () => Long, idlePollMs: Long, idleConfirmMs: Long,
@@ -89,10 +95,20 @@ final class AutomaticImport private (
   private val hwm = new AtomicLong({
     gate.lock()
     try {
-      val (name, _) = scheduleProvider()
-      scheduleName.set(name)
-      AutomaticImport.recoverHighWaterMark(spark, predictionsDir, source,
-        Some(name))
+      // upgrade path BEFORE the first backfill batch: rows from builds
+      // whose backfill tier was the constant -1 outrank every clock-tier
+      // value and would win the LWW against this run's re-predictions
+      AutomaticImport.normalizeLegacyBackfillSeq(spark, predictionsDir, source)
+      scheduleProvider() match {
+        case Some((name, _)) =>
+          scheduleName.set(name)
+          AutomaticImport.recoverHighWaterMark(spark, predictionsDir, source,
+            Some(name))
+        // no schedule yet (or the tree vanished between the caller's check
+        // and here): start from 0 — the loop skips iterations until a
+        // version appears, then recovers the real mark for it
+        case None => 0L
+      }
     } finally gate.unlock()
   })
   // ring buffer, like Spark's own recentProgress: the mode runs until
@@ -162,7 +178,18 @@ final class AutomaticImport private (
               // idle iteration, importer/mod.rs:309) — a version dropped
               // mid-run drives the very next backfill batch
               val (specific, defaults) = curves()
-              val (schedName, sched) = scheduleProvider()
+              scheduleProvider() match {
+                case None =>
+                  // DEGRADE like the decode path (the reference logs "No
+                  // schedule data" and retries the next 5 s scan,
+                  // mod.rs:372-374): a schedule tree vanished mid-run must
+                  // not fail the iteration loudly every idle turn — skip,
+                  // and the next idle turn (one confirm sleep later)
+                  // re-resolves; when the tree reappears the per-version
+                  // mark recovery below picks up where that version left off
+                  System.err.println(
+                    "[automatic] no schedule data; skipping backfill iteration")
+                case Some((schedName, sched)) =>
               if (schedName != scheduleName.get()) {
                 // new schedule version: the mark is per-version (the
                 // reference's recovery filters by its current filename, so
@@ -186,7 +213,7 @@ final class AutomaticImport private (
                         lit(AutomaticImport.backfillSeq(now))),
                       predictionsDir,
                       keyCols = StreamingImport.PredictionKeyCols,
-                      newestBy = col("refresh_seq"))
+                      newestBy = AutomaticImport.backfillOrdering(schedName))
                   // the reference's post-batch stale-schedule delete
                   // (delete_outdated_predictions): schedule-origin rows from
                   // an OLDER version inside the window this batch just
@@ -202,6 +229,7 @@ final class AutomaticImport private (
                     batch.newHighWaterMark, batch.tripCount, bufferFull = false))
                   hwm.updateAndGet(h => math.max(h, batch.newHighWaterMark))
                   skipConfirm = true // committed: drain back-to-back
+              }
               }
               // the reference's per-iteration --cleanup (run_cleanup,
               // importer/mod.rs:355-359): partition-granular here, under
@@ -257,6 +285,59 @@ object AutomaticImport {
     * stale-schedule delete could then remove the surviving OLD row —
     * losing the prediction for an unchanged trip entirely). */
   def backfillSeq(nowEpochSecs: Long): Long = -(1L << 62) + nowEpochSecs
+
+  /** LWW ordering for backfill-tier upserts: `refresh_seq` first, then
+    * prefer rows stamped with the CURRENT schedule version. [[backfillSeq]]
+    * has 1-second granularity, so a swap landing in the same epoch second
+    * as the old version's last committed batch would TIE on the sequence
+    * alone, leave the pick to shuffle order, and let the stale-schedule
+    * delete remove a row that happened to win — the version preference
+    * breaks the tie deterministically in favor of the new data (the old
+    * row then simply loses the merge). Realtime rows are unaffected: their
+    * seqs are ≥ 0 and decide on the first field. */
+  def backfillOrdering(currentScheduleName: String): org.apache.spark.sql.Column =
+    struct(col("refresh_seq"),
+      coalesce((col("schedule_file_name") === lit(currentScheduleName))
+        .cast("int"), lit(0)).as("is_current_version"))
+
+  /** One-time upgrade rewrite (before this run's first backfill batch):
+    * rows written by builds whose backfill tier was the CONSTANT −1
+    * ([[BackfillSeq]]) outrank every clock-tier [[backfillSeq]] value
+    * (−1 > −2⁶²+now), so a re-prediction after a schedule rename/swap
+    * would lose the LWW upsert to them — and the stale-schedule delete
+    * could then remove the surviving old-name rows, dropping a still-valid
+    * trip's prediction entirely. Rewrites this source's schedule-origin
+    * `refresh_seq = −1` rows to the clock-tier FLOOR (`backfillSeq(0)`),
+    * which every new write beats. Probe-first and partition-scoped like
+    * [[graft.gtfs.Directory.deleteStaleSchedulePredictions]]: steady state
+    * (no legacy rows) is one partition-pruned, footer-filtered 3-column
+    * probe. Returns the rewritten row count. Caller holds the gate. */
+  def normalizeLegacyBackfillSeq(spark: SparkSession, predictionsDir: String,
+      source: String): Long = {
+    if (!Directory.tableHasData(spark, predictionsDir)) return 0L
+    val legacy = col("origin_type") === Codes.OriginSchedule &&
+      col("source") === lit(source) && col("refresh_seq") === lit(BackfillSeq)
+    val table = spark.read.parquet(predictionsDir)
+    val parts = table.filter(legacy)
+      .groupBy(col("source"), col("trip_start_date"))
+      .agg(count(lit(1)).as("n")).collect()
+    if (parts.isEmpty) return 0L
+    val n = parts.map(_.getLong(2)).sum
+    val cond = parts.map(r =>
+        col("source") === lit(r.getString(0))
+          && col("trip_start_date") <=> lit(r.getDate(1)))
+      .reduce(_ || _)
+    // rewrite ONLY the touched partitions (kept rows ride along unchanged);
+    // materialize + truncate lineage before overwriting the path being read
+    val rewritten = table.filter(cond)
+      .withColumn("refresh_seq",
+        when(legacy, lit(backfillSeq(0L))).otherwise(col("refresh_seq")))
+      .localCheckpoint(true)
+    rewritten.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("source", "trip_start_date").parquet(predictionsDir)
+    n
+  }
 
   /** [[backfillEvents]] keeps at most this many recent entries. */
   val MaxRecentEvents: Int = 512
@@ -318,7 +399,7 @@ object AutomaticImport {
       automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
       triggerInterval = triggerInterval, gate = Some(gate))
     new AutomaticImport(query, spark,
-      () => (source + "_schedule", schedule), source, predictionsDir,
+      () => Some((source + "_schedule", schedule)), source, predictionsDir,
       () => (specific, defaults), nowEpochSecs, idlePollMs, idleConfirmMs,
       bufferFullBackoffSecs, performCleanup, gate)
   }
@@ -348,7 +429,7 @@ object AutomaticImport {
       automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
       triggerInterval = triggerInterval, gate = Some(gate))
     new AutomaticImport(query, spark,
-      () => (source + "_schedule", schedule), source, predictionsDir,
+      () => Some((source + "_schedule", schedule)), source, predictionsDir,
       () => (CurveStore.loadSpecific(spark, specificDir),
         CurveStore.loadDefault(spark, defaultDir)),
       nowEpochSecs, idlePollMs, idleConfirmMs, bufferFullBackoffSecs,
@@ -387,8 +468,10 @@ object AutomaticImport {
       automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
       triggerInterval = triggerInterval, gate = Some(gate))
     new AutomaticImport(query, spark,
-      () => schedules.newest().getOrElse(throw new IllegalStateException(
-        s"every dated schedule directory under $scheduleParentDir vanished mid-run")),
+      // None when every dated version vanished mid-run: the backfill skips
+      // the iteration with a logged warning (the decode path degrades the
+      // same way) instead of failing it, and recovers when the tree returns
+      () => schedules.newest(),
       source, predictionsDir,
       () => (CurveStore.loadSpecific(spark, specificDir),
         CurveStore.loadDefault(spark, defaultDir)),

@@ -204,4 +204,79 @@ class AutomaticImportSpec extends AnyFunSuite {
       "upsert key stays unique after the restart advance")
     staged.unpersist(); sc.unpersist(); dc.unpersist()
   }
+
+  private val predCols = Seq("source", "trip_id", "trip_start_date",
+    "trip_start_time", "stop_sequence", "event_type", "origin_type",
+    "refresh_seq", "schedule_file_name")
+
+  private def predRow(src: String, trip: String, origin: Int, seq: Long,
+                      sched: String) =
+    (src, trip, java.sql.Date.valueOf("2024-05-01"), 28800, 1, 1, origin,
+      seq, sched)
+
+  test("legacy constant-tier (-1) backfill rows normalize to the clock-tier floor") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("legacy_seq").toString + "/predictions"
+    val keyCols = StreamingImport.PredictionKeyCols
+    StreamingImport.upsertTable(
+      Seq(predRow("a", "T1", Codes.OriginSchedule, AutomaticImport.BackfillSeq, "old_name"),
+        predRow("a", "T2", Codes.OriginRealtime, 7L, "old_name"),
+        predRow("b", "T3", Codes.OriginSchedule, AutomaticImport.BackfillSeq, "b_sched"))
+        .toDF(predCols: _*), dir, keyCols, col("refresh_seq"))
+    // ADVICE r9 (medium): -1 outranks every clock-tier backfillSeq value,
+    // so after a schedule rename (startFromStore -> startFromDirs upgrade)
+    // the re-predicted rows would LOSE the LWW to the legacy rows and the
+    // stale-schedule delete could then drop a still-valid trip entirely
+    val n = AutomaticImport.normalizeLegacyBackfillSeq(spark, dir, "a")
+    assert(n == 1, s"one legacy row of source a rewritten, got $n")
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("trip_id") === "T1").head().getAs[Long]("refresh_seq")
+      == AutomaticImport.backfillSeq(0L), "legacy row floored to the tier minimum")
+    assert(after.filter(col("trip_id") === "T2").head().getAs[Long]("refresh_seq")
+      == 7L, "realtime row rides along unchanged")
+    assert(after.filter(col("trip_id") === "T3").head().getAs[Long]("refresh_seq")
+      == AutomaticImport.BackfillSeq, "other source's partitions untouched")
+    // a post-upgrade re-prediction under the new schedule name now WINS
+    StreamingImport.upsertTable(
+      Seq(predRow("a", "T1", Codes.OriginSchedule,
+        AutomaticImport.backfillSeq(1700000000L), "new_name")).toDF(predCols: _*),
+      dir, keyCols, AutomaticImport.backfillOrdering("new_name"))
+    val t1 = spark.read.parquet(dir).filter(col("trip_id") === "T1").collect()
+    assert(t1.length == 1 && t1.head.getAs[String]("schedule_file_name") == "new_name",
+      "clock-tier re-prediction beats the normalized legacy row")
+    // steady state: the probe finds nothing and no partition is rewritten
+    assert(AutomaticImport.normalizeLegacyBackfillSeq(spark, dir, "a") == 0L)
+  }
+
+  test("backfill sequence ties break toward the current schedule version") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("seq_tie").toString + "/predictions"
+    val keyCols = StreamingImport.PredictionKeyCols
+    val seq = AutomaticImport.backfillSeq(1700000000L)
+    // a swap detected in the SAME epoch second as the old version's last
+    // committed batch (injected clocks that do not advance): identical
+    // refresh_seq, different schedule_file_name — ordering by the sequence
+    // alone would leave the pick to shuffle order, and the stale delete
+    // could then remove whichever row happened to win
+    StreamingImport.upsertTable(
+      Seq(predRow("a", "T1", Codes.OriginSchedule, seq, "v1")).toDF(predCols: _*),
+      dir, keyCols, AutomaticImport.backfillOrdering("v1"))
+    StreamingImport.upsertTable(
+      Seq(predRow("a", "T1", Codes.OriginSchedule, seq, "v2")).toDF(predCols: _*),
+      dir, keyCols, AutomaticImport.backfillOrdering("v2"))
+    val t1 = spark.read.parquet(dir).filter(col("trip_id") === "T1").collect()
+    assert(t1.length == 1 && t1.head.getAs[String]("schedule_file_name") == "v2",
+      s"current version wins the tie deterministically: ${t1.toSeq}")
+    // realtime rows decide on the first field alone: a backfill write never
+    // displaces a realtime row even when the version preference favors it
+    StreamingImport.upsertTable(
+      Seq(predRow("a", "T9", Codes.OriginRealtime, 3L, "v1")).toDF(predCols: _*),
+      dir, keyCols, col("refresh_seq"))
+    StreamingImport.upsertTable(
+      Seq(predRow("a", "T9", Codes.OriginSchedule, seq, "v2")).toDF(predCols: _*),
+      dir, keyCols, AutomaticImport.backfillOrdering("v2"))
+    val t9 = spark.read.parquet(dir).filter(col("trip_id") === "T9").collect()
+    assert(t9.length == 1 && t9.head.getAs[Int]("origin_type") == Codes.OriginRealtime,
+      "realtime tier still outranks the whole backfill tier")
+  }
 }
