@@ -41,10 +41,57 @@ import graft.gtfs.{Codes, GtfsSchedule, HeatStrip, Monitor}
   * Page rendering collects only bounded page rows (same contract as the
   * reference building HTML per request); all heavy lifting stays in the
   * cached prediction DataFrame. Failures render the reference's 500 page.
+  *
+  * The schedule HOT-RELOADS: the reference resolves it per request through
+  * its mtime FileCache (`main.get_schedule()`, monitor/mod.rs:204/253), so
+  * a GTFS version dropped while the monitor runs reaches autocomplete,
+  * trip resolution and the stop pages without a restart. `scheduleProvider`
+  * is consulted at most once per `scheduleTtlMs` (default 5 s — the
+  * importer's TIME_BETWEEN_DIR_SCANS cadence; pass 0 to resolve every
+  * request); wire it to [[graft.gtfs.ScheduleCache.newest]] so the probe is
+  * one directory listing + fingerprint check, with the load itself cached
+  * until the version's files actually change. A provider that returns None
+  * (the schedule tree momentarily empty mid-swap) keeps the LAST
+  * successfully resolved schedule — the reference's monitor likewise keeps
+  * its loaded schedule until the cache hands it a new one — and re-probes
+  * on the next request rather than waiting out the TTL. The last-known
+  * schedule serves from its persisted derivations (S2: trips/stop_times);
+  * a request needing a non-persisted CSV that is physically gone renders
+  * the 500 page for that request and recovers with the tree — the server
+  * itself never dies on a swap.
   */
-class MonitorServer(spark: SparkSession, schedule: GtfsSchedule,
+class MonitorServer(spark: SparkSession,
+                    scheduleProvider: () => Option[GtfsSchedule],
                     predictions: DataFrame, port: Int = 0,
-                    docRoot: Option[String] = None) {
+                    docRoot: Option[String] = None,
+                    scheduleTtlMs: Long = 5000L) {
+
+  /** Compat/test surface: PINS `schedule` for the server's lifetime — a
+    * GTFS version dropped mid-run is invisible here. Production wires the
+    * primary constructor to a [[graft.gtfs.ScheduleCache]]. */
+  def this(spark: SparkSession, schedule: GtfsSchedule, predictions: DataFrame) =
+    this(spark, () => Some(schedule), predictions)
+
+  // (resolvedAtNanos, schedule) of the last successful resolution; requests
+  // inside the TTL reuse it without consulting the provider at all
+  private val current =
+    new java.util.concurrent.atomic.AtomicReference[(Long, GtfsSchedule)](null)
+
+  private def schedule: GtfsSchedule = {
+    val now = System.nanoTime()
+    val c = current.get()
+    if (c != null && now - c._1 < scheduleTtlMs * 1000000L) c._2
+    else scheduleProvider() match {
+      case Some(s) => current.set((now, s)); s
+      case None if c != null =>
+        // tree momentarily empty: serve the last known schedule and leave
+        // the stamp stale so the very next request re-probes (recovery is
+        // not delayed by the TTL)
+        c._2
+      case None => throw new IllegalStateException(
+        "no schedule version available to serve")
+    }
+  }
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))

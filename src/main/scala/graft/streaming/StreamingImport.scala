@@ -72,20 +72,41 @@ object StreamingImport {
     * maxFilesPerTrigger) + one schedule-directory listing; each schedule
     * group then runs the unchanged distributed decode+join plan. With the
     * steady-state single group this is the same plan as [[recordsStream]]
-    * plus one bounded collect. */
+    * plus one bounded collect.
+    *
+    * Every file this batch SKIPS (unparseable date, older than any
+    * schedule, or the whole tree empty) is appended by name + reason to a
+    * TSV under `skippedLog` — the streaming counterpart of the reference
+    * moving failed files to `failed/` (mod.rs:385-398): the checkpoint has
+    * already consumed the file, so the recoverable artifact is its NAME
+    * (an operator re-queues the listed files under fresh names). Steady
+    * state writes nothing. */
   def recordsStreamAsOf(spark: SparkSession, rt: Dataset[RtRow],
                         schedules: graft.gtfs.ScheduleCache,
-                        source: String): DataFrame = {
-    val dirs = schedules.datedDirs()
+                        source: String,
+                        skippedLog: Option[String] = None): DataFrame = {
+    // bounded by the trigger's file cap — same driver-state assumption as
+    // the refresh loop's dates collect
+    val files = rt.select(col("file_name")).distinct()
+      .collect().map(_.getString(0)).sorted
+    var dirs = schedules.datedDirs()
+    // an empty FIRST listing may be a blip (the tree mid-replace, an FS
+    // hiccup): the reference retries the next 5 s scan without consuming
+    // its files (mod.rs:372-374), but here the checkpoint already owns this
+    // batch — so CONFIRM by re-listing before degrading, and only a
+    // tree that stays empty across the confirms loses the batch (each file
+    // then recorded to the skip log, recoverable by name)
+    var confirms = 0
+    while (dirs.isEmpty && confirms < 2) {
+      Thread.sleep(250L); dirs = schedules.datedDirs(); confirms += 1
+    }
     if (dirs.isEmpty) {
-      // the reference logs "No schedule data (but realtime data may be
-      // present)" and RETRIES on the next 5 s scan (mod.rs:372-374); a
-      // throw here would kill the streaming query permanently, turning a
-      // transient listing blip (schedule tree being replaced, FS hiccup)
-      // into an outage. This batch's files are checkpoint-consumed and
-      // skipped, like the undated-file case above.
+      // a throw here would kill the streaming query permanently, turning a
+      // transient outage into a restart-and-page event
       System.err.println(
         "[stream] No schedule data (but realtime data may be present); skipping batch")
+      recordSkipped(spark, skippedLog,
+        files.toSeq.map(("no_schedule_data", _)))
       // records schema from the REAL plan against an all-empty schedule
       // (a nonexistent dir loads every member table empty); unpersist at
       // once so the degraded state leaks no S2 cache entries per trigger
@@ -102,17 +123,16 @@ object StreamingImport {
         rt.filter(col("file_name").isin(files: _*)),
         schedules.get(dir), source, dedupe = false,
         scheduleFileName = Some(schedules.shortName(dir)))
-    // bounded by the trigger's file cap — same driver-state assumption as
-    // the refresh loop's dates collect
-    val files = rt.select(col("file_name")).distinct()
-      .collect().map(_.getString(0)).sorted
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val assigned = files.flatMap { f =>
       Directory.dateFromFilename(f) match {
         case None =>
           System.err.println(s"[stream] rt file $f has no parseable date, skipping")
+          skipped += (("unparseable_date", f))
           None
         case Some(d) if d.isBefore(oldest) =>
           System.err.println(s"[stream] rt file $f is older than any schedule, skipping")
+          skipped += (("predates_schedules", f))
           None
         case Some(d) =>
           // as-of pick against the ONE listing this batch took (d >= oldest,
@@ -123,6 +143,7 @@ object StreamingImport {
           Some((dirs.takeWhile(!_._1.isAfter(d)).last._2, f))
       }
     }
+    recordSkipped(spark, skippedLog, skipped.toSeq)
     val grouped = assigned.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (dir, fs) => group(dir, fs.toSeq.map(_._2)) }
     // schema-correct empty batch (all files skipped / empty trigger): the
@@ -131,6 +152,23 @@ object StreamingImport {
     grouped.reduceOption(_ unionByName _)
       .getOrElse(group(dirs.last._2, Seq.empty).limit(0))
   }
+
+  /** Appends `(reason, file)` lines to a uniquely-named TSV under `dir`.
+    * Driver-side Hadoop-FS write (a handful of names, no Spark job);
+    * no-op when `dir` is None or `entries` is empty. */
+  private def recordSkipped(spark: SparkSession, dir: Option[String],
+                            entries: Seq[(String, String)]): Unit =
+    dir.foreach { d =>
+      if (entries.nonEmpty) {
+        val p = new org.apache.hadoop.fs.Path(d,
+          s"skipped-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}.tsv")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(p, false)
+        try entries.foreach { case (reason, f) =>
+          out.write(s"$reason\t$f\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } finally out.close()
+      }
+    }
 
   /** Idempotent last-writer-wins merge of a micro-batch into a parquet
     * records table (the engine-internal variant of the reference's
@@ -404,12 +442,12 @@ object StreamingImport {
     }
     refreshLoop(spark, rtDir, source, recordsDir, predictionsDir,
       checkpointDir, automatic, maxFilesPerTrigger, triggerInterval, gate,
-      predict = (stored, date) => bc match {
+      predict = (stored, date, _) => Some(bc match {
         case Some(b) => Predictor.batchPredictRealtimeCached(
           spark, schedule, stored, date, source, b)
         case None => Predictor.batchPredictRealtime(
           spark, schedule, stored, date, source, specific, defaults)
-      },
+      }),
       decode = batch => recordsStream(spark, batch, schedule, source))
   }
 
@@ -437,14 +475,14 @@ object StreamingImport {
       // the trigger to the distributed join form (curve side stays
       // distributed, read lazily from the store) instead of killing the
       // stream on the size guard — mirroring startPredictionRefresh's gate
-      predict = (stored, date) => cache.tryGet() match {
+      predict = (stored, date, _) => Some(cache.tryGet() match {
         case Some(b) => Predictor.batchPredictRealtimeCached(
           spark, schedule, stored, date, source, b)
         case None => Predictor.batchPredictRealtime(
           spark, schedule, stored, date, source,
           graft.gtfs.CurveStore.loadSpecific(spark, specificDir),
           graft.gtfs.CurveStore.loadDefault(spark, defaultDir))
-      },
+      }),
       decode = batch => recordsStream(spark, batch, schedule, source))
   }
 
@@ -469,22 +507,40 @@ object StreamingImport {
     val cache = new graft.gtfs.CurveCache(spark, specificDir, defaultDir)
     refreshLoop(spark, rtDir, source, recordsDir, predictionsDir,
       checkpointDir, automatic, maxFilesPerTrigger, triggerInterval, gate,
-      predict = (stored, date) => {
-        // the schedule current for the predicted service date (the reference
-        // predicts a file's records with the schedule the file matched)
-        val (name, sched) = schedules.asOf(java.time.LocalDate.parse(date))
-          .getOrElse(throw new IllegalStateException(
-            s"no schedule version available for service date $date"))
-        cache.tryGet() match {
-          case Some(b) => Predictor.batchPredictRealtimeCached(
-            spark, sched, stored, date, source, b, Some(name))
-          case None => Predictor.batchPredictRealtime(
-            spark, sched, stored, date, source,
-            graft.gtfs.CurveStore.loadSpecific(spark, specificDir),
-            graft.gtfs.CurveStore.loadDefault(spark, defaultDir), Some(name))
+      predict = (stored, date, decodedWith) => {
+        // the SAME schedule the group's rows were DECODED with (the
+        // reference uses the file's matched schedule for both the decode
+        // and the prediction): resolve the decode's version name first;
+        // as-of the service date only when that version has since been
+        // removed from the tree — never re-derive from the date while the
+        // decode's version is still live, or a post-swap file reporting a
+        // pre-swap service date would decode against v2 but predict
+        // against v1 (renamed trip_ids missing, records and predictions
+        // disagreeing on schedule_file_name for the same rows)
+        val resolved = decodedWith
+          .flatMap(n => schedules.byName(n).map((n, _)))
+          .orElse(schedules.asOf(java.time.LocalDate.parse(date)))
+        resolved match {
+          case None =>
+            // the whole tree vanished mid-trigger: DEGRADE like the decode
+            // path (the reference logs "No schedule data" and retries,
+            // mod.rs:372-374) — keep the batch's records, skip this group's
+            // refresh, and the query lives to pick the tree up next trigger
+            System.err.println(s"[stream] no schedule version available " +
+              s"for service date $date; skipping prediction refresh")
+            None
+          case Some((name, sched)) => Some(cache.tryGet() match {
+            case Some(b) => Predictor.batchPredictRealtimeCached(
+              spark, sched, stored, date, source, b, Some(name))
+            case None => Predictor.batchPredictRealtime(
+              spark, sched, stored, date, source,
+              graft.gtfs.CurveStore.loadSpecific(spark, specificDir),
+              graft.gtfs.CurveStore.loadDefault(spark, defaultDir), Some(name))
+          })
         }
       },
-      decode = batch => recordsStreamAsOf(spark, batch, schedules, source))
+      decode = batch => recordsStreamAsOf(spark, batch, schedules, source,
+        skippedLog = Some(s"$checkpointDir/_graft_skipped_rt_files")))
   }
 
   private def refreshLoop(spark: SparkSession, rtDir: String, source: String,
@@ -492,7 +548,7 @@ object StreamingImport {
       automatic: Boolean, maxFilesPerTrigger: Int,
       triggerInterval: String = "5 seconds",
       gate: Option[java.util.concurrent.locks.Lock] = None,
-      predict: (DataFrame, String) => DataFrame,
+      predict: (DataFrame, String, Option[String]) => Option[DataFrame],
       decode: Dataset[RtRow] => DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
     val rt = rtStream(spark, rtDir, maxFilesPerTrigger)
     val trigger = if (automatic) Trigger.ProcessingTime(triggerInterval)
@@ -550,59 +606,91 @@ object StreamingImport {
 
   private def refreshBatch(spark: SparkSession, source: String,
       recordsDir: String, predictionsDir: String,
-      predict: (DataFrame, String) => DataFrame,
+      predict: (DataFrame, String, Option[String]) => Option[DataFrame],
       decode: Dataset[RtRow] => DataFrame,
       batch: Dataset[RtRow], refreshSeq: Long): Unit = {
         // persist: the decode + schedule joins otherwise re-run for the
-        // upsert's actions AND the dates collect below (~3 full replays of
-        // the batch plan per trigger)
+        // upsert's actions AND the vehicle-group collect below (~3 full
+        // replays of the batch plan per trigger)
         val recs = decode(batch).persist()
         try {
           upsertBatch(recs, recordsDir)
-          // null start dates (TripDescriptor.start_date is optional) have no
-          // service day to re-predict — and getTime on a null Date would kill
-          // the stream with an NPE
-          val dates = recs.select(col("trip_start_date")).distinct()
-            .collect().map(_.getDate(0)).filter(_ != null).sortBy(_.getTime)
-          if (dates.nonEmpty) {
-            val stored = spark.read.parquet(recordsDir)
-              .filter(col("source") === source
-                && col("trip_start_date").isInCollection(dates.toSeq))
-            // the reference re-predicts per CHANGED VEHICLE
-            // (per_schedule_importer.rs:320-366), not per service date:
-            // restrict the read-back to vehicles present in this batch.
-            // Basis state still needs each such vehicle's FULL stored
-            // history (a late batch of older rows must not regress the
-            // basis), so this is a semi-join on vehicle identity, never a
-            // filter to the batch's own rows. Keeps per-trigger prediction
-            // work O(changed vehicles), not O(accumulated day partition) —
-            // a day-long partition under a 5 s trigger would otherwise be
-            // re-predicted in full thousands of times per day. Unchanged
-            // vehicles keep their previous refresh's rows (identical
-            // values — their basis has not moved) via the refresh_seq LWW.
-            // broadcast is safe AND load-bearing here: `changed` is bounded
-            // by the trigger's file cap (distinct vehicle keys of ONE
-            // micro-batch — the loop already persists recs and collects its
-            // dates, so batch-sized driver state is an existing assumption),
-            // and without the pin a conservative planner would sort-merge-
-            // shuffle the whole accumulated day partition every trigger —
-            // the exact O(partition) cost this narrowing removes.
-            val changed = recs
-              .select("trip_id", "trip_start_date", "trip_start_time").distinct()
-            val storedChanged = stored.join(broadcast(changed),
-              Seq("trip_id", "trip_start_date", "trip_start_time"), "left_semi")
-            dates.foreach { d =>
-              // persist: upsertTable's touched-partitions collect would
-              // otherwise run the whole predict plan once, and the merge
-              // write a second time — the dominant per-trigger cost doubled
-              val preds = predict(storedChanged, d.toString)
-                .withColumn("refresh_seq", lit(refreshSeq))
-                .persist()
-              try upsertTable(preds, predictionsDir,
-                keyCols = PredictionKeyCols, newestBy = col("refresh_seq"))
-              finally preds.unpersist()
+          // each changed vehicle re-predicts with the schedule its NEWEST
+          // batch row was DECODED with (the per-file as-of pick rides the
+          // records' schedule_file_name column through to the predict side,
+          // so the two halves can never disagree on the version). The max
+          // is over (recording time, name): a vehicle whose batch spans a
+          // swap (an old-dated and a new-dated file in one trigger) joins
+          // exactly ONE group — two groups would upsert it twice under the
+          // same refresh_seq and leave the LWW pick to shuffle order.
+          // Null start dates (TripDescriptor.start_date is optional) have
+          // no service day to re-predict — and getTime on a null Date
+          // would kill the stream with an NPE.
+          val vehSched = recs
+            .filter(col("trip_start_date").isNotNull)
+            .groupBy(col("trip_id"), col("trip_start_date"), col("trip_start_time"))
+            .agg(max(struct(col("time_of_recording"), col("schedule_file_name"))).as("nb"))
+            .select(col("trip_id"), col("trip_start_date"), col("trip_start_time"),
+              col("nb.schedule_file_name").as("schedule_file_name"))
+            .persist()
+          try {
+            // bounded by (dates × schedule versions) in ONE micro-batch —
+            // steady state is exactly the former per-date loop
+            val groups = vehSched
+              .select(col("trip_start_date"), col("schedule_file_name"))
+              .distinct().collect()
+              .map(r => (r.getDate(0), Option(r.getString(1))))
+              .sortBy { case (d, n) => (d.getTime, n.getOrElse("")) }
+            if (groups.nonEmpty) {
+              val dates = groups.map(_._1).distinct.toSeq
+              val stored = spark.read.parquet(recordsDir)
+                .filter(col("source") === source
+                  && col("trip_start_date").isInCollection(dates))
+              groups.foreach { case (d, schedName) =>
+                // the reference re-predicts per CHANGED VEHICLE
+                // (per_schedule_importer.rs:320-366), not per service date:
+                // restrict the read-back to vehicles present in this batch.
+                // Basis state still needs each such vehicle's FULL stored
+                // history (a late batch of older rows must not regress the
+                // basis), so this is a semi-join on vehicle identity, never
+                // a filter to the batch's own rows. Keeps per-trigger
+                // prediction work O(changed vehicles), not O(accumulated
+                // day partition) — a day-long partition under a 5 s trigger
+                // would otherwise be re-predicted in full thousands of
+                // times per day. Unchanged vehicles keep their previous
+                // refresh's rows (identical values — their basis has not
+                // moved) via the refresh_seq LWW. broadcast is safe AND
+                // load-bearing here: `changed` is bounded by the trigger's
+                // file cap (distinct vehicle keys of ONE micro-batch — the
+                // loop already persists recs and collects its groups, so
+                // batch-sized driver state is an existing assumption), and
+                // without the pin a conservative planner would sort-merge-
+                // shuffle the whole accumulated day partition every
+                // trigger — the exact O(partition) cost this narrowing
+                // removes.
+                val changed = vehSched
+                  .filter(col("trip_start_date") <=> lit(d)
+                    && col("schedule_file_name") <=> lit(schedName.orNull))
+                  .select("trip_id", "trip_start_date", "trip_start_time")
+                val storedChanged = stored.join(broadcast(changed),
+                  Seq("trip_id", "trip_start_date", "trip_start_time"), "left_semi")
+                // a None from predict = no schedule version resolvable for
+                // this group (degrade-and-skip; the FromDirs doc): records
+                // are already upserted, only this refresh leg is skipped
+                predict(storedChanged, d.toString, schedName).foreach { p =>
+                  // persist: upsertTable's touched-partitions collect would
+                  // otherwise run the whole predict plan once, and the
+                  // merge write a second time — the dominant per-trigger
+                  // cost doubled
+                  val preds = p.withColumn("refresh_seq", lit(refreshSeq))
+                    .persist()
+                  try upsertTable(preds, predictionsDir,
+                    keyCols = PredictionKeyCols, newestBy = col("refresh_seq"))
+                  finally preds.unpersist()
+                }
+              }
             }
-          }
+          } finally vehSched.unpersist()
         } finally recs.unpersist()
   }
 

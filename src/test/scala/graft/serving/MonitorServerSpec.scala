@@ -149,7 +149,7 @@ class MonitorServerSpec extends AnyFunSuite {
     java.nio.file.Files.write(root.getParent.resolve("secret_outside.txt"),
       "secret".getBytes("UTF-8"))
 
-    val server = new MonitorServer(spark, sched, preds,
+    val server = new MonitorServer(spark, () => Some(sched), preds,
       docRoot = Some(root.toString))
     val port = server.start()
     try {
@@ -198,5 +198,67 @@ class MonitorServerSpec extends AnyFunSuite {
     val p2 = bare.start()
     try assert(get(p2, "/style.css").statusCode() == 404)
     finally bare.stop()
+  }
+
+  test("the schedule hot-reloads: a version dropped mid-run reaches the pages without restart") {
+    val (_, preds) = graft.queries.GtfsPack.predictionState(spark)
+    val base = java.nio.file.Files.createTempDirectory("monhot")
+    val parent = base.resolve("schedule")
+    java.nio.file.Files.createDirectories(parent)
+    val v1 = java.nio.file.Files.createDirectories(parent.resolve("2024-01-01"))
+    graft.gtfs.FixtureGen.writeSchedule(v1)
+    val cache = new graft.gtfs.ScheduleCache(spark, parent.toString)
+    // ttl 0 = resolve per request (the production default is the 5 s scan
+    // cadence; the test wants the very next request to see the drop)
+    val server = new MonitorServer(spark, () => cache.newest().map(_._2),
+      preds, scheduleTtlMs = 0L)
+    val port = server.start()
+    // v2 shifts T1's stop-1 departure from 08:00:30 to 08:01:30, so the
+    // J8 minute-granular descriptor resolves "um 08:00" only under v1 and
+    // "um 08:01" only under v2
+    val tripV1 = "/04.03.24%2008:00/Stop%201/Bus%2010%20nach%20Downtown%20um%2008:00/"
+    val tripV2 = "/04.03.24%2008:00/Stop%201/Bus%2010%20nach%20Downtown%20um%2008:01/"
+    try {
+      // ---- under v1 ----
+      assert(!get(port, "/autocomplete?query=Stop%2021").body().contains("Stop 21"),
+        "v2-only stop must not autocomplete under v1")
+      assert(get(port, tripV1).statusCode() == 200, "v1 descriptor resolves")
+      assert(get(port, tripV2).statusCode() == 500,
+        "v2 descriptor must not resolve under v1")
+
+      // ---- drop v2 ATOMICALLY while the server runs ----
+      val tmp = java.nio.file.Files.createDirectories(base.resolve("incoming"))
+      graft.gtfs.FixtureGen.writeSchedule(tmp, version = 2)
+      java.nio.file.Files.write(tmp.resolve("stops.txt"),
+        "\nS21,Stop 21,50.0500,8.0700".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+      java.nio.file.Files.move(tmp, parent.resolve("2024-02-15"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+
+      // ---- the NEXT requests serve v2: no restart, no new server ----
+      assert(get(port, "/autocomplete?query=Stop%2021").body().contains("Stop 21"),
+        "autocomplete picks up the new version's stop")
+      assert(get(port, tripV2).statusCode() == 200,
+        "trip resolution picks up the new version's shifted departure")
+      assert(get(port, tripV1).statusCode() == 500,
+        "the superseded version no longer resolves")
+
+      // ---- tree momentarily empty: the server survives on the LAST KNOWN
+      // schedule object (persisted derivations keep serving; a request that
+      // must re-scan a now-absent CSV renders the per-request 500 page) and
+      // recovers the instant the tree returns — never a dead server or a
+      // thrown-out provider
+      val away = base.resolve("away")
+      java.nio.file.Files.move(parent, away,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val during = get(port, "/autocomplete?query=Stop%2021")
+      assert(during.statusCode() == 200 || during.statusCode() == 500,
+        s"an outage request still gets an HTTP answer: ${during.statusCode()}")
+      java.nio.file.Files.move(away, parent,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      assert(get(port, tripV2).statusCode() == 200, "recovery is seamless")
+      assert(get(port, "/autocomplete?query=Stop%2021").body().contains("Stop 21"),
+        "autocomplete recovered with the tree")
+    } finally { server.stop(); cache.close() }
   }
 }
