@@ -20,7 +20,12 @@ object Directory {
     * would otherwise date every child, including undated ones like
     * `current`, which could then tie with (and out-sort) the real dated
     * entries. */
-  private def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+  /** Everything after the last '/': the reference's `short_filename`
+    * (importer/mod.rs:493). Shared by the date parsers here and
+    * [[ScheduleCache.shortName]] so the date-parsing and the
+    * `schedule_file_name` stamping can never diverge. */
+  private[gtfs] def baseName(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
 
   def dateFromFilename(name: String): Option[java.time.LocalDate] =
     DateRe.findFirstMatchIn(name).flatMap { m =>

@@ -54,8 +54,7 @@ final class ScheduleCache(spark: SparkSession, scheduleParentDir: String,
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.filter(_.isDirectory)
       .map(_.getPath.toString)
-      .flatMap(d => Directory.dateFromFilename(
-        d.substring(d.lastIndexOf('/') + 1)).map(dt => (dt, d)))
+      .flatMap(d => Directory.dateFromFilename(shortName(d)).map(dt => (dt, d)))
       .sortBy(e => (e._1.toEpochDay, e._2))
   }
 
@@ -74,7 +73,7 @@ final class ScheduleCache(spark: SparkSession, scheduleParentDir: String,
   /** The version's bare directory name — the reference's `short_filename`
     * (everything after the last '/', importer/mod.rs:493) that lands in the
     * `schedule_file_name` column of records and predictions. */
-  def shortName(dir: String): String = dir.substring(dir.lastIndexOf('/') + 1)
+  def shortName(dir: String): String = Directory.baseName(dir)
 
   /** Fingerprint of one version directory: FNV-1a over (full path, length,
     * mtime) of every file beneath it — any rewrite, added or removed file

@@ -77,12 +77,34 @@ class MonitorServer(spark: SparkSession,
   private val current =
     new java.util.concurrent.atomic.AtomicReference[(Long, GtfsSchedule)](null)
 
+  // ONE schedule object per request: handlers read `schedule` many times
+  // (resolveTrip alone touches stops, trips, routes and stop_times), and a
+  // version swap landing mid-render must not hand the same request v1 stops
+  // and v2 trips — the first access resolves and pins it for the request's
+  // pool thread; [[handle]] clears the pin when the exchange closes
+  private val pinnedForRequest = new ThreadLocal[GtfsSchedule]
+
   private def schedule: GtfsSchedule = {
+    val p = pinnedForRequest.get()
+    if (p != null) p
+    else {
+      // lazily on FIRST use, so static-asset requests never resolve at all
+      val s = resolveSchedule()
+      pinnedForRequest.set(s)
+      s
+    }
+  }
+
+  private def resolveSchedule(): GtfsSchedule = {
     val now = System.nanoTime()
     val c = current.get()
     if (c != null && now - c._1 < scheduleTtlMs * 1000000L) c._2
     else scheduleProvider() match {
-      case Some(s) => current.set((now, s)); s
+      case Some(s) =>
+        // CAS, not set: a slow resolution racing a concurrent one must not
+        // clobber the other thread's (possibly newer) schedule with a fresh
+        // stamp — on a lost race this request still serves what it resolved
+        current.compareAndSet(c, (now, s)); s
       case None if c != null =>
         // tree momentarily empty: serve the last known schedule and leave
         // the stamp stale so the very next request re-probes (recovery is
@@ -111,7 +133,7 @@ class MonitorServer(spark: SparkSession,
       case e: Exception =>
         respond(ex, 500, "text/html",
           s"<html><body><h1>500</h1><p>${escapeHtml(e.toString)}</p></body></html>")
-    } finally ex.close()
+    } finally { pinnedForRequest.remove(); ex.close() }
 
   private def route(ex: HttpExchange): Unit = {
     val rawPath = ex.getRequestURI.getRawPath

@@ -375,6 +375,22 @@ object AutomaticImport {
     }
   }
 
+  /** Constructor-failure guard shared by the three factories: the streaming
+    * query starts BEFORE the AutomaticImport handle exists, and the handle's
+    * own init reads the predictions table (mark recovery, legacy-row
+    * normalization) — if that init throws, STOP the already-running query
+    * instead of leaking it with no handle (it would keep ingesting with no
+    * way to stop it but `spark.streams`). */
+  private def orStopQuery(query: org.apache.spark.sql.streaming.StreamingQuery)
+      (mk: => AutomaticImport): AutomaticImport =
+    try mk
+    catch {
+      case t: Throwable =>
+        try query.stop()
+        catch { case scala.util.control.NonFatal(s) => t.addSuppressed(s) }
+        throw t
+    }
+
   /** Starts the composed automatic mode; see the class doc. The curve
     * tables serve BOTH halves: the realtime stream snapshots them into the
     * long-lived broadcast Predictor, the idle backfill joins them per ST4
@@ -398,10 +414,10 @@ object AutomaticImport {
       source, recordsDir, predictionsDir, checkpointDir, specific, defaults,
       automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
       triggerInterval = triggerInterval, gate = Some(gate))
-    new AutomaticImport(query, spark,
+    orStopQuery(query)(new AutomaticImport(query, spark,
       () => Some((source + "_schedule", schedule)), source, predictionsDir,
       () => (specific, defaults), nowEpochSecs, idlePollMs, idleConfirmMs,
-      bufferFullBackoffSecs, performCleanup, gate)
+      bufferFullBackoffSecs, performCleanup, gate))
   }
 
   /** [[start]] against an on-disk [[graft.gtfs.CurveStore]]: the realtime
@@ -428,12 +444,12 @@ object AutomaticImport {
       specificDir, defaultDir,
       automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
       triggerInterval = triggerInterval, gate = Some(gate))
-    new AutomaticImport(query, spark,
+    orStopQuery(query)(new AutomaticImport(query, spark,
       () => Some((source + "_schedule", schedule)), source, predictionsDir,
       () => (CurveStore.loadSpecific(spark, specificDir),
         CurveStore.loadDefault(spark, defaultDir)),
       nowEpochSecs, idlePollMs, idleConfirmMs, bufferFullBackoffSecs,
-      performCleanup, gate)
+      performCleanup, gate))
   }
 
   /** The PRODUCTION-FAITHFUL automatic mode: everything hot-reloads.
@@ -467,7 +483,7 @@ object AutomaticImport {
       specificDir, defaultDir,
       automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
       triggerInterval = triggerInterval, gate = Some(gate))
-    new AutomaticImport(query, spark,
+    orStopQuery(query)(new AutomaticImport(query, spark,
       // None when every dated version vanished mid-run: the backfill skips
       // the iteration with a logged warning (the decode path degrades the
       // same way) instead of failing it, and recovers when the tree returns
@@ -476,6 +492,6 @@ object AutomaticImport {
       () => (CurveStore.loadSpecific(spark, specificDir),
         CurveStore.loadDefault(spark, defaultDir)),
       nowEpochSecs, idlePollMs, idleConfirmMs, bufferFullBackoffSecs,
-      performCleanup, gate)
+      performCleanup, gate))
   }
 }

@@ -155,18 +155,28 @@ object StreamingImport {
 
   /** Appends `(reason, file)` lines to a uniquely-named TSV under `dir`.
     * Driver-side Hadoop-FS write (a handful of names, no Spark job);
-    * no-op when `dir` is None or `entries` is empty. */
+    * no-op when `dir` is None or `entries` is empty. BEST-EFFORT: a failure
+    * writing the log itself must not propagate out of foreachBatch — this
+    * sits inside the very degrade path built to survive FS trouble, and the
+    * same hiccup that emptied a listing could refuse the create; the names
+    * are already on stderr, so a lost log entry loses redundancy, not the
+    * query. */
   private def recordSkipped(spark: SparkSession, dir: Option[String],
                             entries: Seq[(String, String)]): Unit =
     dir.foreach { d =>
       if (entries.nonEmpty) {
-        val p = new org.apache.hadoop.fs.Path(d,
-          s"skipped-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}.tsv")
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val out = fs.create(p, false)
-        try entries.foreach { case (reason, f) =>
-          out.write(s"$reason\t$f\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        } finally out.close()
+        try {
+          val p = new org.apache.hadoop.fs.Path(d,
+            s"skipped-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}.tsv")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val out = fs.create(p, false)
+          try entries.foreach { case (reason, f) =>
+            out.write(s"$reason\t$f\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          } finally out.close()
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[stream] could not write the skip log under $d: $e")
+        }
       }
     }
 
