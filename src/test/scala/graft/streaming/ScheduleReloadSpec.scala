@@ -136,6 +136,28 @@ class ScheduleReloadSpec extends AnyFunSuite {
           && col("trip_id") === "T1" && col("stop_sequence") === 10)
         .select("arrival_secs").head().getInt(0) == 8 * 3600 + 60),
         "v2's shifted stop_times joined")
+      // ADVICE r9: a POST-swap file whose payload reports a PRE-swap service
+      // date (late uploads, replayed feeds). J6 keys on the FILE date, so
+      // the decode uses v2 — and the predict side must follow the DECODE's
+      // version (resolved by name from the records), not re-derive it from
+      // the service date, or records and predictions would disagree on
+      // schedule_file_name for the very same rows
+      Files.copy(stagingRt.resolve("2024-01-12-feed.pb"),
+        Paths.get(rtDir, "2024-02-21-feed.pb"), StandardCopyOption.COPY_ATTRIBUTES)
+      assert(await(120)(records()
+          .filter(col("trip_start_date") === "2024-01-12").count() > 0),
+        "mixed-date file ingested")
+      assert(await(60)(records().filter(col("trip_start_date") === "2024-01-12")
+        .select("schedule_file_name").distinct().collect().map(_.getString(0)).toSeq
+        == Seq("2024-02-15")),
+        "file-date as-of: post-swap file with a pre-swap service date decodes under v2")
+      assert(await(120)({
+        val names = spark.read.parquet(predictionsDir)
+          .filter(col("origin_type") === Codes.OriginRealtime
+            && col("trip_start_date") === "2024-01-12")
+          .select("schedule_file_name").distinct().collect().map(_.getString(0)).toSeq
+        names.nonEmpty && names == Seq("2024-02-15")
+      }), "realtime predictions carry the DECODE's version for the same rows")
 
       // ---- phase 3: idle again -> backfill re-predicts under v2 ----
       clock.addAndGet(86400L) // reopen the buffer / expire the back-off
