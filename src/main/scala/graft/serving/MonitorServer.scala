@@ -128,7 +128,12 @@ class MonitorServer(spark: SparkSession,
   def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private def handle(ex: HttpExchange): Unit =
-    try route(ex)
+    // one bounded retry when a page read races the automatic mode's dynamic
+    // partition overwrite of the predictions/records tables (the reference's
+    // monitor reads transactionally from MySQL and never sees this): the
+    // handlers build the whole body BEFORE writing any response bytes, so a
+    // failed first attempt has sent nothing and the retry is safe
+    try MonitorServer.withReadRetry()(route(ex))
     catch {
       case e: Exception =>
         respond(ex, 500, "text/html",
@@ -521,4 +526,30 @@ class MonitorServer(spark: SparkSession,
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
   }
+}
+
+object MonitorServer {
+
+  /** A read that raced a concurrent dynamic partition overwrite: the swap
+    * deletes listed files between plan and scan. Deliberately NARROW —
+    * anything else (bad descriptor, missing trip, a genuinely broken table)
+    * must surface on the first attempt. */
+  private[serving] def transientReadRace(e: Throwable): Boolean = e match {
+    case se: org.apache.spark.SparkException =>
+      val m = Option(se.getMessage).getOrElse("")
+      m.contains("FAILED_READ_FILE") || transientReadRace(Option(se.getCause).orNull)
+    case _: java.io.FileNotFoundException => true
+    case _ => false
+  }
+
+  /** Runs `body`; on ONE transient read race (see [[transientReadRace]])
+    * waits `retryDelayMs` for the overwrite to settle and re-runs it once.
+    * A second race — or any other failure — propagates. */
+  private[serving] def withReadRetry[T](retryDelayMs: Long = 300L)(body: => T): T =
+    try body
+    catch {
+      case e if transientReadRace(e) =>
+        Thread.sleep(retryDelayMs)
+        body
+    }
 }

@@ -153,6 +153,29 @@ object StreamingImport {
       .getOrElse(group(dirs.last._2, Seq.empty).limit(0))
   }
 
+  /** Where [[startPredictionRefreshFromDirs]] records skipped rt files,
+    * relative to its checkpoint directory. */
+  def skippedLogDir(checkpointDir: String): String =
+    s"$checkpointDir/_graft_skipped_rt_files"
+
+  /** The skip log as a DataFrame of `(reason, file_name)` — the
+    * operator-side reader for the TSVs [[recordsStreamAsOf]] writes. The
+    * checkpoint owns the original files, so re-queueing one means copying
+    * it back into the rt directory under a FRESH name (the binaryFile
+    * source tracks seen paths). Schema-correct empty result while nothing
+    * has been skipped. */
+  def skippedFiles(spark: SparkSession, checkpointDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
+    val schema = StructType(Seq(StructField("reason", StringType),
+      StructField("file_name", StringType)))
+    val dir = skippedLogDir(checkpointDir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.option("sep", "\t").schema(schema).csv(dir)
+  }
+
   /** Appends `(reason, file)` lines to a uniquely-named TSV under `dir`.
     * Driver-side Hadoop-FS write (a handful of names, no Spark job);
     * no-op when `dir` is None or `entries` is empty. BEST-EFFORT: a failure
@@ -550,7 +573,7 @@ object StreamingImport {
         }
       },
       decode = batch => recordsStreamAsOf(spark, batch, schedules, source,
-        skippedLog = Some(s"$checkpointDir/_graft_skipped_rt_files")))
+        skippedLog = Some(skippedLogDir(checkpointDir))))
   }
 
   private def refreshLoop(spark: SparkSession, rtDir: String, source: String,

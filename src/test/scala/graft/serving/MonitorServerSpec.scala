@@ -200,6 +200,42 @@ class MonitorServerSpec extends AnyFunSuite {
     finally bare.stop()
   }
 
+  test("a page read racing a partition overwrite retries once; real errors surface at once") {
+    // transient race (the automatic mode's dynamic overwrite deletes listed
+    // files between plan and scan): ONE retry, then success
+    var n = 0
+    val r = MonitorServer.withReadRetry(1L) {
+      n += 1
+      if (n == 1) throw new org.apache.spark.SparkException(
+        "[FAILED_READ_FILE.FILE_NOT_EXIST] Encountered error while reading file")
+      42
+    }
+    assert(r == 42 && n == 2, s"one retry then success: n=$n r=$r")
+    // the retry is BOUNDED: a second consecutive race propagates
+    var m = 0
+    intercept[org.apache.spark.SparkException] {
+      MonitorServer.withReadRetry(1L) {
+        m += 1
+        throw new org.apache.spark.SparkException("[FAILED_READ_FILE] again")
+      }
+    }
+    assert(m == 2, s"exactly two attempts: $m")
+    // nested cause form (SparkException wrapping FileNotFoundException)
+    var k = 0
+    assert(MonitorServer.withReadRetry(1L) {
+      k += 1
+      if (k == 1) throw new org.apache.spark.SparkException("task failed",
+        new java.io.FileNotFoundException("part-00000 deleted"))
+      7
+    } == 7)
+    // anything else never retries
+    var j = 0
+    intercept[IllegalStateException] {
+      MonitorServer.withReadRetry(1L) { j += 1; throw new IllegalStateException("boom") }
+    }
+    assert(j == 1, s"non-transient errors surface on the first attempt: $j")
+  }
+
   test("the schedule hot-reloads: a version dropped mid-run reaches the pages without restart") {
     val (_, preds) = graft.queries.GtfsPack.predictionState(spark)
     val base = java.nio.file.Files.createTempDirectory("monhot")

@@ -237,9 +237,21 @@ class ScheduleReloadSpec extends AnyFunSuite {
     // the reference logs and retries the next scan (mod.rs:372-374); the
     // streaming wrapper must therefore return an EMPTY records batch the
     // upsert can consume, never throw into the query thread
+    val ckpt = Files.createTempDirectory("nosched_ckpt").toString
     val recs = StreamingImport.recordsStreamAsOf(spark, rt,
-      new ScheduleCache(spark, emptyParent.toString), "test")
+      new ScheduleCache(spark, emptyParent.toString), "test",
+      skippedLog = Some(StreamingImport.skippedLogDir(ckpt)))
     assert(recs.count() == 0)
+    // the batch's files are recoverable BY NAME through the reader
+    val skipped = StreamingImport.skippedFiles(spark, ckpt).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(skipped.nonEmpty && skipped.forall(_._1 == "no_schedule_data"),
+      s"all skips recorded with the outage reason: ${skipped.toSeq}")
+    assert(skipped.exists(_._2.endsWith("-feed.pb")),
+      s"file names round-trip through the TSV: ${skipped.toSeq}")
+    // reader is schema-correct while nothing was ever skipped
+    assert(StreamingImport.skippedFiles(spark,
+      Files.createTempDirectory("nosched_empty").toString).count() == 0)
     // schema matches the real decode (so upsertBatch/refresh stay legal)
     val v1Dir = Files.createDirectories(base.resolve("sched/2024-01-01"))
     FixtureGen.writeSchedule(v1Dir)
