@@ -50,7 +50,13 @@ import graft.gtfs.{Codes, GtfsSchedule, HeatStrip, Monitor}
   * importer's TIME_BETWEEN_DIR_SCANS cadence; pass 0 to resolve every
   * request); wire it to [[graft.gtfs.ScheduleCache.newest]] so the probe is
   * one directory listing + fingerprint check, with the load itself cached
-  * until the version's files actually change. A provider that returns None
+  * until the version's files actually change. PREDICTIONS resolve through a
+  * provider as well, once per request: a `spark.read.parquet` DataFrame
+  * snapshots its parquet file index at CONSTRUCTION, so a pinned one would
+  * point at deleted files forever after the importer's first dynamic
+  * partition overwrite — pass `() => spark.read.parquet(dir)` and each
+  * request reads the live table (one listing per request; the reference's
+  * monitor likewise queries MySQL per request). A provider that returns None
   * (the schedule tree momentarily empty mid-swap) keeps the LAST
   * successfully resolved schedule — the reference's monitor likewise keeps
   * its loaded schedule until the cache hands it a new one — and re-probes
@@ -62,15 +68,32 @@ import graft.gtfs.{Codes, GtfsSchedule, HeatStrip, Monitor}
   */
 class MonitorServer(spark: SparkSession,
                     scheduleProvider: () => Option[GtfsSchedule],
-                    predictions: DataFrame, port: Int = 0,
+                    predictionsProvider: () => DataFrame, port: Int = 0,
                     docRoot: Option[String] = None,
                     scheduleTtlMs: Long = 5000L) {
 
-  /** Compat/test surface: PINS `schedule` for the server's lifetime — a
-    * GTFS version dropped mid-run is invisible here. Production wires the
-    * primary constructor to a [[graft.gtfs.ScheduleCache]]. */
+  /** Compat/test surface: PINS `schedule` AND the predictions DataFrame
+    * (its file-index snapshot included) for the server's lifetime — a GTFS
+    * version dropped mid-run, or a predictions partition overwritten by a
+    * live importer, is invisible here. Production wires the primary
+    * constructor to a [[graft.gtfs.ScheduleCache]] and a fresh
+    * `spark.read.parquet`. */
   def this(spark: SparkSession, schedule: GtfsSchedule, predictions: DataFrame) =
-    this(spark, () => Some(schedule), predictions)
+    this(spark, () => Some(schedule), () => predictions)
+
+  // like the schedule: ONE predictions frame per request (fresh file-index
+  // listing), pinned on first use, cleared with the exchange
+  private val pinnedPredictions = new ThreadLocal[DataFrame]
+
+  private def predictions: DataFrame = {
+    val p = pinnedPredictions.get()
+    if (p != null) p
+    else {
+      val d = predictionsProvider()
+      pinnedPredictions.set(d)
+      d
+    }
+  }
 
   // (resolvedAtNanos, schedule) of the last successful resolution; requests
   // inside the TTL reuse it without consulting the provider at all
@@ -132,13 +155,19 @@ class MonitorServer(spark: SparkSession,
     // partition overwrite of the predictions/records tables (the reference's
     // monitor reads transactionally from MySQL and never sees this): the
     // handlers build the whole body BEFORE writing any response bytes, so a
-    // failed first attempt has sent nothing and the retry is safe
-    try MonitorServer.withReadRetry()(route(ex))
+    // failed first attempt has sent nothing and the retry is safe; the
+    // per-request pins are cleared between attempts so the retry resolves a
+    // FRESH file index instead of re-reading the raced snapshot
+    try MonitorServer.withReadRetry(onRetry = () => {
+      pinnedForRequest.remove(); pinnedPredictions.remove()
+    })(route(ex))
     catch {
       case e: Exception =>
         respond(ex, 500, "text/html",
           s"<html><body><h1>500</h1><p>${escapeHtml(e.toString)}</p></body></html>")
-    } finally { pinnedForRequest.remove(); ex.close() }
+    } finally {
+      pinnedForRequest.remove(); pinnedPredictions.remove(); ex.close()
+    }
 
   private def route(ex: HttpExchange): Unit = {
     val rawPath = ex.getRequestURI.getRawPath
@@ -543,13 +572,17 @@ object MonitorServer {
   }
 
   /** Runs `body`; on ONE transient read race (see [[transientReadRace]])
-    * waits `retryDelayMs` for the overwrite to settle and re-runs it once.
-    * A second race — or any other failure — propagates. */
-  private[serving] def withReadRetry[T](retryDelayMs: Long = 300L)(body: => T): T =
+    * waits `retryDelayMs` for the overwrite to settle, runs `onRetry` (the
+    * server clears its per-request pins there so the second attempt
+    * resolves fresh frames), and re-runs `body` once. A second race — or
+    * any other failure — propagates. */
+  private[serving] def withReadRetry[T](retryDelayMs: Long = 300L,
+      onRetry: () => Unit = () => ())(body: => T): T =
     try body
     catch {
       case e if transientReadRace(e) =>
         Thread.sleep(retryDelayMs)
+        onRetry()
         body
     }
 }

@@ -149,7 +149,7 @@ class MonitorServerSpec extends AnyFunSuite {
     java.nio.file.Files.write(root.getParent.resolve("secret_outside.txt"),
       "secret".getBytes("UTF-8"))
 
-    val server = new MonitorServer(spark, () => Some(sched), preds,
+    val server = new MonitorServer(spark, () => Some(sched), () => preds,
       docRoot = Some(root.toString))
     val port = server.start()
     try {
@@ -247,7 +247,7 @@ class MonitorServerSpec extends AnyFunSuite {
     // ttl 0 = resolve per request (the production default is the 5 s scan
     // cadence; the test wants the very next request to see the drop)
     val server = new MonitorServer(spark, () => cache.newest().map(_._2),
-      preds, scheduleTtlMs = 0L)
+      () => preds, scheduleTtlMs = 0L)
     val port = server.start()
     // v2 shifts T1's stop-1 departure from 08:00:30 to 08:01:30, so the
     // J8 minute-granular descriptor resolves "um 08:00" only under v1 and

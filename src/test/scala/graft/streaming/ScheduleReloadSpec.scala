@@ -89,6 +89,21 @@ class ScheduleReloadSpec extends AnyFunSuite {
       idlePollMs = 200L, idleConfirmMs = 1200L,
       bufferFullBackoffSecs = 600L,
       maxFilesPerTrigger = 1)
+    // the FULL deployment in one process: the monitor serves the LIVE
+    // tables while the importer writes them — schedule through its own
+    // ScheduleCache over the same tree, predictions re-read per request (a
+    // pinned DataFrame's file-index snapshot would point at deleted files
+    // after the first dynamic partition overwrite), races retried once
+    val monCache = new ScheduleCache(spark, schedParent.toString)
+    val monitor = new graft.serving.MonitorServer(spark,
+      () => monCache.newest().map(_._2),
+      () => spark.read.parquet(predictionsDir), scheduleTtlMs = 0L)
+    val monPort = monitor.start()
+    val http = java.net.http.HttpClient.newHttpClient()
+    def page(path: String): java.net.http.HttpResponse[String] =
+      http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$monPort$path")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
     try {
       def records() = spark.read.parquet(recordsDir)
       def schedOrigin(name: String) = spark.read.parquet(predictionsDir)
@@ -113,6 +128,17 @@ class ScheduleReloadSpec extends AnyFunSuite {
         "v1 schedule-origin predictions landed")
       val rtPredsBefore = spark.read.parquet(predictionsDir)
         .filter(col("origin_type") === Codes.OriginRealtime).count()
+      // the live monitor serves from the table the importer just wrote and
+      // keeps writing (fresh per-request read + the bounded race retry),
+      // and resolves trips against the CURRENT schedule (v1: T1 departs
+      // Stop 1 at 08:00)
+      assert(await(60) {
+        val r = page("/02.02.24%2008:00/Stop%202/")
+        r.statusCode() == 200 && r.body().contains("<h1>Stop 2</h1>")
+      }, "live stop page serves while the importer runs")
+      assert(await(60)(page(
+        "/02.02.24%2008:00/Stop%201/Bus%2010%20nach%20Downtown%20um%2008:00/")
+        .statusCode() == 200), "v1 descriptor resolves on the live monitor")
 
       // ---- phase 2: drop v2 ATOMICALLY mid-run; mixed-date rt backlog ----
       val tmpV2 = Files.createDirectories(base.resolve("incoming_v2"))
@@ -188,7 +214,17 @@ class ScheduleReloadSpec extends AnyFunSuite {
         all.count() > 0 && all.select(StreamingImport.PredictionKeyCols.map(col): _*)
           .distinct().count() == all.count()
       }), "upsert key unique after the swap")
+      // the monitor picked up v2 WITHOUT restart, in the same process as
+      // the importer that swapped: T1's departure shifted to 08:01 under
+      // v2, so the new descriptor resolves and the superseded one stops
+      assert(await(60)(page(
+        "/02.02.24%2008:00/Stop%201/Bus%2010%20nach%20Downtown%20um%2008:01/")
+        .statusCode() == 200), "monitor serves v2 trip resolution after the swap")
+      assert(page(
+        "/02.02.24%2008:00/Stop%201/Bus%2010%20nach%20Downtown%20um%2008:00/")
+        .statusCode() == 500, "superseded v1 departure no longer resolves")
     } finally {
+      monitor.stop(); monCache.close()
       auto.stop()
       spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", prevNoData)
     }
