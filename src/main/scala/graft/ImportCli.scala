@@ -61,6 +61,30 @@ object ImportCli {
       idleConfirmMs = idleConfirmMs, performCleanup = performCleanup)
   }
 
+  /** The reference's `monitor` subcommand (main.rs:245-248: the monitor
+    * runs from the SAME binary, default port 3000, static assets from
+    * `web-assets/`): serves the monitor over `<baseDir>/schedule` through a
+    * hot-reloading [[ScheduleCache]] and the LIVE predictions table — a
+    * fresh read per request, preferring the automatic mode's
+    * `<baseDir>/stream/predictions` whenever it has data and falling back
+    * to the batch pass's `<baseDir>/predictions` (so a monitor started
+    * before the first streaming write serves the batch dump and switches
+    * over by itself). Until either table has data, dynamic pages render
+    * the 500 page per request — the server itself starts and serves
+    * static/search routes regardless. Returns the handle so tests can
+    * stop it. */
+  def runMonitor(spark: SparkSession, baseDir: String, port: Int = 3000,
+                 docRoot: Option[String] = None): graft.serving.MonitorServer = {
+    val schedules = new ScheduleCache(spark, s"$baseDir/schedule")
+    val streamDir = s"$baseDir/stream/predictions"
+    val batchDir = s"$baseDir/predictions"
+    new graft.serving.MonitorServer(spark,
+      () => schedules.newest().map(_._2),
+      () => spark.read.parquet(
+        if (Directory.tableHasData(spark, streamDir)) streamDir else batchDir),
+      port = port, docRoot = docRoot)
+  }
+
   /** The whole import→analyse→predict pass, session-agnostic so tests can
     * drive it against a shared SparkSession. */
   def run(spark: SparkSession, baseDir: String, source: String, nowDate: String): Unit = {
@@ -115,12 +139,14 @@ object ImportCli {
     val cleanup = args.contains("--cleanup")
     val positional = args.filterNot(_ == "--cleanup")
     val automatic = positional.headOption.contains("automatic")
+    val monitor = positional.headOption.contains("monitor")
     require(!cleanup || automatic,
       "--cleanup is valid only with the automatic subcommand (the batch " +
         "pass applies the outdated-prediction filter unconditionally)")
-    val rest = if (automatic) positional.drop(1) else positional
+    val rest = if (automatic || monitor) positional.drop(1) else positional
     val baseDir = rest.headOption.getOrElse(
-      sys.error("usage: ImportCli [automatic [--cleanup]] <baseDir> [source] [nowDate]"))
+      sys.error("usage: ImportCli [automatic [--cleanup] | monitor] <baseDir> " +
+        "[source|port] [nowDate|docRoot]"))
     val source = if (rest.length > 1) rest(1) else "graft"
     val nowDate = if (rest.length > 2) Some(rest(2)) else None
 
@@ -148,6 +174,18 @@ object ImportCli {
           auto.stop()
           hook.remove()
         }
+      } else if (monitor) {
+        // reference: the monitor subcommand serves until interrupted
+        // (port 3000, monitor/mod.rs:103)
+        val port = if (rest.length > 1) rest(1).toInt else 3000
+        val docRoot = if (rest.length > 2) Some(rest(2)) else None
+        val server = runMonitor(spark, baseDir, port, docRoot)
+        val bound = server.start()
+        val done = new java.util.concurrent.CountDownLatch(1)
+        val hook = sys.addShutdownHook { server.stop(); done.countDown() }
+        println(s"[monitor] serving on port $bound (interrupt to stop)")
+        try done.await()
+        finally { server.stop(); hook.remove() }
       } else run(spark, baseDir, source,
         nowDate.getOrElse(java.time.LocalDate.now().toString))
     } finally spark.stop()

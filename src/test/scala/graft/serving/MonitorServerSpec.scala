@@ -236,6 +236,31 @@ class MonitorServerSpec extends AnyFunSuite {
     assert(j == 1, s"non-transient errors surface on the first attempt: $j")
   }
 
+  test("the CLI monitor subcommand serves a prepared tree and picks up the live table") {
+    val (_, preds) = graft.queries.GtfsPack.predictionState(spark)
+    val base = java.nio.file.Files.createTempDirectory("climon")
+    val v1 = java.nio.file.Files.createDirectories(
+      base.resolve("schedule").resolve("2024-01-01"))
+    graft.gtfs.FixtureGen.writeSchedule(v1)
+    val server = graft.ImportCli.runMonitor(spark, base.toString, port = 0)
+    val port = server.start()
+    try {
+      // schedule-backed routes serve immediately (hot-reloading cache)
+      assert(get(port, "/autocomplete?query=Stop%202").body().contains("Stop 2"))
+      // prediction pages render the 500 page until EITHER table has data
+      assert(get(port, "/04.03.24%2008:00/Stop%202/").statusCode() == 500)
+      // the batch pass writes its dump -> the SAME server picks it up on
+      // the next request (per-request fresh read, no restart)
+      preds.write.mode("overwrite").parquet(s"$base/predictions")
+      val pg = get(port, "/04.03.24%2008:00/Stop%202/")
+      assert(pg.statusCode() == 200 && pg.body().contains("<h1>Stop 2</h1>"),
+        s"batch table served: ${pg.statusCode()}")
+      // the automatic mode's stream table appears WITH data -> preferred
+      preds.write.mode("overwrite").parquet(s"$base/stream/predictions")
+      assert(get(port, "/04.03.24%2008:00/Stop%202/").statusCode() == 200)
+    } finally server.stop()
+  }
+
   test("the schedule hot-reloads: a version dropped mid-run reaches the pages without restart") {
     val (_, preds) = graft.queries.GtfsPack.predictionState(spark)
     val base = java.nio.file.Files.createTempDirectory("monhot")
