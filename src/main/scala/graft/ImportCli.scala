@@ -78,11 +78,15 @@ object ImportCli {
     val schedules = new ScheduleCache(spark, s"$baseDir/schedule")
     val streamDir = s"$baseDir/stream/predictions"
     val batchDir = s"$baseDir/predictions"
+    // the server owns the cache it was built around: stop() releases the
+    // cached schedules' S2 blocks (no caller ever sees the cache handle)
     new graft.serving.MonitorServer(spark,
       () => schedules.newest().map(_._2),
       () => spark.read.parquet(
         if (Directory.tableHasData(spark, streamDir)) streamDir else batchDir),
-      port = port, docRoot = docRoot)
+      port = port, docRoot = docRoot) {
+      override def stop(): Unit = { super.stop(); schedules.close() }
+    }
   }
 
   /** The whole import→analyse→predict pass, session-agnostic so tests can
@@ -182,10 +186,14 @@ object ImportCli {
         val server = runMonitor(spark, baseDir, port, docRoot)
         val bound = server.start()
         val done = new java.util.concurrent.CountDownLatch(1)
-        val hook = sys.addShutdownHook { server.stop(); done.countDown() }
+        // unlike the automatic branch, the ONLY way await() returns is this
+        // hook firing — i.e. shutdown is always in progress afterwards, so
+        // the hook must not be removed (removeShutdownHook would throw
+        // IllegalStateException on every Ctrl-C)
+        sys.addShutdownHook { server.stop(); done.countDown() }
         println(s"[monitor] serving on port $bound (interrupt to stop)")
         try done.await()
-        finally { server.stop(); hook.remove() }
+        finally server.stop() // stop() is idempotent with the hook
       } else run(spark, baseDir, source,
         nowDate.getOrElse(java.time.LocalDate.now().toString))
     } finally spark.stop()

@@ -159,12 +159,20 @@ class MonitorServer(spark: SparkSession,
     // per-request pins are cleared between attempts so the retry resolves a
     // FRESH file index instead of re-reading the raced snapshot
     try MonitorServer.withReadRetry(onRetry = () => {
-      pinnedForRequest.remove(); pinnedPredictions.remove()
+      // clear BOTH pins AND the TTL memo: without invalidating `current`,
+      // a schedule-side race inside the TTL would re-resolve the identical
+      // stale schedule and the retry could never succeed
+      pinnedForRequest.remove(); pinnedPredictions.remove(); current.set(null)
     })(route(ex))
     catch {
       case e: Exception =>
-        respond(ex, 500, "text/html",
+        // best-effort: if the failed attempt already sent headers (client
+        // disconnect mid-body-write), a second sendResponseHeaders throws —
+        // swallow it rather than leak into the dispatcher; the finally
+        // still closes the exchange
+        try respond(ex, 500, "text/html",
           s"<html><body><h1>500</h1><p>${escapeHtml(e.toString)}</p></body></html>")
+        catch { case _: Exception => () }
     } finally {
       pinnedForRequest.remove(); pinnedPredictions.remove(); ex.close()
     }

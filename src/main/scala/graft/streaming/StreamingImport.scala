@@ -189,13 +189,20 @@ object StreamingImport {
     dir.foreach { d =>
       if (entries.nonEmpty) {
         try {
-          val p = new org.apache.hadoop.fs.Path(d,
-            s"skipped-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}.tsv")
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val out = fs.create(p, false)
+          // write under a dot-prefixed temp name (invisible to Spark's
+          // file listing) and RENAME into place, so [[skippedFiles]] never
+          // reads a torn, half-flushed TSV mid-write — a truncated final
+          // line would hand the operator a file name that does not exist
+          val name = s"skipped-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}.tsv"
+          val tmp = new org.apache.hadoop.fs.Path(d, s".$name")
+          val fin = new org.apache.hadoop.fs.Path(d, name)
+          val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val out = fs.create(tmp, false)
           try entries.foreach { case (reason, f) =>
             out.write(s"$reason\t$f\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
           } finally out.close()
+          if (!fs.rename(tmp, fin))
+            throw new java.io.IOException(s"rename $tmp -> $fin failed")
         } catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[stream] could not write the skip log under $d: $e")

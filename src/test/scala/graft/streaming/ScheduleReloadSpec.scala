@@ -81,19 +81,13 @@ class ScheduleReloadSpec extends AnyFunSuite {
     val prevNoData = spark.conf.get(
       "spark.sql.streaming.noDataProgressEventInterval", "10000ms")
     spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "1000ms")
-    val auto = AutomaticImport.startFromDirs(spark, rtDir, schedParent.toString,
-      "test", recordsDir, predictionsDir, s"$base/ckpt",
-      s"$base/curves/specific", s"$base/curves/default",
-      nowEpochSecs = () => clock.get(),
-      triggerInterval = "500 milliseconds",
-      idlePollMs = 200L, idleConfirmMs = 1200L,
-      bufferFullBackoffSecs = 600L,
-      maxFilesPerTrigger = 1)
     // the FULL deployment in one process: the monitor serves the LIVE
     // tables while the importer writes them — schedule through its own
     // ScheduleCache over the same tree, predictions re-read per request (a
     // pinned DataFrame's file-index snapshot would point at deleted files
-    // after the first dynamic partition overwrite), races retried once
+    // after the first dynamic partition overwrite), races retried once.
+    // Started BEFORE the importer so a server-construction failure cannot
+    // leak a running streaming query outside the try/finally below.
     val monCache = new ScheduleCache(spark, schedParent.toString)
     val monitor = new graft.serving.MonitorServer(spark,
       () => monCache.newest().map(_._2),
@@ -104,6 +98,14 @@ class ScheduleReloadSpec extends AnyFunSuite {
       http.send(java.net.http.HttpRequest.newBuilder(
           java.net.URI.create(s"http://127.0.0.1:$monPort$path")).GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
+    val auto = AutomaticImport.startFromDirs(spark, rtDir, schedParent.toString,
+      "test", recordsDir, predictionsDir, s"$base/ckpt",
+      s"$base/curves/specific", s"$base/curves/default",
+      nowEpochSecs = () => clock.get(),
+      triggerInterval = "500 milliseconds",
+      idlePollMs = 200L, idleConfirmMs = 1200L,
+      bufferFullBackoffSecs = 600L,
+      maxFilesPerTrigger = 1)
     try {
       def records() = spark.read.parquet(recordsDir)
       def schedOrigin(name: String) = spark.read.parquet(predictionsDir)
@@ -351,7 +353,8 @@ class ScheduleReloadSpec extends AnyFunSuite {
       // the decode degrades (mod.rs:372-374 logs and retries) and the
       // batch's files land by NAME in the recoverable skip log — never a
       // dead query (VERDICT r9 #2: decode and predict must degrade alike)
-      val skipDir = new java.io.File(s"$base/ckpt/_graft_skipped_rt_files")
+      val skipDir = new java.io.File(
+        StreamingImport.skippedLogDir(s"$base/ckpt"))
       assert(await(120)(skipDir.isDirectory && skipDir.listFiles().exists { f =>
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         txt.contains("no_schedule_data") && txt.contains("2024-01-10-feed.pb")
