@@ -33,7 +33,7 @@ import org.apache.spark.sql.SparkSession
   * retried on the next fingerprint change, like the reference's per-group
   * quarantine (importer/mod.rs:472-487).
   */
-final class ScheduleCache(spark: SparkSession, scheduleParentDir: String,
+final class ScheduleCache(spark: SparkSession, val scheduleParentDir: String,
                           maxLoaded: Int = 4) {
 
   require(maxLoaded >= 1, "maxLoaded must be >= 1")

@@ -153,6 +153,27 @@ object StreamingImport {
       .getOrElse(group(dirs.last._2, Seq.empty).limit(0))
   }
 
+  /** True when `e`'s cause chain is a FILE-level read failure under
+    * `scheduleParentDir`: the batch's schedule resolved against a listing
+    * taken BEFORE a version was deleted/replaced, and the decode's CSV scan
+    * ran AFTER — the one failure mode the listing snapshot cannot shield.
+    * Deliberately narrow (the path must sit under the schedule tree):
+    * a missing records/predictions parquet or any other error is NOT
+    * transient schedule loss and must fail the batch normally. */
+  def scheduleReadRace(scheduleParentDir: String)(e: Throwable): Boolean = {
+    val parentPath =
+      new org.apache.hadoop.fs.Path(scheduleParentDir).toUri.getPath
+    @annotation.tailrec
+    def walk(t: Throwable, depth: Int): Boolean =
+      t != null && depth < 16 && {
+        val m = Option(t.getMessage).getOrElse("")
+        val loss = (m.contains("FAILED_READ_FILE")
+          || t.isInstanceOf[java.io.FileNotFoundException]) && m.contains(parentPath)
+        if (loss) true else walk(t.getCause, depth + 1)
+      }
+    walk(e, 0)
+  }
+
   /** Where [[startPredictionRefreshFromDirs]] records skipped rt files,
     * relative to its checkpoint directory. */
   def skippedLogDir(checkpointDir: String): String =
@@ -580,7 +601,9 @@ object StreamingImport {
         }
       },
       decode = batch => recordsStreamAsOf(spark, batch, schedules, source,
-        skippedLog = Some(skippedLogDir(checkpointDir))))
+        skippedLog = Some(skippedLogDir(checkpointDir))),
+      skippedLog = Some(skippedLogDir(checkpointDir)),
+      transientLoss = scheduleReadRace(schedules.scheduleParentDir))
   }
 
   private def refreshLoop(spark: SparkSession, rtDir: String, source: String,
@@ -589,7 +612,10 @@ object StreamingImport {
       triggerInterval: String = "5 seconds",
       gate: Option[java.util.concurrent.locks.Lock] = None,
       predict: (DataFrame, String, Option[String]) => Option[DataFrame],
-      decode: Dataset[RtRow] => DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+      decode: Dataset[RtRow] => DataFrame,
+      skippedLog: Option[String] = None,
+      transientLoss: Throwable => Boolean = _ => false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val rt = rtStream(spark, rtDir, maxFilesPerTrigger)
     val trigger = if (automatic) Trigger.ProcessingTime(triggerInterval)
                   else Trigger.AvailableNow()
@@ -623,8 +649,25 @@ object StreamingImport {
           if (seqOffset.get() < 0)
             seqOffset.set(math.max(0L,
               maxStoredRefreshSeq(spark, predictionsDir) + 1 - batchId))
-          refreshBatch(spark, source, recordsDir, predictionsDir,
+          try refreshBatch(spark, source, recordsDir, predictionsDir,
             predict, decode, batch, batchId + seqOffset.get())
+          catch {
+            case e if transientLoss(e) =>
+              // the batch's listing saw a schedule version whose files were
+              // deleted before the decode's scan ran (tree replaced or an
+              // old version removed mid-trigger) — the one window the
+              // per-batch listing snapshot cannot shield. Degrade exactly
+              // like the empty-listing case: log, record the batch's files
+              // by name in the recoverable skip log, consume the batch —
+              // never kill the query (the reference retries its next scan,
+              // mod.rs:372-374)
+              System.err.println(
+                s"[stream] schedule files vanished mid-batch; skipping batch: $e")
+              val files = batch.select(col("file_name")).distinct()
+                .collect().map(_.getString(0)).sorted
+              recordSkipped(spark, skippedLog,
+                files.toSeq.map(("schedule_read_race", _)))
+          }
         } finally gate.foreach(_.unlock())
       }
       .start()

@@ -423,4 +423,27 @@ class StreamingImportSpec extends AnyFunSuite {
       && canon(batchPreds).except(canon(streamed)).count() == 0,
       "store-backed streamed refresh ≡ batch realtime prediction")
   }
+
+  test("scheduleReadRace classifies only schedule-tree file losses") {
+    val race = StreamingImport.scheduleReadRace("/data/gtfs/schedule") _
+    // the decode's CSV scan raced a version deletion (top-level message)
+    assert(race(new org.apache.spark.SparkException(
+      "[FAILED_READ_FILE.FILE_NOT_EXIST] Encountered error while reading " +
+        "file file:///data/gtfs/schedule/2024-01-01/stops.txt.")))
+    // same, nested as a cause chain (foreachBatch wrapping)
+    assert(race(new RuntimeException("foreach batch sink failed",
+      new org.apache.spark.SparkException("task failed",
+        new java.io.FileNotFoundException(
+          "File file:/data/gtfs/schedule/2024-01-01/calendar.txt does not exist")))))
+    // a missing TABLE file is NOT schedule loss — must fail the batch
+    assert(!race(new org.apache.spark.SparkException(
+      "[FAILED_READ_FILE.FILE_NOT_EXIST] file:///data/stream/records/part-0.parquet")))
+    // scheme-qualified parent normalizes to the same path
+    assert(StreamingImport.scheduleReadRace("file:/data/gtfs/schedule")(
+      new org.apache.spark.SparkException(
+        "[FAILED_READ_FILE] file:///data/gtfs/schedule/2024-02-15/trips.txt gone")))
+    // unrelated failures never classify
+    assert(!race(new IllegalStateException("boom")))
+    assert(!race(new InterruptedException()))
+  }
 }
