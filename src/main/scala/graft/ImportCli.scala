@@ -82,9 +82,21 @@ object ImportCli {
     // cached schedules' S2 blocks (no caller ever sees the cache handle)
     new graft.serving.MonitorServer(spark,
       () => schedules.newest().map(_._2),
-      () => spark.read.parquet(
-        if (Directory.tableHasData(spark, streamDir)) streamDir else batchDir),
-      port = port, docRoot = docRoot) {
+      // the stream table serves through the resolved LWW view, fresh per
+      // request: un-compacted delta appends are visible, pre-compaction
+      // duplicates are not. The version tie-break uses the name current AT
+      // THE PROVIDER CALL; a request whose pinned schedule differs (swap
+      // landing mid-request) could break a same-second backfill tie the
+      // other way for that one page — self-correcting on the next request,
+      // same exposure as the reference's monitor reading MySQL mid-swap.
+      // The batch pass's dump is a plain overwrite (no refresh_seq, no LWW
+      // layout) and reads raw, as before.
+      () => if (graft.gtfs.LwwTable.hasData(spark, streamDir))
+              graft.gtfs.PredictionsTable.read(spark, streamDir,
+                schedules.newest().map(_._1))
+            else spark.read.parquet(batchDir),
+      port = port, docRoot = docRoot,
+      dataRoots = Seq(s"$baseDir/schedule", streamDir, batchDir)) {
       override def stop(): Unit = { super.stop(); schedules.close() }
     }
   }

@@ -458,7 +458,9 @@ object ScaleRehearsal {
             ckpt3, sc2, dc2, automatic = false, maxFilesPerTrigger = filesPerTrigger)
           qh3 = q
           q.awaitTermination()
-          spark.read.parquet(predsDir).count()
+          // the resolved LWW view: the run ends with micro-batches in the
+          // delta tree (compaction is the idle branch's job)
+          graft.gtfs.PredictionsTable.read(spark, predsDir).count()
         }
         batchReport("stream_refresh", qh3)
         sc2.unpersist(); dc2.unpersist()
@@ -508,7 +510,8 @@ object ScaleRehearsal {
                 f"batch wall median=${walls.sorted.apply(walls.size / 2)}%.1fs " +
                 f"max=${walls.max}%.1fs" else ""))
             println(f"[scale] automatic predictions: rows=${
-              spark.read.parquet(predDir).count()} hwm=${auto.highWaterMark}")
+              graft.gtfs.PredictionsTable.read(spark, predDir).count()
+            } hwm=${auto.highWaterMark}")
 
             // phase 2: sustained rt backlog → zero backfill decisions.
             // Generate the feed BEFORE stamping tDrop: genFeed's protobuf
@@ -553,7 +556,7 @@ object ScaleRehearsal {
             println(f"[scale] automatic busy phase: files=$files " +
               f"drain=${(tDrain - tDrop) / 1e9}%.1fs " +
               f"backfill_decisions_during_backlog=$during " +
-              f"records=${spark.read.parquet(recDir).count()}")
+              f"records=${graft.gtfs.RecordsTable.read(spark, recDir).count()}")
 
             // phase 3: stream idle again + open buffer → backfill resumes
             clock.addAndGet(86400L) // another day of buffer room
@@ -596,10 +599,16 @@ object ScaleRehearsal {
         cache.newest().foreach(_._2.stopTimes.count()) // first load, plans materialized
         val loadMs = (System.nanoTime() - tLoad0) / 1e6
         val probeMs = timeN(200)(cache.newest()) // fingerprint hit: probe only
-        // the server-side TTL memo: no filesystem call at all
-        val memo = new java.util.concurrent.atomic.AtomicReference(
-          cache.newest().map(_._2).orNull)
-        val memoMs = timeN(10000)(assert(memo.get() != null))
+        // the server-side TTL memo, timed on the REAL served path
+        // (MonitorServer.resolveSchedule: nanoTime + TTL compare + memo
+        // read), not a bare atomic-read proxy; the TTL is pinned long so
+        // every timed call stays inside it
+        val srv = new graft.serving.MonitorServer(spark,
+          () => cache.newest().map(_._2), () => null,
+          scheduleTtlMs = 3600L * 1000L)
+        srv.resolveSchedule() // populate the memo
+        val memoMs = timeN(10000)(assert(srv.resolveSchedule() != null))
+        srv.stop()
         // invalidation: touch one file -> next probe fingerprints + reloads lazily
         val stops1 = v1.resolve("stops.txt")
         Files.setLastModifiedTime(stops1,
@@ -662,7 +671,11 @@ object ScaleRehearsal {
           while (!ok && System.nanoTime() < dl) { Thread.sleep(500); ok = soft }
           ok
         }
-        def schedOriginRows(name: String) = spark.read.parquet(predDir)
+        // RAW base ∪ delta: phases 3/5 assert rows are PHYSICALLY retired,
+        // and a stale row lingering un-compacted in the delta tree must
+        // fail the check, not hide behind the resolved view
+        def schedOriginRows(name: String) =
+          graft.gtfs.LwwTable.readRaw(spark, predDir)
           .filter(col("origin_type") === graft.gtfs.Codes.OriginSchedule
             && col("schedule_file_name") === name)
         val tripStartTs = unix_timestamp(graft.gtfs.GtfsTime.dateAndTime(
@@ -680,7 +693,7 @@ object ScaleRehearsal {
             // phase 1 (busy, v1 era): a dated rt backlog through the as-of path
             val t1 = System.nanoTime()
             copyDated(genFeed("soak_v1", stops * 3 / 5), "2024-01-15")
-            require(awaitSoft(900)(spark.read.parquet(recDir)
+            require(awaitSoft(900)(graft.gtfs.LwwTable.readRaw(spark, recDir)
               .filter(col("schedule_file_name") === "2024-01-01").count() > 0),
               "soak: v1-era records carry the v1 version name")
             println(f"[scale] soak phase1 (busy v1): first records " +
@@ -723,7 +736,7 @@ object ScaleRehearsal {
             val t4 = System.nanoTime()
             copyDated(genFeed("soak_v2", stops * 3 / 5,
               _ => "20240117"), "2024-01-17")
-            require(awaitSoft(900)(spark.read.parquet(recDir)
+            require(awaitSoft(900)(graft.gtfs.LwwTable.readRaw(spark, recDir)
               .filter(col("trip_start_date") === "2024-01-17"
                 && col("schedule_file_name") === "2024-01-16").count() > 0),
               "soak: post-drop rt files join the NEW version")
@@ -754,7 +767,8 @@ object ScaleRehearsal {
               "soak: no stale v1 rows past the swap")
             println(f"[scale] soak phase5 (cleanup): partitions=$nParts " +
               f"(all >= $cutoffDay) wall=${(System.nanoTime() - t5) / 1e9}%.1fs")
-            spark.read.parquet(predDir).count()
+            graft.gtfs.PredictionsTable.read(spark, predDir,
+              Some("2024-01-16")).count()
           } finally auto.stop()
         }
         val tRecS = System.nanoTime()

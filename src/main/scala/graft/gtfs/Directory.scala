@@ -15,15 +15,14 @@ object Directory {
 
   private val DateRe = raw"(\d{4})-(\d{2})-(\d{2})".r // X1, src/main.rs:101-121
 
-  /** Everything after the last '/': date parsing over a PATH must only see
-    * the entry's own name — a dated ANCESTOR directory (a dated baseDir)
-    * would otherwise date every child, including undated ones like
-    * `current`, which could then tie with (and out-sort) the real dated
-    * entries. */
   /** Everything after the last '/': the reference's `short_filename`
-    * (importer/mod.rs:493). Shared by the date parsers here and
-    * [[ScheduleCache.shortName]] so the date-parsing and the
-    * `schedule_file_name` stamping can never diverge. */
+    * (importer/mod.rs:493). Date parsing over a PATH must only see the
+    * entry's own name — a dated ANCESTOR directory (a dated baseDir) would
+    * otherwise date every child, including undated ones like `current`,
+    * which could then tie with (and out-sort) the real dated entries.
+    * Shared by the date parsers here and [[ScheduleCache.shortName]] so the
+    * date-parsing and the `schedule_file_name` stamping can never
+    * diverge. */
   private[gtfs] def baseName(p: String): String =
     p.substring(p.lastIndexOf('/') + 1)
 
@@ -207,23 +206,29 @@ object Directory {
       maxTripStartSecs: Long = 48 * 3600L): Seq[String] = {
     val cutoff = nowEpochSecs - 12 * 3600
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(s"$predictionsDir/source=$source")
-    val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
-      val name = st.getPath.getName
-      val value = name.stripPrefix("trip_start_date=")
-      if (value == name) None // not a date partition directory
-      else
-        try {
-          val dayEpoch = java.time.LocalDate.parse(value).toEpochDay * 86400L
-          if (dayEpoch + maxTripStartSecs < cutoff) {
-            fs.delete(st.getPath, true)
-            Some(st.getPath.toString)
-          } else None
-        } catch { // __HIVE_DEFAULT_PARTITION__ and friends: keep
-          case _: java.time.format.DateTimeParseException => None
-        }
+    // BOTH trees of the LWW layout: an outdated date directory under
+    // `_delta/` is just as dead as its base twin, and leaving it would
+    // resurrect the partition at the next compaction
+    Seq(s"$predictionsDir/source=$source",
+        s"${LwwTable.deltaDir(predictionsDir)}/source=$source").flatMap { r =>
+      val root = new org.apache.hadoop.fs.Path(r)
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+        val name = st.getPath.getName
+        val value = name.stripPrefix("trip_start_date=")
+        if (value == name) None // not a date partition directory
+        else
+          try {
+            val dayEpoch = java.time.LocalDate.parse(value).toEpochDay * 86400L
+            if (dayEpoch + maxTripStartSecs < cutoff) {
+              fs.delete(st.getPath, true)
+              Some(st.getPath.toString)
+            } else None
+          } catch { // __HIVE_DEFAULT_PARTITION__ and friends: keep
+            case _: java.time.format.DateTimeParseException => None
+          }
+      }
     }
   }
 
@@ -248,6 +253,13 @@ object Directory {
     * count. Callers in the automatic mode hold the predictions gate. */
   def deleteStaleSchedulePredictions(spark: SparkSession, predictionsDir: String,
       source: String, currentScheduleName: String, endEpochSecs: Long): Long = {
+    // fold the delta tree FIRST: stale rows appended by pre-swap backfill
+    // batches may still sit under `_delta/`, which the partition rewrite
+    // below (base-only by design) would otherwise miss — and after the fold
+    // the whole probe-and-rewrite runs on one tree, exactly as before the
+    // LSM layout. Callers hold the predictions gate, so no append races the
+    // fold. Steady state (idle branch just compacted) is one listing miss.
+    PredictionsTable.compact(spark, predictionsDir, Some(currentScheduleName))
     if (!tableHasData(spark, predictionsDir)) return 0L
     val startTs = unix_timestamp(
       GtfsTime.dateAndTime(col("trip_start_date"), col("trip_start_time")))

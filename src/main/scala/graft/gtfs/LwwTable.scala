@@ -1,0 +1,271 @@
+package graft.gtfs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LSM-shaped keyed parquet table: O(batch) delta appends, read-time
+  * last-writer-wins resolution, and explicit compaction.
+  *
+  * The reference upserts each micro-batch into MySQL in O(batch)
+  * (batched_statements.rs:59-107). The engine-internal parquet store used to
+  * mirror that with a read-merge-overwrite of every touched
+  * `(source, trip_start_date)` partition per 5 s trigger — O(accumulated
+  * partition) per trigger, which dies at national-feed density where the
+  * day's partition keeps growing under the trigger. This layout restores the
+  * reference's per-flush cost:
+  *
+  *  - '''append''' writes the batch (deduped within itself) under
+  *    `<table>/_delta/`, partitioned like the base — O(batch) work, no read
+  *    of existing data;
+  *  - '''read''' resolves base ∪ delta through the W2 `row_number` window
+  *    (the same LWW the write-time merge used), so readers never see a
+  *    pre-compaction duplicate;
+  *  - '''compact''' folds the delta files into the base partitions with one
+  *    read-merge-overwrite and deletes exactly the delta files it read —
+  *    run from the automatic mode's idle branch (gate-serialized with the
+  *    writers) and as a size-triggered backstop when the stream never idles.
+  *
+  * The `_delta` subtree is hidden from `spark.read.parquet(<table>)` (Spark
+  * ignores `_`-prefixed paths), so maintenance rewrites that target only the
+  * compacted base (legacy-tier normalization, stale-version deletes after
+  * their compact-first step) keep working on the base read unchanged.
+  *
+  * Crash safety: a failure between the compaction's base overwrite and its
+  * delta-file delete leaves the folded rows in BOTH trees; they tie on the
+  * LWW ordering with identical values, so resolution returns the same rows
+  * and the next compaction folds + deletes them again — idempotent, like a
+  * replayed upsert. The ordering passed to `compact` must be the SAME one
+  * readers use (for predictions that includes the current-version
+  * tie-break), or a collapsed tie could disagree with the read-time pick.
+  */
+object LwwTable {
+
+  /** The partition layout every LWW table shares; the leading key columns. */
+  val PartCols: Seq[String] = Seq("source", "trip_start_date")
+
+  def deltaDir(tableDir: String): String = s"$tableDir/_delta"
+
+  /** True when base OR delta holds at least one data file (the delta-aware
+    * [[Directory.tableHasData]]). */
+  def hasData(spark: SparkSession, tableDir: String): Boolean =
+    Directory.tableHasData(spark, tableDir) ||
+      Directory.tableHasData(spark, deltaDir(tableDir))
+
+  /** O(batch) delta append: dedup the batch within itself per `keyCols`
+    * (keeping the greatest `newestBy` — the same in-batch W2 the old merge
+    * applied), repartition to ONE file per touched partition, and append
+    * under `_delta/`. Never reads existing data. */
+  def append(batch: DataFrame, tableDir: String, keyCols: Seq[String],
+             newestBy: Column): Unit = {
+    if (batch.isEmpty) return
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(newestBy.desc)
+    batch
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+      // one file per (source, date) per append — delta file count grows with
+      // TRIGGERS, not with (triggers × shuffle partitions); micro-batches
+      // are bounded by maxFilesPerTrigger, so the single writer task per
+      // partition is never the bottleneck
+      .repartition(PartCols.map(col): _*)
+      .write.mode("append").partitionBy(PartCols: _*)
+      .parquet(deltaDir(tableDir))
+  }
+
+  /** The W2 read-time resolution: newest row per `keyCols` by `newestBy`.
+    * Exactly the window the write-time merge used, applied lazily — callers
+    * narrow (partition-prune, semi-join) BEFORE resolving where possible,
+    * since the filter columns are key columns and dedup commutes with them. */
+  def resolve(df: DataFrame, keyCols: Seq[String], newestBy: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(newestBy.desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Pins the partition columns to the layout's declared types. Partition
+    * TYPE INFERENCE reads them back from the directory names, so a tree
+    * whose only date partition is `__HIVE_DEFAULT_PARTITION__` (all-null
+    * dates) infers VOID — which a later `partitionBy` write rejects and a
+    * union against the other (typed) tree would poison. Casting is a no-op
+    * when inference already agreed. */
+  private def normalizePartCols(df: DataFrame): DataFrame = df
+    .withColumn("source", col("source").cast("string"))
+    .withColumn("trip_start_date", col("trip_start_date").cast("date"))
+
+  /** base ∪ delta WITHOUT the LWW dedup — for aggregates that are
+    * dedup-invariant (`max(refresh_seq)`, the high-water-mark max: an LWW
+    * loser shares its key — and thus its trip start — with its winner) and
+    * as the input to caller-narrowed [[resolve]] calls. Reading a table with
+    * data in neither tree surfaces the usual `spark.read.parquet` error —
+    * callers guard with [[hasData]] exactly as they guarded with
+    * `tableHasData` before. */
+  def readRaw(spark: SparkSession, tableDir: String): DataFrame = {
+    val dDir = deltaDir(tableDir)
+    val baseHas = Directory.tableHasData(spark, tableDir)
+    val deltaHas = Directory.tableHasData(spark, dDir)
+    if (baseHas && deltaHas)
+      normalizePartCols(spark.read.parquet(tableDir))
+        .unionByName(normalizePartCols(spark.read.parquet(dDir)))
+    else if (deltaHas) normalizePartCols(spark.read.parquet(dDir))
+    else normalizePartCols(spark.read.parquet(tableDir))
+  }
+
+  /** The resolved table: base ∪ delta, newest row per key. */
+  def read(spark: SparkSession, tableDir: String, keyCols: Seq[String],
+           newestBy: Column): DataFrame =
+    resolve(readRaw(spark, tableDir), keyCols, newestBy)
+
+  /** Visible data files under the delta tree (driver-side walk, skipping
+    * hidden `_`/`.` entries — an in-flight append's `.spark-staging` tree or
+    * `_SUCCESS` markers are not data). */
+  private def listDeltaFiles(spark: SparkSession,
+      tableDir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(deltaDir(tableDir))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+      val n = p.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    def walk(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        if (!visible(st.getPath)) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st.getPath)
+      }
+    walk(root)
+  }
+
+  /** Number of data files currently in the delta tree — the size-trigger
+    * probe (one bounded listing; steady state after an idle-branch
+    * compaction is a single `exists` miss). */
+  def deltaFileCount(spark: SparkSession, tableDir: String): Int =
+    listDeltaFiles(spark, tableDir).size
+
+  /** Folds the current delta files into the base: reads base rows of the
+    * partitions the delta touches, unions the PINNED delta file list,
+    * resolves the LWW, dynamically overwrites those base partitions, then
+    * deletes exactly the delta files it read (an append racing the
+    * compaction — none exists under the write gate, but the contract holds
+    * regardless — keeps its files for the next fold). Returns the number of
+    * delta files folded (0 = nothing to do). Callers must hold the table's
+    * write gate; `newestBy` must match the readers' ordering (class doc). */
+  def compact(spark: SparkSession, tableDir: String, keyCols: Seq[String],
+              newestBy: Column): Int = {
+    val files = listDeltaFiles(spark, tableDir)
+    if (files.isEmpty) return 0
+    val dDir = deltaDir(tableDir)
+    val delta = normalizePartCols(spark.read.option("basePath", dDir)
+      .parquet(files.map(_.toString): _*))
+    // partition values via the file index (no data read), null-date safe
+    val touched = delta.select(PartCols.map(col): _*).distinct().collect()
+    val unioned =
+      if (!Directory.tableHasData(spark, tableDir)) delta
+      else {
+        val cond = touched.map(r =>
+            col("source") === lit(r.getString(0))
+              && col("trip_start_date") <=> lit(r.getDate(1)))
+          .reduce(_ || _)
+        normalizePartCols(spark.read.parquet(tableDir)).filter(cond)
+          .unionByName(delta)
+      }
+    // materialize + truncate lineage so the overwrite below does not read
+    // from the paths it replaces (same discipline as every other
+    // read-merge-overwrite in the engine)
+    val merged = resolve(unioned, keyCols, newestBy).localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(PartCols: _*).parquet(tableDir)
+    val fs = new org.apache.hadoop.fs.Path(dDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    files.foreach(f => fs.delete(f, false))
+    // best-effort prune of now-empty delta partition directories (delete
+    // refuses non-empty dirs with recursive=false, so a racing append's
+    // fresh file is safe)
+    try {
+      val root = new org.apache.hadoop.fs.Path(dDir)
+      if (fs.exists(root))
+        fs.listStatus(root).foreach { src =>
+          if (src.isDirectory) {
+            fs.listStatus(src.getPath).foreach { d =>
+              if (d.isDirectory && fs.listStatus(d.getPath).isEmpty)
+                fs.delete(d.getPath, false)
+            }
+            if (fs.listStatus(src.getPath).isEmpty)
+              fs.delete(src.getPath, false)
+          }
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    files.size
+  }
+
+  /** [[compact]] only when the delta has grown past `maxDeltaFiles` — the
+    * size-triggered backstop for deployments whose stream never goes idle
+    * (the idle branch is the primary compaction site). Amortized cost per
+    * trigger is O(touched partitions / maxDeltaFiles); every other trigger
+    * pays one listing. */
+  def compactIfOversized(spark: SparkSession, tableDir: String,
+      keyCols: Seq[String], newestBy: Column,
+      maxDeltaFiles: Int = DefaultMaxDeltaFiles): Boolean =
+    if (deltaFileCount(spark, tableDir) < maxDeltaFiles) false
+    else { compact(spark, tableDir, keyCols, newestBy); true }
+
+  /** Size-trigger default: at one delta file per partition per trigger, 64
+    * files ≈ 5 minutes of a 5 s single-partition feed — the worst-case read
+    * amplification before the backstop fires when the stream never idles. */
+  val DefaultMaxDeltaFiles: Int = 64
+}
+
+/** The records table's key and LWW ordering (W2: newest recording wins) —
+  * one definition shared by the streaming upsert, the refresh read-back,
+  * the monitor's provider and the verification queries. */
+object RecordsTable {
+
+  /** The reference's records upsert key (batched_statements.rs WHERE
+    * clause): partition cols first, then vehicle + stop. */
+  val KeyCols: Seq[String] = Seq("source", "route_id", "route_variant",
+    "trip_id", "trip_start_date", "trip_start_time", "stop_sequence")
+
+  def ordering: Column = col("time_of_recording")
+
+  def append(batch: DataFrame, tableDir: String): Unit =
+    LwwTable.append(batch, tableDir, KeyCols, ordering)
+
+  def read(spark: SparkSession, tableDir: String): DataFrame =
+    LwwTable.read(spark, tableDir, KeyCols, ordering)
+
+  def compact(spark: SparkSession, tableDir: String): Int =
+    LwwTable.compact(spark, tableDir, KeyCols, ordering)
+}
+
+/** The predictions table's key and tiered LWW ordering — shared by the
+  * realtime refresh, the idle backfill, the stale-version delete's
+  * compact-first step and the monitor's provider. */
+object PredictionsTable {
+
+  /** The reference's `predictions` WHERE clause (importer/mod.rs:560-578;
+    * route_id is functionally determined by trip_id and stays a value
+    * column). */
+  val KeyCols: Seq[String] = Seq("source", "trip_id", "trip_start_date",
+    "trip_start_time", "stop_sequence", "event_type")
+
+  /** Tiered LWW ordering: `refresh_seq` first (realtime batch ids ≥ 0 beat
+    * the negative clock-monotonic backfill tier), then — for same-second
+    * backfill ties across a schedule swap — prefer rows stamped with the
+    * CURRENT schedule version, so the stale-version delete can never remove
+    * the row that won the tie. With no current version known the second
+    * field is constant and the ordering degrades to plain `refresh_seq`. */
+  def ordering(currentScheduleName: Option[String]): Column =
+    struct(col("refresh_seq"),
+      currentScheduleName.fold(lit(0).as("is_current_version"))(n =>
+        coalesce((col("schedule_file_name") === lit(n)).cast("int"), lit(0))
+          .as("is_current_version")))
+
+  def read(spark: SparkSession, tableDir: String,
+           currentScheduleName: Option[String] = None): DataFrame =
+    LwwTable.read(spark, tableDir, KeyCols, ordering(currentScheduleName))
+
+  def compact(spark: SparkSession, tableDir: String,
+              currentScheduleName: Option[String] = None): Int =
+    LwwTable.compact(spark, tableDir, KeyCols, ordering(currentScheduleName))
+}

@@ -192,7 +192,9 @@ object GtfsPack extends QueryPack {
       // materialize the bounded fixture table on the driver so the temp
       // records/checkpoint dirs can be deleted — repeated bench/verify runs
       // must not accumulate stream state on the (RAM-backed) scratch space
-      val out = asEpochSecs(s.read.parquet(recordsDir))
+      // the resolved LWW view (base ∪ delta, newest per key): the
+      // AvailableNow run ends with its micro-batches in the delta tree
+      val out = asEpochSecs(graft.gtfs.RecordsTable.read(s, recordsDir))
         .orderBy("source", "trip_start_date", "trip_id", "trip_start_time",
           "stop_sequence")
       val schema = out.schema

@@ -70,7 +70,8 @@ class MonitorServer(spark: SparkSession,
                     scheduleProvider: () => Option[GtfsSchedule],
                     predictionsProvider: () => DataFrame, port: Int = 0,
                     docRoot: Option[String] = None,
-                    scheduleTtlMs: Long = 5000L) {
+                    scheduleTtlMs: Long = 5000L,
+                    dataRoots: Seq[String] = Seq.empty) {
 
   /** Compat/test surface: PINS `schedule` AND the predictions DataFrame
     * (its file-index snapshot included) for the server's lifetime — a GTFS
@@ -118,12 +119,23 @@ class MonitorServer(spark: SparkSession,
     }
   }
 
-  private def resolveSchedule(): GtfsSchedule = {
+  // set once the boot-order notice has been printed, cleared by the first
+  // successful resolution (which logs the flip) — so an operator can tell
+  // "started before the first schedule version" from a real fault without
+  // grepping per-request 500s
+  private val noScheduleNoticed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** `private[graft]` so the scale rehearsal can time the REAL served
+    * steady-state path (TTL check + memo read), not a proxy. */
+  private[graft] def resolveSchedule(): GtfsSchedule = {
     val now = System.nanoTime()
     val c = current.get()
     if (c != null && now - c._1 < scheduleTtlMs * 1000000L) c._2
     else scheduleProvider() match {
       case Some(s) =>
+        if (noScheduleNoticed.compareAndSet(true, false))
+          System.err.println(
+            "[monitor] first schedule version resolved; dynamic pages are live")
         // CAS, not set: a slow resolution racing a concurrent one must not
         // clobber the other thread's (possibly newer) schedule with a fresh
         // stamp — on a lost race this request still serves what it resolved
@@ -133,8 +145,16 @@ class MonitorServer(spark: SparkSession,
         // the stamp stale so the very next request re-probes (recovery is
         // not delayed by the TTL)
         c._2
-      case None => throw new IllegalStateException(
-        "no schedule version available to serve")
+      case None =>
+        // parity with the reference's monitor, which cannot start without a
+        // schedule (its own TODO at monitor/mod.rs:127-129) — but say so
+        // ONCE instead of only throwing per request
+        if (noScheduleNoticed.compareAndSet(false, true))
+          System.err.println("[monitor] no schedule version available yet; " +
+            "dynamic pages render the 500 page until the first version lands " +
+            "(static assets and the search page serve regardless)")
+        throw new IllegalStateException(
+          "no schedule version available to serve")
     }
   }
 
@@ -147,7 +167,16 @@ class MonitorServer(spark: SparkSession,
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.setExecutor(pool)
 
-  def start(): Int = { server.start(); server.getAddress.getPort }
+  def start(): Int = {
+    server.start()
+    // boot-order notice: a monitor started BEFORE any schedule version
+    // exists serves statics but 500s dynamic pages — probe once (one
+    // provider listing) so the log says which situation this is
+    try resolveSchedule()
+    catch { case scala.util.control.NonFatal(_) => () } // per-request paths re-probe
+
+    server.getAddress.getPort
+  }
   def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private def handle(ex: HttpExchange): Unit =
@@ -163,7 +192,7 @@ class MonitorServer(spark: SparkSession,
       // a schedule-side race inside the TTL would re-resolve the identical
       // stale schedule and the retry could never succeed
       pinnedForRequest.remove(); pinnedPredictions.remove(); current.set(null)
-    })(route(ex))
+    }, dataRoots = dataRoots)(route(ex))
     catch {
       case e: Exception =>
         // best-effort: if the failed attempt already sent headers (client
@@ -570,13 +599,33 @@ object MonitorServer {
   /** A read that raced a concurrent dynamic partition overwrite: the swap
     * deletes listed files between plan and scan. Deliberately NARROW —
     * anything else (bad descriptor, missing trip, a genuinely broken table)
-    * must surface on the first attempt. */
-  private[serving] def transientReadRace(e: Throwable): Boolean = e match {
-    case se: org.apache.spark.SparkException =>
-      val m = Option(se.getMessage).getOrElse("")
-      m.contains("FAILED_READ_FILE") || transientReadRace(Option(se.getCause).orNull)
-    case _: java.io.FileNotFoundException => true
-    case _ => false
+    * must surface on the first attempt. With `dataRoots` given, the failure
+    * must additionally name a path under one of them (the schedule tree and
+    * the predictions/records tables — the only paths a live importer
+    * rewrites), mirroring `StreamingImport.scheduleReadRace`: a permanently
+    * missing file elsewhere must not pay the retry sleep + re-render on
+    * every request before its 500. An empty `dataRoots` (providers are
+    * opaque closures; the caller did not say where they read) keeps the
+    * unscoped match. */
+  private[serving] def transientReadRace(e: Throwable,
+      dataRoots: Seq[String] = Seq.empty): Boolean = {
+    val rootPaths = dataRoots.map(r =>
+      new org.apache.hadoop.fs.Path(r).toUri.getPath)
+    def underRoots(m: String): Boolean =
+      rootPaths.isEmpty || rootPaths.exists(m.contains)
+    def walk(t: Throwable, depth: Int): Boolean = t match {
+      case null => false
+      case _ if depth >= 16 => false
+      case se: org.apache.spark.SparkException =>
+        val m = Option(se.getMessage).getOrElse("")
+        (m.contains("FAILED_READ_FILE") && underRoots(m)) ||
+          walk(se.getCause, depth + 1)
+      case fnf: java.io.FileNotFoundException =>
+        underRoots(Option(fnf.getMessage).getOrElse("")) ||
+          walk(fnf.getCause, depth + 1)
+      case _ => false
+    }
+    walk(e, 0)
   }
 
   /** Runs `body`; on ONE transient read race (see [[transientReadRace]])
@@ -585,10 +634,11 @@ object MonitorServer {
     * resolves fresh frames), and re-runs `body` once. A second race — or
     * any other failure — propagates. */
   private[serving] def withReadRetry[T](retryDelayMs: Long = 300L,
-      onRetry: () => Unit = () => ())(body: => T): T =
+      onRetry: () => Unit = () => (),
+      dataRoots: Seq[String] = Seq.empty)(body: => T): T =
     try body
     catch {
-      case e if transientReadRace(e) =>
+      case e if transientReadRace(e, dataRoots) =>
         Thread.sleep(retryDelayMs)
         onRetry()
         body

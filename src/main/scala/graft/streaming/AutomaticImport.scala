@@ -78,7 +78,7 @@ final class AutomaticImport private (
     val query: StreamingQuery,
     spark: SparkSession,
     scheduleProvider: () => Option[(String, GtfsSchedule)], source: String,
-    predictionsDir: String,
+    recordsDir: String, predictionsDir: String,
     curves: () => (Dataset[SpecificCurveRow], Dataset[DefaultCurveRow]),
     nowEpochSecs: () => Long, idlePollMs: Long, idleConfirmMs: Long,
     bufferFullBackoffSecs: Long, performCleanup: Boolean,
@@ -237,6 +237,17 @@ final class AutomaticImport private (
               if (performCleanup)
                 Directory.cleanupOutdatedPredictionsTable(
                   spark, predictionsDir, source, now)
+              // fold the LWW delta trees while the stream is idle — the
+              // PRIMARY compaction site (gate-held, so no writer races the
+              // fold); the size-triggered backstop inside upsertTable
+              // covers deployments whose stream never idles. Steady state
+              // (nothing appended since the last fold) is one listing miss
+              // per table. Predictions use the version tie-break when a
+              // version is known; before the first resolution the table
+              // holds only realtime rows, whose seqs never tie.
+              RecordsTable.compact(spark, recordsDir)
+              PredictionsTable.compact(spark, predictionsDir,
+                Option(scheduleName.get()))
             } catch {
               case e: InterruptedException => throw e
               case NonFatal(e) =>
@@ -296,9 +307,7 @@ object AutomaticImport {
     * row then simply loses the merge). Realtime rows are unaffected: their
     * seqs are ≥ 0 and decide on the first field. */
   def backfillOrdering(currentScheduleName: String): org.apache.spark.sql.Column =
-    struct(col("refresh_seq"),
-      coalesce((col("schedule_file_name") === lit(currentScheduleName))
-        .cast("int"), lit(0)).as("is_current_version"))
+    PredictionsTable.ordering(Some(currentScheduleName))
 
   /** One-time upgrade rewrite (before this run's first backfill batch):
     * rows written by builds whose backfill tier was the CONSTANT −1
@@ -314,6 +323,10 @@ object AutomaticImport {
     * probe. Returns the rewritten row count. Caller holds the gate. */
   def normalizeLegacyBackfillSeq(spark: SparkSession, predictionsDir: String,
       source: String): Long = {
+    // BASE tree only, by construction: legacy rows come from builds that
+    // predate the delta layout (everything they wrote is compacted base),
+    // and every delta append is new-tier — so the `_delta` tree can be
+    // ignored and the partition rewrite below cannot race it
     if (!Directory.tableHasData(spark, predictionsDir)) return 0L
     val legacy = col("origin_type") === Codes.OriginSchedule &&
       col("source") === lit(source) && col("refresh_seq") === lit(BackfillSeq)
@@ -360,11 +373,14 @@ object AutomaticImport {
     // tableHasData, not exists: --cleanup can delete every date partition
     // (expired calendar + days-quiet feed), and a metadata-only root must
     // read as "no marks stored", not crash schema inference at startup
-    if (!Directory.tableHasData(spark, predictionsDir)) 0L
+    if (!LwwTable.hasData(spark, predictionsDir)) 0L
     else {
-      // source is a partition column: the filter prunes the scan to this
-      // source's directories before any data is read
-      val scoped = spark.read.parquet(predictionsDir)
+      // source is a partition column: the filter prunes the scan (base AND
+      // delta trees) to this source's directories before any data is read.
+      // RAW union, no LWW resolution: the mark is a MAX over trip starts,
+      // and an LWW loser shares its key — and thus its trip start — with
+      // its winner, so the unresolved max equals the resolved one
+      val scoped = LwwTable.readRaw(spark, predictionsDir)
         .filter(col("origin_type") === Codes.OriginSchedule
           && col("source") === lit(source))
       val r = scheduleFileName.fold(scoped)(n =>
@@ -415,7 +431,8 @@ object AutomaticImport {
       automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
       triggerInterval = triggerInterval, gate = Some(gate))
     orStopQuery(query)(new AutomaticImport(query, spark,
-      () => Some((source + "_schedule", schedule)), source, predictionsDir,
+      () => Some((source + "_schedule", schedule)), source, recordsDir,
+      predictionsDir,
       () => (specific, defaults), nowEpochSecs, idlePollMs, idleConfirmMs,
       bufferFullBackoffSecs, performCleanup, gate))
   }
@@ -445,7 +462,8 @@ object AutomaticImport {
       automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
       triggerInterval = triggerInterval, gate = Some(gate))
     orStopQuery(query)(new AutomaticImport(query, spark,
-      () => Some((source + "_schedule", schedule)), source, predictionsDir,
+      () => Some((source + "_schedule", schedule)), source, recordsDir,
+      predictionsDir,
       () => (CurveStore.loadSpecific(spark, specificDir),
         CurveStore.loadDefault(spark, defaultDir)),
       nowEpochSecs, idlePollMs, idleConfirmMs, bufferFullBackoffSecs,
@@ -488,7 +506,7 @@ object AutomaticImport {
       // the iteration with a logged warning (the decode path degrades the
       // same way) instead of failing it, and recovers when the tree returns
       () => schedules.newest(),
-      source, predictionsDir,
+      source, recordsDir, predictionsDir,
       () => (CurveStore.loadSpecific(spark, specificDir),
         CurveStore.loadDefault(spark, defaultDir)),
       nowEpochSecs, idlePollMs, idleConfirmMs, bufferFullBackoffSecs,

@@ -231,69 +231,34 @@ object StreamingImport {
       }
     }
 
-  /** Idempotent last-writer-wins merge of a micro-batch into a parquet
+  /** Idempotent last-writer-wins upsert of a micro-batch into the parquet
     * records table (the engine-internal variant of the reference's
-    * UPDATE-then-INSERT-IGNORE upsert, batched_statements.rs:59-107).
-    *
-    * Scale shape: the table is partitioned by `(source, trip_start_date)` and
-    * the merge touches ONLY the partitions the batch writes to — per-batch
-    * work is O(batch ∪ touched partitions), never O(table). The partition key
-    * is part of the upsert key (NOT the recording time), so every update for
-    * a vehicle lands in the same partition and cross-partition duplicates are
-    * impossible. Dynamic partition overwrite replaces just those directories —
-    * no whole-table rewrite, no delete+rename swap, no reader-visible race. */
+    * UPDATE-then-INSERT-IGNORE upsert, batched_statements.rs:59-107). */
   def upsertBatch(batch: DataFrame, targetDir: String): Unit =
     upsertTable(batch, targetDir,
-      keyCols = Seq("source", "route_id", "route_variant", "trip_id",
-        "trip_start_date", "trip_start_time", "stop_sequence"),
-      newestBy = col("time_of_recording"))
+      keyCols = graft.gtfs.RecordsTable.KeyCols,
+      newestBy = graft.gtfs.RecordsTable.ordering)
 
-  /** Generalized partition-scoped keyed upsert: merge `batch` into the
-    * parquet table at `targetDir` (partitioned by `(source,
-    * trip_start_date)`), keeping per `keyCols` the row with the greatest
-    * `newestBy`. Used for the records table (recording-time LWW) and the
-    * predictions table (refresh-sequence LWW). */
+  /** Generalized keyed upsert into an [[graft.gtfs.LwwTable]]: O(batch) per
+    * call, matching the reference's per-flush MySQL cost
+    * (batched_statements.rs:59-107) — the batch is deduped within itself and
+    * APPENDED under the table's `_delta/` tree; the cross-batch W2 merge
+    * moves to read time ([[graft.gtfs.LwwTable.resolve]]), and the delta is
+    * folded into the base by the automatic mode's idle branch (or the
+    * size-triggered backstop here, for deployments whose stream never
+    * idles). The previous shape — read-merge-overwrite of every touched
+    * `(source, trip_start_date)` partition per trigger — was O(accumulated
+    * partition) per 5 s trigger: fine at rehearsal density, fatal at 100×
+    * where the day's partition keeps growing under the trigger.
+    *
+    * Replay-idempotent exactly like before: a retried batch appends the same
+    * keys with the same `newestBy` values, and resolution collapses the
+    * duplicates to the identical row. */
   def upsertTable(batch: DataFrame, targetDir: String, keyCols: Seq[String],
                   newestBy: org.apache.spark.sql.Column): Unit = {
     val spark = batch.sparkSession
-    val partCols = Seq("source", "trip_start_date")
-    val touched = batch.select(partCols.map(col): _*).distinct().collect()
-    if (touched.isEmpty) return
-
-    // read only the touched partitions (partition pruning on the scan); a
-    // missing table OR a data-less root (partition-level cleanup can delete
-    // every date directory, leaving only _SUCCESS — Directory.tableHasData)
-    // are the tolerated "empty" states — corruption still surfaces.
-    // NULL-SAFE equality on the date: TripDescriptor.start_date is optional,
-    // and `=== lit(null)` never matches — a plain equality would exclude the
-    // stored null-date rows from the merge while the dynamic overwrite still
-    // replaces their partition directory, silently erasing them
-    val existing =
-      if (!Directory.tableHasData(spark, targetDir)) None
-      else {
-        val cond = touched.map(r =>
-            col("source") === lit(r.getString(0))
-              && col("trip_start_date") <=> lit(r.getDate(1)))
-          .reduce(_ || _)
-        Some(spark.read.parquet(targetDir).filter(cond))
-      }
-
-    val unioned = existing.map(_.unionByName(batch)).getOrElse(batch)
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(newestBy.desc)
-    val merged = unioned
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-      // materialize + truncate lineage so the overwrite below does not read
-      // from the path it replaces
-      .localCheckpoint(true)
-
-    // per-WRITE dynamic overwrite (DataFrameWriter option), NOT the session
-    // conf: mutating the global conf races concurrent upserts — another
-    // thread restoring "static" mid-write would turn this into a whole-table
-    // overwrite that deletes every untouched partition
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols: _*).parquet(targetDir)
+    graft.gtfs.LwwTable.append(batch, targetDir, keyCols, newestBy)
+    graft.gtfs.LwwTable.compactIfOversized(spark, targetDir, keyCols, newestBy)
   }
 
   /** S13/S14 as a true DB export: per micro-batch, reduce to the newest row
@@ -679,9 +644,11 @@ object StreamingImport {
     * per query start (never per trigger), over a table the automatic mode's
     * cleanup keeps bounded to the live prediction window. */
   private def maxStoredRefreshSeq(spark: SparkSession, predictionsDir: String): Long = {
-    if (!graft.gtfs.Directory.tableHasData(spark, predictionsDir)) -1L
+    // base ∪ delta WITHOUT resolution: max(refresh_seq) is dedup-invariant
+    // (an LWW loser never exceeds its winner's seq under a seq-first order)
+    if (!graft.gtfs.LwwTable.hasData(spark, predictionsDir)) -1L
     else {
-      val r = spark.read.parquet(predictionsDir)
+      val r = graft.gtfs.LwwTable.readRaw(spark, predictionsDir)
         .agg(max(col("refresh_seq"))).head()
       if (r.isNullAt(0)) -1L else r.getLong(0)
     }
@@ -726,7 +693,12 @@ object StreamingImport {
               .sortBy { case (d, n) => (d.getTime, n.getOrElse("")) }
             if (groups.nonEmpty) {
               val dates = groups.map(_._1).distinct.toSeq
-              val stored = spark.read.parquet(recordsDir)
+              // base ∪ delta RAW (the batch just appended, so its rows sit
+              // in the delta tree); the W2 resolution is applied BELOW,
+              // after the semi-join narrows to the changed vehicles — the
+              // filters are on key columns, so dedup commutes with them and
+              // the window only ever sorts O(changed vehicles) rows
+              val stored = graft.gtfs.LwwTable.readRaw(spark, recordsDir)
                 .filter(col("source") === source
                   && col("trip_start_date").isInCollection(dates))
               groups.foreach { case (d, schedName) =>
@@ -755,8 +727,10 @@ object StreamingImport {
                   .filter(col("trip_start_date") <=> lit(d)
                     && col("schedule_file_name") <=> lit(schedName.orNull))
                   .select("trip_id", "trip_start_date", "trip_start_time")
-                val storedChanged = stored.join(broadcast(changed),
-                  Seq("trip_id", "trip_start_date", "trip_start_time"), "left_semi")
+                val storedChanged = graft.gtfs.LwwTable.resolve(
+                  stored.join(broadcast(changed),
+                    Seq("trip_id", "trip_start_date", "trip_start_time"), "left_semi"),
+                  graft.gtfs.RecordsTable.KeyCols, graft.gtfs.RecordsTable.ordering)
                 // a None from predict = no schedule version resolvable for
                 // this group (degrade-and-skip; the FromDirs doc): records
                 // are already upserted, only this refresh leg is skipped
@@ -767,8 +741,12 @@ object StreamingImport {
                   // cost doubled
                   val preds = p.withColumn("refresh_seq", lit(refreshSeq))
                     .persist()
+                  // ordering includes the version tie-break so a size-
+                  // triggered compaction inside this upsert collapses any
+                  // backfill-tier tie exactly as the readers would
                   try upsertTable(preds, predictionsDir,
-                    keyCols = PredictionKeyCols, newestBy = col("refresh_seq"))
+                    keyCols = PredictionKeyCols,
+                    newestBy = graft.gtfs.PredictionsTable.ordering(schedName))
                   finally preds.unpersist()
                 }
               }
@@ -781,6 +759,5 @@ object StreamingImport {
     * idle backfill — the reference's `predictions` WHERE clause
     * (importer/mod.rs:560-578; route_id is functionally determined by
     * trip_id and stays a value column here). */
-  private[streaming] val PredictionKeyCols = Seq("source", "trip_id",
-    "trip_start_date", "trip_start_time", "stop_sequence", "event_type")
+  private[streaming] val PredictionKeyCols = graft.gtfs.PredictionsTable.KeyCols
 }

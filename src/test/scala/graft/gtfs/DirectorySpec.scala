@@ -165,7 +165,7 @@ class DirectorySpec extends AnyFunSuite {
           && System.nanoTime() < dl1) Thread.sleep(300)
       assert(auto.backfillEvents.exists(e => !e.bufferFull && e.tripCount > 0),
         s"no store-backed backfill committed: ${auto.backfillEvents}")
-      assert(spark.read.parquet(s"$base/stream/predictions")
+      assert(PredictionsTable.read(spark, s"$base/stream/predictions")
         .filter(org.apache.spark.sql.functions.col("origin_type")
           === Codes.OriginSchedule).count() > 0)
       // a new rt file resumes ingestion (copied from the batch archive)
@@ -175,7 +175,7 @@ class DirectorySpec extends AnyFunSuite {
         java.nio.file.Paths.get(s"$base/rt", archived.getName))
       val dl2 = System.nanoTime() + 120L * 1000000000L
       def recs(): Long =
-        try spark.read.parquet(s"$base/stream/records").count()
+        try RecordsTable.read(spark, s"$base/stream/records").count()
         catch { case _: Exception => 0L } // table not written yet
       while (recs() == 0 && System.nanoTime() < dl2) Thread.sleep(300)
       assert(recs() > 0, "rt ingestion resumed into stream/records")
@@ -207,7 +207,7 @@ class DirectorySpec extends AnyFunSuite {
     val deleted = Directory.cleanupOutdatedPredictionsTable(spark, dir, "cli", now)
     assert(deleted.size == 1 && deleted.head.contains("trip_start_date=2024-01-15"),
       s"exactly the outdated partition goes: $deleted")
-    val remaining = spark.read.parquet(dir).select("trip_id")
+    val remaining = LwwTable.readRaw(spark, dir).select("trip_id")
       .collect().map(_.getString(0)).toSet
     assert(remaining == Set("BOUNDARY", "FUTURE", "NULLDATE"),
       s"boundary, future and null-date rows survive: $remaining")
@@ -236,13 +236,22 @@ class DirectorySpec extends AnyFunSuite {
     graft.streaming.StreamingImport.upsertTable(
       Seq(rows("2024-01-10", "A", 0L), rows("2024-01-11", "B", 0L)).toDF(cols: _*),
       dir, keyCols = Seq("source", "trip_id"), newestBy = col("refresh_seq"))
-    assert(Directory.tableHasData(spark, dir))
+    // exercise BOTH trees: fold one write into the base, append another to
+    // the delta — the cleanup must prune outdated partitions from each
+    LwwTable.compact(spark, dir, Seq("source", "trip_id"), col("refresh_seq"))
+    graft.streaming.StreamingImport.upsertTable(
+      Seq(rows("2024-01-11", "B", 1L)).toDF(cols: _*),
+      dir, keyCols = Seq("source", "trip_id"), newestBy = col("refresh_seq"))
+    assert(LwwTable.hasData(spark, dir))
 
-    // months later: both partitions outdated → all deleted
+    // months later: both partitions outdated → all deleted (the 01-11
+    // partition exists in base AND delta → both directories pruned)
     val now = java.time.LocalDate.parse("2024-03-01").toEpochDay * 86400 + 12 * 3600
     val deleted = Directory.cleanupOutdatedPredictionsTable(spark, dir, "cli", now)
-    assert(deleted.size == 2, s"both partitions outdated: $deleted")
-    assert(!Directory.tableHasData(spark, dir), "root exists but holds no data")
+    assert(deleted.size == 3, s"every outdated partition directory goes: $deleted")
+    assert(deleted.exists(_.contains("_delta/")),
+      s"the delta twin was pruned too: $deleted")
+    assert(!LwwTable.hasData(spark, dir), "root exists but holds no data")
 
     // an uncommitted part file inside a killed writer's staging tree is NOT
     // data (and the hidden subtree is never descended into)
@@ -250,7 +259,7 @@ class DirectorySpec extends AnyFunSuite {
     staging.mkdirs()
     java.nio.file.Files.write(staging.toPath.resolve("part-00000.parquet"),
       Array[Byte](1, 2, 3))
-    assert(!Directory.tableHasData(spark, dir), "staging files are not data")
+    assert(!LwwTable.hasData(spark, dir), "staging files are not data")
 
     // every reader of the upsert-maintained table survives the state:
     assert(graft.streaming.AutomaticImport.recoverHighWaterMark(spark, dir, "cli") == 0L)
@@ -259,7 +268,8 @@ class DirectorySpec extends AnyFunSuite {
     graft.streaming.StreamingImport.upsertTable(
       Seq(rows("2024-03-02", "C", 1L)).toDF(cols: _*),
       dir, keyCols = Seq("source", "trip_id"), newestBy = col("refresh_seq"))
-    assert(spark.read.parquet(dir).select("trip_id").head().getString(0) == "C")
+    assert(LwwTable.read(spark, dir, Seq("source", "trip_id"), col("refresh_seq"))
+      .select("trip_id").head().getString(0) == "C")
   }
 
   test("--cleanup without automatic is rejected, not silently dropped") {

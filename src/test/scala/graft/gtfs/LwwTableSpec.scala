@@ -1,0 +1,151 @@
+package graft.gtfs
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The LSM-shaped keyed table under the streaming upsert (VERDICT r10 #1):
+  * O(batch) delta appends, read-time LWW, compaction folding delta into
+  * base — including the crash window between a compaction's base overwrite
+  * and its delta delete, which must be invisible to readers. */
+class LwwTableSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val keyCols = Seq("source", "trip_id", "trip_start_date")
+  private val cols = Seq("source", "trip_id", "trip_start_date", "payload", "seq")
+
+  private def df(rows: (String, String, String, String, Long)*) = {
+    import spark.implicits._
+    rows.toSeq.map { case (s, t, d, p, q) =>
+      (s, t, java.sql.Date.valueOf(d), p, q)
+    }.toDF(cols: _*)
+  }
+
+  private def resolved(dir: String) =
+    LwwTable.read(spark, dir, keyCols, col("seq"))
+      .select("trip_id", "payload", "seq").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+  test("append is O(batch): no base partition is rewritten by a later append") {
+    val dir = Files.createTempDirectory("lww").toString + "/t"
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v1", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    val baseFile = new java.io.File(s"$dir/source=a/trip_start_date=2024-01-01")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val mtime = baseFile.lastModified()
+    val len = baseFile.length()
+    // ten appends to the SAME partition: the base file must not move
+    (2L to 11L).foreach(i =>
+      LwwTable.append(df(("a", "T1", "2024-01-01", s"v$i", i)), dir, keyCols, col("seq")))
+    assert(baseFile.lastModified() == mtime && baseFile.length() == len,
+      "appends never touch the compacted base")
+    assert(LwwTable.deltaFileCount(spark, dir) == 10,
+      "one delta file per touched partition per append")
+    assert(resolved(dir) == Set(("T1", "v11", 11L)), "read-time LWW wins")
+  }
+
+  test("resolved view is invariant under compaction, and the fold empties the delta") {
+    val dir = Files.createTempDirectory("lww2").toString + "/t"
+    LwwTable.append(df(
+      ("a", "T1", "2024-01-01", "old", 1L),
+      ("a", "T2", "2024-01-02", "keep", 5L)), dir, keyCols, col("seq"))
+    LwwTable.append(df(("a", "T1", "2024-01-01", "new", 2L)), dir, keyCols, col("seq"))
+    val before = resolved(dir)
+    assert(before == Set(("T1", "new", 2L), ("T2", "keep", 5L)))
+    val folded = LwwTable.compact(spark, dir, keyCols, col("seq"))
+    assert(folded > 0 && LwwTable.deltaFileCount(spark, dir) == 0,
+      "compaction consumed every delta file")
+    assert(resolved(dir) == before, "resolution unchanged by the fold")
+    // base now physically unique per key
+    val base = spark.read.parquet(dir)
+    assert(base.count() == 2 && base.select(keyCols.map(col): _*)
+      .distinct().count() == 2, "base holds exactly the winners")
+    // idempotent when there is nothing to fold
+    assert(LwwTable.compact(spark, dir, keyCols, col("seq")) == 0)
+  }
+
+  test("the crash window between base overwrite and delta delete is invisible") {
+    // simulate: compact, then copy the winner BACK into the delta tree as if
+    // the file delete had been lost — the row now exists in BOTH trees with
+    // an equal ordering value and identical payload
+    val dir = Files.createTempDirectory("lww3").toString + "/t"
+    LwwTable.append(df(("a", "T1", "2024-01-01", "w", 7L)), dir, keyCols, col("seq"))
+    val deltaPart = new java.io.File(
+      s"${LwwTable.deltaDir(dir)}/source=a/trip_start_date=2024-01-01")
+    val deltaFile = deltaPart.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val stash = Files.createTempDirectory("lww3_stash").resolve(deltaFile.getName)
+    Files.copy(deltaFile.toPath, stash)
+    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    Files.createDirectories(deltaPart.toPath) // compaction pruned the empty dir
+    Files.copy(stash, deltaPart.toPath.resolve(stash.getFileName)) // "lost delete"
+    assert(resolved(dir) == Set(("T1", "w", 7L)),
+      "duplicate across trees ties to the identical row")
+    // the next fold reconverges to one physical copy
+    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    assert(LwwTable.deltaFileCount(spark, dir) == 0
+      && spark.read.parquet(dir).count() == 1)
+  }
+
+  test("size-triggered backstop compacts when the delta outgrows the bound") {
+    val dir = Files.createTempDirectory("lww4").toString + "/t"
+    (1L to 4L).foreach(i =>
+      LwwTable.append(df(("a", "T1", "2024-01-01", s"v$i", i)), dir, keyCols, col("seq")))
+    assert(!LwwTable.compactIfOversized(spark, dir, keyCols, col("seq"),
+      maxDeltaFiles = 5), "under the bound: no fold")
+    assert(LwwTable.deltaFileCount(spark, dir) == 4)
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v5", 5L)), dir, keyCols, col("seq"))
+    assert(LwwTable.compactIfOversized(spark, dir, keyCols, col("seq"),
+      maxDeltaFiles = 5), "at the bound: folds")
+    assert(LwwTable.deltaFileCount(spark, dir) == 0)
+    assert(resolved(dir) == Set(("T1", "v5", 5L)))
+  }
+
+  test("hasData and readRaw see each tree alone; plain base readers never see _delta") {
+    val dir = Files.createTempDirectory("lww5").toString + "/t"
+    assert(!LwwTable.hasData(spark, dir))
+    // delta only (a stream that has never idled)
+    LwwTable.append(df(("a", "T1", "2024-01-01", "d", 1L)), dir, keyCols, col("seq"))
+    assert(LwwTable.hasData(spark, dir) && !Directory.tableHasData(spark, dir))
+    assert(LwwTable.readRaw(spark, dir).count() == 1)
+    assert(resolved(dir) == Set(("T1", "d", 1L)))
+    // base only after the fold; the hidden _delta root must stay invisible
+    // to a plain spark.read of the table root
+    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    LwwTable.append(df(("a", "T1", "2024-01-01", "d2", 2L)), dir, keyCols, col("seq"))
+    assert(spark.read.parquet(dir).select("payload").head().getString(0) == "d",
+      "base readers see only compacted data (the delta tree is _-hidden)")
+    assert(resolved(dir) == Set(("T1", "d2", 2L)))
+  }
+
+  test("append dedups within the batch exactly like the old write-time merge") {
+    val dir = Files.createTempDirectory("lww6").toString + "/t"
+    LwwTable.append(df(
+      ("a", "T1", "2024-01-01", "first", 1L),
+      ("a", "T1", "2024-01-01", "second", 2L)), dir, keyCols, col("seq"))
+    assert(LwwTable.readRaw(spark, dir).count() == 1,
+      "one physical row per key per append")
+    assert(resolved(dir) == Set(("T1", "second", 2L)))
+  }
+
+  test("null partition values round-trip through append, resolve and compact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("lww7").toString + "/t"
+    def row(p: String, q: Long) = Seq(("a", "T1", null.asInstanceOf[java.sql.Date], p, q))
+      .toDF(cols: _*)
+    LwwTable.append(row("n1", 1L), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    LwwTable.append(row("n2", 2L), dir, keyCols, col("seq"))
+    assert(resolved(dir) == Set(("T1", "n2", 2L)),
+      "null-date rows merge across trees (null-safe partition predicate)")
+    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    assert(resolved(dir) == Set(("T1", "n2", 2L))
+      && spark.read.parquet(dir).count() == 1)
+  }
+}

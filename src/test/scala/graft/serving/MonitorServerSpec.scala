@@ -254,9 +254,15 @@ class MonitorServerSpec extends AnyFunSuite {
       preds.write.mode("overwrite").parquet(s"$base/predictions")
       val pg = get(port, "/04.03.24%2008:00/Stop%202/")
       assert(pg.statusCode() == 200 && pg.body().contains("<h1>Stop 2</h1>"),
-        s"batch table served: ${pg.statusCode()}")
-      // the automatic mode's stream table appears WITH data -> preferred
-      preds.write.mode("overwrite").parquet(s"$base/stream/predictions")
+        s"batch table served: ${pg.statusCode()} ${pg.body().take(600)}")
+      // the automatic mode's stream table appears WITH data -> preferred.
+      // Written through the real upsert: the stream table's contract is the
+      // LWW layout (delta tree + refresh_seq), not a raw dump
+      graft.streaming.StreamingImport.upsertTable(
+        preds.withColumn("refresh_seq", org.apache.spark.sql.functions.lit(0L)),
+        s"$base/stream/predictions",
+        graft.gtfs.PredictionsTable.KeyCols,
+        org.apache.spark.sql.functions.col("refresh_seq"))
       assert(get(port, "/04.03.24%2008:00/Stop%202/").statusCode() == 200)
     } finally server.stop()
   }

@@ -74,10 +74,13 @@ class AutomaticImportSpec extends AnyFunSuite {
         s"high-water mark must be monotonic: $hwms")
       assert(phaseA.filterNot(_.bufferFull)
         .forall(e => e.toHwm >= e.fromHwm), "no event may regress the mark")
-      val schedRows = spark.read.parquet(predictionsDir)
+      val schedRows = PredictionsTable.read(spark, predictionsDir)
         .filter(col("origin_type") === Codes.OriginSchedule)
       assert(schedRows.count() > 0, "schedule-origin predictions landed")
-      assert(spark.read.parquet(predictionsDir)
+      // RAW base ∪ delta for the absence check: a realtime row hiding
+      // un-compacted in the delta tree must fail it, not sit behind a
+      // base-only read
+      assert(LwwTable.readRaw(spark, predictionsDir)
         .filter(col("origin_type") === Codes.OriginRealtime).count() == 0,
         "no realtime rows before any rt file exists")
 
@@ -121,9 +124,9 @@ class AutomaticImportSpec extends AnyFunSuite {
         "rehearsal sanity: the open-buffer backlog window must be long enough " +
           s"to catch a backfill decision (got ${ms(tDrain - tOpen)} ms); raise the file count")
       // records + realtime predictions landed (the rt half worked)
-      val recCount = spark.read.parquet(recordsDir).count()
+      val recCount = RecordsTable.read(spark, recordsDir).count()
       assert(recCount > 0, "rt records upserted")
-      assert(spark.read.parquet(predictionsDir)
+      assert(PredictionsTable.read(spark, predictionsDir)
         .filter(col("origin_type") === Codes.OriginRealtime).count() > 0,
         "realtime-origin predictions from the changed vehicles")
       // NO backfill decision inside the open-buffer backlog window. From
@@ -167,7 +170,7 @@ class AutomaticImportSpec extends AnyFunSuite {
         Thread.sleep(300)
       assert(janParts().isEmpty,
         "outdated realtime-prediction partitions deleted by the loop's cleanup")
-      assert(spark.read.parquet(predictionsDir)
+      assert(PredictionsTable.read(spark, predictionsDir)
         .filter(col("origin_type") === Codes.OriginSchedule).count() > 0,
         "future schedule-origin partitions survive the cleanup")
     } finally {
@@ -183,10 +186,13 @@ class AutomaticImportSpec extends AnyFunSuite {
     assert(recovered > 0 && recovered <= auto.highWaterMark,
       s"recovered mark $recovered must be a committed trip start ≤ ${auto.highWaterMark}")
     val keyCols = StreamingImport.PredictionKeyCols
+    // the RESOLVED view is the restart-facing table; compact first so the
+    // physical-uniqueness assertion exercises the fold, not just the window
+    PredictionsTable.compact(spark, predictionsDir)
     val preA = spark.read.parquet(predictionsDir)
     val preCount = preA.count()
     assert(preA.select(keyCols.map(col): _*).distinct().count() == preCount,
-      "upsert key is unique before restart")
+      "compacted upsert key is unique before restart")
     // a restarted process re-advancing from the recovered mark must not
     // duplicate or shrink the stored predictions (idempotent re-cover of
     // the trailing window)
@@ -198,10 +204,11 @@ class AutomaticImportSpec extends AnyFunSuite {
             org.apache.spark.sql.functions.lit(AutomaticImport.BackfillSeq)),
           predictionsDir, keyCols, col("refresh_seq"))
     }
+    PredictionsTable.compact(spark, predictionsDir)
     val post = spark.read.parquet(predictionsDir)
     assert(post.count() >= preCount, "restart advance never shrinks the table")
     assert(post.select(keyCols.map(col): _*).distinct().count() == post.count(),
-      "upsert key stays unique after the restart advance")
+      "upsert key stays unique after the restart advance + compaction")
     staged.unpersist(); sc.unpersist(); dc.unpersist()
   }
 
@@ -223,6 +230,9 @@ class AutomaticImportSpec extends AnyFunSuite {
         predRow("a", "T2", Codes.OriginRealtime, 7L, "old_name"),
         predRow("b", "T3", Codes.OriginSchedule, AutomaticImport.BackfillSeq, "b_sched"))
         .toDF(predCols: _*), dir, keyCols, col("refresh_seq"))
+    // an old-build table IS a compacted base (the delta layout postdates the
+    // legacy tier), so fold the seed before the base-only normalization
+    PredictionsTable.compact(spark, dir)
     // ADVICE r9 (medium): -1 outranks every clock-tier backfillSeq value,
     // so after a schedule rename (startFromStore -> startFromDirs upgrade)
     // the re-predicted rows would LOSE the LWW to the legacy rows and the
@@ -241,7 +251,8 @@ class AutomaticImportSpec extends AnyFunSuite {
       Seq(predRow("a", "T1", Codes.OriginSchedule,
         AutomaticImport.backfillSeq(1700000000L), "new_name")).toDF(predCols: _*),
       dir, keyCols, AutomaticImport.backfillOrdering("new_name"))
-    val t1 = spark.read.parquet(dir).filter(col("trip_id") === "T1").collect()
+    val t1 = PredictionsTable.read(spark, dir, Some("new_name"))
+      .filter(col("trip_id") === "T1").collect()
     assert(t1.length == 1 && t1.head.getAs[String]("schedule_file_name") == "new_name",
       "clock-tier re-prediction beats the normalized legacy row")
     // steady state: the probe finds nothing and no partition is rewritten
@@ -264,9 +275,18 @@ class AutomaticImportSpec extends AnyFunSuite {
     StreamingImport.upsertTable(
       Seq(predRow("a", "T1", Codes.OriginSchedule, seq, "v2")).toDF(predCols: _*),
       dir, keyCols, AutomaticImport.backfillOrdering("v2"))
-    val t1 = spark.read.parquet(dir).filter(col("trip_id") === "T1").collect()
+    def t1Rows() = PredictionsTable.read(spark, dir, Some("v2"))
+      .filter(col("trip_id") === "T1").collect()
+    val t1 = t1Rows()
     assert(t1.length == 1 && t1.head.getAs[String]("schedule_file_name") == "v2",
       s"current version wins the tie deterministically: ${t1.toSeq}")
+    // the physical fold must collapse the tie exactly as the readers do —
+    // a compaction ordered without the version preference could keep the
+    // v1 row and let the stale delete remove the surviving prediction
+    PredictionsTable.compact(spark, dir, Some("v2"))
+    val t1c = t1Rows()
+    assert(t1c.length == 1 && t1c.head.getAs[String]("schedule_file_name") == "v2",
+      s"compaction collapses the tie toward the current version: ${t1c.toSeq}")
     // realtime rows decide on the first field alone: a backfill write never
     // displaces a realtime row even when the version preference favors it
     StreamingImport.upsertTable(
@@ -275,7 +295,8 @@ class AutomaticImportSpec extends AnyFunSuite {
     StreamingImport.upsertTable(
       Seq(predRow("a", "T9", Codes.OriginSchedule, seq, "v2")).toDF(predCols: _*),
       dir, keyCols, AutomaticImport.backfillOrdering("v2"))
-    val t9 = spark.read.parquet(dir).filter(col("trip_id") === "T9").collect()
+    val t9 = PredictionsTable.read(spark, dir, Some("v2"))
+      .filter(col("trip_id") === "T9").collect()
     assert(t9.length == 1 && t9.head.getAs[Int]("origin_type") == Codes.OriginRealtime,
       "realtime tier still outranks the whole backfill tier")
   }

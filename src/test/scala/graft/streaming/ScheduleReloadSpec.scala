@@ -91,7 +91,8 @@ class ScheduleReloadSpec extends AnyFunSuite {
     val monCache = new ScheduleCache(spark, schedParent.toString)
     val monitor = new graft.serving.MonitorServer(spark,
       () => monCache.newest().map(_._2),
-      () => spark.read.parquet(predictionsDir), scheduleTtlMs = 0L)
+      () => PredictionsTable.read(spark, predictionsDir,
+        monCache.newest().map(_._1)), scheduleTtlMs = 0L)
     val monPort = monitor.start()
     val http = java.net.http.HttpClient.newHttpClient()
     def page(path: String): java.net.http.HttpResponse[String] =
@@ -107,8 +108,11 @@ class ScheduleReloadSpec extends AnyFunSuite {
       bufferFullBackoffSecs = 600L,
       maxFilesPerTrigger = 1)
     try {
-      def records() = spark.read.parquet(recordsDir)
-      def schedOrigin(name: String) = spark.read.parquet(predictionsDir)
+      def records() = RecordsTable.read(spark, recordsDir)
+      def predictions() = PredictionsTable.read(spark, predictionsDir,
+        Some("2024-02-15")) // resolved view; v2 is current from phase 2 on,
+                            // and before the swap no key ties on the version
+      def schedOrigin(name: String) = predictions()
         .filter(col("origin_type") === Codes.OriginSchedule
           && col("schedule_file_name") === name)
 
@@ -128,7 +132,7 @@ class ScheduleReloadSpec extends AnyFunSuite {
       // empty directory listing
       assert(hwmV1 > 0 && await(60)(schedOrigin("2024-01-01").count() > 0),
         "v1 schedule-origin predictions landed")
-      val rtPredsBefore = spark.read.parquet(predictionsDir)
+      val rtPredsBefore = predictions()
         .filter(col("origin_type") === Codes.OriginRealtime).count()
       // the live monitor serves from the table the importer just wrote and
       // keeps writing (fresh per-request read + the bounded race retry),
@@ -180,7 +184,7 @@ class ScheduleReloadSpec extends AnyFunSuite {
         == Seq("2024-02-15")),
         "file-date as-of: post-swap file with a pre-swap service date decodes under v2")
       assert(await(120)({
-        val names = spark.read.parquet(predictionsDir)
+        val names = predictions()
           .filter(col("origin_type") === Codes.OriginRealtime
             && col("trip_start_date") === "2024-01-12")
           .select("schedule_file_name").distinct().collect().map(_.getString(0)).toSeq
@@ -200,10 +204,15 @@ class ScheduleReloadSpec extends AnyFunSuite {
       assert(await(180)({
         val start = org.apache.spark.sql.functions.unix_timestamp(
           GtfsTime.dateAndTime(col("trip_start_date"), col("trip_start_time")))
-        schedOrigin("2024-01-01").filter(start <= auto.highWaterMark).count() == 0
+        // RAW base ∪ delta: the stale rows must be PHYSICALLY retired, not
+        // merely lose the resolved view
+        LwwTable.readRaw(spark, predictionsDir)
+          .filter(col("origin_type") === Codes.OriginSchedule
+            && col("schedule_file_name") === "2024-01-01"
+            && start <= auto.highWaterMark).count() == 0
       }), "stale v1 schedule-origin rows below the v2 mark are deleted")
       // realtime rows are NEVER touched by the stale-schedule delete
-      assert(await(60)(spark.read.parquet(predictionsDir)
+      assert(await(60)(predictions()
         .filter(col("origin_type") === Codes.OriginRealtime).count() >= rtPredsBefore),
         "realtime-origin predictions survive the swap")
       // per-version mark discipline: committed v2 events advance monotonically
@@ -212,10 +221,10 @@ class ScheduleReloadSpec extends AnyFunSuite {
       assert(afterSwap == afterSwap.sorted, s"marks advance monotonically: $afterSwap")
       // key uniqueness across the whole swap (duplicate-trip cleanup worked)
       assert(await(60)({
-        val all = spark.read.parquet(predictionsDir)
+        val all = predictions()
         all.count() > 0 && all.select(StreamingImport.PredictionKeyCols.map(col): _*)
           .distinct().count() == all.count()
-      }), "upsert key unique after the swap")
+      }), "resolved view unique on the upsert key after the swap")
       // the monitor picked up v2 WITHOUT restart, in the same process as
       // the importer that swapped: T1's departure shifted to 08:01 under
       // v2, so the new descriptor resolves and the superseded one stops
@@ -336,7 +345,7 @@ class ScheduleReloadSpec extends AnyFunSuite {
       bufferFullBackoffSecs = 600L,
       maxFilesPerTrigger = 1)
     try {
-      def records() = spark.read.parquet(recordsDir)
+      def records() = RecordsTable.read(spark, recordsDir)
 
       // ---- phase 1: healthy ingest + one committed backfill under v1 ----
       copyRt("2024-01-05-feed.pb")
@@ -430,7 +439,10 @@ class ScheduleReloadSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", prevNoData)
     }
     assert(!auto.query.isActive, "stream closed")
-    // table consistent: readable, unique on the upsert key, recovery works
+    // table consistent: readable, unique on the upsert key after a fold
+    // (stop() may land between an append and the idle branch's compaction),
+    // recovery works
+    PredictionsTable.compact(spark, predictionsDir, Some("2024-01-01"))
     val all = spark.read.parquet(predictionsDir)
     assert(all.count() > 0)
     assert(all.select(StreamingImport.PredictionKeyCols.map(col): _*)

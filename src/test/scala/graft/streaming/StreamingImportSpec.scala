@@ -25,7 +25,10 @@ class StreamingImportSpec extends AnyFunSuite {
       recordsDir, ckpt, automatic = false)
     q.awaitTermination(120000)
 
-    val streamed = spark.read.parquet(recordsDir)
+    // the resolved LWW view (base ∪ delta): an AvailableNow run ends with
+    // its micro-batches in the delta tree (compaction is the idle branch's
+    // / size backstop's job, neither of which fires here)
+    val streamed = RecordsTable.read(spark, recordsDir)
     val batch = Importer.importDirectory(spark, rtDir, schedule, "test")
     assert(streamed.count() == batch.count(),
       "streamed upsert result equals batch import")
@@ -49,17 +52,22 @@ class StreamingImportSpec extends AnyFunSuite {
       ("test", "r1", 1L, "A", java.sql.Date.valueOf("2024-01-01"), 100, 1, rec),
       ("test", "r1", 1L, "A", java.sql.Date.valueOf("2024-01-01"), 100, 2, rec))
       .toDF(cols: _*)
+    def table() = RecordsTable.read(spark, dir)
     StreamingImport.upsertBatch(batch(10L), dir)
     StreamingImport.upsertBatch(batch(20L), dir)
-    val after = spark.read.parquet(dir).orderBy("stop_sequence").collect()
+    val after = table().orderBy("stop_sequence").collect()
     // replay the NEWEST batch (the common retry) → identical table
     StreamingImport.upsertBatch(batch(20L), dir)
-    val replayed = spark.read.parquet(dir).orderBy("stop_sequence").collect()
+    val replayed = table().orderBy("stop_sequence").collect()
     assert(replayed.toSeq == after.toSeq, "same-batch replay must be a no-op")
     // replay an OLDER batch (offset rewind) → LWW keeps the newer rows
     StreamingImport.upsertBatch(batch(10L), dir)
-    val rewound = spark.read.parquet(dir).orderBy("stop_sequence").collect()
+    val rewound = table().orderBy("stop_sequence").collect()
     assert(rewound.toSeq == after.toSeq, "older-batch replay must not regress")
+    // ...and the invariants survive a physical fold of the delta tree
+    RecordsTable.compact(spark, dir)
+    assert(table().orderBy("stop_sequence").collect().toSeq == after.toSeq,
+      "compaction preserves the resolved view")
   }
 
   test("partitioned upsert keeps stored rows whose trip_start_date is null") {
@@ -76,12 +84,18 @@ class StreamingImportSpec extends AnyFunSuite {
       "trip_start_date", "trip_start_time", "stop_sequence", "time_of_recording")
     StreamingImport.upsertBatch(Seq(row("A", 10L)).toDF(cols: _*), dir)
     StreamingImport.upsertBatch(Seq(row("B", 20L)).toDF(cols: _*), dir)
-    val stored = spark.read.parquet(dir)
+    // fold between the appends: the compaction's null-safe partition
+    // predicate is the code path the old write-time merge exercised here
+    RecordsTable.compact(spark, dir)
+    val stored = RecordsTable.read(spark, dir)
     assert(stored.count() == 2, "batch 2 must merge with, not erase, batch 1")
-    // and LWW still applies within the null partition
+    // and LWW still applies within the null partition (across base + delta)
     StreamingImport.upsertBatch(Seq(row("A", 30L)).toDF(cols: _*), dir)
-    val a = spark.read.parquet(dir).filter("trip_id = 'A'").collect()
+    val a = RecordsTable.read(spark, dir).filter("trip_id = 'A'").collect()
     assert(a.length == 1 && a.head.getAs[Long]("time_of_recording") == 30L)
+    RecordsTable.compact(spark, dir)
+    val a2 = RecordsTable.read(spark, dir).filter("trip_id = 'A'").collect()
+    assert(a2.length == 1 && a2.head.getAs[Long]("time_of_recording") == 30L)
   }
 
   test("streaming exact dedup drops within-watermark duplicates across batches") {
@@ -330,7 +344,7 @@ class StreamingImportSpec extends AnyFunSuite {
       automatic = false, maxFilesPerTrigger = 16)
     q.awaitTermination(300000)
 
-    val streamed = spark.read.parquet(base + "/predictions")
+    val streamed = PredictionsTable.read(spark, base + "/predictions")
     assert(streamed.count() > 0, "refresh produced predictions")
     assert(streamed.select("origin_type").distinct().collect()
       .map(_.getInt(0)).toSeq == Seq(Codes.OriginRealtime))
@@ -374,7 +388,7 @@ class StreamingImportSpec extends AnyFunSuite {
       .withColumn("refresh_seq", lit(99L))
     StreamingImport.upsertTable(doctored, base + "/predictions",
       keyCols = StreamingImport.PredictionKeyCols, newestBy = col("refresh_seq"))
-    assert(spark.read.parquet(base + "/predictions")
+    assert(PredictionsTable.read(spark, base + "/predictions")
       .filter(col("sample_size") === -1).count() > 0, "doctored seed in place")
 
     val q = StreamingImport.startPredictionRefresh(spark, rtDir, schedule,
@@ -382,7 +396,7 @@ class StreamingImportSpec extends AnyFunSuite {
       sc, dc, automatic = false, maxFilesPerTrigger = 64)
     q.awaitTermination(300000)
 
-    val stored = spark.read.parquet(base + "/predictions")
+    val stored = PredictionsTable.read(spark, base + "/predictions")
     assert(stored.filter(col("sample_size") === -1
         && col("trip_start_date") === "2024-01-15").count() == 0,
       "every doctored 2024-01-15 row was superseded by the fresh run")
@@ -411,7 +425,7 @@ class StreamingImportSpec extends AnyFunSuite {
       automatic = false, maxFilesPerTrigger = 16)
     q.awaitTermination(300000)
 
-    val streamed = spark.read.parquet(base + "/predictions")
+    val streamed = PredictionsTable.read(spark, base + "/predictions")
     assert(streamed.count() > 0, "store-backed refresh produced predictions")
     def canon(df: org.apache.spark.sql.DataFrame) = df
       .filter(col("trip_start_date") === "2024-01-15")
