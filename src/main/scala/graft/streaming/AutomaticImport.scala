@@ -82,7 +82,8 @@ final class AutomaticImport private (
     curves: () => (Dataset[SpecificCurveRow], Dataset[DefaultCurveRow]),
     nowEpochSecs: () => Long, idlePollMs: Long, idleConfirmMs: Long,
     bufferFullBackoffSecs: Long, performCleanup: Boolean,
-    gate: ReentrantLock) {
+    gate: ReentrantLock,
+    idleSweep: () => Unit = () => ()) {
 
   private val stopFlag = new AtomicBoolean(false)
   // schedule version the mark currently belongs to — recovery and the
@@ -170,6 +171,15 @@ final class AutomaticImport private (
             var failed = false
             gate.lock()
             try {
+              // skip-log recovery sweep (FromDirs wires the shared
+              // requeueSkipped; the refresh loop runs the same sweep when
+              // data flows — this side covers a QUIET feed, where no
+              // trigger ever fires to do it). Failures must not fail the
+              // iteration: the sweep is an optimization over the operator's
+              // manual re-queue, not a correctness gate.
+              try idleSweep()
+              catch { case NonFatal(e) =>
+                System.err.println(s"[automatic] skip-log requeue sweep failed: $e") }
               // re-resolved per iteration: the store-backed mode reads the
               // CURRENT curve directories, so a re-analysis mid-run feeds
               // the next backfill batch (FileCache discipline); the SCHEDULE
@@ -510,6 +520,8 @@ object AutomaticImport {
       () => (CurveStore.loadSpecific(spark, specificDir),
         CurveStore.loadDefault(spark, defaultDir)),
       nowEpochSecs, idlePollMs, idleConfirmMs, bufferFullBackoffSecs,
-      performCleanup, gate))
+      performCleanup, gate,
+      idleSweep = () => StreamingImport.requeueSkipped(spark, schedules,
+        checkpointDir, rtDir)))
   }
 }

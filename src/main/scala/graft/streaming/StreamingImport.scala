@@ -183,19 +183,11 @@ object StreamingImport {
     * operator-side reader for the TSVs [[recordsStreamAsOf]] writes. The
     * checkpoint owns the original files, so re-queueing one means copying
     * it back into the rt directory under a FRESH name (the binaryFile
-    * source tracks seen paths). Schema-correct empty result while nothing
-    * has been skipped. */
-  def skippedFiles(spark: SparkSession, checkpointDir: String): DataFrame = {
-    import org.apache.spark.sql.types.{StructField, StructType, StringType}
-    val schema = StructType(Seq(StructField("reason", StringType),
-      StructField("file_name", StringType)))
-    val dir = skippedLogDir(checkpointDir)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.option("sep", "\t").schema(schema).csv(dir)
-  }
+    * source tracks seen paths) — which [[SkipLog.requeue]] automates on
+    * schedule-tree recovery. Schema-correct empty result while nothing has
+    * been skipped. */
+  def skippedFiles(spark: SparkSession, checkpointDir: String): DataFrame =
+    SkipLog.read(spark, skippedLogDir(checkpointDir))
 
   /** Appends `(reason, file)` lines to a uniquely-named TSV under `dir`.
     * Driver-side Hadoop-FS write (a handful of names, no Spark job);
@@ -204,32 +196,11 @@ object StreamingImport {
     * sits inside the very degrade path built to survive FS trouble, and the
     * same hiccup that emptied a listing could refuse the create; the names
     * are already on stderr, so a lost log entry loses redundancy, not the
-    * query. */
+    * query. [[SkipLog.append]] owns the torn-read-safe write and the
+    * directory bounding. */
   private def recordSkipped(spark: SparkSession, dir: Option[String],
                             entries: Seq[(String, String)]): Unit =
-    dir.foreach { d =>
-      if (entries.nonEmpty) {
-        try {
-          // write under a dot-prefixed temp name (invisible to Spark's
-          // file listing) and RENAME into place, so [[skippedFiles]] never
-          // reads a torn, half-flushed TSV mid-write — a truncated final
-          // line would hand the operator a file name that does not exist
-          val name = s"skipped-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}.tsv"
-          val tmp = new org.apache.hadoop.fs.Path(d, s".$name")
-          val fin = new org.apache.hadoop.fs.Path(d, name)
-          val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val out = fs.create(tmp, false)
-          try entries.foreach { case (reason, f) =>
-            out.write(s"$reason\t$f\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          } finally out.close()
-          if (!fs.rename(tmp, fin))
-            throw new java.io.IOException(s"rename $tmp -> $fin failed")
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[stream] could not write the skip log under $d: $e")
-        }
-      }
-    }
+    dir.foreach(d => SkipLog.append(spark, d, entries))
 
   /** Idempotent last-writer-wins upsert of a micro-batch into the parquet
     * records table (the engine-internal variant of the reference's
@@ -568,7 +539,32 @@ object StreamingImport {
       decode = batch => recordsStreamAsOf(spark, batch, schedules, source,
         skippedLog = Some(skippedLogDir(checkpointDir))),
       skippedLog = Some(skippedLogDir(checkpointDir)),
-      transientLoss = scheduleReadRace(schedules.scheduleParentDir))
+      transientLoss = scheduleReadRace(schedules.scheduleParentDir),
+      requeueSweep = Some(() => requeueSkipped(spark, schedules,
+        checkpointDir, rtDir)))
+  }
+
+  /** The recovery sweep shared by the refresh loop (data flowing) and the
+    * automatic mode's idle branch (quiet feed): once the schedule tree is
+    * non-empty again, re-queue every recoverable skip-log entry's file
+    * ([[SkipLog.requeue]]) so an outage needs NO operator action — the
+    * behavior the reference gets for free from never consuming a file it
+    * could not process (importer/mod.rs:372-374). Steady state is one
+    * `exists` probe on the log directory. */
+  private[streaming] def requeueSkipped(spark: SparkSession,
+      schedules: graft.gtfs.ScheduleCache, checkpointDir: String,
+      rtDir: String): Unit = {
+    val dir = skippedLogDir(checkpointDir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    // probe the tree ONLY when the log exists (the log is the rare state);
+    // an empty tree means the outage is still on — sweep next time
+    if (schedules.datedDirs().isEmpty) return
+    val n = SkipLog.requeue(spark, dir, rtDir)
+    if (n > 0)
+      System.err.println(s"[stream] schedule tree recovered; re-queued " +
+        s"$n outage-era rt file(s) from the skip log")
   }
 
   private def refreshLoop(spark: SparkSession, rtDir: String, source: String,
@@ -579,7 +575,8 @@ object StreamingImport {
       predict: (DataFrame, String, Option[String]) => Option[DataFrame],
       decode: Dataset[RtRow] => DataFrame,
       skippedLog: Option[String] = None,
-      transientLoss: Throwable => Boolean = _ => false)
+      transientLoss: Throwable => Boolean = _ => false,
+      requeueSweep: Option[() => Unit] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val rt = rtStream(spark, rtDir, maxFilesPerTrigger)
     val trigger = if (automatic) Trigger.ProcessingTime(triggerInterval)
@@ -611,28 +608,22 @@ object StreamingImport {
         // (importer/mod.rs:302-330)
         gate.foreach(_.lock())
         try {
+          // recovery sweep FIRST (data is flowing, so the tree is worth
+          // probing): skip-logged outage files are copied back into the rt
+          // dir for the NEXT trigger's listing. Best-effort — a sweep
+          // failure must never take down the batch it precedes. The idle
+          // loop runs the same sweep for quiet feeds (no trigger fires
+          // without new data, so recovery must not depend on one).
+          requeueSweep.foreach(sweep =>
+            try sweep()
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[stream] skip-log requeue sweep failed: $e") })
           if (seqOffset.get() < 0)
             seqOffset.set(math.max(0L,
               maxStoredRefreshSeq(spark, predictionsDir) + 1 - batchId))
-          try refreshBatch(spark, source, recordsDir, predictionsDir,
-            predict, decode, batch, batchId + seqOffset.get())
-          catch {
-            case e if transientLoss(e) =>
-              // the batch's listing saw a schedule version whose files were
-              // deleted before the decode's scan ran (tree replaced or an
-              // old version removed mid-trigger) — the one window the
-              // per-batch listing snapshot cannot shield. Degrade exactly
-              // like the empty-listing case: log, record the batch's files
-              // by name in the recoverable skip log, consume the batch —
-              // never kill the query (the reference retries its next scan,
-              // mod.rs:372-374)
-              System.err.println(
-                s"[stream] schedule files vanished mid-batch; skipping batch: $e")
-              val files = batch.select(col("file_name")).distinct()
-                .collect().map(_.getString(0)).sorted
-              recordSkipped(spark, skippedLog,
-                files.toSeq.map(("schedule_read_race", _)))
-          }
+          refreshBatch(spark, source, recordsDir, predictionsDir,
+            predict, decode, batch, batchId + seqOffset.get(),
+            skippedLog, transientLoss)
         } finally gate.foreach(_.unlock())
       }
       .start()
@@ -658,13 +649,55 @@ object StreamingImport {
       recordsDir: String, predictionsDir: String,
       predict: (DataFrame, String, Option[String]) => Option[DataFrame],
       decode: Dataset[RtRow] => DataFrame,
-      batch: Dataset[RtRow], refreshSeq: Long): Unit = {
+      batch: Dataset[RtRow], refreshSeq: Long,
+      skippedLog: Option[String] = None,
+      transientLoss: Throwable => Boolean = _ => false): Unit = {
         // persist: the decode + schedule joins otherwise re-run for the
         // upsert's actions AND the vehicle-group collect below (~3 full
         // replays of the batch plan per trigger)
         val recs = decode(batch).persist()
+        // decoded source rows only — no schedule read, so safe to collect
+        // even inside the transient-loss degrade paths below
+        def batchFiles(): Seq[String] = batch.select(col("file_name"))
+          .distinct().collect().map(_.getString(0)).sorted.toSeq
         try {
-          upsertBatch(recs, recordsDir)
+          // PHASE 1 — decode + records upsert. A schedule version deleted
+          // between the batch's listing and the decode's CSV scan surfaces
+          // HERE (the one window the listing snapshot cannot shield):
+          // nothing committed yet, so the files are skip-logged under the
+          // recoverable ingest reason and the batch is consumed — never a
+          // dead query (the reference retries its next scan, mod.rs:372-374)
+          try upsertBatch(recs, recordsDir)
+          catch {
+            case e if transientLoss(e) =>
+              System.err.println(
+                s"[stream] schedule files vanished mid-decode; skipping batch: $e")
+              recordSkipped(spark, skippedLog,
+                batchFiles().map(("schedule_read_race", _)))
+              return
+          }
+          // PHASE 2 — prediction refresh, caught SEPARATELY (ADVICE r10):
+          // a race here lands AFTER the records committed, and logging it
+          // under the phase-1 reason would over-report lost ingest. The
+          // requeue of a `schedule_read_race_predict` file re-ingests
+          // value-identical records (LWW) and re-fires the missed refresh.
+          try refreshPredictions(spark, source, recordsDir, predictionsDir,
+            predict, recs, refreshSeq, skippedLog)
+          catch {
+            case e if transientLoss(e) =>
+              System.err.println("[stream] schedule files vanished during " +
+                s"the prediction refresh (records committed): $e")
+              recordSkipped(spark, skippedLog,
+                batchFiles().map(("schedule_read_race_predict", _)))
+          }
+        } finally recs.unpersist()
+  }
+
+  private def refreshPredictions(spark: SparkSession, source: String,
+      recordsDir: String, predictionsDir: String,
+      predict: (DataFrame, String, Option[String]) => Option[DataFrame],
+      recs: DataFrame, refreshSeq: Long,
+      skippedLog: Option[String]): Unit = {
           // each changed vehicle re-predicts with the schedule its NEWEST
           // batch row was DECODED with (the per-file as-of pick rides the
           // records' schedule_file_name column through to the predict side,
@@ -733,8 +766,16 @@ object StreamingImport {
                   graft.gtfs.RecordsTable.KeyCols, graft.gtfs.RecordsTable.ordering)
                 // a None from predict = no schedule version resolvable for
                 // this group (degrade-and-skip; the FromDirs doc): records
-                // are already upserted, only this refresh leg is skipped
-                predict(storedChanged, d.toString, schedName).foreach { p =>
+                // are already upserted, only this refresh leg is skipped —
+                // recorded as a GROUP marker so the operator artifact is
+                // symmetric with the read-race degrades (the marker is not
+                // a file name; the requeue sweep ignores it)
+                predict(storedChanged, d.toString, schedName) match {
+                  case None =>
+                    recordSkipped(spark, skippedLog, Seq((
+                      "no_schedule_version_predict",
+                      s"date=$d version=${schedName.getOrElse("-")}")))
+                  case Some(p) =>
                   // persist: upsertTable's touched-partitions collect would
                   // otherwise run the whole predict plan once, and the
                   // merge write a second time — the dominant per-trigger
@@ -752,7 +793,6 @@ object StreamingImport {
               }
             }
           } finally vehSched.unpersist()
-        } finally recs.unpersist()
   }
 
   /** The predictions-table upsert key shared by the realtime refresh and the
