@@ -312,9 +312,62 @@ object ScaleRehearsal {
             automatic = false, maxFilesPerTrigger = filesPerTrigger)
           qh = q
           q.awaitTermination()
-          spark.read.parquet(recordsDir).count()
+          // resolved LWW view: the AvailableNow run leaves its batches in
+          // the delta tree (a plain base read would see nothing)
+          graft.gtfs.RecordsTable.read(spark, recordsDir).count()
         }
         batchReport("stream_ingest", qh)
+      }
+
+      if (opWanted("upsert_growth")) {
+        // ---- VERDICT r10 #1's done criterion, measured: per-trigger
+        // upsert wall must stay FLAT while the day partition grows 10×+.
+        // Each loop turn appends one fixed-size batch of NEW keys to ONE
+        // (source, date) partition through the production upsert path
+        // (delta append, no compaction — the backstop bound is not reached
+        // at one file per append). For contrast, the OLD per-trigger cost —
+        // a read-merge-overwrite of the whole accumulated partition, which
+        // is exactly what compact() does — is timed at 10×, 50× and 100×
+        // the batch size: flat appends vs visibly growing merges.
+        import org.apache.spark.sql.functions._
+        val rows = sys.env.getOrElse("SPARK_GRAFT_SR_UPSERT_ROWS", "20000").toInt
+        val batches = sys.env.getOrElse("SPARK_GRAFT_SR_UPSERT_BATCHES", "100").toInt
+        val dir = java.nio.file.Files.createTempDirectory("sr_upsert").toString + "/records"
+        def batchDf(i: Int) = spark.range(rows.toLong)
+          .select(lit("scale").as("source"),
+            concat(lit("R"), (col("id") % 50).cast("string")).as("route_id"),
+            (col("id") % 7).as("route_variant"),
+            concat(lit("T"), lit(i.toLong * rows), lit("_"), col("id")).as("trip_id"),
+            lit(java.sql.Date.valueOf("2024-01-15")).as("trip_start_date"),
+            lit(28800).as("trip_start_time"),
+            (col("id") % 40).cast("int").as("stop_sequence"),
+            timestamp_seconds(lit(1705300000L) + lit(i * 60L)).as("time_of_recording"),
+            (col("id") % 600).cast("int").as("delay_arrival"))
+        runTimed("upsert_growth") {
+          val appendWalls = (1 to batches).map { i =>
+            val t0 = System.nanoTime()
+            graft.streaming.StreamingImport.upsertBatch(batchDf(i), dir)
+            val w = (System.nanoTime() - t0) / 1e9
+            if (i == batches / 10 || i == batches / 2 || i == batches) {
+              val tc = System.nanoTime()
+              val files = graft.gtfs.LwwTable.compact(spark, dir,
+                graft.gtfs.RecordsTable.KeyCols, graft.gtfs.RecordsTable.ordering)
+              println(f"[scale] upsert_growth OLD-shape merge at ${i}x batch " +
+                f"(${i.toLong * rows} rows): wall=${(System.nanoTime() - tc) / 1e9}%.2fs " +
+                f"($files delta files folded)")
+            }
+            w
+          }
+          def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+          val firstDecade = appendWalls.take(batches / 10)
+          val lastDecade = appendWalls.takeRight(batches / 10)
+          println(f"[scale] upsert_growth NEW-shape appends: batches=$batches " +
+            f"rows/batch=$rows partition 1x->${batches}x; " +
+            f"wall first-decade median=${med(firstDecade)}%.2fs " +
+            f"last-decade median=${med(lastDecade)}%.2fs " +
+            f"overall median=${med(appendWalls)}%.2fs max=${appendWalls.max}%.2fs")
+          graft.gtfs.RecordsTable.read(spark, dir).count()
+        }
       }
 
       if (opWanted("st2")) {

@@ -328,4 +328,68 @@ class MonitorServerSpec extends AnyFunSuite {
         "autocomplete recovered with the tree")
     } finally { server.stop(); cache.close() }
   }
+
+  test("started before the first schedule version: statics serve, dynamics 500, first drop flips to 200") {
+    // VERDICT r10 #4 — boot-order vs fault must be tellable apart: the
+    // server STARTS over an empty schedule tree (one logged notice), the
+    // search page serves, dynamic routes render the 500 page per request,
+    // and the FIRST dropped version flips them to 200 with no restart
+    val base = java.nio.file.Files.createTempDirectory("monempty")
+    val parent = base.resolve("schedule")
+    java.nio.file.Files.createDirectories(parent)
+    val cache = new graft.gtfs.ScheduleCache(spark, parent.toString)
+    val server = new MonitorServer(spark, () => cache.newest().map(_._2),
+      () => null, scheduleTtlMs = 0L)
+    val port = server.start() // must not throw on the empty tree
+    try {
+      assert(get(port, "/").statusCode() == 200, "search page serves")
+      assert(get(port, "/style.css").statusCode() == 404,
+        "static routes answer (no doc root -> 404, not a schedule error)")
+      assert(get(port, "/autocomplete?query=Stop").statusCode() == 500,
+        "dynamic routes 500 while no version exists")
+      // the first version lands -> the very next request serves it
+      val v1 = java.nio.file.Files.createDirectories(base.resolve("incoming"))
+      graft.gtfs.FixtureGen.writeSchedule(v1)
+      java.nio.file.Files.move(v1, parent.resolve("2024-01-01"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val ac = get(port, "/autocomplete?query=Stop%202")
+      assert(ac.statusCode() == 200 && ac.body().contains("Stop 2"),
+        "first dropped version flips dynamic pages to 200")
+    } finally { server.stop(); cache.close() }
+  }
+
+  test("the read-race retry is scoped to the declared data roots (ADVICE r10)") {
+    // under a root: retried once
+    var n = 0
+    assert(MonitorServer.withReadRetry(1L,
+      dataRoots = Seq("/data/stream/predictions", "/data/schedule")) {
+      n += 1
+      if (n == 1) throw new java.io.FileNotFoundException(
+        "File file:/data/stream/predictions/source=x/part-0.parquet does not exist")
+      9
+    } == 9 && n == 2)
+    // a permanently missing file OUTSIDE every root pays no retry sleep:
+    // it surfaces on the first attempt
+    var m = 0
+    intercept[java.io.FileNotFoundException] {
+      MonitorServer.withReadRetry(1L,
+        dataRoots = Seq("/data/stream/predictions")) {
+        m += 1
+        throw new java.io.FileNotFoundException("/etc/unrelated.conf missing")
+      }
+    }
+    assert(m == 1, s"out-of-root FNF never retries: $m")
+    // same scoping for the FAILED_READ_FILE form
+    intercept[org.apache.spark.SparkException] {
+      MonitorServer.withReadRetry(1L, dataRoots = Seq("/data/schedule")) {
+        throw new org.apache.spark.SparkException(
+          "[FAILED_READ_FILE] file:///somewhere/else/part-0.parquet")
+      }
+    }
+    assert(MonitorServer.transientReadRace(
+      new org.apache.spark.SparkException(
+        "[FAILED_READ_FILE] file:///data/schedule/2024-01-01/trips.txt"),
+      Seq("file:/data/schedule")),
+      "scheme-qualified roots normalize like scheduleReadRace")
+  }
 }
