@@ -84,8 +84,11 @@ object ImportCli {
       () => schedules.newest().map(_._2),
       // the stream table serves through the resolved LWW view, fresh per
       // request: un-compacted delta appends are visible, pre-compaction
-      // duplicates are not. The version tie-break uses the name current AT
-      // THE PROVIDER CALL; a request whose pinned schedule differs (swap
+      // duplicates are not. In the steady state (delta folded) the read
+      // short-circuits to the key-unique base — a pruned scan, no window,
+      // and the newest() probe below is never even forced (by-name param).
+      // While a delta is open, the version tie-break uses the name current
+      // AT THE PROVIDER CALL; a request whose pinned schedule differs (swap
       // landing mid-request) could break a same-second backfill tie the
       // other way for that one page — self-correcting on the next request,
       // same exposure as the reference's monitor reading MySQL mid-swap.

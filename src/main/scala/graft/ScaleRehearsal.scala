@@ -332,6 +332,11 @@ object ScaleRehearsal {
         import org.apache.spark.sql.functions._
         val rows = sys.env.getOrElse("SPARK_GRAFT_SR_UPSERT_ROWS", "20000").toInt
         val batches = sys.env.getOrElse("SPARK_GRAFT_SR_UPSERT_BATCHES", "100").toInt
+        // past ~140 batches the gap between explicit merge checkpoints
+        // (batches/2 .. batches) exceeds the 64-file backstop and a timed
+        // append would silently include a full fold — cap rather than skew
+        require(batches >= 10 && batches <= 140,
+          s"SPARK_GRAFT_SR_UPSERT_BATCHES must be in [10, 140], got $batches")
         val dir = java.nio.file.Files.createTempDirectory("sr_upsert").toString + "/records"
         def batchDf(i: Int) = spark.range(rows.toLong)
           .select(lit("scale").as("source"),
@@ -359,8 +364,9 @@ object ScaleRehearsal {
             w
           }
           def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
-          val firstDecade = appendWalls.take(batches / 10)
-          val lastDecade = appendWalls.takeRight(batches / 10)
+          val decade = math.max(1, batches / 10)
+          val firstDecade = appendWalls.take(decade)
+          val lastDecade = appendWalls.takeRight(decade)
           println(f"[scale] upsert_growth NEW-shape appends: batches=$batches " +
             f"rows/batch=$rows partition 1x->${batches}x; " +
             f"wall first-decade median=${med(firstDecade)}%.2fs " +

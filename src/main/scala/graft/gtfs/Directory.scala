@@ -322,17 +322,21 @@ object Directory {
   def tableHasData(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def visible(path: org.apache.hadoop.fs.Path): Boolean = {
-      val n = path.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
     def probe(d: org.apache.hadoop.fs.Path): Boolean = {
       val children = fs.listStatus(d)
-      children.exists(c => c.isFile && visible(c.getPath)) ||
-        children.exists(c => c.isDirectory && visible(c.getPath) && probe(c.getPath))
+      children.exists(c => c.isFile && visibleName(c.getPath.getName)) ||
+        children.exists(c => c.isDirectory && visibleName(c.getPath.getName)
+          && probe(c.getPath))
     }
     fs.exists(p) && probe(p)
   }
+
+  /** Hadoop's hidden-path convention, shared by every listing in the engine
+    * ([[tableHasData]], the LWW delta walk, the skip log): `_`- and
+    * `.`-prefixed entries are metadata/staging, never data. ONE definition
+    * so the walks cannot drift. */
+  private[graft] def visibleName(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
 
   /** ST3: keep predictions only inside the live window
     * [now − 12 h, now + 7 d 12 h] (MAX_ESTIMATED_TRIP_DURATION and

@@ -59,10 +59,7 @@ object LwwTable {
   def append(batch: DataFrame, tableDir: String, keyCols: Seq[String],
              newestBy: Column): Unit = {
     if (batch.isEmpty) return
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(newestBy.desc)
-    batch
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__rn")
+    resolve(batch, keyCols, newestBy)
       // one file per (source, date) per append — delta file count grows with
       // TRIGGERS, not with (triggers × shuffle partitions); micro-batches
       // are bounded by maxFilesPerTrigger, so the single writer task per
@@ -110,10 +107,24 @@ object LwwTable {
     else normalizePartCols(spark.read.parquet(tableDir))
   }
 
-  /** The resolved table: base ∪ delta, newest row per key. */
+  /** The resolved table: base ∪ delta, newest row per key.
+    *
+    * STEADY-STATE SHORT-CIRCUIT: the base tree is key-unique BY
+    * CONSTRUCTION (only [[compact]] — itself a resolve — and the write-time
+    * merges of the pre-delta layout ever wrote it; the maintenance rewrites
+    * filter rows without duplicating keys), so when the delta holds no data
+    * the resolution window is skipped entirely and readers pay exactly the
+    * pre-LSM cost: a pruned parquet scan, no shuffle. The window runs only
+    * while un-compacted appends exist — bounded by the idle-branch fold and
+    * the size backstop. This matters for consumers that narrow on NON-key
+    * columns (the monitor's stop pages semi-join on stop_id, which cannot
+    * push below a window): their per-request cost is a full-table window
+    * only in the short delta-open interval, never steady state. */
   def read(spark: SparkSession, tableDir: String, keyCols: Seq[String],
            newestBy: Column): DataFrame =
-    resolve(readRaw(spark, tableDir), keyCols, newestBy)
+    if (!Directory.tableHasData(spark, deltaDir(tableDir)))
+      normalizePartCols(spark.read.parquet(tableDir))
+    else resolve(readRaw(spark, tableDir), keyCols, newestBy)
 
   /** Visible data files under the delta tree (driver-side walk, skipping
     * hidden `_`/`.` entries — an in-flight append's `.spark-staging` tree or
@@ -123,13 +134,9 @@ object LwwTable {
     val root = new org.apache.hadoop.fs.Path(deltaDir(tableDir))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
-    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
-      val n = p.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
     def walk(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
       fs.listStatus(d).toSeq.flatMap { st =>
-        if (!visible(st.getPath)) Seq.empty
+        if (!Directory.visibleName(st.getPath.getName)) Seq.empty
         else if (st.isDirectory) walk(st.getPath)
         else Seq(st.getPath)
       }
@@ -261,9 +268,15 @@ object PredictionsTable {
         coalesce((col("schedule_file_name") === lit(n)).cast("int"), lit(0))
           .as("is_current_version")))
 
+  /** The resolved view. `currentScheduleName` is BY-NAME: it is only forced
+    * while the delta tree is open (the steady-state read short-circuits to
+    * the key-unique base and never needs the tie-break), so a provider can
+    * pass a directory-listing probe here without paying it per request. */
   def read(spark: SparkSession, tableDir: String,
-           currentScheduleName: Option[String] = None): DataFrame =
-    LwwTable.read(spark, tableDir, KeyCols, ordering(currentScheduleName))
+           currentScheduleName: => Option[String] = None): DataFrame =
+    if (!Directory.tableHasData(spark, LwwTable.deltaDir(tableDir)))
+      LwwTable.read(spark, tableDir, KeyCols, ordering(None))
+    else LwwTable.read(spark, tableDir, KeyCols, ordering(currentScheduleName))
 
   def compact(spark: SparkSession, tableDir: String,
               currentScheduleName: Option[String] = None): Int =

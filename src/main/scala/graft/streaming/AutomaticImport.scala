@@ -252,12 +252,17 @@ final class AutomaticImport private (
               // fold); the size-triggered backstop inside upsertTable
               // covers deployments whose stream never idles. Steady state
               // (nothing appended since the last fold) is one listing miss
-              // per table. Predictions use the version tie-break when a
-              // version is known; before the first resolution the table
-              // holds only realtime rows, whose seqs never tie.
+              // per table. Predictions fold ONLY while a schedule version
+              // is resolvable: the ordering's version tie-break must match
+              // the readers', and a restart during an outage (scheduleName
+              // still null) could otherwise collapse a cross-version
+              // same-second tie left un-compacted by a previous run toward
+              // the OLD version — which the stale delete would then remove,
+              // losing the prediction. The un-folded delta costs only the
+              // read-time window until the tree returns.
               RecordsTable.compact(spark, recordsDir)
-              PredictionsTable.compact(spark, predictionsDir,
-                Option(scheduleName.get()))
+              Option(scheduleName.get()).foreach(name =>
+                PredictionsTable.compact(spark, predictionsDir, Some(name)))
             } catch {
               case e: InterruptedException => throw e
               case NonFatal(e) =>

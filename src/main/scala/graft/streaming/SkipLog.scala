@@ -56,16 +56,12 @@ object SkipLog {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def visible(p: org.apache.hadoop.fs.Path): Boolean = {
-    val n = p.getName
-    !n.startsWith("_") && !n.startsWith(".")
-  }
-
   /** The log's TSV files, oldest first (names carry a millis prefix). */
   private def logFiles(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.map(_.getPath).filter(visible)
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => graft.gtfs.Directory.visibleName(p.getName))
       .sortBy(_.getName)
 
   /** All entries, oldest first. Driver-side read (the log is bounded). */
@@ -149,6 +145,32 @@ object SkipLog {
     old.foreach(f => fs.delete(f, false))
   }
 
+  /** Listing fingerprint of log directories whose last sweep found NOTHING
+    * recoverable: while the listing is unchanged, [[requeue]] skips reading
+    * the entries entirely — a retagged-but-kept log (the normal post-outage
+    * state) must not cost a full content read per 5 s trigger forever. Any
+    * append or rewrite changes a file name, invalidating the fingerprint. */
+  private val cleanFingerprint =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def fingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): String =
+    logFiles(fs, root).map(_.getName).mkString("|")
+
+  /** True when the log currently holds at least one recoverable entry —
+    * the cheap pre-check for the sweeps, memoized through the same clean
+    * fingerprint: the per-trigger cost of a fully-retagged log is one
+    * bounded directory listing, never a content read. */
+  def hasRecoverable(spark: SparkSession, dir: String): Boolean = {
+    val (fs, root) = fsFor(spark, dir)
+    if (!fs.exists(root)) return false
+    val fp = fingerprint(fs, root)
+    if (cleanFingerprint.get(dir) == fp) return false
+    val any = entries(spark, dir).exists(e => RecoverableReasons.contains(e._1))
+    if (!any) cleanFingerprint.put(dir, fp)
+    any
+  }
+
   /** The recovery sweep: copy every [[RecoverableReasons]] entry's file
     * from `rtDir` back into `rtDir` under a fresh name and retag the entry
     * `requeued:<reason>`; entries whose original file is gone (operator
@@ -158,25 +180,33 @@ object SkipLog {
   def requeue(spark: SparkSession, dir: String, rtDir: String): Int = {
     val (fs, root) = fsFor(spark, dir)
     if (!fs.exists(root)) return 0
+    val fp = fingerprint(fs, root)
+    if (cleanFingerprint.get(dir) == fp) return 0 // unchanged since a clean sweep
     val all = entries(spark, dir)
     val recoverable = all.filter(e => RecoverableReasons.contains(e._1))
       .map(_._2).distinct
-    if (recoverable.isEmpty) return 0
+    if (recoverable.isEmpty) { cleanFingerprint.put(dir, fp); return 0 }
+    cleanFingerprint.remove(dir)
     val rt = new org.apache.hadoop.fs.Path(rtDir)
+    // the rt directory's OWN filesystem: checkpoint and rt dir can live on
+    // different stores (local checkpoint + object-store feed), and using the
+    // log's fs here would throw "Wrong FS" on the first entry — silently
+    // disabling the sweep in exactly the split deployments that need it
+    val rtFs = rt.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val requeued = scala.collection.mutable.Set.empty[String]
     val missing = scala.collection.mutable.Set.empty[String]
     recoverable.foreach { name =>
       val src = new org.apache.hadoop.fs.Path(rt, name)
-      if (!fs.exists(src)) { missing += name; () }
+      if (!rtFs.exists(src)) { missing += name; () }
       else {
         // fresh SUFFIXED name ending .pb (the source's pathGlobFilter):
         // the original basename stays the FIRST date match for X1/J6
         val stem = if (name.endsWith(".pb")) name.dropRight(3) else name
         val dst = new org.apache.hadoop.fs.Path(rt,
           s"$stem.rq${System.currentTimeMillis()}.pb")
-        val in = fs.open(src)
+        val in = rtFs.open(src)
         try {
-          val out = fs.create(dst, false)
+          val out = rtFs.create(dst, false)
           try {
             val buf = new Array[Byte](64 * 1024)
             var n = in.read(buf)

@@ -558,8 +558,12 @@ object StreamingImport {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
-    // probe the tree ONLY when the log exists (the log is the rare state);
-    // an empty tree means the outage is still on — sweep next time
+    // probe the tree ONLY when the log holds something recoverable (the
+    // fingerprint memo makes the probe one bounded listing in the normal
+    // retagged-log state); an empty tree means the outage is still on —
+    // sweep next time. hasRecoverable is the memoized cheap check; requeue
+    // re-derives the set itself, so a race between the two only costs a read
+    if (!SkipLog.hasRecoverable(spark, dir)) return
     if (schedules.datedDirs().isEmpty) return
     val n = SkipLog.requeue(spark, dir, rtDir)
     if (n > 0)
