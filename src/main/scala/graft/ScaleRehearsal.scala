@@ -332,11 +332,13 @@ object ScaleRehearsal {
         import org.apache.spark.sql.functions._
         val rows = sys.env.getOrElse("SPARK_GRAFT_SR_UPSERT_ROWS", "20000").toInt
         val batches = sys.env.getOrElse("SPARK_GRAFT_SR_UPSERT_BATCHES", "100").toInt
-        // past ~140 batches the gap between explicit merge checkpoints
-        // (batches/2 .. batches) exceeds the 64-file backstop and a timed
-        // append would silently include a full fold — cap rather than skew
-        require(batches >= 10 && batches <= 140,
-          s"SPARK_GRAFT_SR_UPSERT_BATCHES must be in [10, 140], got $batches")
+        // the longest run between explicit merge checkpoints is
+        // (batches/2, batches]; one delta file lands per append, so the
+        // 64-file backstop stays silent only while batches/2 + 64 > batches,
+        // i.e. batches <= 126 — past that a timed append would include a
+        // full fold and skew the last decade. Cap rather than skew.
+        require(batches >= 10 && batches <= 126,
+          s"SPARK_GRAFT_SR_UPSERT_BATCHES must be in [10, 126], got $batches")
         val dir = java.nio.file.Files.createTempDirectory("sr_upsert").toString + "/records"
         def batchDf(i: Int) = spark.range(rows.toLong)
           .select(lit("scale").as("source"),

@@ -121,7 +121,12 @@ object LwwTable {
     * push below a window): their per-request cost is a full-table window
     * only in the short delta-open interval, never steady state. */
   def read(spark: SparkSession, tableDir: String, keyCols: Seq[String],
-           newestBy: Column): DataFrame =
+           newestBy: => Column): DataFrame =
+    // newestBy is BY-NAME: on the short-circuit path it is never forced, so
+    // callers may derive it from a probe (e.g. the current schedule name)
+    // without paying that probe in the steady state — and the ONE
+    // delta-emptiness check here decides both the plan and the ordering
+    // consistently (no separate caller-side probe to race against)
     if (!Directory.tableHasData(spark, deltaDir(tableDir)))
       normalizePartCols(spark.read.parquet(tableDir))
     else resolve(readRaw(spark, tableDir), keyCols, newestBy)
@@ -274,9 +279,7 @@ object PredictionsTable {
     * pass a directory-listing probe here without paying it per request. */
   def read(spark: SparkSession, tableDir: String,
            currentScheduleName: => Option[String] = None): DataFrame =
-    if (!Directory.tableHasData(spark, LwwTable.deltaDir(tableDir)))
-      LwwTable.read(spark, tableDir, KeyCols, ordering(None))
-    else LwwTable.read(spark, tableDir, KeyCols, ordering(currentScheduleName))
+    LwwTable.read(spark, tableDir, KeyCols, ordering(currentScheduleName))
 
   def compact(spark: SparkSession, tableDir: String,
               currentScheduleName: Option[String] = None): Int =

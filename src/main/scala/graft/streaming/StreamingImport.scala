@@ -226,10 +226,17 @@ object StreamingImport {
     * keys with the same `newestBy` values, and resolution collapses the
     * duplicates to the identical row. */
   def upsertTable(batch: DataFrame, targetDir: String, keyCols: Seq[String],
-                  newestBy: org.apache.spark.sql.Column): Unit = {
+                  newestBy: org.apache.spark.sql.Column,
+                  compactBackstop: Boolean = true): Unit = {
     val spark = batch.sparkSession
     graft.gtfs.LwwTable.append(batch, targetDir, keyCols, newestBy)
-    graft.gtfs.LwwTable.compactIfOversized(spark, targetDir, keyCols, newestBy)
+    // compactBackstop=false defers the size-triggered fold to a caller that
+    // can supply the COMPLETE reader ordering (a physical fold with a
+    // weaker ordering could collapse a tie differently than the readers —
+    // LwwTable's compact contract); the append itself is ordering-safe
+    // (in-batch dedup only)
+    if (compactBackstop)
+      graft.gtfs.LwwTable.compactIfOversized(spark, targetDir, keyCols, newestBy)
   }
 
   /** S13/S14 as a true DB export: per micro-batch, reduce to the newest row
@@ -558,13 +565,15 @@ object StreamingImport {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
-    // probe the tree ONLY when the log holds something recoverable (the
-    // fingerprint memo makes the probe one bounded listing in the normal
-    // retagged-log state); an empty tree means the outage is still on —
-    // sweep next time. hasRecoverable is the memoized cheap check; requeue
-    // re-derives the set itself, so a race between the two only costs a read
-    if (!SkipLog.hasRecoverable(spark, dir)) return
+    // tree probe FIRST: during an outage the log gains a file per degraded
+    // trigger (no fingerprint memo can hold), and reading its contents per
+    // 5 s trigger while the filesystem is already degraded is exactly the
+    // wrong moment — one directory listing answers "outage still on".
+    // With the tree healthy, hasRecoverable is the memoized cheap check
+    // (one bounded listing for a fully-retagged log); requeue re-derives
+    // the set itself, so a race between the two only costs a read.
     if (schedules.datedDirs().isEmpty) return
+    if (!SkipLog.hasRecoverable(spark, dir)) return
     val n = SkipLog.requeue(spark, dir, rtDir)
     if (n > 0)
       System.err.println(s"[stream] schedule tree recovered; re-queued " +
@@ -789,9 +798,14 @@ object StreamingImport {
                   // ordering includes the version tie-break so a size-
                   // triggered compaction inside this upsert collapses any
                   // backfill-tier tie exactly as the readers would
+                  // backstop folds require the version tie-break; for the
+                  // (defensive, normally impossible) nameless group the
+                  // fold defers to the idle branch, which folds under a
+                  // resolved name
                   try upsertTable(preds, predictionsDir,
                     keyCols = PredictionKeyCols,
-                    newestBy = graft.gtfs.PredictionsTable.ordering(schedName))
+                    newestBy = graft.gtfs.PredictionsTable.ordering(schedName),
+                    compactBackstop = schedName.isDefined)
                   finally preds.unpersist()
                 }
               }
