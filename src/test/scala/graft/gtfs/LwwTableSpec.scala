@@ -134,6 +134,31 @@ class LwwTableSpec extends AnyFunSuite {
     assert(resolved(dir) == Set(("T1", "second", 2L)))
   }
 
+  test("steady-state reads plan WITHOUT the resolution window (plan guard)") {
+    // the short-circuit is a structural claim: with the delta folded, a
+    // read must be the plain pruned scan (no WindowExec, no Exchange from
+    // the dedup) — the monitor's per-request cost depends on it, since its
+    // stop_id semi-join cannot push below a window
+    val dir = Files.createTempDirectory("lww_plan").toString + "/t"
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v1", 1L)), dir, keyCols, col("seq"))
+    // optimized LOGICAL plan: AQE wraps the physical plan in an adaptive
+    // node whose final children only exist after execution
+    def windows(dF: org.apache.spark.sql.DataFrame): Int =
+      dF.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.size
+    // delta open: the window is load-bearing
+    assert(windows(LwwTable.read(spark, dir, keyCols, col("seq"))) == 1,
+      "an open delta resolves through the W2 window")
+    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    // delta folded: no window, and the by-name ordering is never forced
+    var forced = false
+    def ordering: org.apache.spark.sql.Column = { forced = true; col("seq") }
+    val steady = LwwTable.read(spark, dir, keyCols, ordering)
+    assert(windows(steady) == 0, "the steady-state read is a plain scan")
+    assert(!forced, "the ordering (and any probe inside it) is never forced")
+    assert(steady.count() == 1)
+  }
+
   test("null partition values round-trip through append, resolve and compact") {
     import spark.implicits._
     val dir = Files.createTempDirectory("lww7").toString + "/t"
