@@ -245,8 +245,8 @@ object Directory {
     * (origin_type / schedule_file_name are dictionary-encoded low-cardinality
     * columns, so untouched row groups are skipped on footer stats) — and only
     * when stale rows EXIST are their partitions rewritten (read-filter-
-    * overwrite of the touched directories, the same partition-scoped merge
-    * discipline as [[graft.streaming.StreamingImport.upsertTable]]). In the
+    * overwrite of the touched directories, the same partition-scoped
+    * rewrite discipline as [[LwwTable.compact]]). In the
     * steady state (no schedule change) every call is probe-only. Partitions
     * whose every row is stale are directory-deleted (dynamic overwrite never
     * rewrites a partition absent from the output). Returns the deleted row

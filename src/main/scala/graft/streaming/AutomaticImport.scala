@@ -46,9 +46,9 @@ final case class BackfillEvent(decidedAtNanos: Long, completedAtNanos: Long,
   * back-to-back like the reference loop instead of paying the confirm
   * sleep between every batch. Backfill iterations and rt micro-batches are serialized
   * by a shared lock (the reference's single loop runs the phases strictly
-  * in turn): both sides merge into the same predictions table, and
-  * unserialized read-merge-overwrite of one partition directory would lose
-  * a writer. The ST4 minimum-batch sizing bounds how long one backfill
+  * in turn): both sides write the same LWW predictions table, and the idle
+  * branch's compaction/stale-delete partition rewrites must not overlap an
+  * append or each other. The ST4 minimum-batch sizing bounds how long one backfill
   * iteration can delay a freshly-arrived file — the same latency trade the
   * reference makes.
   *

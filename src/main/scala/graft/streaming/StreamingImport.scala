@@ -614,11 +614,11 @@ object StreamingImport {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[RtRow], batchId: Long) =>
         // the AUTOMATIC composition serializes rt batches against the idle
-        // backfill (AutomaticImport): both upsert the predictions table via
-        // read-merge-overwrite, and an unserialized overlap on the same
-        // partition directory would lose one writer's merge — the reference
-        // runs the two phases strictly in turn in its single loop
-        // (importer/mod.rs:302-330)
+        // backfill (AutomaticImport): both write the same LWW tables, and
+        // the idle branch's compaction + stale-delete rewrites must never
+        // overlap an append or another fold on the same partition — the
+        // reference runs the two phases strictly in turn in its single
+        // loop (importer/mod.rs:302-330)
         gate.foreach(_.lock())
         try {
           // recovery sweep FIRST (data is flowing, so the tree is worth
