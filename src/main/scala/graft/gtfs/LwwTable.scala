@@ -21,23 +21,28 @@ import org.apache.spark.sql.functions._
   *  - '''read''' resolves base ∪ delta through the W2 `row_number` window
   *    (the same LWW the write-time merge used), so readers never see a
   *    pre-compaction duplicate;
-  *  - '''compact''' folds the delta files into the base partitions with one
-  *    read-merge-overwrite and deletes exactly the delta files it read —
-  *    run from the automatic mode's idle branch (gate-serialized with the
-  *    writers) and as a size-triggered backstop when the stream never idles.
+  *  - '''compact''' folds the delta files into the base partitions: one
+  *    merged write to a hidden temp tree (no caching — the sort spills, so
+  *    fold memory is bounded by the spill threshold, not the partition),
+  *    then per-partition rename swaps, then deletion of exactly the delta
+  *    files it read — run from the automatic mode's idle branch
+  *    (gate-serialized with the writers) and as a size-triggered backstop
+  *    when the stream never idles.
   *
   * The `_delta` subtree is hidden from `spark.read.parquet(<table>)` (Spark
   * ignores `_`-prefixed paths), so maintenance rewrites that target only the
   * compacted base (legacy-tier normalization, stale-version deletes after
   * their compact-first step) keep working on the base read unchanged.
   *
-  * Crash safety: a failure between the compaction's base overwrite and its
-  * delta-file delete leaves the folded rows in BOTH trees; they tie on the
-  * LWW ordering with identical values, so resolution returns the same rows
-  * and the next compaction folds + deletes them again — idempotent, like a
-  * replayed upsert. The ordering passed to `compact` must be the SAME one
-  * readers use (for predictions that includes the current-version
-  * tie-break), or a collapsed tie could disagree with the read-time pick.
+  * Crash safety: at EVERY crash point of a fold, every row is visible to
+  * resolution — the old base files take refuge in the delta tree before
+  * their partition is swapped (see the inline analysis in [[compact]]), and
+  * rows duplicated across trees tie on the LWW ordering with identical
+  * values, so resolution returns the same rows and the next fold merges +
+  * deletes them again — idempotent, like a replayed upsert. The ordering
+  * passed to `compact` must be the SAME one readers use (for predictions
+  * that includes the current-version tie-break), or a collapsed tie could
+  * disagree with the read-time pick.
   */
 object LwwTable {
 
@@ -157,8 +162,11 @@ object LwwTable {
   /** Folds the current delta files into the base: reads base rows of the
     * partitions the delta touches, unions the PINNED delta file list,
     * resolves the LWW, writes the merged partitions to a hidden temp tree,
-    * SWAPS them into the base with per-partition renames, then deletes
-    * exactly the delta files it read (an append racing the compaction —
+    * SWAPS them into the base with per-partition renames (the old base
+    * files take refuge in the delta tree first, so every crash point
+    * leaves all rows visible — see the inline crash analysis), then deletes
+    * exactly the delta files it read plus the refuged base files (an
+    * append racing the compaction —
     * none exists under the write gate, but the contract holds regardless —
     * keeps its files for the next fold). Returns the number of delta files
     * folded (0 = nothing to do). Callers must hold the table's write gate;
@@ -182,22 +190,14 @@ object LwwTable {
         normalizePartCols(spark.read.parquet(tableDir)).filter(cond)
           .unionByName(delta)
       }
-    // materialize + truncate lineage so the overwrite below does not read
-    // from the paths it replaces (same discipline as every other
-    // read-merge-overwrite in the engine)
     // write the merged partitions to a HIDDEN temp tree and SWAP them in
-    // with per-partition metadata renames — never localCheckpoint: caching
-    // the whole merged partition pins it in the unified memory pool against
-    // the resolution window's own sort and OOMs a single-process fold
-    // somewhere past ~50M rows per partition (measured), where the
-    // temp-write shape lets the sort spill normally and scales with disk.
-    // The temp path also removes the self-overwrite hazard the checkpoint
-    // existed for: the plan reads base+delta and writes elsewhere. Crash
-    // windows: before any swap, the `_`-hidden temp is invisible and the
-    // next fold overwrites it; mid-swap, a swapped partition already holds
-    // its COMPLETE merged content while un-swapped ones still resolve
-    // through the live delta files — every interleaving re-folds
-    // idempotently.
+    // with metadata renames — never localCheckpoint: caching the whole
+    // merged partition pins it in the unified memory pool against the
+    // resolution window's own sort and OOMs a single-process fold past
+    // ~50M rows per partition (measured at 100M), where the temp-write
+    // shape lets the sort spill normally and scales with disk. The temp
+    // path also removes the self-overwrite hazard the checkpoint existed
+    // for: the plan reads base+delta and writes elsewhere.
     val tmpDir = s"$tableDir/_compact_tmp"
     resolve(unioned, keyCols, newestBy)
       .write.mode("overwrite").partitionBy(PartCols: _*).parquet(tmpDir)
@@ -207,7 +207,19 @@ object LwwTable {
     // (listing the temp tree sidesteps re-deriving Hive path escaping for
     // the partition values); the produced set IS the touched set — the LWW
     // keeps at least one row per key, so no touched partition comes out
-    // empty
+    // empty. Per-partition swap order is chosen so NO crash point can lose
+    // a row: (1) the old base partition's files are MOVED INTO the delta
+    // partition directory under fresh visible names — from that instant
+    // every old row is a (tied, value-identical) delta row, so a crash
+    // before step 2 leaves everything resolvable and the next fold simply
+    // re-merges it; (2) the temp partition is renamed into the base; a
+    // crash after it leaves the merged base beside now-redundant delta
+    // copies, which resolve as ties and re-fold away. A delete-dst-then-
+    // rename swap would instead open a window where base-only keys of the
+    // partition exist NOWHERE visible — and the next fold would make that
+    // loss permanent.
+    val foldedBaseFiles = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.Path]
     val tmpRoot = new org.apache.hadoop.fs.Path(tmpDir)
     fs.listStatus(tmpRoot).filter(st => st.isDirectory
         && Directory.visibleName(st.getPath.getName)).foreach { srcDir =>
@@ -215,7 +227,20 @@ object LwwTable {
           && Directory.visibleName(st.getPath.getName)).foreach { datePart =>
         val rel = s"${srcDir.getPath.getName}/${datePart.getPath.getName}"
         val dst = new org.apache.hadoop.fs.Path(s"$tableDir/$rel")
-        if (fs.exists(dst)) fs.delete(dst, true)
+        if (fs.exists(dst)) {
+          val refuge = new org.apache.hadoop.fs.Path(s"$dDir/$rel")
+          fs.mkdirs(refuge)
+          fs.listStatus(dst).filter(f => f.isFile
+              && Directory.visibleName(f.getPath.getName)).foreach { f =>
+            val moved = new org.apache.hadoop.fs.Path(refuge,
+              s"basefold-${java.util.UUID.randomUUID()}-${f.getPath.getName}")
+            if (!fs.rename(f.getPath, moved))
+              throw new java.io.IOException(
+                s"compaction refuge ${f.getPath} -> $moved failed")
+            foldedBaseFiles += moved
+          }
+          fs.delete(dst, true) // now holds only hidden leftovers, if any
+        }
         fs.mkdirs(dst.getParent)
         if (!fs.rename(datePart.getPath, dst))
           throw new java.io.IOException(
@@ -223,7 +248,7 @@ object LwwTable {
       }
     }
     fs.delete(tmpRoot, true)
-    files.foreach(f => fs.delete(f, false))
+    (files ++ foldedBaseFiles).foreach(f => fs.delete(f, false))
     // best-effort prune of now-empty delta partition directories (delete
     // refuses non-empty dirs with recursive=false, so a racing append's
     // fresh file is safe)

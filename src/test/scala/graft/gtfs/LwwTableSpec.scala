@@ -93,6 +93,40 @@ class LwwTableSpec extends AnyFunSuite {
       && spark.read.parquet(dir).count() == 1)
   }
 
+  test("a fold crash between the base refuge and the swap loses nothing") {
+    // the dangerous interleaving: the old base partition is already gone
+    // (its files refuged into the delta tree) but the merged temp was never
+    // swapped in — base-only keys must still resolve, and the next fold
+    // must make the state whole. A delete-then-rename swap would lose key A
+    // here permanently.
+    val dir = Files.createTempDirectory("lww_refuge").toString + "/t"
+    LwwTable.append(df(("a", "A", "2024-01-01", "baseonly", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq")) // A now lives in base only
+    LwwTable.append(df(("a", "B", "2024-01-01", "deltaonly", 2L)), dir, keyCols, col("seq"))
+    // simulate the crash state by hand: move base files into the delta
+    // partition dir under refuge names, drop the base partition, leave a
+    // stale (hidden, ignorable) temp tree behind
+    val basePart = new java.io.File(s"$dir/source=a/trip_start_date=2024-01-01")
+    val deltaPart = new java.io.File(
+      s"${LwwTable.deltaDir(dir)}/source=a/trip_start_date=2024-01-01")
+    basePart.listFiles().filter(f => f.getName.endsWith(".parquet")).foreach { f =>
+      Files.move(f.toPath, deltaPart.toPath.resolve(s"basefold-x-${f.getName}"))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(basePart)
+    val staleTmp = new java.io.File(s"$dir/_compact_tmp/source=a")
+    staleTmp.mkdirs()
+    // every row still visible mid-crash
+    assert(resolved(dir) == Set(("A", "baseonly", 1L), ("B", "deltaonly", 2L)),
+      "base-only keys survive the refuge window")
+    // the next fold converges: both keys in base, delta + temp cleared
+    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    assert(LwwTable.deltaFileCount(spark, dir) == 0)
+    assert(!new java.io.File(s"$dir/_compact_tmp").exists(),
+      "the stale temp tree is overwritten and removed by the next fold")
+    assert(spark.read.parquet(dir).count() == 2
+      && resolved(dir) == Set(("A", "baseonly", 1L), ("B", "deltaonly", 2L)))
+  }
+
   test("size-triggered backstop compacts when the delta outgrows the bound") {
     val dir = Files.createTempDirectory("lww4").toString + "/t"
     (1L to 4L).foreach(i =>
