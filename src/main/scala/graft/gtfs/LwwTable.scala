@@ -37,12 +37,16 @@ import org.apache.spark.sql.functions._
   * Crash safety: at EVERY crash point of a fold, every row is visible to
   * resolution — the old base files take refuge in the delta tree before
   * their partition is swapped (see the inline analysis in [[compact]]), and
-  * rows duplicated across trees tie on the LWW ordering with identical
+  * rows DUPLICATED across trees tie on the LWW ordering with identical
   * values, so resolution returns the same rows and the next fold merges +
-  * deletes them again — idempotent, like a replayed upsert. The ordering
-  * passed to `compact` must be the SAME one readers use (for predictions
-  * that includes the current-version tie-break), or a collapsed tie could
-  * disagree with the read-time pick.
+  * deletes them again — idempotent, like a replayed upsert. Rows that were
+  * already GENUINELY tied before the fold (same key, same ordering value,
+  * different payload — e.g. a feed re-sending a key within one recording
+  * second) stay arbitrary across re-folds, exactly as they were arbitrary
+  * at read time and under the old write-time merge; the ordering owns
+  * determinism, not the fold. The ordering passed to `compact` must be the
+  * SAME one readers use (for predictions that includes the current-version
+  * tie-break), or a collapsed tie could disagree with the read-time pick.
   */
 object LwwTable {
 
