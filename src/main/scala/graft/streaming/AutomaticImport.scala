@@ -252,15 +252,30 @@ final class AutomaticImport private (
               // fold); the size-triggered backstop inside upsertTable
               // covers deployments whose stream never idles. Steady state
               // (nothing appended since the last fold) is one listing miss
-              // per table. Predictions fold ONLY while a schedule version
-              // is resolvable: the ordering's version tie-break must match
-              // the readers', and a restart during an outage (scheduleName
-              // still null) could otherwise collapse a cross-version
-              // same-second tie left un-compacted by a previous run toward
-              // the OLD version — which the stale delete would then remove,
-              // losing the prediction. The un-folded delta costs only the
-              // read-time window until the tree returns.
-              RecordsTable.compact(spark, recordsDir)
+              // per table. The two tables fold on DIFFERENT policies:
+              //  - records is unbounded (it grows with history), and a fold
+              //    rewrites the whole touched day partition — folding on
+              //    every idle gap would pay that rewrite for a handful of
+              //    rows (a feed with minute-scale lulls would rewrite the
+              //    day partition hundreds of times a day). Nothing
+              //    latency-sensitive reads records un-narrowed (the refresh
+              //    basis resolves AFTER its changed-vehicle semi-join), so
+              //    an open records delta costs only a bounded listing —
+              //    fold it only once it has accumulated a worthwhile batch;
+              //  - predictions fold every iteration: the table is
+              //    cleanup-bounded to the live window (fold cost bounded),
+              //    and the monitor's steady-state short-circuit — a pruned
+              //    scan instead of a per-request window — depends on its
+              //    delta staying empty. ONLY while a schedule version is
+              //    resolvable: the ordering's version tie-break must match
+              //    the readers', and a restart during an outage
+              //    (scheduleName still null) could otherwise collapse a
+              //    cross-version same-second tie left un-compacted by a
+              //    previous run toward the OLD version — which the stale
+              //    delete would then remove, losing the prediction.
+              if (LwwTable.deltaFileCount(spark, recordsDir)
+                  >= AutomaticImport.RecordsIdleFoldMinFiles)
+                RecordsTable.compact(spark, recordsDir)
               Option(scheduleName.get()).foreach(name =>
                 PredictionsTable.compact(spark, predictionsDir, Some(name)))
             } catch {
@@ -369,6 +384,15 @@ object AutomaticImport {
 
   /** [[backfillEvents]] keeps at most this many recent entries. */
   val MaxRecentEvents: Int = 512
+
+  /** The idle branch folds the RECORDS delta only once it holds at least
+    * this many files (≈ this many triggers' appends): each fold rewrites
+    * the whole touched day partition, so folding per idle gap would turn a
+    * feed with minute-scale lulls into hundreds of full-partition rewrites
+    * a day for near-empty deltas. Below the bound an open records delta
+    * costs one bounded listing per reader — every records consumer narrows
+    * before resolving. The 64-file backstop still caps the worst case. */
+  val RecordsIdleFoldMinFiles: Int = 8
 
   /** Startup high-water-mark recovery — the reference's
     * `get_latest_prediction_time_from_database`
