@@ -183,17 +183,16 @@ object GtfsPack extends QueryPack {
     val (_, rtDir) = dirs
     val base = Scratch.tempDir("graft_stream").toString
     val recordsDir = base + "/records"
-    val q = graft.streaming.StreamingImport.start(s, rtDir, sched, "graft",
-      recordsDir, base + "/ckpt", automatic = false)
     try {
-      // require, not assert: assert is elidable, and eliding it would drop
-      // the awaitTermination call itself and read a partial table
-      require(q.awaitTermination(300000), "streaming import did not finish in 5 min")
+      // the reference's `import batch` contract: runBatch runs the backlog
+      // to completion AND folds the delta at stream end, so the read below
+      // is the steady-state short-circuit — a plain pruned scan of the
+      // key-unique base, no resolution window
+      graft.streaming.StreamingImport.runBatch(s, rtDir, sched, "graft",
+        recordsDir, base + "/ckpt")
       // materialize the bounded fixture table on the driver so the temp
       // records/checkpoint dirs can be deleted — repeated bench/verify runs
       // must not accumulate stream state on the (RAM-backed) scratch space
-      // the resolved LWW view (base ∪ delta, newest per key): the
-      // AvailableNow run ends with its micro-batches in the delta tree
       val out = asEpochSecs(graft.gtfs.RecordsTable.read(s, recordsDir))
         .orderBy("source", "trip_start_date", "trip_id", "trip_start_time",
           "stop_sequence")
@@ -202,7 +201,6 @@ object GtfsPack extends QueryPack {
       import scala.jdk.CollectionConverters._
       s.createDataFrame(rows.asJava, schema)
     } finally {
-      if (q.isActive) q.stop()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
   }

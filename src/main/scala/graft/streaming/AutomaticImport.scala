@@ -248,9 +248,11 @@ final class AutomaticImport private (
                 Directory.cleanupOutdatedPredictionsTable(
                   spark, predictionsDir, source, now)
               // fold the LWW delta trees while the stream is idle — the
-              // PRIMARY compaction site (gate-held, so no writer races the
-              // fold); the size-triggered backstop inside upsertTable
-              // covers deployments whose stream never idles. Steady state
+              // ONLY base-fold site (gate-held, so no writer races the
+              // fold); the size-triggered backstop inside upsertTable is a
+              // delta→delta merge (O(working set), never O(partition)), so
+              // a never-idle deployment's delta stays bounded without its
+              // triggers ever paying a base fold. Steady state
               // (nothing appended since the last fold) is one listing miss
               // per table. The two tables fold on DIFFERENT policies:
               //  - records is unbounded (it grows with history), and a fold
@@ -273,8 +275,14 @@ final class AutomaticImport private (
               //    cross-version same-second tie left un-compacted by a
               //    previous run toward the OLD version — which the stale
               //    delete would then remove, losing the prediction.
-              if (LwwTable.deltaFileCount(spark, recordsDir)
-                  >= AutomaticImport.RecordsIdleFoldMinFiles)
+              // deltaWorthFolding, not a bare file count: the on-trigger
+              // backstop merges delta files down to one per partition
+              // (LwwTable.mergeDelta), so after a busy spell the FILE count
+              // can sit below the bound while the delta holds 64+ triggers'
+              // worth of rows — a merged file is itself the marker that a
+              // worthwhile batch is waiting
+              if (LwwTable.deltaWorthFolding(spark, recordsDir,
+                  AutomaticImport.RecordsIdleFoldMinFiles))
                 RecordsTable.compact(spark, recordsDir)
               Option(scheduleName.get()).foreach(name =>
                 PredictionsTable.compact(spark, predictionsDir, Some(name)))

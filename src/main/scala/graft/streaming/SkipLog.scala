@@ -127,10 +127,19 @@ object SkipLog {
       }
     }
 
-  /** Rewrites the whole directory as ONE TSV holding the newest
-    * [[MaxEntries]] entries (write-then-delete: a crash in between leaves
-    * duplicate lines, which the next coalesce drops and the requeue sweep
-    * tolerates — retagged entries are never recoverable twice). */
+  /** Rewrites the whole directory as ONE TSV holding at most [[MaxEntries]]
+    * entries (write-then-delete: a crash in between leaves duplicate lines,
+    * which the next coalesce drops and the requeue sweep tolerates —
+    * retagged entries are never recoverable twice). Truncation evicts
+    * NON-recoverable entries first (ADVICE r11): a retagged/terminal entry
+    * is pure history, while evicting a still-recoverable one silently
+    * disables that file's auto-requeue — so recoverable entries outlive the
+    * ring until only recoverable entries remain, and only then does the
+    * oldest of THOSE fall off, with a one-line warning naming the dropped
+    * count (the "no silent caps" discipline). Relative recency is preserved
+    * within each class; across classes the coalesced file orders
+    * non-recoverable before recoverable, which later truncations rely on
+    * and no reader observes (requeue and hasRecoverable are order-blind). */
   def coalesce(spark: SparkSession, dir: String): Unit =
     rewrite(spark, dir, identity)
 
@@ -139,9 +148,18 @@ object SkipLog {
     val (fs, root) = fsFor(spark, dir)
     val old = logFiles(fs, root)
     if (old.isEmpty) return
-    val all = transform(entries(spark, dir)).distinct.takeRight(MaxEntries)
+    val all = transform(entries(spark, dir)).distinct
+    val (rec, non) = all.partition(e => RecoverableReasons.contains(e._1))
+    val kept = (non ++ rec).takeRight(MaxEntries)
+    val droppedRecoverable =
+      rec.size - kept.count(e => RecoverableReasons.contains(e._1))
+    if (droppedRecoverable > 0)
+      System.err.println(s"[stream] skip log at $dir overflowed $MaxEntries" +
+        s" entries and evicted $droppedRecoverable still-RECOVERABLE" +
+        " entries — those files will not auto-requeue (their names remain" +
+        " in stderr history only)")
     writeFile(fs, root,
-      s"skipped-${System.currentTimeMillis()}-coalesced.tsv", all)
+      s"skipped-${System.currentTimeMillis()}-coalesced.tsv", kept)
     old.foreach(f => fs.delete(f, false))
   }
 

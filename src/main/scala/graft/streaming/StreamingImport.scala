@@ -224,19 +224,27 @@ object StreamingImport {
     *
     * Replay-idempotent exactly like before: a retried batch appends the same
     * keys with the same `newestBy` values, and resolution collapses the
-    * duplicates to the identical row. */
+    * duplicates to the identical row.
+    *
+    * The size-triggered backstop is TIERED (VERDICT r11 #1): past ~64
+    * accumulated delta files it merges delta→delta
+    * ([[graft.gtfs.LwwTable.mergeDelta]] — O(working set), no base read),
+    * never the full base fold, so a stream that NEVER idles has its
+    * worst-case trigger bounded by delta size instead of stalling 30 s+ on
+    * an O(partition) rewrite; base folds stay on the idle branch (and at
+    * batch-run end, [[runBatch]]). */
   def upsertTable(batch: DataFrame, targetDir: String, keyCols: Seq[String],
                   newestBy: org.apache.spark.sql.Column,
-                  compactBackstop: Boolean = true): Unit = {
+                  mergeBackstop: Boolean = true): Unit = {
     val spark = batch.sparkSession
     graft.gtfs.LwwTable.append(batch, targetDir, keyCols, newestBy)
-    // compactBackstop=false defers the size-triggered fold to a caller that
-    // can supply the COMPLETE reader ordering (a physical fold with a
-    // weaker ordering could collapse a tie differently than the readers —
-    // LwwTable's compact contract); the append itself is ordering-safe
-    // (in-batch dedup only)
-    if (compactBackstop)
-      graft.gtfs.LwwTable.compactIfOversized(spark, targetDir, keyCols, newestBy)
+    // mergeBackstop=false defers the size-triggered merge to a caller that
+    // can supply the COMPLETE reader ordering (a physical merge resolves
+    // ties exactly like a fold, so a weaker ordering could collapse one
+    // differently than the readers — LwwTable's compact contract); the
+    // append itself is ordering-safe (in-batch dedup only)
+    if (mergeBackstop)
+      graft.gtfs.LwwTable.mergeDeltaIfOversized(spark, targetDir, keyCols, newestBy)
   }
 
   /** S13/S14 as a true DB export: per micro-batch, reduce to the newest row
@@ -386,6 +394,32 @@ object StreamingImport {
         finally recs.unpersist()
       }
       .start()
+  }
+
+  /** [[start]] in `batch` mode, run to COMPLETION — the reference's
+    * `import batch` contract (importer/mod.rs:295-359: the run-once loop
+    * exits with MySQL fully upserted): an AvailableNow pass over the
+    * current backlog, then a STREAM-END FOLD of the records delta, so a
+    * finished batch run leaves the compacted, key-unique base and an empty
+    * `_delta/` — the next reader pays a plain pruned scan, never a
+    * resolution window (an AvailableNow run otherwise ends with its last
+    * appends still in the delta tree, a behavioral delta vs the reference
+    * and an avoidable window on the first read — VERDICT r11 #2). The fold
+    * needs no gate: batch mode owns the table for the duration (the
+    * automatic mode's gated composition never uses AvailableNow). */
+  def runBatch(spark: SparkSession, rtDir: String, schedule: GtfsSchedule,
+               source: String, recordsDir: String, checkpointDir: String,
+               maxFilesPerTrigger: Int = 256,
+               timeoutMs: Long = 300000L): Unit = {
+    val q = start(spark, rtDir, schedule, source, recordsDir, checkpointDir,
+      automatic = false, maxFilesPerTrigger = maxFilesPerTrigger)
+    try
+      // require, not assert: assert is elidable, and eliding it would drop
+      // the awaitTermination call itself and fold a partial table
+      require(q.awaitTermination(timeoutMs),
+        s"batch import did not finish within ${timeoutMs} ms")
+    finally if (q.isActive) q.stop()
+    graft.gtfs.RecordsTable.compact(spark, recordsDir)
   }
 
   /** The reference importer's full realtime loop, streaming end to end
@@ -548,7 +582,12 @@ object StreamingImport {
       skippedLog = Some(skippedLogDir(checkpointDir)),
       transientLoss = scheduleReadRace(schedules.scheduleParentDir),
       requeueSweep = Some(() => requeueSkipped(spark, schedules,
-        checkpointDir, rtDir)))
+        checkpointDir, rtDir)),
+      // the deferred predictions backstop's ordering: the NEWEST version's
+      // name by directory listing (one bounded listing, only when the
+      // backstop actually fires) — the same resolved-name guard the idle
+      // branch applies before its fold
+      currentVersion = () => schedules.newestDir().map(schedules.shortName))
   }
 
   /** The recovery sweep shared by the refresh loop (data flowing) and the
@@ -589,7 +628,8 @@ object StreamingImport {
       decode: Dataset[RtRow] => DataFrame,
       skippedLog: Option[String] = None,
       transientLoss: Throwable => Boolean = _ => false,
-      requeueSweep: Option[() => Unit] = None)
+      requeueSweep: Option[() => Unit] = None,
+      currentVersion: () => Option[String] = () => None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val rt = rtStream(spark, rtDir, maxFilesPerTrigger)
     val trigger = if (automatic) Trigger.ProcessingTime(triggerInterval)
@@ -636,7 +676,7 @@ object StreamingImport {
               maxStoredRefreshSeq(spark, predictionsDir) + 1 - batchId))
           refreshBatch(spark, source, recordsDir, predictionsDir,
             predict, decode, batch, batchId + seqOffset.get(),
-            skippedLog, transientLoss)
+            skippedLog, transientLoss, currentVersion)
         } finally gate.foreach(_.unlock())
       }
       .start()
@@ -658,13 +698,14 @@ object StreamingImport {
     }
   }
 
-  private def refreshBatch(spark: SparkSession, source: String,
+  private[streaming] def refreshBatch(spark: SparkSession, source: String,
       recordsDir: String, predictionsDir: String,
       predict: (DataFrame, String, Option[String]) => Option[DataFrame],
       decode: Dataset[RtRow] => DataFrame,
       batch: Dataset[RtRow], refreshSeq: Long,
       skippedLog: Option[String] = None,
-      transientLoss: Throwable => Boolean = _ => false): Unit = {
+      transientLoss: Throwable => Boolean = _ => false,
+      currentVersion: () => Option[String] = () => None): Unit = {
         // persist: the decode + schedule joins otherwise re-run for the
         // upsert's actions AND the vehicle-group collect below (~3 full
         // replays of the batch plan per trigger)
@@ -695,7 +736,7 @@ object StreamingImport {
           // requeue of a `schedule_read_race_predict` file re-ingests
           // value-identical records (LWW) and re-fires the missed refresh.
           try refreshPredictions(spark, source, recordsDir, predictionsDir,
-            predict, recs, refreshSeq, skippedLog)
+            predict, recs, refreshSeq, skippedLog, currentVersion)
           catch {
             case e if transientLoss(e) =>
               System.err.println("[stream] schedule files vanished during " +
@@ -710,7 +751,8 @@ object StreamingImport {
       recordsDir: String, predictionsDir: String,
       predict: (DataFrame, String, Option[String]) => Option[DataFrame],
       recs: DataFrame, refreshSeq: Long,
-      skippedLog: Option[String]): Unit = {
+      skippedLog: Option[String],
+      currentVersion: () => Option[String]): Unit = {
           // each changed vehicle re-predicts with the schedule its NEWEST
           // batch row was DECODED with (the per-file as-of pick rides the
           // records' schedule_file_name column through to the predict side,
@@ -795,20 +837,31 @@ object StreamingImport {
                   // cost doubled
                   val preds = p.withColumn("refresh_seq", lit(refreshSeq))
                     .persist()
-                  // ordering includes the version tie-break so a size-
-                  // triggered compaction inside this upsert collapses any
-                  // backfill-tier tie exactly as the readers would
-                  // backstop folds require the version tie-break; for the
-                  // (defensive, normally impossible) nameless group the
-                  // fold defers to the idle branch, which folds under a
-                  // resolved name
+                  // mergeBackstop=false PER GROUP (ADVICE r11): the group's
+                  // as-of name is legitimately OLDER than the newest version
+                  // for late old-dated rt files, and a physical merge under
+                  // it would collapse a cross-version same-second backfill
+                  // tie toward the OLD version — which the stale-schedule
+                  // delete then removes, permanently losing the cell. The
+                  // ONE backstop below the loop uses the CURRENT version.
                   try upsertTable(preds, predictionsDir,
                     keyCols = PredictionKeyCols,
                     newestBy = graft.gtfs.PredictionsTable.ordering(schedName),
-                    compactBackstop = schedName.isDefined)
+                    mergeBackstop = false)
                   finally preds.unpersist()
                 }
               }
+              // the deferred size backstop, ONCE per trigger, under the
+              // ordering the READERS use — refresh_seq with the CURRENT
+              // version's tie-break (the idle branch's resolved-name guard,
+              // AutomaticImport): with no version resolvable (tree outage)
+              // it stays deferred, and the delta simply rides until the
+              // idle fold or recovery — an open delta is a read-cost
+              // concern, never a correctness one.
+              currentVersion().foreach(name =>
+                graft.gtfs.LwwTable.mergeDeltaIfOversized(spark,
+                  predictionsDir, PredictionKeyCols,
+                  graft.gtfs.PredictionsTable.ordering(Some(name))))
             }
           } finally vehSched.unpersist()
   }

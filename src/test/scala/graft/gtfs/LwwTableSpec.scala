@@ -193,6 +193,92 @@ class LwwTableSpec extends AnyFunSuite {
     assert(steady.count() == 1)
   }
 
+  test("tiered merge folds the delta to one file per partition without touching base") {
+    // the on-trigger backstop shape (VERDICT r11 #1): mergeDelta is
+    // O(delta) — the compacted BASE file must not move, the delta must
+    // come out as one file per partition, and resolution must be invariant
+    val dir = Files.createTempDirectory("lww_merge").toString + "/t"
+    LwwTable.append(df(("a", "T0", "2024-01-01", "base", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    val baseFile = new java.io.File(s"$dir/source=a/trip_start_date=2024-01-01")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val (mtime, len) = (baseFile.lastModified(), baseFile.length())
+    // 6 appends over two partitions: 3 keys per partition, newest seq wins
+    (2L to 7L).foreach { i =>
+      val d = if (i % 2 == 0) "2024-01-01" else "2024-01-02"
+      LwwTable.append(df(("a", s"T${i % 3}", d, s"v$i", i)), dir, keyCols, col("seq"))
+    }
+    val before = resolved(dir)
+    val merged = LwwTable.mergeDelta(spark, dir, keyCols, col("seq"))
+    assert(merged == 6, "every delta file consumed")
+    assert(baseFile.lastModified() == mtime && baseFile.length() == len,
+      "the merge never reads or rewrites the base")
+    assert(LwwTable.deltaFileCount(spark, dir) == 2,
+      "one merged file per touched partition")
+    assert(resolved(dir) == before, "resolution unchanged by the merge")
+    assert(LwwTable.deltaWorthFolding(spark, dir, minFiles = 8),
+      "a merged file marks the delta as worth folding below the file bound")
+    // the idle fold after a merge converges to the key-unique base
+    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    assert(LwwTable.deltaFileCount(spark, dir) == 0 && resolved(dir) == before)
+    assert(!LwwTable.deltaWorthFolding(spark, dir, minFiles = 8))
+  }
+
+  test("a merge crash between merged-file rename and original delete is invisible") {
+    // crash order: the merged file is renamed into the delta partitions
+    // BEFORE the originals are deleted — simulate the window by copying an
+    // original back after the merge (the "lost delete"); the duplicate
+    // rows tie with identical values and resolve away, and the next merge
+    // re-collapses them
+    val dir = Files.createTempDirectory("lww_merge_crash").toString + "/t"
+    LwwTable.append(df(("a", "T1", "2024-01-01", "w", 7L)), dir, keyCols, col("seq"))
+    val deltaPart = new java.io.File(
+      s"${LwwTable.deltaDir(dir)}/source=a/trip_start_date=2024-01-01")
+    val original = deltaPart.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val stash = Files.createTempDirectory("lww_mc_stash").resolve(original.getName)
+    Files.copy(original.toPath, stash)
+    LwwTable.append(df(("a", "T1", "2024-01-01", "w2", 8L)), dir, keyCols, col("seq"))
+    LwwTable.mergeDelta(spark, dir, keyCols, col("seq"))
+    Files.copy(stash, deltaPart.toPath.resolve(stash.getFileName)) // lost delete
+    assert(resolved(dir) == Set(("T1", "w2", 8L)),
+      "duplicate across merge generations resolves to the winner")
+    val again = LwwTable.mergeDelta(spark, dir, keyCols, col("seq"))
+    assert(again == 2 && LwwTable.deltaFileCount(spark, dir) == 1,
+      "the next merge reconverges to one physical copy")
+    assert(resolved(dir) == Set(("T1", "w2", 8L)))
+  }
+
+  test("size-triggered merge backstop bounds by file count and stays O(delta)") {
+    val dir = Files.createTempDirectory("lww_merge_bound").toString + "/t"
+    (1L to 4L).foreach(i =>
+      LwwTable.append(df(("a", "T1", "2024-01-01", s"v$i", i)), dir, keyCols, col("seq")))
+    assert(!LwwTable.mergeDeltaIfOversized(spark, dir, keyCols, col("seq"),
+      maxDeltaFiles = 5), "under the bound: no merge")
+    assert(LwwTable.deltaFileCount(spark, dir) == 4)
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v5", 5L)), dir, keyCols, col("seq"))
+    assert(LwwTable.mergeDeltaIfOversized(spark, dir, keyCols, col("seq"),
+      maxDeltaFiles = 5), "at the bound: merges")
+    assert(LwwTable.deltaFileCount(spark, dir) == 1
+      && resolved(dir) == Set(("T1", "v5", 5L)))
+    // no base tree was ever created: the merge must not have folded to base
+    assert(!Directory.tableHasData(spark, dir),
+      "the merge backstop never writes the base")
+  }
+
+  test("readRaw names a base/delta schema drift instead of a generic union error") {
+    val dir = Files.createTempDirectory("lww_drift").toString + "/t"
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v1", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq")) // base on the old schema
+    // a future writer evolves the row type while appending to the delta
+    val drifted = df(("a", "T2", "2024-01-02", "v2", 2L))
+      .withColumn("extra_col", lit("x"))
+    LwwTable.append(drifted, dir, keyCols, col("seq"))
+    val e = intercept[IllegalStateException](LwwTable.readRaw(spark, dir))
+    assert(e.getMessage.contains(dir), "the error names the table")
+    assert(e.getMessage.contains("extra_col"), "the error names the drifted column")
+    assert(e.getMessage.contains("delta-only"), "the error says WHICH tree drifted")
+  }
+
   test("null partition values round-trip through append, resolve and compact") {
     import spark.implicits._
     val dir = Files.createTempDirectory("lww7").toString + "/t"

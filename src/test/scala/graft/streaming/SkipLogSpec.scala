@@ -47,6 +47,28 @@ class SkipLogSpec extends AnyFunSuite {
       && kept.head._2 == "f101.pb", "the OLDEST lines were evicted")
   }
 
+  test("ring truncation evicts non-recoverable entries before recoverable ones") {
+    // ADVICE r11: evicting a still-recoverable entry silently disables its
+    // auto-requeue, while a retagged/terminal entry is pure history — so
+    // the OLDEST recoverable entries must survive a ring overflow as long
+    // as any non-recoverable entry can be evicted instead
+    val dir = Files.createTempDirectory("skiplog_evict").toString + "/log"
+    val oldRecoverable = (1 to 10).map(i => ("no_schedule_data", s"keep-$i.pb"))
+    val filler = (1 to SkipLog.MaxEntries).map(i =>
+      ("requeued:no_schedule_data", s"hist-$i.pb")) // terminal, evictable
+    SkipLog.append(spark, dir, oldRecoverable ++ filler)
+    SkipLog.coalesce(spark, dir)
+    val kept = SkipLog.entries(spark, dir)
+    assert(kept.size == SkipLog.MaxEntries, s"ring bound holds: ${kept.size}")
+    val keptRecoverable = kept.filter(e => SkipLog.RecoverableReasons(e._1))
+    assert(keptRecoverable.map(_._2).toSet ==
+      oldRecoverable.map(_._2).toSet,
+      "every recoverable entry survives although it is the OLDEST in the log")
+    assert(kept.count(_._1 == "requeued:no_schedule_data")
+      == SkipLog.MaxEntries - 10,
+      "exactly the oldest non-recoverable history lines were evicted")
+  }
+
   test("requeue copies recoverable files under fresh dated names and retags entries") {
     val dir = Files.createTempDirectory("skiplog_rq").toString + "/log"
     val rt = Files.createTempDirectory("skiplog_rt")
