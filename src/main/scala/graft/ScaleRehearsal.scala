@@ -335,8 +335,10 @@ object ScaleRehearsal {
         // the longest run between explicit merge checkpoints is
         // (batches/2, batches]; one delta file lands per append, so the
         // 64-file backstop stays silent only while batches/2 + 64 > batches,
-        // i.e. batches <= 126 — past that a timed append would include a
-        // full fold and skew the last decade. Cap rather than skew.
+        // i.e. batches <= 126 — past that a timed append would include the
+        // backstop's O(delta) merge and skew the last decade (the
+        // backstop_bound op below measures that merge deliberately).
+        // Cap rather than skew.
         require(batches >= 10 && batches <= 126,
           s"SPARK_GRAFT_SR_UPSERT_BATCHES must be in [10, 126], got $batches")
         val dir = java.nio.file.Files.createTempDirectory("sr_upsert").toString + "/records"
@@ -374,6 +376,84 @@ object ScaleRehearsal {
             f"wall first-decade median=${med(firstDecade)}%.2fs " +
             f"last-decade median=${med(lastDecade)}%.2fs " +
             f"overall median=${med(appendWalls)}%.2fs max=${appendWalls.max}%.2fs")
+          graft.gtfs.RecordsTable.read(spark, dir).count()
+        }
+      }
+
+      if (opWanted("backstop_bound")) {
+        // ---- VERDICT r11 #1's done criterion, measured: with the idle
+        // branch DISABLED (nothing here folds to base except the explicit
+        // per-stage contrast point), per-trigger wall — INCLUDING the
+        // ~64th triggers where the size backstop fires — must stay bounded
+        // by the DELTA working set while the base partition grows to 100M
+        // rows. The backstop is a delta→delta merge (LwwTable.mergeDelta):
+        // no base read, so base size must never appear in a trigger's
+        // wall. For contrast the OLD backstop shape — the full base fold —
+        // is timed ONCE per stage (off-path; production runs it from the
+        // idle branch), and its wall is exactly the stall that no longer
+        // lands on a trigger.
+        import org.apache.spark.sql.functions._
+        val rows = sys.env.getOrElse("SPARK_GRAFT_SR_BS_ROWS", "20000").toInt
+        val trigs = sys.env.getOrElse("SPARK_GRAFT_SR_BS_TRIGS", "70").toInt
+        val stages = sys.env.getOrElse("SPARK_GRAFT_SR_BS_STAGES",
+          "200000,1000000").split(",").map(_.trim.toLong).toSeq
+        val dir = java.nio.file.Files.createTempDirectory("sr_backstop")
+          .toString + "/records"
+        var keyOffset = 0L
+        var baseRows = 0L
+        def rowsDf(n: Long, offset: Long) = spark.range(n)
+          .select(lit("scale").as("source"),
+            concat(lit("R"), ((col("id") + offset) % 50).cast("string")).as("route_id"),
+            ((col("id") + offset) % 7).as("route_variant"),
+            concat(lit("T"), lit(offset), lit("_"), col("id")).as("trip_id"),
+            lit(java.sql.Date.valueOf("2024-01-15")).as("trip_start_date"),
+            lit(28800).as("trip_start_time"),
+            ((col("id") + offset) % 40).cast("int").as("stop_sequence"),
+            timestamp_seconds(lit(1705300000L) + (col("id") + offset) / 1000L)
+              .as("time_of_recording"),
+            ((col("id") + offset) % 600).cast("int").as("delay_arrival"))
+        runTimed("backstop_bound") {
+          stages.foreach { target =>
+            // seed the base DIRECTLY to the stage size (parallel write;
+            // distinct keys keep the base key-unique by construction —
+            // routing the seed through append would funnel it into the
+            // one-file-per-partition single-task write)
+            val need = target - baseRows
+            if (need > 0) {
+              rowsDf(need, keyOffset).write.mode("append")
+                .partitionBy("source", "trip_start_date").parquet(dir)
+              keyOffset += need; baseRows = target
+            }
+            var prevFiles = 0
+            val walls = (1 to trigs).map { _ =>
+              val t0 = System.nanoTime()
+              graft.streaming.StreamingImport.upsertBatch(
+                rowsDf(rows.toLong, keyOffset), dir)
+              keyOffset += rows
+              val w = (System.nanoTime() - t0) / 1e9
+              val nf = graft.gtfs.LwwTable.deltaFileCount(spark, dir)
+              val merged = nf < prevFiles
+              prevFiles = nf
+              (w, merged)
+            }
+            val plain = walls.filterNot(_._2).map(_._1)
+            val merges = walls.zipWithIndex.filter(_._1._2)
+            def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+            println(f"[scale] backstop_bound base=${baseRows} rows: " +
+              f"append median=${med(plain)}%.2fs max=${plain.max}%.2fs; " +
+              s"backstop merge at trigger(s) ${merges.map(_._2 + 1).mkString(",")} " +
+              f"wall=${merges.map(_._1._1).map(w => f"$w%.2f").mkString(",")}s " +
+              f"(delta working set=${trigs.toLong * rows} rows); " +
+              f"per-trigger MAX=${walls.map(_._1).max}%.2fs")
+            // contrast: the OLD backstop = a base fold of this partition,
+            // timed off-path (also folds the stage's rows for the next seed)
+            val tc = System.nanoTime()
+            graft.gtfs.RecordsTable.compact(spark, dir)
+            baseRows += trigs.toLong * rows
+            println(f"[scale] backstop_bound OLD-shape base fold at " +
+              f"$baseRows rows: wall=${(System.nanoTime() - tc) / 1e9}%.2fs " +
+              "(the stall that no longer lands on any trigger)")
+          }
           graft.gtfs.RecordsTable.read(spark, dir).count()
         }
       }
