@@ -120,18 +120,25 @@ object LwwTable {
       // schema-drift guard: both trees are written from ONE row type today,
       // but a future writer evolving that type while an old-schema delta is
       // open would otherwise surface as Spark's generic unionByName
-      // missing-column error with no hint WHICH tree drifted — name the
-      // table and the differing columns instead, so the failure is
-      // diagnosable (fold or migrate the delta, then retry)
-      val b = base.columns.toSet
-      val d = delta.columns.toSet
-      if (b != d)
+      // missing-column error (or a silent coercion, for a type-only drift)
+      // with no hint WHICH tree drifted — name the table and the differing
+      // columns instead, so the failure is diagnosable (fold or migrate the
+      // delta, then retry). Compared by (name, type), not name alone: a
+      // widened column drifts just as fatally as a renamed one.
+      val b = base.schema.map(f => f.name -> f.dataType.catalogString).toMap
+      val d = delta.schema.map(f => f.name -> f.dataType.catalogString).toMap
+      if (b != d) {
+        def side(own: Map[String, String], other: Map[String, String]) =
+          own.toSeq.sorted.collect {
+            case (n, t) if !other.contains(n) => s"$n: $t"
+            case (n, t) if other(n) != t => s"$n: $t (vs ${other(n)})"
+          }.mkString(", ")
         throw new IllegalStateException(
           s"LWW table $tableDir: base and delta schemas drifted" +
-            s" (base-only columns: ${(b -- d).toSeq.sorted.mkString(", ")};" +
-            s" delta-only columns: ${(d -- b).toSeq.sorted.mkString(", ")})" +
+            s" (base side: ${side(b, d)}; delta side: ${side(d, b)})" +
             " — a writer evolved the row type while an old-schema delta was" +
             " open; compact or migrate the delta tree before reading")
+      }
       base.unionByName(delta)
     }
     else if (deltaHas) normalizePartCols(spark.read.parquet(dDir))
