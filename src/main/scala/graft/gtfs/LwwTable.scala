@@ -216,8 +216,12 @@ object LwwTable {
     val unioned =
       if (!Directory.tableHasData(spark, tableDir)) delta
       else {
+        // null-safe on BOTH partition columns: a null value reads back from
+        // __HIVE_DEFAULT_PARTITION__, and a plain === would silently drop
+        // that base partition from the merge — whose files the post-swap
+        // delete then retires, losing its rows permanently
         val cond = touched.map(r =>
-            col("source") === lit(r.getString(0))
+            col("source") <=> lit(r.getString(0))
               && col("trip_start_date") <=> lit(r.getDate(1)))
           .reduce(_ || _)
         normalizePartCols(spark.read.parquet(tableDir)).filter(cond)

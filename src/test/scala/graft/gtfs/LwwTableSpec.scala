@@ -276,7 +276,22 @@ class LwwTableSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](LwwTable.readRaw(spark, dir))
     assert(e.getMessage.contains(dir), "the error names the table")
     assert(e.getMessage.contains("extra_col"), "the error names the drifted column")
-    assert(e.getMessage.contains("delta-only"), "the error says WHICH tree drifted")
+    assert(e.getMessage.contains("delta side"), "the error says WHICH tree drifted")
+  }
+
+  test("readRaw names a TYPE-only drift, not just a missing column") {
+    // a widened column (string -> int here) drifts just as fatally as a
+    // renamed one: unionByName would silently coerce instead of failing
+    val dir = Files.createTempDirectory("lww_type_drift").toString + "/t"
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v1", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    val drifted = df(("a", "T2", "2024-01-02", "v2", 2L))
+      .withColumn("payload", lit(7)) // same name, different type
+    LwwTable.append(drifted, dir, keyCols, col("seq"))
+    val e = intercept[IllegalStateException](LwwTable.readRaw(spark, dir))
+    assert(e.getMessage.contains("payload"), "the error names the drifted column")
+    assert(e.getMessage.contains("int") && e.getMessage.contains("string"),
+      "the error shows both sides' types")
   }
 
   test("null partition values round-trip through append, resolve and compact") {
@@ -292,5 +307,22 @@ class LwwTableSpec extends AnyFunSuite {
     LwwTable.compact(spark, dir, keyCols, col("seq"))
     assert(resolved(dir) == Set(("T1", "n2", 2L))
       && spark.read.parquet(dir).count() == 1)
+  }
+
+  test("a null SOURCE partition survives a fold that touches it") {
+    // the fold's touched-partition predicate must be null-safe on source
+    // too: with a plain === the base's null-source partition is dropped
+    // from the merge, then its refuged files are deleted — silent row loss
+    import spark.implicits._
+    val dir = Files.createTempDirectory("lww_null_src").toString + "/t"
+    def row(t: String, p: String, q: Long) =
+      Seq((null.asInstanceOf[String], t,
+        java.sql.Date.valueOf("2024-01-01"), p, q)).toDF(cols: _*)
+    LwwTable.append(row("T1", "keep", 1L), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq")) // T1 now base-only
+    LwwTable.append(row("T2", "new", 2L), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    assert(resolved(dir) == Set(("T1", "keep", 1L), ("T2", "new", 2L)),
+      "base-only keys of the null-source partition survive the fold")
   }
 }
