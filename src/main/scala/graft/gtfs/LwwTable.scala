@@ -186,13 +186,33 @@ object LwwTable {
     walk(root)
   }
 
+  /** `(source, trip_start_date)` of a delta data file, parsed from its last
+    * two directory names (the layout [[append]] writes: Hive-escaped
+    * `source=<v>/trip_start_date=<v>/<file>`). `None` = the null partition
+    * (`__HIVE_DEFAULT_PARTITION__`); values Hive-unescaped with the same
+    * catalyst codec the writer used, so a source containing `/`, `%` or
+    * `=` round-trips. */
+  private def partitionOfPath(
+      f: org.apache.hadoop.fs.Path): (Option[String], Option[String]) = {
+    def value(dirName: String): Option[String] = {
+      val v = dirName.substring(dirName.indexOf('=') + 1)
+      if (v == "__HIVE_DEFAULT_PARTITION__") None
+      else Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(v))
+    }
+    (value(f.getParent.getParent.getName), value(f.getParent.getName))
+  }
+
   /** Number of data files currently in the delta tree — the size-trigger
     * probe (one bounded listing; steady state after an idle-branch
     * compaction is a single `exists` miss). */
   def deltaFileCount(spark: SparkSession, tableDir: String): Int =
     listDeltaFiles(spark, tableDir).size
 
-  /** Folds the current delta files into the base: reads base rows of the
+  /** Folds the current delta files into the base. Partitions where the
+    * delta holds ONE file and the base holds nothing fold by a single
+    * rename (the LSM trivial move — every delta file is key-unique on its
+    * own, see inline); for the rest it reads base rows of the
     * partitions the delta touches, unions the PINNED delta file list,
     * resolves the LWW, writes the merged partitions to a hidden temp tree,
     * SWAPS them into the base with per-partition renames (the old base
@@ -206,24 +226,69 @@ object LwwTable {
     * `newestBy` must match the readers' ordering (class doc). */
   def compact(spark: SparkSession, tableDir: String, keyCols: Seq[String],
               newestBy: Column): Int = {
-    val files = listDeltaFiles(spark, tableDir)
-    if (files.isEmpty) return 0
+    val allFiles = listDeltaFiles(spark, tableDir)
+    if (allFiles.isEmpty) return 0
     val dDir = deltaDir(tableDir)
+    val fs = new org.apache.hadoop.fs.Path(dDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // LSM TRIVIAL MOVE (the RocksDB/LevelDB non-overlapping-compaction
+    // shape): every delta file is key-unique on its own (append and
+    // mergeDelta both write LWW-resolved output; refuged base files come
+    // from a key-unique base), so a partition whose delta holds exactly ONE
+    // file and whose base partition holds NO data folds by a single rename —
+    // no read, no shuffle, no rewrite. This is the common shape for a new
+    // day's partition (first fold after the date rolls over) and for a
+    // batch run into a fresh table; only partitions where delta and base
+    // genuinely overlap (or multiple delta generations exist) pay the
+    // merge. Crash-safe trivially: the rename is atomic, and the row set is
+    // visible in exactly one tree on both sides of it.
+    def baseHasVisible(rel: String): Boolean = {
+      val d = new org.apache.hadoop.fs.Path(s"$tableDir/$rel")
+      fs.exists(d) && fs.listStatus(d).exists(st =>
+        st.isFile && Directory.visibleName(st.getPath.getName))
+    }
+    def relOf(f: org.apache.hadoop.fs.Path): String =
+      s"${f.getParent.getParent.getName}/${f.getParent.getName}"
+    val (trivial, mergeFiles) = allFiles.groupBy(relOf).toSeq
+      .partition { case (rel, group) =>
+        group.size == 1 && !baseHasVisible(rel) } match {
+      case (t, m) => (t.map { case (rel, g) => (rel, g.head) },
+        m.flatMap(_._2))
+    }
+    trivial.foreach { case (rel, f) =>
+      val dstDir = new org.apache.hadoop.fs.Path(s"$tableDir/$rel")
+      fs.mkdirs(dstDir)
+      // fresh name: a re-fold after a crash must not collide with hidden
+      // leftovers, and the folded- prefix makes the provenance greppable
+      val dst = new org.apache.hadoop.fs.Path(dstDir,
+        s"folded-${java.util.UUID.randomUUID()}-${f.getName}")
+      if (!fs.rename(f, dst))
+        throw new java.io.IOException(s"trivial fold $f -> $dst failed")
+    }
+    if (mergeFiles.isEmpty) {
+      pruneEmptyDeltaDirs(fs, dDir)
+      return allFiles.size
+    }
+    val files = mergeFiles
     val delta = normalizePartCols(spark.read.option("basePath", dDir)
       .parquet(files.map(_.toString): _*))
-    // partition values via the file index (no data read), null-date safe
-    val touched = delta.select(PartCols.map(col): _*).distinct().collect()
     val unioned =
       if (!Directory.tableHasData(spark, tableDir)) delta
       else {
-        // null-safe on BOTH partition columns: a null value reads back from
+        // touched partitions parsed from the PINNED FILE PATHS on the
+        // driver — a listed file's partition IS its directory, so no Spark
+        // job runs for this (the previous distinct().collect() over the
+        // delta paid a full scan + shuffle before the merge even started).
+        // Null-safe on BOTH partition columns: a null value reads back from
         // __HIVE_DEFAULT_PARTITION__, and a plain === would silently drop
         // that base partition from the merge — whose files the post-swap
         // delete then retires, losing its rows permanently
-        val cond = touched.map(r =>
-            col("source") <=> lit(r.getString(0))
-              && col("trip_start_date") <=> lit(r.getDate(1)))
-          .reduce(_ || _)
+        val touched = files.map(f => partitionOfPath(f)).distinct
+        val cond = touched.map { case (src, date) =>
+          (col("source") <=> lit(src.orNull)) &&
+            (col("trip_start_date") <=> lit(date.map(
+              java.sql.Date.valueOf(_): java.sql.Date).orNull))
+        }.reduce(_ || _)
         normalizePartCols(spark.read.parquet(tableDir)).filter(cond)
           .unionByName(delta)
       }
@@ -238,8 +303,6 @@ object LwwTable {
     val tmpDir = s"$tableDir/_compact_tmp"
     resolve(unioned, keyCols, newestBy)
       .write.mode("overwrite").partitionBy(PartCols: _*).parquet(tmpDir)
-    val fs = new org.apache.hadoop.fs.Path(dDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // swap set = the partition directories the write actually produced
     // (listing the temp tree sidesteps re-deriving Hive path escaping for
     // the partition values); the produced set IS the touched set — the LWW
@@ -286,9 +349,15 @@ object LwwTable {
     }
     fs.delete(tmpRoot, true)
     (files ++ foldedBaseFiles).foreach(f => fs.delete(f, false))
-    // best-effort prune of now-empty delta partition directories (delete
-    // refuses non-empty dirs with recursive=false, so a racing append's
-    // fresh file is safe)
+    pruneEmptyDeltaDirs(fs, dDir)
+    allFiles.size
+  }
+
+  /** Best-effort prune of now-empty delta partition directories (delete
+    * refuses non-empty dirs with recursive=false, so a racing append's
+    * fresh file is safe). */
+  private def pruneEmptyDeltaDirs(fs: org.apache.hadoop.fs.FileSystem,
+      dDir: String): Unit =
     try {
       val root = new org.apache.hadoop.fs.Path(dDir)
       if (fs.exists(root))
@@ -303,8 +372,6 @@ object LwwTable {
           }
         }
     } catch { case scala.util.control.NonFatal(_) => () }
-    files.size
-  }
 
   /** [[compact]] only when the delta has grown past `maxDeltaFiles` — the
     * size-triggered backstop for deployments whose stream never goes idle
@@ -356,7 +423,17 @@ object LwwTable {
     * Returns the number of delta files merged away (0 = nothing to do). */
   def mergeDelta(spark: SparkSession, tableDir: String, keyCols: Seq[String],
                  newestBy: Column): Int = {
-    val files = listDeltaFiles(spark, tableDir)
+    val allFiles = listDeltaFiles(spark, tableDir)
+    // only partitions holding ≥2 files merge: a single-file partition is
+    // already in the merged shape (one LWW-resolved file), and re-writing
+    // it buys a reader nothing. Without this, a feed touching 64+ DISTINCT
+    // partitions per backstop window (multi-source, or a backfill spraying
+    // dates) keeps the FILE count at one-per-partition ≥ the trigger bound
+    // forever, and every trigger would rewrite the whole working set —
+    // O(delta) per TRIGGER instead of per backstop window.
+    val files = allFiles.groupBy(f =>
+      s"${f.getParent.getParent.getName}/${f.getParent.getName}")
+      .valuesIterator.filter(_.size >= 2).flatten.toSeq
     if (files.size < 2) return 0
     val dDir = deltaDir(tableDir)
     val delta = normalizePartCols(spark.read.option("basePath", dDir)

@@ -309,6 +309,49 @@ class LwwTableSpec extends AnyFunSuite {
       && spark.read.parquet(dir).count() == 1)
   }
 
+  test("fold trivial-moves a single-file partition over an empty base, merges the rest") {
+    val dir = Files.createTempDirectory("lww_trivial").toString + "/t"
+    // partition 01-01: base data exists -> must MERGE; 01-02: fresh -> MOVE
+    LwwTable.append(df(("a", "T1", "2024-01-01", "old", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    LwwTable.append(df(
+      ("a", "T1", "2024-01-01", "new", 2L),
+      ("a", "T9", "2024-01-02", "fresh", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    assert(resolved(dir) == Set(("T1", "new", 2L), ("T9", "fresh", 1L)))
+    assert(!new java.io.File(s"$dir/_delta").exists()
+      || LwwTable.deltaFileCount(spark, dir) == 0, "delta folded away")
+    // the fresh partition's base file is the RENAMED delta file (folded-
+    // prefix), not a rewrite
+    val freshFiles = new java.io.File(s"$dir/source=a/trip_start_date=2024-01-02")
+      .listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+    assert(freshFiles.length == 1
+      && freshFiles.head.getName.startsWith("folded-"),
+      s"expected one trivially-moved file, got ${freshFiles.map(_.getName).toSeq}")
+  }
+
+  test("mergeDelta leaves already-single-file partitions untouched") {
+    val dir = Files.createTempDirectory("lww_merge_single").toString + "/t"
+    // partition 01-01 accumulates 3 delta files; 01-02 exactly one
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v1", 1L)), dir, keyCols, col("seq"))
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v2", 2L)), dir, keyCols, col("seq"))
+    LwwTable.append(df(("a", "T2", "2024-01-01", "w1", 1L)), dir, keyCols, col("seq"))
+    LwwTable.append(df(("a", "T3", "2024-01-02", "x1", 1L)), dir, keyCols, col("seq"))
+    def filesIn(date: String) =
+      new java.io.File(s"$dir/_delta/source=a/trip_start_date=$date")
+        .listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
+          && !f.getName.startsWith(".")).map(_.getName).toSet
+    val singleBefore = filesIn("2024-01-02")
+    val merged = LwwTable.mergeDelta(spark, dir, keyCols, col("seq"))
+    assert(merged == 3, "only the multi-file partition's files merged")
+    assert(filesIn("2024-01-02") == singleBefore,
+      "the single-file partition was not rewritten")
+    assert(filesIn("2024-01-01").size == 1
+      && filesIn("2024-01-01").head.startsWith(LwwTable.MergedFilePrefix))
+    assert(resolved(dir) == Set(("T1", "v2", 2L), ("T2", "w1", 1L), ("T3", "x1", 1L)))
+  }
+
   test("a null SOURCE partition survives a fold that touches it") {
     // the fold's touched-partition predicate must be null-safe on source
     // too: with a plain === the base's null-source partition is dropped
