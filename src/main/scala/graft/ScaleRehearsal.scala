@@ -423,7 +423,13 @@ object ScaleRehearsal {
               rowsDf(need, keyOffset).write.mode("append")
                 .partitionBy("source", "trip_start_date").parquet(dir)
               keyOffset += need; baseRows = target
-            }
+            } else
+              // no silent caps: the previous stage's contrast fold already
+              // grew the base past this target (trigs × rows per stage), so
+              // the stage label understates the measured base size
+              println(s"[scale] backstop_bound stage target=$target" +
+                s" OVERSHOT: base already holds $baseRows rows —" +
+                " this stage measures the larger base")
             var prevFiles = 0
             val walls = (1 to trigs).map { _ =>
               val t0 = System.nanoTime()

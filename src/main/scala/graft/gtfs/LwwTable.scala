@@ -186,6 +186,13 @@ object LwwTable {
     walk(root)
   }
 
+  /** A delta data file's partition as the relative directory path it sits
+    * in (`source=<v>/trip_start_date=<v>` — the layout [[append]] writes);
+    * the ONE definition of "a delta file's partition is its last two
+    * directory names", shared by both compaction tiers. */
+  private def relOf(f: org.apache.hadoop.fs.Path): String =
+    s"${f.getParent.getParent.getName}/${f.getParent.getName}"
+
   /** `(source, trip_start_date)` of a delta data file, parsed from its last
     * two directory names (the layout [[append]] writes: Hive-escaped
     * `source=<v>/trip_start_date=<v>/<file>`). `None` = the null partition
@@ -247,8 +254,6 @@ object LwwTable {
       fs.exists(d) && fs.listStatus(d).exists(st =>
         st.isFile && Directory.visibleName(st.getPath.getName))
     }
-    def relOf(f: org.apache.hadoop.fs.Path): String =
-      s"${f.getParent.getParent.getName}/${f.getParent.getName}"
     val (trivial, mergeFiles) = allFiles.groupBy(relOf).toSeq
       .partition { case (rel, group) =>
         group.size == 1 && !baseHasVisible(rel) } match {
@@ -373,11 +378,11 @@ object LwwTable {
         }
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  /** [[compact]] only when the delta has grown past `maxDeltaFiles` — the
-    * size-triggered backstop for deployments whose stream never goes idle
-    * (the idle branch is the primary compaction site). Amortized cost per
-    * trigger is O(touched partitions / maxDeltaFiles); every other trigger
-    * pays one listing. */
+  /** [[compact]] only when the delta has grown past `maxDeltaFiles`.
+    * OFF-PATH ONLY (idle branch, maintenance): a base fold can stall for
+    * the whole touched partition (32–40 s at 50–100M rows — exactly what
+    * the tiered backstop exists to keep off triggers). Hot paths must use
+    * [[mergeDeltaIfOversized]]; every other call site pays one listing. */
   def compactIfOversized(spark: SparkSession, tableDir: String,
       keyCols: Seq[String], newestBy: Column,
       maxDeltaFiles: Int = DefaultMaxDeltaFiles): Boolean =
@@ -431,8 +436,7 @@ object LwwTable {
     // dates) keeps the FILE count at one-per-partition ≥ the trigger bound
     // forever, and every trigger would rewrite the whole working set —
     // O(delta) per TRIGGER instead of per backstop window.
-    val files = allFiles.groupBy(f =>
-      s"${f.getParent.getParent.getName}/${f.getParent.getName}")
+    val files = allFiles.groupBy(relOf)
       .valuesIterator.filter(_.size >= 2).flatten.toSeq
     if (files.size < 2) return 0
     val dDir = deltaDir(tableDir)

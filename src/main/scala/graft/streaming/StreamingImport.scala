@@ -486,7 +486,13 @@ object StreamingImport {
         case None => Predictor.batchPredictRealtime(
           spark, schedule, stored, date, source, specific, defaults)
       }),
-      decode = batch => recordsStream(spark, batch, schedule, source))
+      decode = batch => recordsStream(spark, batch, schedule, source),
+      // this variant stamps EVERY row with the same default version name
+      // (anchorAndSelect's `source + "_schedule"`), so that name IS the
+      // current version — without it the deferred size backstop never
+      // fires here and a never-idle stream's predictions delta grows one
+      // file per group per trigger unboundedly
+      currentVersion = () => Some(source + "_schedule"))
   }
 
   /** [[startPredictionRefresh]] against an on-disk [[graft.gtfs.CurveStore]]
@@ -521,7 +527,10 @@ object StreamingImport {
           graft.gtfs.CurveStore.loadSpecific(spark, specificDir),
           graft.gtfs.CurveStore.loadDefault(spark, defaultDir))
       }),
-      decode = batch => recordsStream(spark, batch, schedule, source))
+      decode = batch => recordsStream(spark, batch, schedule, source),
+      // single pinned version (see startPredictionRefresh): the default
+      // stamped name is the current version, which arms the size backstop
+      currentVersion = () => Some(source + "_schedule"))
   }
 
   /** The FULLY hot-reloading refresh loop: curve store AND schedule resolve
