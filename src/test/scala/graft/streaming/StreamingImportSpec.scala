@@ -426,6 +426,45 @@ class StreamingImportSpec extends AnyFunSuite {
       "streamed refresh ≡ batch realtime prediction")
   }
 
+  test("pinned-schedule refresh arms the deferred predictions size backstop") {
+    import org.apache.spark.sql.functions._
+    // regression pin: deferring the per-group backstop to a
+    // currentVersion-ordered run left the pinned-schedule variants with
+    // () => None, so the backstop never fired there and a never-idle
+    // stream's predictions delta grew one file per trigger unboundedly
+    val base = Files.createTempDirectory("predbackstop").toString
+    val batchRecs = Importer.importDirectory(spark, rtDir, schedule, "test").cache()
+    val sc = CurveAnalysis.specificCurves(spark, batchRecs, schedule).cache()
+    val dc = CurveAnalysis.defaultCurves(spark, batchRecs, schedule).cache()
+    sc.count(); dc.count()
+    val predsDir = base + "/predictions"
+    // one real prediction row re-appended past the size bound: every file
+    // lands in the same (source, date) partition, so when the stream's
+    // trigger completes the delta holds 60+ mergeable files
+    val seed = Predictor.batchPredictRealtime(spark, schedule, batchRecs,
+      "2024-01-15", "test", sc, dc).limit(1)
+      .withColumn("refresh_seq", lit(0L)).cache()
+    (1 to LwwTable.DefaultMaxDeltaFiles + 1).foreach { _ =>
+      StreamingImport.upsertTable(seed, predsDir,
+        keyCols = PredictionsTable.KeyCols,
+        newestBy = PredictionsTable.ordering(None), mergeBackstop = false)
+    }
+    seed.unpersist()
+    assert(LwwTable.deltaFileCount(spark, predsDir)
+      > LwwTable.DefaultMaxDeltaFiles, "seeded past the bound")
+    val q = StreamingImport.startPredictionRefresh(spark, rtDir, schedule,
+      "test", base + "/records", predsDir, base + "/ckpt", sc, dc,
+      automatic = false, maxFilesPerTrigger = 256)
+    q.awaitTermination(300000)
+    // the deferred backstop fired under the variant's pinned version name:
+    // the over-bound delta collapsed to one merged file per partition
+    val n = LwwTable.deltaFileCount(spark, predsDir)
+    assert(n > 0 && n < LwwTable.DefaultMaxDeltaFiles,
+      s"backstop merged the seeded delta (left $n files)")
+    assert(LwwTable.deltaWorthFolding(spark, predsDir, Int.MaxValue),
+      "a merged- file marks the paid merge for the idle fold policy")
+  }
+
   test("refresh restarted with a FRESH checkpoint supersedes a previous incarnation's rows (ST5)") {
     import org.apache.spark.sql.functions._
     // a redeploy that clears the checkpoint restarts batch ids at 0; bare
