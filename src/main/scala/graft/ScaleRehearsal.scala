@@ -464,6 +464,52 @@ object ScaleRehearsal {
         }
       }
 
+      if (opWanted("trivial_fold")) {
+        // ---- the fold's LSM trivial move at base scale: a fresh day
+        // partition (one delta file, no base overlap — the day-rollover
+        // shape) must fold by RENAMES whose cost is independent of how
+        // large the rest of the base is, while an overlapping partition
+        // pays the O(partition) merge. This is the difference between a
+        // daily maintenance fold that is free and one that rewrites
+        // history.
+        import org.apache.spark.sql.functions._
+        val baseN = sys.env.getOrElse("SPARK_GRAFT_SR_TF_BASE", "20000000").toLong
+        val dir = java.nio.file.Files.createTempDirectory("sr_trivial")
+          .toString + "/records"
+        def day(d: String, n: Long, offset: Long) = spark.range(n)
+          .select(lit("scale").as("source"),
+            concat(lit("R"), ((col("id") + offset) % 50).cast("string")).as("route_id"),
+            ((col("id") + offset) % 7).as("route_variant"),
+            concat(lit("T"), lit(offset), lit("_"), col("id")).as("trip_id"),
+            lit(java.sql.Date.valueOf(d)).as("trip_start_date"),
+            lit(28800).as("trip_start_time"),
+            ((col("id") + offset) % 40).cast("int").as("stop_sequence"),
+            timestamp_seconds(lit(1705300000L) + (col("id") + offset) / 1000L)
+              .as("time_of_recording"),
+            ((col("id") + offset) % 600).cast("int").as("delay_arrival"))
+        runTimed("trivial_fold") {
+          day("2024-01-15", baseN, 0L).write.mode("append")
+            .partitionBy("source", "trip_start_date").parquet(dir)
+          // day-rollover: one append into a FRESH day -> single delta file
+          graft.streaming.StreamingImport.upsertBatch(
+            day("2024-01-16", 20000, baseN), dir)
+          val t1 = System.nanoTime()
+          graft.gtfs.RecordsTable.compact(spark, dir)
+          val trivialWall = (System.nanoTime() - t1) / 1e9
+          // contrast: the same-size append into the 20M-row day -> merge
+          graft.streaming.StreamingImport.upsertBatch(
+            day("2024-01-15", 20000, baseN + 20000L), dir)
+          val t2 = System.nanoTime()
+          graft.gtfs.RecordsTable.compact(spark, dir)
+          val overlapWall = (System.nanoTime() - t2) / 1e9
+          println(f"[scale] trivial_fold: base day A=$baseN rows; " +
+            f"fresh-day fold=$trivialWall%.2fs (trivial move, " +
+            f"base-size-independent); overlapping-day fold=$overlapWall%.2fs " +
+            "(O(partition) merge of day A)")
+          graft.gtfs.RecordsTable.read(spark, dir).count()
+        }
+      }
+
       if (opWanted("st2")) {
         val ckpt2 = java.nio.file.Files.createTempDirectory("sr_ckpt2").toString
         val emitted = new AtomicLong
