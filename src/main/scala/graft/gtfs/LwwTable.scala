@@ -44,7 +44,12 @@ import org.apache.spark.sql.functions._
   * their partition is swapped (see the inline analysis in [[compact]]), and
   * rows DUPLICATED across trees tie on the LWW ordering with identical
   * values, so resolution returns the same rows and the next fold merges +
-  * deletes them again — idempotent, like a replayed upsert. Rows that were
+  * deletes them again — idempotent, like a replayed upsert. The analysis
+  * assumes ATOMIC RENAME from the backing FileSystem (local FS, HDFS,
+  * ABFS, GCS): deploy the table roots there, not on a raw S3 bucket where
+  * "rename" is copy+delete and a crash mid-copy can leave a partial file
+  * — the same constraint Spark's own FileStreamSink metadata and
+  * HDFSMetadataLog carry. Rows that were
   * already GENUINELY tied before the fold (same key, same ordering value,
   * different payload — e.g. a feed re-sending a key within one recording
   * second) stay arbitrary across re-folds, exactly as they were arbitrary

@@ -331,6 +331,29 @@ class LwwTableSpec extends AnyFunSuite {
       s"expected one trivially-moved file, got ${freshFiles.map(_.getName).toSeq}")
   }
 
+  test("a crash midway through the fold's trivial moves loses nothing") {
+    // the trivial move's crash window is one rename per partition: simulate
+    // a fold that moved partition 01-02's file into the base and died
+    // before touching 01-03's — every row stays visible (one tree each),
+    // and the re-fold finishes the job
+    val dir = Files.createTempDirectory("lww_trivial_crash").toString + "/t"
+    LwwTable.append(df(
+      ("a", "T1", "2024-01-02", "moved", 1L),
+      ("a", "T2", "2024-01-03", "pending", 1L)), dir, keyCols, col("seq"))
+    val p02 = new java.io.File(s"$dir/_delta/source=a/trip_start_date=2024-01-02")
+    val f02 = p02.listFiles().filter(f => f.isFile
+      && !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
+    val baseDir = new java.io.File(s"$dir/source=a/trip_start_date=2024-01-02")
+    assert(baseDir.mkdirs())
+    assert(f02.renameTo(new java.io.File(baseDir, s"folded-crash-${f02.getName}")))
+    assert(resolved(dir) == Set(("T1", "moved", 1L), ("T2", "pending", 1L)),
+      "both rows visible at the crash point")
+    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    assert(resolved(dir) == Set(("T1", "moved", 1L), ("T2", "pending", 1L))
+      && LwwTable.deltaFileCount(spark, dir) == 0,
+      "the re-fold finishes and empties the delta")
+  }
+
   test("mergeDelta leaves already-single-file partitions untouched") {
     val dir = Files.createTempDirectory("lww_merge_single").toString + "/t"
     // partition 01-01 accumulates 3 delta files; 01-02 exactly one
