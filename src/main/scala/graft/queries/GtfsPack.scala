@@ -51,8 +51,10 @@ object GtfsPack extends QueryPack {
         val (schedDir, rtDir) = timed("fixture_files")(dirs)
         val sched = timed("schedule_load")(GtfsSchedule.load(s, schedDir))
         val recs = timed("rt_import") {
-          val r = Importer.importDirectory(s, rtDir, sched, "graft").cache()
-          r.count(); r
+          // localCheckpoint over cache for the same reason as
+          // predictionState: every downstream query re-analyzes this
+          // lineage per DataFrame op when it is merely cached
+          Importer.importDirectory(s, rtDir, sched, "graft").localCheckpoint()
         }
         cache = Some((s, sched, recs))
         (sched, recs)
@@ -72,16 +74,15 @@ object GtfsPack extends QueryPack {
         var dc: org.apache.spark.sql.Dataset[DefaultCurveRow] = null
         Par.all(
           "specific_curves" -> (() => sc = timed("specific_curves") {
-            val d = CurveAnalysis.specificCurves(s, recs, sched).cache(); d.count(); d
+            CurveAnalysis.specificCurves(s, recs, sched).localCheckpoint()
           }),
           "default_curves" -> (() => dc = timed("default_curves") {
             val (g0, f0, sg0) = CurveAnalysis.defaultRollups(s, recs, sched)
-            def mat(r: org.apache.spark.sql.Dataset[DefaultCurveRow]) = {
-              val c = r.cache(); c.count(); c
-            }
+            def mat(r: org.apache.spark.sql.Dataset[DefaultCurveRow]) =
+              r.localCheckpoint()
             val (g, f, sg) = (mat(g0), mat(f0), mat(sg0))
             rollCache = Some((s, (g, f, sg)))
-            val d = CurveAnalysis.defaultCurvesFrom(s, g, f, sg).cache(); d.count(); d
+            CurveAnalysis.defaultCurvesFrom(s, g, f, sg).localCheckpoint()
           }))
         curveCache = Some((s, sc, dc))
         (sc, dc)
@@ -158,8 +159,16 @@ object GtfsPack extends QueryPack {
       case _ =>
         val (sc, dc) = curves(s)
         val p = timed("batch_predict") {
-          val d = Predictor.batchPredict(s, sched, "2024-03-04", "graft", sc, dc).cache()
-          d.count(); d
+          // localCheckpoint, not cache: a dozen monitor queries derive from
+          // this table, and each withColumn/join they add re-ANALYZES the
+          // whole predictor lineage when the plan is merely cached —
+          // measured ~0.5 s of driver-side analysis per page query at
+          // sf0.1. The checkpoint truncates the plan to a LogicalRDD (the
+          // bounded, already-materialized prediction set), exactly the
+          // monitor serving shape: pages query the prediction TABLE, not
+          // the predictor's provenance.
+          Predictor.batchPredict(s, sched, "2024-03-04", "graft", sc, dc)
+            .localCheckpoint()
         }
         predCache = Some((s, p))
         (sched, p)

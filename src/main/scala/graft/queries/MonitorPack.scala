@@ -26,7 +26,9 @@ object MonitorPack extends QueryPack {
     // whose session is gone so the map can't leak plans across sessions
     memo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     val thunk = memo.getOrElseUpdate((s, key), {
-      lazy val v: DataFrame = { val df = build.cache(); df.count(); df }
+      // localCheckpoint over cache (see GtfsPack.predictionState): derived
+      // ops over a cached plan re-analyze its whole lineage per query
+      lazy val v: DataFrame = build.localCheckpoint()
       () => v
     })
     thunk()

@@ -32,7 +32,10 @@ object PipelinePack extends QueryPack {
     // leak cached plans across sessions
     memo.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
     val thunk = memo.getOrElseUpdate((s, dir, key), {
-      lazy val v: DataFrame = { val df = build.cache(); df.count(); df }
+      // localCheckpoint over cache: consumers re-analyze a merely-cached
+      // plan's full lineage on every derived op (same rationale as
+      // GtfsPack.predictionState, measured there at ~0.5 s/query)
+      lazy val v: DataFrame = build.localCheckpoint()
       () => v
     })
     thunk()
