@@ -234,6 +234,22 @@ object ScaleRehearsal {
       // state stays bounded by the live vehicle count.
       import graft.gtfs.GtfsRtCodec
       import GtfsRtCodec.{FeedMessage, StopTimeEvent, StopTimeUpdate, TripDescriptor, TripUpdate}
+      // the ONE synthetic records-row builder the LSM rehearsal ops share
+      // (backstop_bound, trivial_fold): a schema tweak must land once
+      def recordsRows(date: String, n: Long, offset: Long) = {
+        import org.apache.spark.sql.functions._
+        spark.range(n)
+          .select(lit("scale").as("source"),
+            concat(lit("R"), ((col("id") + offset) % 50).cast("string")).as("route_id"),
+            ((col("id") + offset) % 7).as("route_variant"),
+            concat(lit("T"), lit(offset), lit("_"), col("id")).as("trip_id"),
+            lit(java.sql.Date.valueOf(date)).as("trip_start_date"),
+            lit(28800).as("trip_start_time"),
+            ((col("id") + offset) % 40).cast("int").as("stop_sequence"),
+            timestamp_seconds(lit(1705300000L) + (col("id") + offset) / 1000L)
+              .as("time_of_recording"),
+            ((col("id") + offset) % 600).cast("int").as("delay_arrival"))
+      }
       val files = sys.env.getOrElse("SPARK_GRAFT_SR_FILES", "240").toInt
       val tripsPerFile = sys.env.getOrElse("SPARK_GRAFT_SR_TRIPS_PER_FILE", "500").toInt
       val filesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_SR_FPT", "16").toInt
@@ -401,17 +417,7 @@ object ScaleRehearsal {
           .toString + "/records"
         var keyOffset = 0L
         var baseRows = 0L
-        def rowsDf(n: Long, offset: Long) = spark.range(n)
-          .select(lit("scale").as("source"),
-            concat(lit("R"), ((col("id") + offset) % 50).cast("string")).as("route_id"),
-            ((col("id") + offset) % 7).as("route_variant"),
-            concat(lit("T"), lit(offset), lit("_"), col("id")).as("trip_id"),
-            lit(java.sql.Date.valueOf("2024-01-15")).as("trip_start_date"),
-            lit(28800).as("trip_start_time"),
-            ((col("id") + offset) % 40).cast("int").as("stop_sequence"),
-            timestamp_seconds(lit(1705300000L) + (col("id") + offset) / 1000L)
-              .as("time_of_recording"),
-            ((col("id") + offset) % 600).cast("int").as("delay_arrival"))
+        def rowsDf(n: Long, offset: Long) = recordsRows("2024-01-15", n, offset)
         runTimed("backstop_bound") {
           stages.foreach { target =>
             // seed the base DIRECTLY to the stage size (parallel write;
@@ -476,17 +482,7 @@ object ScaleRehearsal {
         val baseN = sys.env.getOrElse("SPARK_GRAFT_SR_TF_BASE", "20000000").toLong
         val dir = java.nio.file.Files.createTempDirectory("sr_trivial")
           .toString + "/records"
-        def day(d: String, n: Long, offset: Long) = spark.range(n)
-          .select(lit("scale").as("source"),
-            concat(lit("R"), ((col("id") + offset) % 50).cast("string")).as("route_id"),
-            ((col("id") + offset) % 7).as("route_variant"),
-            concat(lit("T"), lit(offset), lit("_"), col("id")).as("trip_id"),
-            lit(java.sql.Date.valueOf(d)).as("trip_start_date"),
-            lit(28800).as("trip_start_time"),
-            ((col("id") + offset) % 40).cast("int").as("stop_sequence"),
-            timestamp_seconds(lit(1705300000L) + (col("id") + offset) / 1000L)
-              .as("time_of_recording"),
-            ((col("id") + offset) % 600).cast("int").as("delay_arrival"))
+        def day(d: String, n: Long, offset: Long) = recordsRows(d, n, offset)
         runTimed("trivial_fold") {
           day("2024-01-15", baseN, 0L).write.mode("append")
             .partitionBy("source", "trip_start_date").parquet(dir)

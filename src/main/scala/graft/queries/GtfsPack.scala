@@ -166,7 +166,12 @@ object GtfsPack extends QueryPack {
           // sf0.1. The checkpoint truncates the plan to a LogicalRDD (the
           // bounded, already-materialized prediction set), exactly the
           // monitor serving shape: pages query the prediction TABLE, not
-          // the predictor's provenance.
+          // the predictor's provenance. The trade — checkpoint blocks have
+          // no lineage to recompute from after executor loss — is moot in
+          // this harness: Verify/Bench pin local mode, where losing the
+          // only executor IS process death. A cluster deployment serves
+          // from the STORED tables (PredictionsTable.read), not these
+          // memos.
           Predictor.batchPredict(s, sched, "2024-03-04", "graft", sc, dc)
             .localCheckpoint()
         }
