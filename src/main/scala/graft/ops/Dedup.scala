@@ -103,6 +103,81 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Exact SUBSTRING-level dedup — the token-span analogue of the document
+    * family (the method of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": remove repeated substrings, not whole
+    * docs): per document, the maximal token spans covered by some n-gram
+    * window occurring at least `minCount` times in the CORPUS (within-doc
+    * repeats count — a doc repeating its own boilerplate twice is
+    * duplicated text). Returns one row per span: (idCol, span_start,
+    * span_end), inclusive 0-based TOKEN indices, overlapping/adjacent
+    * duplicated windows merged.
+    *
+    * Scale shape: the corpus shuffles (doc, pos, 8-byte window hash)
+    * tuples — never text — once for the occurrence count (map-side partial
+    * agg) and once to join the hot-hash set back; deliberately NO df cap
+    * (span detection NEEDS the hot windows — dropping them is dropping the
+    * very boilerplate the operator exists to find), so a boilerplate-heavy
+    * corpus pays a large-but-linear join, not a quadratic pair blowup (no
+    * self-join here). The island merge is a per-doc window over DUPLICATED
+    * positions only — partition size is bounded by the doc's token count.
+    * Window-hash equality stands in for window equality (64-bit xxhash
+    * collisions negligible), the pair family's convention. */
+  def dupSpans(docs: DataFrame, n: Int = 5, minCount: Long = 2,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col(idCol).as("doc"),
+        TextAnalysis.tokensCol(col(textCol)).as("__toks"))
+      .select(col("doc"),
+        posexplode(graft.functions.ShingleHashes(col("__toks"), n)))
+      .withColumnRenamed("col", "shingle")
+    val hot = wins.groupBy("shingle").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("shingle")
+    val w = Window.partitionBy("doc").orderBy("pos")
+    // islands over sorted duplicated window starts: window [p, p+n-1]
+    // merges with its predecessor [q, q+n-1] iff p <= q + n (overlap or
+    // token-adjacent) — a new span starts exactly when the gap leaves an
+    // uncovered token between them
+    wins.join(hot, "shingle")
+      .withColumn("__new",
+        when(col("pos") > lag(col("pos"), 1).over(w) + lit(n), 1)
+          .when(lag(col("pos"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc"), col("__island"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + lit(n - 1)).cast("long").as("span_end"))
+      .select(col("doc").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** DuckDB oracle twin of [[dupSpans]]: string shingles stand in for the
+    * window hashes (the pair family's convention), same occurrence count,
+    * same island recurrence via window functions. */
+  def duckDbDupSpansSql(table: String, n: Int, minCount: Long,
+                        idCol: String, textCol: String): String = s"""
+    WITH toks AS (
+      SELECT $idCol AS doc, ${TextAnalysis.duckDbTokensSql(textCol)} AS t FROM $table),
+    series AS (SELECT unnest(range(0,
+                 (SELECT COALESCE(MAX(len(t)), 0) + 1 FROM toks))) AS i),
+    wins AS (
+      SELECT doc, i AS pos, array_to_string(t[i+1:i+$n], ' ') AS shingle
+      FROM toks JOIN series ON i <= len(t) - $n),
+    hot AS (SELECT shingle FROM wins GROUP BY shingle HAVING COUNT(*) >= $minCount),
+    dup AS (SELECT doc, pos FROM wins WHERE shingle IN (SELECT shingle FROM hot)),
+    flagged AS (
+      SELECT doc, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc ORDER BY pos) IS NULL
+               OR pos > lag(pos) OVER (PARTITION BY doc ORDER BY pos) + $n
+             THEN 1 ELSE 0 END AS new_island
+      FROM dup),
+    islands AS (
+      SELECT doc, pos, SUM(new_island) OVER (PARTITION BY doc ORDER BY pos
+        ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged)
+    SELECT doc AS $idCol, MIN(pos) AS span_start, MAX(pos) + $n - 1 AS span_end
+    FROM islands GROUP BY doc, island ORDER BY $idCol, span_start"""
+
   /** DuckDB oracle twin of [[ngramJaccard]] (same shingling, cap, formula). */
   def duckDbNgramJaccardSql(table: String, n: Int, threshold: Double, maxDf: Int,
                             idCol: String, textCol: String): String = s"""

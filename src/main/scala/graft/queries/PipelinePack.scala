@@ -204,6 +204,12 @@ object PipelinePack extends QueryPack {
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =
     ngramPairs(s, dir).orderBy("a", "b")
 
+  /** Substring-level dedup (Lee et al. 2022): maximal duplicated token
+    * spans across the corpus, 5-gram windows, ≥2 occurrences. */
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(t(s, dir, "documents"), n = 5, minCount = 2)
+      .orderBy("doc_id", "span_start")
+
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     lshPairs(s, dir).orderBy("a", "b")
 
@@ -479,6 +485,7 @@ object PipelinePack extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_lsh_vs_exact" -> (dedupLshVsExact _),
@@ -514,6 +521,8 @@ object PipelinePack extends QueryPack {
       FROM documents GROUP BY text ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       Dedup.duckDbNgramJaccardSql("documents", 3, 0.5, 100, "doc_id", "text"),
+    "dedup_substring" ->
+      Dedup.duckDbDupSpansSql("documents", 5, 2, "doc_id", "text"),
     "dedup_clusters" ->
       Dedup.duckDbClustersSql("documents", 3, 0.5, 100, "doc_id", "text"),
     "sample_split" -> s"""

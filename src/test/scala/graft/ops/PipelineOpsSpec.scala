@@ -54,6 +54,41 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"near pair $i missing")
   }
 
+  test("substring dedup: hand-computed spans, within-doc repeats, merge rule") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),          // shares a b c d e f with doc 2
+      (2L, "x x a b c d e f y"),
+      (3L, "p q r s p q r s"),          // within-doc repeat of p q r / q r s
+      (4L, "unique words only here now") // no duplicated 3-gram anywhere
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(d, n = 3, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: dup windows at 0..3 (abc bcd cde def) -> tokens [0, 5]
+    // doc 2: the same four windows at 2..5 -> tokens [2, 7]
+    // doc 3: pqr@{0,4}, qrs@{1,5}; 4 <= 1+3 merges -> one span [0, 7]
+    assert(spans == Set((1L, 0L, 5L), (2L, 2L, 7L), (3L, 0L, 7L)))
+    // invariant: spans per doc are disjoint with at least one uncovered
+    // token between them, and lie within the doc's token bounds
+    val byDoc = Dedup.dupSpans(docs, n = 3, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    byDoc.values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.foreach { case (_, s, e) => assert(s >= 0 && e >= s) }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) => assert(s2 > e1 + 1,
+          "adjacent duplicated regions must have merged into one span")
+        case _ =>
+      }
+    }
+    // exact duplicate docs produce a whole-doc span on both copies
+    val pair = Seq((10L, "one two three four five six seven"),
+      (11L, "one two three four five six seven")).toDF("doc_id", "text")
+    val whole = Dedup.dupSpans(pair, n = 3, minCount = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(whole == Set((10L, 0L, 6L), (11L, 0L, 6L)))
+  }
+
   test("minhash LSH recovers the same >=0.5 pairs as exact jaccard") {
     val exact = Dedup.ngramJaccard(docs, 3, 0.5, 100).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
