@@ -151,6 +151,76 @@ object Dedup {
       .select(col("doc").as(idCol), col("span_start"), col("span_end"))
   }
 
+  /** The curation pass over [[dupSpans]]: rebuild each document's text with
+    * the duplicated spans REMOVED (whitespace-normalized — both the kept
+    * text and the oracle rebuild from the token array). One row per doc:
+    * (idCol, clean_text, tokens_removed); docs with no duplicated span pass
+    * through with tokens_removed = 0, fully-duplicated docs come out empty.
+    * The span list joins back broadcast-or-shuffle by doc id and the token
+    * filter is a per-row higher-order function over (token, index) — spans
+    * per doc are few by construction (maximal, disjoint), so the
+    * exists() probe is O(tokens × spans/doc), not corpus-shaped. */
+  def stripDupSpans(docs: DataFrame, n: Int = 5, minCount: Long = 2,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = dupSpans(docs, n, minCount, idCol, textCol)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("__toks", TextAnalysis.tokensCol(col(textCol)))
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__toks")).otherwise(expr(
+          """transform(
+               filter(transform(__toks, (t, i) -> named_struct('tok', t, 'i', i)),
+                      p -> NOT exists(__spans,
+                             s -> p.i >= s.span_start AND p.i <= s.span_end)),
+               p -> p.tok)""")))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("tokens_removed"))
+  }
+
+  /** DuckDB oracle twin of [[stripDupSpans]]: the [[duckDbDupSpansSql]]
+    * spans, token positions anti-joined against them, text re-aggregated in
+    * token order. */
+  def duckDbStripSpansSql(table: String, n: Int, minCount: Long,
+                          idCol: String, textCol: String): String = s"""
+    WITH toks AS (
+      SELECT $idCol AS doc, ${TextAnalysis.duckDbTokensSql(textCol)} AS t FROM $table),
+    series AS (SELECT unnest(range(0,
+                 (SELECT COALESCE(MAX(len(t)), 0) + 1 FROM toks))) AS i),
+    wins AS (
+      SELECT doc, i AS pos, array_to_string(t[i+1:i+$n], ' ') AS shingle
+      FROM toks JOIN series ON i <= len(t) - $n),
+    hot AS (SELECT shingle FROM wins GROUP BY shingle HAVING COUNT(*) >= $minCount),
+    dup AS (SELECT doc, pos FROM wins WHERE shingle IN (SELECT shingle FROM hot)),
+    flagged AS (
+      SELECT doc, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc ORDER BY pos) IS NULL
+               OR pos > lag(pos) OVER (PARTITION BY doc ORDER BY pos) + $n
+             THEN 1 ELSE 0 END AS new_island
+      FROM dup),
+    islands AS (
+      SELECT doc, pos, SUM(new_island) OVER (PARTITION BY doc ORDER BY pos
+        ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged),
+    spans AS (
+      SELECT doc, MIN(pos) AS s, MAX(pos) + $n - 1 AS e
+      FROM islands GROUP BY doc, island),
+    pos AS (
+      SELECT doc, i, t[i+1] AS tok FROM toks JOIN series ON i <= len(t) - 1),
+    kept AS (
+      SELECT p.doc, p.i, p.tok FROM pos p
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc = p.doc AND p.i BETWEEN s.s AND s.e)),
+    kept_agg AS (
+      SELECT doc, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc)
+    SELECT t.doc AS $idCol, COALESCE(k.clean_text, '') AS clean_text,
+           len(t.t) - COALESCE(k.n_kept, 0) AS tokens_removed
+    FROM toks t LEFT JOIN kept_agg k ON k.doc = t.doc
+    ORDER BY $idCol"""
+
   /** DuckDB oracle twin of [[dupSpans]]: string shingles stand in for the
     * window hashes (the pair family's convention), same occurrence count,
     * same island recurrence via window functions. */

@@ -210,6 +210,11 @@ object PipelinePack extends QueryPack {
     Dedup.dupSpans(t(s, dir, "documents"), n = 5, minCount = 2)
       .orderBy("doc_id", "span_start")
 
+  /** The curation pass over the spans: duplicated text stripped per doc. */
+  private def dedupSubstringStrip(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripDupSpans(t(s, dir, "documents"), n = 5, minCount = 2)
+      .orderBy("doc_id")
+
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     lshPairs(s, dir).orderBy("a", "b")
 
@@ -486,6 +491,7 @@ object PipelinePack extends QueryPack {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_substring_strip" -> (dedupSubstringStrip _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_lsh_vs_exact" -> (dedupLshVsExact _),
@@ -523,6 +529,8 @@ object PipelinePack extends QueryPack {
       Dedup.duckDbNgramJaccardSql("documents", 3, 0.5, 100, "doc_id", "text"),
     "dedup_substring" ->
       Dedup.duckDbDupSpansSql("documents", 5, 2, "doc_id", "text"),
+    "dedup_substring_strip" ->
+      Dedup.duckDbStripSpansSql("documents", 5, 2, "doc_id", "text"),
     "dedup_clusters" ->
       Dedup.duckDbClustersSql("documents", 3, 0.5, 100, "doc_id", "text"),
     "sample_split" -> s"""

@@ -89,6 +89,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(whole == Set((10L, 0L, 6L), (11L, 0L, 6L)))
   }
 
+  test("substring strip removes exactly the span tokens, passes clean docs through") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x x a b c d e f y"),
+      (3L, "unique words only here now")).toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(d, n = 3, minCount = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // doc 1 loses tokens [0,5] (span), doc 2 loses [2,7], doc 3 untouched
+    assert(out == Set(
+      (1L, "g h", 6L),
+      (2L, "x x y", 6L),
+      (3L, "unique words only here now", 0L)))
+    // a fully-duplicated doc comes out empty, not dropped
+    val pair = Seq((10L, "one two three"), (11L, "one two three"))
+      .toDF("doc_id", "text")
+    val whole = Dedup.stripDupSpans(pair, n = 3, minCount = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(whole == Set((10L, "", 3L), (11L, "", 3L)))
+  }
+
   test("minhash LSH recovers the same >=0.5 pairs as exact jaccard") {
     val exact = Dedup.ngramJaccard(docs, 3, 0.5, 100).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
