@@ -124,14 +124,28 @@ object Dedup {
     * Window-hash equality stands in for window equality (64-bit xxhash
     * collisions negligible), the pair family's convention. */
   def dupSpans(docs: DataFrame, n: Int = 5, minCount: Long = 2,
-               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    // the wins index feeds TWO plans (occurrence count + join back), which
+    // cannot share an exchange — cache it for the duration, like the
+    // shingle index in ngramJaccard
+    scopedCache(docWindows(docs, idCol, textCol, n))(
+      dupSpansFromWins(_, n, minCount, idCol))
+
+  /** The positional window-hash index [[dupSpans]] consumes:
+    * (doc, pos, shingle), one row per n-gram window occurrence. Long-lived
+    * pipelines memoize this (PipelinePack) and use [[dupSpansFromWins]]. */
+  def docWindows(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame = docs
+    .select(col(idCol).as("doc"),
+      TextAnalysis.tokensCol(col(textCol)).as("__toks"))
+    .select(col("doc"),
+      posexplode(graft.functions.ShingleHashes(col("__toks"), n)))
+    .withColumnRenamed("col", "shingle")
+
+  /** As [[dupSpans]], over a precomputed (cached) [[docWindows]] index. */
+  def dupSpansFromWins(wins: DataFrame, n: Int, minCount: Long,
+                       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = docs
-      .select(col(idCol).as("doc"),
-        TextAnalysis.tokensCol(col(textCol)).as("__toks"))
-      .select(col("doc"),
-        posexplode(graft.functions.ShingleHashes(col("__toks"), n)))
-      .withColumnRenamed("col", "shingle")
     val hot = wins.groupBy("shingle").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount).select("shingle")
     val w = Window.partitionBy("doc").orderBy("pos")
@@ -161,31 +175,42 @@ object Dedup {
     * per doc are few by construction (maximal, disjoint), so the
     * exists() probe is O(tokens × spans/doc), not corpus-shaped. */
   def stripDupSpans(docs: DataFrame, n: Int = 5, minCount: Long = 2,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spans = dupSpans(docs, n, minCount, idCol, textCol)
-      .groupBy(idCol)
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    stripFromSpans(docs, dupSpans(docs, n, minCount, idCol, textCol),
+      idCol, textCol)
+
+  /** As [[stripDupSpans]], over a precomputed [[dupSpans]] result — the
+    * form long-lived pipelines use so the span detection runs once. */
+  def stripFromSpans(docs: DataFrame, spans: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val perDoc = spans.groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
-    docs.join(spans, Seq(idCol), "left")
-      .withColumn("__toks", TextAnalysis.tokensCol(col(textCol)))
+    // NULL text tokenizes as empty (matching the oracle's COALESCE(text,'')),
+    // so a null doc passes through as ('', 0) instead of diverging engines
+    docs.join(perDoc, Seq(idCol), "left")
+      .withColumn("__toks",
+        TextAnalysis.tokensCol(coalesce(col(textCol), lit(""))))
       .withColumn("__kept",
         when(col("__spans").isNull, col("__toks")).otherwise(expr(
-          """transform(
-               filter(transform(__toks, (t, i) -> named_struct('tok', t, 'i', i)),
-                      p -> NOT exists(__spans,
-                             s -> p.i >= s.span_start AND p.i <= s.span_end)),
-               p -> p.tok)""")))
+          // one pass: Spark's filter() lambda takes (element, index)
+          """filter(__toks, (t, i) -> NOT exists(__spans,
+               s -> i >= s.span_start AND i <= s.span_end))""")))
       .select(col(idCol),
         array_join(col("__kept"), " ").as("clean_text"),
         (size(col("__toks")) - size(col("__kept"))).cast("long").as("tokens_removed"))
   }
 
-  /** DuckDB oracle twin of [[stripDupSpans]]: the [[duckDbDupSpansSql]]
-    * spans, token positions anti-joined against them, text re-aggregated in
-    * token order. */
-  def duckDbStripSpansSql(table: String, n: Int, minCount: Long,
-                          idCol: String, textCol: String): String = s"""
-    WITH toks AS (
-      SELECT $idCol AS doc, ${TextAnalysis.duckDbTokensSql(textCol)} AS t FROM $table),
+  /** The ONE copy of the span-derivation CTE chain both oracle builders
+    * share — a merge-rule fix lands once, exactly like the Spark side's
+    * single [[dupSpansFromWins]]. NULL text tokenizes as empty via the
+    * COALESCE, mirroring [[stripFromSpans]]. */
+  private def dupSpansCtes(table: String, n: Int, minCount: Long,
+                           idCol: String, textCol: String): String = s"""
+    toks AS (
+      SELECT $idCol AS doc,
+             ${TextAnalysis.duckDbTokensSql(s"COALESCE($textCol, '')")} AS t
+      FROM $table),
     series AS (SELECT unnest(range(0,
                  (SELECT COALESCE(MAX(len(t)), 0) + 1 FROM toks))) AS i),
     wins AS (
@@ -204,14 +229,22 @@ object Dedup {
         ROWS UNBOUNDED PRECEDING) AS island
       FROM flagged),
     spans AS (
-      SELECT doc, MIN(pos) AS s, MAX(pos) + $n - 1 AS e
-      FROM islands GROUP BY doc, island),
+      SELECT doc, MIN(pos) AS span_start, MAX(pos) + $n - 1 AS span_end
+      FROM islands GROUP BY doc, island)"""
+
+  /** DuckDB oracle twin of [[stripDupSpans]]: the [[dupSpansCtes]] spans,
+    * token positions anti-joined against them, text re-aggregated in
+    * token order. */
+  def duckDbStripSpansSql(table: String, n: Int, minCount: Long,
+                          idCol: String, textCol: String): String = s"""
+    WITH ${dupSpansCtes(table, n, minCount, idCol, textCol)},
     pos AS (
       SELECT doc, i, t[i+1] AS tok FROM toks JOIN series ON i <= len(t) - 1),
     kept AS (
       SELECT p.doc, p.i, p.tok FROM pos p
       WHERE NOT EXISTS (SELECT 1 FROM spans s
-                        WHERE s.doc = p.doc AND p.i BETWEEN s.s AND s.e)),
+                        WHERE s.doc = p.doc
+                          AND p.i BETWEEN s.span_start AND s.span_end)),
     kept_agg AS (
       SELECT doc, string_agg(tok, ' ' ORDER BY i) AS clean_text,
              COUNT(*) AS n_kept
@@ -226,27 +259,9 @@ object Dedup {
     * same island recurrence via window functions. */
   def duckDbDupSpansSql(table: String, n: Int, minCount: Long,
                         idCol: String, textCol: String): String = s"""
-    WITH toks AS (
-      SELECT $idCol AS doc, ${TextAnalysis.duckDbTokensSql(textCol)} AS t FROM $table),
-    series AS (SELECT unnest(range(0,
-                 (SELECT COALESCE(MAX(len(t)), 0) + 1 FROM toks))) AS i),
-    wins AS (
-      SELECT doc, i AS pos, array_to_string(t[i+1:i+$n], ' ') AS shingle
-      FROM toks JOIN series ON i <= len(t) - $n),
-    hot AS (SELECT shingle FROM wins GROUP BY shingle HAVING COUNT(*) >= $minCount),
-    dup AS (SELECT doc, pos FROM wins WHERE shingle IN (SELECT shingle FROM hot)),
-    flagged AS (
-      SELECT doc, pos,
-        CASE WHEN lag(pos) OVER (PARTITION BY doc ORDER BY pos) IS NULL
-               OR pos > lag(pos) OVER (PARTITION BY doc ORDER BY pos) + $n
-             THEN 1 ELSE 0 END AS new_island
-      FROM dup),
-    islands AS (
-      SELECT doc, pos, SUM(new_island) OVER (PARTITION BY doc ORDER BY pos
-        ROWS UNBOUNDED PRECEDING) AS island
-      FROM flagged)
-    SELECT doc AS $idCol, MIN(pos) AS span_start, MAX(pos) + $n - 1 AS span_end
-    FROM islands GROUP BY doc, island ORDER BY $idCol, span_start"""
+    WITH ${dupSpansCtes(table, n, minCount, idCol, textCol)}
+    SELECT doc AS $idCol, span_start, span_end
+    FROM spans ORDER BY $idCol, span_start"""
 
   /** DuckDB oracle twin of [[ngramJaccard]] (same shingling, cap, formula). */
   def duckDbNgramJaccardSql(table: String, n: Int, threshold: Double, maxDf: Int,

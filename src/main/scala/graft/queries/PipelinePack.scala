@@ -205,14 +205,24 @@ object PipelinePack extends QueryPack {
     ngramPairs(s, dir).orderBy("a", "b")
 
   /** Substring-level dedup (Lee et al. 2022): maximal duplicated token
-    * spans across the corpus, 5-gram windows, ≥2 occurrences. */
+    * spans across the corpus, 5-gram windows, ≥2 occurrences. The spans
+    * memoize (both the span query and the strip pass consume them), over a
+    * memoized positional window index (read twice by the detection —
+    * occurrence count + join back). */
+  private def dupSpansQ(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "dup_spans") {
+      Dedup.dupSpansFromWins(
+        cached(s, dir, "dup_wins")(
+          Dedup.docWindows(t(s, dir, "documents"), "doc_id", "text", n = 5)),
+        n = 5, minCount = 2)
+    }
+
   private def dedupSubstring(s: SparkSession, dir: String): DataFrame =
-    Dedup.dupSpans(t(s, dir, "documents"), n = 5, minCount = 2)
-      .orderBy("doc_id", "span_start")
+    dupSpansQ(s, dir).orderBy("doc_id", "span_start")
 
   /** The curation pass over the spans: duplicated text stripped per doc. */
   private def dedupSubstringStrip(s: SparkSession, dir: String): DataFrame =
-    Dedup.stripDupSpans(t(s, dir, "documents"), n = 5, minCount = 2)
+    Dedup.stripFromSpans(t(s, dir, "documents"), dupSpansQ(s, dir))
       .orderBy("doc_id")
 
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =

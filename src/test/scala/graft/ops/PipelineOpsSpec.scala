@@ -101,12 +101,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, "g h", 6L),
       (2L, "x x y", 6L),
       (3L, "unique words only here now", 0L)))
-    // a fully-duplicated doc comes out empty, not dropped
-    val pair = Seq((10L, "one two three"), (11L, "one two three"))
-      .toDF("doc_id", "text")
+    // a fully-duplicated doc comes out empty, not dropped; a NULL text
+    // tokenizes as empty (the oracle's COALESCE convention), never NULL out
+    val pair = Seq((10L, "one two three"), (11L, "one two three"),
+      (12L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val whole = Dedup.stripDupSpans(pair, n = 3, minCount = 2).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    assert(whole == Set((10L, "", 3L), (11L, "", 3L)))
+    assert(whole == Set((10L, "", 3L), (11L, "", 3L), (12L, "", 0L)))
   }
 
   test("minhash LSH recovers the same >=0.5 pairs as exact jaccard") {
