@@ -1031,6 +1031,20 @@ object ScaleRehearsal {
       if (opWanted("ngram_pairs")) runTimed("ngram_pairs")(pairs.count())
       if (opWanted("clusters")) runTimed("clusters")(
         graft.ops.Dedup.clusters(docs, pairs).filter(!col("is_kept")).count())
+      if (opWanted("dup_spans")) {
+        // substring-level dedup at corpus scale: spans + the strip pass
+        // (the strip re-reads the spans, so they persist for the pair)
+        runTimed("dup_spans") {
+          val spans = graft.ops.Dedup.dupSpans(docs, n = 5, minCount = 2)
+            .persist()
+          val nSpans = spans.count()
+          val removed = graft.ops.Dedup.stripFromSpans(docs, spans)
+            .agg(sum(col("tokens_removed"))).head().getLong(0)
+          spans.unpersist()
+          println(s"[scale] dup_spans: spans=$nSpans tokens_removed=$removed")
+          nSpans
+        }
+      }
       if (opWanted("sample_split")) runTimed("sample_split")(
         graft.ops.Sampling.assign(docs,
           graft.ops.TextAnalysis.langIdCol(col("text")), Map("en" -> 40), 100)
