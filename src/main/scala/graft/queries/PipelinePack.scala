@@ -297,7 +297,10 @@ object PipelinePack extends QueryPack {
   /** Near-dup clusters over the n-gram Jaccard pair graph (reuses the
     * cached pair set the sibling queries built). */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.clusters(t(s, dir, "documents"), ngramPairs(s, dir))
+    // memoized like simhash_pairs: the label-propagation loop runs its
+    // per-round driver actions on every call otherwise
+    cached(s, dir, "dedup_clusters")(
+      Dedup.clusters(t(s, dir, "documents"), ngramPairs(s, dir)))
       .orderBy("doc_id")
 
   /** English is the dominant stratum on the synthetic corpus — downsample it
