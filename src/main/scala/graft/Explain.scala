@@ -30,7 +30,9 @@ object Explain {
       // round-5 reshaped queries: rebanded SimHash, un-hinted MinHash,
       // memoized curate→pack, exploded curve tables, real-codec resize
       "dedup_simhash", "dedup_minhash_lsh", "pipeline_curate_pack",
-      "gtfs_specific_curves", "gtfs_default_curves", "mm_resize")
+      "gtfs_specific_curves", "gtfs_default_curves", "mm_resize",
+      // round-12 additions: substring-level dedup + its strip pass
+      "dedup_substring", "dedup_substring_strip")
 
     audit.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
