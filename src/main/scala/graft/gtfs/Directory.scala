@@ -244,30 +244,36 @@ object Directory {
     * pruned to this source and filtered by parquet predicate pushdown
     * (origin_type / schedule_file_name are dictionary-encoded low-cardinality
     * columns, so untouched row groups are skipped on footer stats) — and only
-    * when stale rows EXIST are their partitions rewritten (read-filter-
-    * overwrite of the touched directories, the same partition-scoped
-    * rewrite discipline as [[LwwTable.compact]]). In the
-    * steady state (no schedule change) every call is probe-only. Partitions
-    * whose every row is stale are directory-deleted (dynamic overwrite never
-    * rewrites a partition absent from the output). Returns the deleted row
-    * count. Callers in the automatic mode hold the predictions gate. */
+    * when stale rows EXIST are their partitions rewritten, through
+    * [[LwwTable.replacePartitions]]: the kept rows enter as delta files and
+    * the old base files are RETIRED (atomic manifest, GC after `graceMs`),
+    * so no crash point loses a row and no in-flight reader of the live
+    * table loses a planned file — the same commit discipline as the fold.
+    * In the steady state (no schedule change) every call is probe-only.
+    * Returns the deleted row count. Callers in the automatic mode hold the
+    * predictions gate. */
   def deleteStaleSchedulePredictions(spark: SparkSession, predictionsDir: String,
-      source: String, currentScheduleName: String, endEpochSecs: Long): Long = {
+      source: String, currentScheduleName: String, endEpochSecs: Long,
+      graceMs: Long = LwwTable.DefaultGraceMs): Long = {
     // fold the delta tree FIRST: stale rows appended by pre-swap backfill
     // batches may still sit under `_delta/`, which the partition rewrite
-    // below (base-only by design) would otherwise miss — and after the fold
-    // the whole probe-and-rewrite runs on one tree, exactly as before the
-    // LSM layout. Callers hold the predictions gate, so no append races the
-    // fold. Steady state (idle branch just compacted) is one listing miss.
-    PredictionsTable.compact(spark, predictionsDir, Some(currentScheduleName))
-    if (!tableHasData(spark, predictionsDir)) return 0L
+    // below (base-scoped by design) would otherwise miss — and after the
+    // fold the whole probe-and-rewrite runs on the live base alone, exactly
+    // as before the LSM layout. Callers hold the predictions gate, so no
+    // append races the fold. Steady state (idle branch just compacted) is
+    // one listing miss.
+    PredictionsTable.compact(spark, predictionsDir, Some(currentScheduleName),
+      graceMs)
+    if (!LwwTable.hasData(spark, predictionsDir)) return 0L
     val startTs = unix_timestamp(
       GtfsTime.dateAndTime(col("trip_start_date"), col("trip_start_time")))
     val stale = col("origin_type") === Codes.OriginSchedule &&
       col("source") === lit(source) &&
       col("schedule_file_name") =!= lit(currentScheduleName) &&
       startTs < lit(endEpochSecs)
-    val table = spark.read.parquet(predictionsDir)
+    // LIVE rows only (readRaw excludes files pending retirement — re-keeping
+    // an already-retired row would resurrect it through the rewrite)
+    val table = LwwTable.readRaw(spark, predictionsDir)
     val staleParts = table.filter(stale)
       .groupBy(col("source"), col("trip_start_date"))
       .agg(count(lit(1)).as("n")).collect()
@@ -278,33 +284,14 @@ object Directory {
         col("source") === lit(r.getString(0))
           && col("trip_start_date") <=> lit(r.getDate(1)))
       .reduce(_ || _)
-    // materialize + truncate lineage BEFORE overwriting the path being read.
     // coalesce the predicate: a NULL start instant makes `stale` NULL, and
-    // filter(!NULL) would silently DROP that kept row during the rewrite
+    // filter(!NULL) would silently DROP that kept row during the rewrite.
+    // No localCheckpoint needed anymore: the rewrite writes a temp tree and
+    // renames in — it never overwrites the files the plan reads
     val kept = table.filter(cond && !coalesce(stale, lit(false)))
-      .localCheckpoint(true)
-    val keptParts = kept.select(col("source"), col("trip_start_date"))
-      .distinct().collect()
-      .map(r => (r.getString(0), Option(r.getDate(1)).map(_.toString))).toSet
-    if (keptParts.nonEmpty)
-      kept.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("source", "trip_start_date").parquet(predictionsDir)
-    // all-stale partitions produced no output rows — drop their directories
-    val conf = spark.sparkContext.hadoopConfiguration
-    staleParts
-      .map(r => (r.getString(0), Option(r.getDate(1)).map(_.toString)))
-      .filterNot(keptParts)
-      .foreach { case (src, dateOpt) =>
-        val leaf = dateOpt match {
-          case Some(d) => s"trip_start_date=$d"
-          case None => "trip_start_date=__HIVE_DEFAULT_PARTITION__"
-        }
-        val p = new org.apache.hadoop.fs.Path(
-          s"$predictionsDir/source=$src/$leaf")
-        val pfs = p.getFileSystem(conf)
-        if (pfs.exists(p)) pfs.delete(p, true)
-      }
+    val parts = staleParts.map(r =>
+      (Option(r.getString(0)), Option(r.getDate(1)).map(_.toString))).toSeq
+    LwwTable.replacePartitions(spark, predictionsDir, parts, kept, graceMs)
     deleted
   }
 

@@ -1,5 +1,6 @@
 package graft.gtfs
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,10 +25,12 @@ import org.apache.spark.sql.functions._
   *  - '''compact''' folds the delta files into the base partitions: one
   *    merged write to a hidden temp tree (no caching — the sort spills, so
   *    fold memory is bounded by the spill threshold, not the partition),
-  *    then per-partition rename swaps, then deletion of exactly the delta
-  *    files it read — run ONLY from the automatic mode's idle branch
-  *    (gate-serialized with the writers) and at batch-run end: its cost is
-  *    O(touched partition), which must never land on a 5 s trigger;
+  *    then per-file renames of the merged output INTO the base partitions
+  *    (beside the superseded files), then RETIREMENT of exactly the old
+  *    base + delta files it consumed — run ONLY from the automatic mode's
+  *    idle branch (gate-serialized with the writers) and at batch-run end:
+  *    its cost is O(touched partition), which must never land on a 5 s
+  *    trigger;
   *  - '''mergeDelta''' is the tiered ON-TRIGGER backstop for streams that
   *    never idle: delta files fold into one file per partition WITHOUT
   *    reading the base — O(delta working set) per ~64 triggers, so the
@@ -36,27 +39,58 @@ import org.apache.spark.sql.functions._
   *
   * The `_delta` subtree is hidden from `spark.read.parquet(<table>)` (Spark
   * ignores `_`-prefixed paths), so maintenance rewrites that target only the
-  * compacted base (legacy-tier normalization, stale-version deletes after
-  * their compact-first step) keep working on the base read unchanged.
+  * compacted base keep working on the base read unchanged.
   *
-  * Crash safety: at EVERY crash point of a fold, every row is visible to
-  * resolution — the old base files take refuge in the delta tree before
-  * their partition is swapped (see the inline analysis in [[compact]]), and
-  * rows DUPLICATED across trees tie on the LWW ordering with identical
-  * values, so resolution returns the same rows and the next fold merges +
-  * deletes them again — idempotent, like a replayed upsert. The analysis
-  * assumes ATOMIC RENAME from the backing FileSystem (local FS, HDFS,
-  * ABFS, GCS): deploy the table roots there, not on a raw S3 bucket where
-  * "rename" is copy+delete and a crash mid-copy can leave a partial file
-  * — the same constraint Spark's own FileStreamSink metadata and
-  * HDFSMetadataLog carry. Rows that were
-  * already GENUINELY tied before the fold (same key, same ordering value,
-  * different payload — e.g. a feed re-sending a key within one recording
-  * second) stay arbitrary across re-folds, exactly as they were arbitrary
-  * at read time and under the old write-time merge; the ordering owns
-  * determinism, not the fold. The ordering passed to `compact` must be the
-  * SAME one readers use (for predictions that includes the current-version
-  * tie-break), or a collapsed tie could disagree with the read-time pick.
+  * ==Retirement, the grace period, and the reader contract==
+  *
+  * A fold/merge never DELETES the files it supersedes while other readers
+  * may have them planned (the MySQL reference gives every reader
+  * statement-level isolation for free — batched_statements.rs:59-107 runs
+  * in a transaction and no SELECT ever observes a half-swapped B-tree; a
+  * file-based table has to construct the equivalent). Superseded files are
+  * RETIRED instead: an atomic manifest under `<table>/_gc/` lists them,
+  * every table-layer listing (reads, compaction tiers, the fold probes)
+  * excludes manifested files from that instant, and a GC pass physically
+  * deletes them only once the manifest is older than `graceMs` (run at the
+  * head of every fold/merge, or explicitly via [[gcRetired]]). Because the
+  * bytes stay on disk at their original paths through the grace window, a
+  * reader that planned a scan just before the retirement still finds every
+  * file it listed — the FileNotFoundException race between a reader's plan
+  * and a concurrent compaction is structurally gone, for THIS process and
+  * for any OTHER process reading the same directory.
+  *
+  * READER CONTRACT (multi-process): one writer process owns a live table's
+  * folds/merges (the write gate serializes them in-process; nothing
+  * serializes a second writer). Any number of reader processes — other
+  * Spark apps, ad-hoc sessions, tools — may read the table at any time,
+  * provided each planned snapshot is CONSUMED within `graceMs` of planning
+  * it (the Iceberg/Delta vacuum contract): a scan that dawdles past the
+  * grace window can lose a retired file to GC mid-flight. Size `graceMs`
+  * (default [[DefaultGraceMs]]) above the slowest expected reader.
+  * `graceMs = 0` is the OFFLINE mode — physical deletes, no manifests, for
+  * batch-run ends and maintenance windows where the caller owns every
+  * reader.
+  *
+  * Crash safety: at EVERY crash point of a fold/merge, every row is visible
+  * to resolution — merged output is renamed in BEFORE its inputs are
+  * retired, and the retirement manifest commits by one atomic rename, so a
+  * crash leaves either (a) only the inputs visible (the fold simply re-runs)
+  * or (b) inputs AND merged output visible, where the duplicated rows tie on
+  * the LWW ordering with identical values and resolution returns the same
+  * rows; the next fold merges and retires them again — idempotent, like a
+  * replayed upsert. While duplicates can exist (between the first rename-in
+  * and the manifest commit) the delta tree is never empty, so no reader
+  * takes the no-window short-circuit below. The analysis assumes ATOMIC
+  * RENAME from the backing FileSystem (local FS, HDFS, ABFS, GCS): deploy
+  * the table roots there, not on a raw S3 bucket where "rename" is
+  * copy+delete — the same constraint Spark's own FileStreamSink metadata
+  * and HDFSMetadataLog carry. Rows that were already GENUINELY tied before
+  * a fold (same key, same ordering value, different payload) stay arbitrary
+  * across re-folds, exactly as they were arbitrary at read time; the
+  * ordering owns determinism, not the fold. The ordering passed to
+  * `compact`/`mergeDelta` must be the SAME one readers use (for predictions
+  * that includes the current-version tie-break), or a collapsed tie could
+  * disagree with the read-time pick.
   */
 object LwwTable {
 
@@ -65,11 +99,136 @@ object LwwTable {
 
   def deltaDir(tableDir: String): String = s"$tableDir/_delta"
 
-  /** True when base OR delta holds at least one data file (the delta-aware
-    * [[Directory.tableHasData]]). */
-  def hasData(spark: SparkSession, tableDir: String): Boolean =
-    Directory.tableHasData(spark, tableDir) ||
+  /** Default physical-deletion delay for files a fold/merge supersedes —
+    * the window within which any reader's planned snapshot stays scannable
+    * (class doc: the reader contract). Far above a monitor request or an
+    * assertion read (milliseconds–seconds); a reader slower than this must
+    * raise the grace at the fold call sites. */
+  val DefaultGraceMs: Long = 300000L
+
+  private def gcDir(tableDir: String): String = s"$tableDir/_gc"
+
+  private val ManifestPrefix = "retire-"
+  private val ManifestRe = raw"retire-(\d+)-.*".r
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** A data file's path relative to the table root (the form manifests
+    * store, so a relocated table keeps its manifests valid). */
+  private def relPath(fs: FileSystem, tableDir: String, f: Path): String = {
+    val root = fs.makeQualified(new Path(tableDir)).toString
+    val q = fs.makeQualified(f).toString
+    if (q.startsWith(root + "/")) q.substring(root.length + 1) else q
+  }
+
+  /** All file paths (relative to the table root) named by pending
+    * retirement manifests. One `exists` miss in the steady state. */
+  private def retiredRelPaths(fs: FileSystem, tableDir: String): Set[String] = {
+    val root = new Path(gcDir(tableDir))
+    if (!fs.exists(root)) return Set.empty
+    fs.listStatus(root).iterator
+      .filter(st => st.isFile && st.getPath.getName.startsWith(ManifestPrefix))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toList
+        finally in.close()
+      }.toSet
+  }
+
+  /** True when at least one retirement manifest is pending (files superseded
+    * by a fold/merge still physically present for in-flight readers). */
+  def pendingRetirements(spark: SparkSession, tableDir: String): Boolean = {
+    val fs = fsOf(spark, tableDir)
+    val root = new Path(gcDir(tableDir))
+    fs.exists(root) && fs.listStatus(root).exists(st =>
+      st.isFile && st.getPath.getName.startsWith(ManifestPrefix))
+  }
+
+  /** Retires `files`: with `graceMs > 0` writes ONE manifest (temp file +
+    * atomic rename — the commit point of the fold/merge that calls it) and
+    * leaves the bytes in place for in-flight readers; with `graceMs = 0`
+    * deletes them immediately (offline mode). */
+  private def retire(fs: FileSystem, tableDir: String, files: Seq[Path],
+                     graceMs: Long): Unit = {
+    if (files.isEmpty) return
+    if (graceMs <= 0L) { files.foreach(f => fs.delete(f, false)); return }
+    val dir = new Path(gcDir(tableDir))
+    fs.mkdirs(dir)
+    val id = java.util.UUID.randomUUID()
+    val tmp = new Path(dir, s".tmp-$id") // hidden: a crashed write is ignored
+    val out = fs.create(tmp, true)
+    try out.write(files.map(f => relPath(fs, tableDir, f))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val fin = new Path(dir, s"$ManifestPrefix${System.currentTimeMillis()}-$id")
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"retirement manifest $tmp -> $fin failed")
+  }
+
+  /** Physically deletes files whose retirement manifest is older than
+    * `graceMs` and drops those manifests (entries for already-missing files
+    * — a maintenance rewrite got there first — are skipped). Runs at the
+    * head of every [[compact]]/[[mergeDelta]]; callable directly for
+    * maintenance (`graceMs = 0` ⇒ everything pending). Returns the number
+    * of files deleted. */
+  def gcRetired(spark: SparkSession, tableDir: String, graceMs: Long): Int = {
+    val fs = fsOf(spark, tableDir)
+    val root = new Path(gcDir(tableDir))
+    if (!fs.exists(root)) return 0
+    val now = System.currentTimeMillis()
+    var deleted = 0
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case ManifestRe(millis) if now - millis.toLong >= graceMs =>
+          val in = fs.open(st.getPath)
+          val rels =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .filter(_.nonEmpty).toList
+            finally in.close()
+          rels.foreach { rel =>
+            val p = if (rel.contains(":/")) new Path(rel)
+                    else new Path(s"$tableDir/$rel")
+            if (fs.delete(p, false)) deleted += 1
+          }
+          fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+    // prune now-empty partition directories in both trees (best-effort)
+    pruneEmptyPartitionDirs(fs, deltaDir(tableDir))
+    pruneEmptyPartitionDirs(fs, tableDir)
+    if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, false)
+    deleted
+  }
+
+  /** True when base OR delta holds at least one LIVE data file (the
+    * delta-aware [[Directory.tableHasData]], minus pending retirements). */
+  def hasData(spark: SparkSession, tableDir: String): Boolean = {
+    val physical = Directory.tableHasData(spark, tableDir) ||
       Directory.tableHasData(spark, deltaDir(tableDir))
+    if (!physical) return false
+    val fs = fsOf(spark, tableDir)
+    val retired = retiredRelPaths(fs, tableDir)
+    if (retired.isEmpty) return true
+    anyLiveFile(fs, tableDir, new Path(tableDir), retired) ||
+      anyLiveFile(fs, tableDir, new Path(deltaDir(tableDir)), retired)
+  }
+
+  /** Short-circuiting probe: any visible, non-retired file under `root`
+    * (hidden subtrees skipped — but `root` itself may be the `_delta` dir). */
+  private def anyLiveFile(fs: FileSystem, tableDir: String, root: Path,
+                          retired: Set[String]): Boolean = {
+    if (!fs.exists(root)) return false
+    def probe(d: Path): Boolean =
+      fs.listStatus(d).exists { st =>
+        if (!Directory.visibleName(st.getPath.getName)) false
+        else if (st.isDirectory) probe(st.getPath)
+        else !retired.contains(relPath(fs, tableDir, st.getPath))
+      }
+    probe(root)
+  }
 
   /** O(batch) delta append: dedup the batch within itself per `keyCols`
     * (keeping the greatest `newestBy` — the same in-batch W2 the old merge
@@ -108,154 +267,296 @@ object LwwTable {
     .withColumn("source", col("source").cast("string"))
     .withColumn("trip_start_date", col("trip_start_date").cast("date"))
 
-  /** base ∪ delta WITHOUT the LWW dedup — for aggregates that are
-    * dedup-invariant (`max(refresh_seq)`, the high-water-mark max: an LWW
-    * loser shares its key — and thus its trip start — with its winner) and
-    * as the input to caller-narrowed [[resolve]] calls. Reading a table with
-    * data in neither tree surfaces the usual `spark.read.parquet` error —
-    * callers guard with [[hasData]] exactly as they guarded with
-    * `tableHasData` before. */
-  def readRaw(spark: SparkSession, tableDir: String): DataFrame = {
-    val dDir = deltaDir(tableDir)
-    val baseHas = Directory.tableHasData(spark, tableDir)
-    val deltaHas = Directory.tableHasData(spark, dDir)
-    if (baseHas && deltaHas) {
-      val base = normalizePartCols(spark.read.parquet(tableDir))
-      val delta = normalizePartCols(spark.read.parquet(dDir))
-      // schema-drift guard: both trees are written from ONE row type today,
-      // but a future writer evolving that type while an old-schema delta is
-      // open would otherwise surface as Spark's generic unionByName
-      // missing-column error (or a silent coercion, for a type-only drift)
-      // with no hint WHICH tree drifted — name the table and the differing
-      // columns instead, so the failure is diagnosable (fold or migrate the
-      // delta, then retry). Compared by (name, type), not name alone: a
-      // widened column drifts just as fatally as a renamed one.
-      val b = base.schema.map(f => f.name -> f.dataType.catalogString).toMap
-      val d = delta.schema.map(f => f.name -> f.dataType.catalogString).toMap
-      if (b != d) {
-        def side(own: Map[String, String], other: Map[String, String]) =
-          own.toSeq.sorted.collect {
-            case (n, t) if !other.contains(n) => s"$n: $t"
-            case (n, t) if other(n) != t => s"$n: $t (vs ${other(n)})"
-          }.mkString(", ")
-        throw new IllegalStateException(
-          s"LWW table $tableDir: base and delta schemas drifted" +
-            s" (base side: ${side(b, d)}; delta side: ${side(d, b)})" +
-            " — a writer evolved the row type while an old-schema delta was" +
-            " open; compact or migrate the delta tree before reading")
-      }
-      base.unionByName(delta)
+  /** Fails with a named error when base and delta schemas drifted — both
+    * trees are written from ONE row type today, but a future writer evolving
+    * that type while an old-schema delta is open would otherwise surface as
+    * Spark's generic unionByName missing-column error (or a silent coercion,
+    * for a type-only drift) with no hint WHICH tree drifted. Compared by
+    * (name, type), not name alone: a widened column drifts just as fatally
+    * as a renamed one. Shared by [[readRaw]] and the fold (ADVICE r12: the
+    * trivial move must not install a drifted file into the base). */
+  private def assertNoDrift(b: Map[String, String], d: Map[String, String],
+                            tableDir: String): Unit = {
+    if (b == d) return
+    def side(own: Map[String, String], other: Map[String, String]) =
+      own.toSeq.sorted.collect {
+        case (n, t) if !other.contains(n) => s"$n: $t"
+        case (n, t) if other(n) != t => s"$n: $t (vs ${other(n)})"
+      }.mkString(", ")
+    throw new IllegalStateException(
+      s"LWW table $tableDir: base and delta schemas drifted" +
+        s" (base side: ${side(b, d)}; delta side: ${side(d, b)})" +
+        " — a writer evolved the row type while an old-schema delta was" +
+        " open; compact or migrate the delta tree before reading")
+  }
+
+  private def schemaMap(df: DataFrame): Map[String, String] =
+    df.schema.map(f => f.name -> f.dataType.catalogString).toMap
+
+  /** The live base tree as a DataFrame: a plain directory read when no
+    * retirements are pending (today's cost — pruned scan, pushdown); with
+    * pending retirements, the few affected partitions (exactly the ones a
+    * recent fold touched) are read by explicit LIVE-file list and the rest
+    * by a partition-pruned directory read that excludes them — the full
+    * base is never listed driver-side. None = no live base data. */
+  private def readBaseLive(spark: SparkSession, tableDir: String,
+                           retired: Set[String]): Option[DataFrame] = {
+    val baseRetired = retired.filterNot(_.startsWith("_"))
+    if (baseRetired.isEmpty)
+      return if (!Directory.tableHasData(spark, tableDir)) None
+             else Some(normalizePartCols(spark.read.parquet(tableDir)))
+    if (!new Path(tableDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(new Path(tableDir)))
+      return None
+    val fs = fsOf(spark, tableDir)
+    val affectedRel = baseRetired.map(r => r.substring(0, r.lastIndexOf('/')))
+    val liveFiles = affectedRel.toSeq.sorted.flatMap { rel =>
+      val d = new Path(s"$tableDir/$rel")
+      if (!fs.exists(d)) Seq.empty[Path]
+      else fs.listStatus(d).toSeq
+        .filter(st => st.isFile && Directory.visibleName(st.getPath.getName))
+        .map(_.getPath)
+        .filterNot(p => retired.contains(relPath(fs, tableDir, p)))
     }
-    else if (deltaHas) normalizePartCols(spark.read.parquet(dDir))
-    else normalizePartCols(spark.read.parquet(tableDir))
+    val affected =
+      if (liveFiles.isEmpty) None
+      else Some(normalizePartCols(spark.read.option("basePath", tableDir)
+        .parquet(liveFiles.map(_.toString): _*)))
+    // the untouched partitions, pruned at planning by the partition filter
+    // (null-safe on both columns: the null partition reads back from
+    // __HIVE_DEFAULT_PARTITION__, and a plain === would silently re-include
+    // its retired files)
+    val exclude = affectedRel.toSeq.map(relPartitionValues(_, tableDir))
+    val restCond = exclude.map { case (src, date) =>
+      !((col("source") <=> lit(src.orNull)) &&
+        (col("trip_start_date") <=> lit(date.orNull)))
+    }.reduce(_ && _)
+    val rest =
+      if (!Directory.tableHasData(spark, tableDir)) None
+      else Some(normalizePartCols(spark.read.parquet(tableDir)).filter(restCond))
+    (affected, rest) match {
+      case (Some(a), Some(r)) => Some(a.unionByName(r))
+      case (a, r) => a.orElse(r)
+    }
+  }
+
+  /** The live delta tree (explicit file list — the working set, always a
+    * small listing). None = no live delta files. */
+  private def readDeltaLive(spark: SparkSession, tableDir: String,
+                            retired: Set[String]): Option[DataFrame] = {
+    val files = listDeltaFilesWith(spark, tableDir, retired)
+    if (files.isEmpty) None
+    else Some(normalizePartCols(spark.read.option("basePath", deltaDir(tableDir))
+      .parquet(files.map(_.toString): _*)))
+  }
+
+  /** The live BASE tree only (delta excluded) — for base-scoped maintenance
+    * rewrites (the legacy-tier normalization) whose target rows are
+    * base-only by construction. None = no live base data. */
+  private[graft] def readBaseLiveOpt(spark: SparkSession,
+      tableDir: String): Option[DataFrame] =
+    readBaseLive(spark, tableDir,
+      retiredRelPaths(fsOf(spark, tableDir), tableDir))
+
+  /** base ∪ delta WITHOUT the LWW dedup — LIVE files only (pending
+    * retirements excluded) — for aggregates that are dedup-invariant
+    * (`max(refresh_seq)`, the high-water-mark max: an LWW loser shares its
+    * key — and thus its trip start — with its winner) and as the input to
+    * caller-narrowed [[resolve]] calls. Reading a table with data in
+    * neither tree surfaces the usual `spark.read.parquet` error — callers
+    * guard with [[hasData]]. */
+  def readRaw(spark: SparkSession, tableDir: String): DataFrame = {
+    val fs = fsOf(spark, tableDir)
+    val retired = retiredRelPaths(fs, tableDir)
+    val baseOpt = readBaseLive(spark, tableDir, retired)
+    val deltaOpt =
+      if (retired.isEmpty) {
+        val dDir = deltaDir(tableDir)
+        if (!Directory.tableHasData(spark, dDir)) None
+        else Some(normalizePartCols(spark.read.parquet(dDir)))
+      } else readDeltaLive(spark, tableDir, retired)
+    (baseOpt, deltaOpt) match {
+      case (Some(b), Some(d)) =>
+        assertNoDrift(schemaMap(b), schemaMap(d), tableDir)
+        b.unionByName(d)
+      case (Some(b), None) => b
+      case (None, Some(d)) => d
+      // preserve the pre-LSM failure mode for an empty/absent table
+      case (None, None) => normalizePartCols(spark.read.parquet(tableDir))
+    }
   }
 
   /** The resolved table: base ∪ delta, newest row per key.
     *
-    * STEADY-STATE SHORT-CIRCUIT: the base tree is key-unique BY
+    * STEADY-STATE SHORT-CIRCUIT: the LIVE base tree is key-unique BY
     * CONSTRUCTION (only [[compact]] — itself a resolve — and the write-time
-    * merges of the pre-delta layout ever wrote it; the maintenance rewrites
-    * filter rows without duplicating keys), so when the delta holds no data
-    * the resolution window is skipped entirely and readers pay exactly the
-    * pre-LSM cost: a pruned parquet scan, no shuffle. The window runs only
-    * while un-compacted appends exist — bounded by the idle-branch fold and
-    * the size backstop. This matters for consumers that narrow on NON-key
-    * columns (the monitor's stop pages semi-join on stop_id, which cannot
-    * push below a window): their per-request cost is a full-table window
-    * only in the short delta-open interval, never steady state. */
+    * merges of the pre-delta layout ever wrote it; superseded files are
+    * retired in the same commit that makes their replacement live), so when
+    * the delta holds no live data the resolution window is skipped entirely
+    * and readers pay exactly the pre-LSM cost: a pruned parquet scan, no
+    * shuffle. The window runs only while un-compacted appends exist —
+    * bounded by the idle-branch fold and the size backstop. This matters
+    * for consumers that narrow on NON-key columns (the monitor's stop pages
+    * semi-join on stop_id, which cannot push below a window): their
+    * per-request cost is a full-table window only in the short delta-open
+    * interval, never steady state. */
   def read(spark: SparkSession, tableDir: String, keyCols: Seq[String],
-           newestBy: => Column): DataFrame =
-    // newestBy is BY-NAME: on the short-circuit path it is never forced, so
+           newestBy: => Column): DataFrame = {
+    // newestBy is BY-NAME: on the no-window paths it is never forced, so
     // callers may derive it from a probe (e.g. the current schedule name)
     // without paying that probe in the steady state — and the ONE
     // delta-emptiness check here decides both the plan and the ordering
     // consistently (no separate caller-side probe to race against)
-    if (!Directory.tableHasData(spark, deltaDir(tableDir)))
-      normalizePartCols(spark.read.parquet(tableDir))
-    else resolve(readRaw(spark, tableDir), keyCols, newestBy)
+    val fs = fsOf(spark, tableDir)
+    val retired = retiredRelPaths(fs, tableDir)
+    if (retired.isEmpty) {
+      if (!Directory.tableHasData(spark, deltaDir(tableDir)))
+        normalizePartCols(spark.read.parquet(tableDir))
+      else resolve(readRaw(spark, tableDir), keyCols, newestBy)
+    } else {
+      val deltaOpt = readDeltaLive(spark, tableDir, retired)
+      val baseOpt = readBaseLive(spark, tableDir, retired)
+      deltaOpt match {
+        // live delta empty ⇒ live base is key-unique ⇒ no window needed
+        // even while retired files await GC
+        case None =>
+          baseOpt.getOrElse(normalizePartCols(spark.read.parquet(tableDir)))
+        case Some(d) =>
+          val unioned = baseOpt match {
+            case Some(b) =>
+              assertNoDrift(schemaMap(b), schemaMap(d), tableDir)
+              b.unionByName(d)
+            case None => d
+          }
+          resolve(unioned, keyCols, newestBy)
+      }
+    }
+  }
 
-  /** Visible data files under the delta tree (driver-side walk, skipping
-    * hidden `_`/`.` entries — an in-flight append's `.spark-staging` tree or
-    * `_SUCCESS` markers are not data). */
+  /** Visible LIVE data files under the delta tree (driver-side walk,
+    * skipping hidden `_`/`.` entries — an in-flight append's
+    * `.spark-staging` tree or `_SUCCESS` markers are not data — and files
+    * named by a pending retirement manifest). */
   private def listDeltaFiles(spark: SparkSession,
-      tableDir: String): Seq[org.apache.hadoop.fs.Path] = {
-    val root = new org.apache.hadoop.fs.Path(deltaDir(tableDir))
+      tableDir: String): Seq[Path] =
+    listDeltaFilesWith(spark, tableDir,
+      retiredRelPaths(fsOf(spark, tableDir), tableDir))
+
+  private def listDeltaFilesWith(spark: SparkSession, tableDir: String,
+      retired: Set[String]): Seq[Path] = {
+    val root = new Path(deltaDir(tableDir))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
-    def walk(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    def walk(d: Path): Seq[Path] =
       fs.listStatus(d).toSeq.flatMap { st =>
         if (!Directory.visibleName(st.getPath.getName)) Seq.empty
         else if (st.isDirectory) walk(st.getPath)
         else Seq(st.getPath)
       }
-    walk(root)
+    val all = walk(root)
+    if (retired.isEmpty) all
+    else all.filterNot(p => retired.contains(relPath(fs, tableDir, p)))
   }
 
   /** A delta data file's partition as the relative directory path it sits
     * in (`source=<v>/trip_start_date=<v>` — the layout [[append]] writes);
     * the ONE definition of "a delta file's partition is its last two
     * directory names", shared by both compaction tiers. */
-  private def relOf(f: org.apache.hadoop.fs.Path): String =
+  private def relOf(f: Path): String =
     s"${f.getParent.getParent.getName}/${f.getParent.getName}"
 
-  /** `(source, trip_start_date)` of a delta data file, parsed from its last
-    * two directory names (the layout [[append]] writes: Hive-escaped
-    * `source=<v>/trip_start_date=<v>/<file>`). `None` = the null partition
-    * (`__HIVE_DEFAULT_PARTITION__`); values Hive-unescaped with the same
-    * catalyst codec the writer used, so a source containing `/`, `%` or
-    * `=` round-trips. */
-  private def partitionOfPath(
-      f: org.apache.hadoop.fs.Path): (Option[String], Option[String]) = {
+  /** `(source, trip_start_date)` parsed from a partition's relative
+    * directory path (Hive-escaped `source=<v>/trip_start_date=<v>`).
+    * `None` = the null partition (`__HIVE_DEFAULT_PARTITION__`); values
+    * Hive-unescaped with the same catalyst codec the writer used, so a
+    * source containing `/`, `%` or `=` round-trips. A malformed date value
+    * (a foreign/hand-placed directory) fails NAMING the offending path, not
+    * with a bare IllegalArgumentException (ADVICE r12). */
+  private def relPartitionValues(rel: String,
+      context: String): (Option[String], Option[java.sql.Date]) = {
+    val parts = rel.split('/')
     def value(dirName: String): Option[String] = {
       val v = dirName.substring(dirName.indexOf('=') + 1)
       if (v == "__HIVE_DEFAULT_PARTITION__") None
       else Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(v))
     }
-    (value(f.getParent.getParent.getName), value(f.getParent.getName))
+    val date = value(parts(1)).map { v =>
+      try java.sql.Date.valueOf(v)
+      catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalStateException(
+            s"LWW table $context: partition directory '$rel' carries an" +
+              s" unparseable trip_start_date value '$v' (expected" +
+              " yyyy-MM-dd or __HIVE_DEFAULT_PARTITION__) — a foreign or" +
+              " hand-placed entry under the table tree", e)
+      }
+    }
+    (value(parts(0)), date)
   }
 
-  /** Number of data files currently in the delta tree — the size-trigger
-    * probe (one bounded listing; steady state after an idle-branch
-    * compaction is a single `exists` miss). */
+  private def partitionOfPath(tableDir: String,
+      f: Path): (Option[String], Option[java.sql.Date]) =
+    relPartitionValues(relOf(f), tableDir)
+
+  /** Number of LIVE data files currently in the delta tree — the
+    * size-trigger probe (one bounded listing; steady state after an
+    * idle-branch compaction is a single `exists` miss). */
   def deltaFileCount(spark: SparkSession, tableDir: String): Int =
     listDeltaFiles(spark, tableDir).size
 
-  /** Folds the current delta files into the base. Partitions where the
-    * delta holds ONE file and the base holds nothing fold by a single
-    * rename (the LSM trivial move — every delta file is key-unique on its
-    * own, see inline); for the rest it reads base rows of the
+  /** Folds the current live delta files into the base. Partitions where the
+    * delta holds ONE file and the base partition holds nothing fold by a
+    * single rename (the LSM trivial move — every delta file is key-unique
+    * on its own, see inline); for the rest it reads LIVE base rows of the
     * partitions the delta touches, unions the PINNED delta file list,
     * resolves the LWW, writes the merged partitions to a hidden temp tree,
-    * SWAPS them into the base with per-partition renames (the old base
-    * files take refuge in the delta tree first, so every crash point
-    * leaves all rows visible — see the inline crash analysis), then deletes
-    * exactly the delta files it read plus the refuged base files (an
-    * append racing the compaction —
-    * none exists under the write gate, but the contract holds regardless —
-    * keeps its files for the next fold). Returns the number of delta files
-    * folded (0 = nothing to do). Callers must hold the table's write gate;
+    * renames the merged files INTO the base partitions (beside the files
+    * they supersede — no existing file ever moves, so an in-flight reader's
+    * planned snapshot stays intact), then RETIRES exactly the old base +
+    * delta files it consumed in one atomic manifest, GC'd after `graceMs`
+    * (class doc: retirement and the reader contract; `graceMs = 0` deletes
+    * immediately — offline mode). An append racing the compaction — none
+    * exists under the write gate, but the contract holds regardless — keeps
+    * its files for the next fold. Returns the number of delta files folded
+    * (0 = nothing to do). Callers must hold the table's write gate;
     * `newestBy` must match the readers' ordering (class doc). */
   def compact(spark: SparkSession, tableDir: String, keyCols: Seq[String],
-              newestBy: Column): Int = {
-    val allFiles = listDeltaFiles(spark, tableDir)
+              newestBy: Column, graceMs: Long = DefaultGraceMs): Int = {
+    gcRetired(spark, tableDir, graceMs)
+    val fs = fsOf(spark, tableDir)
+    val retired = retiredRelPaths(fs, tableDir)
+    val allFiles = listDeltaFilesWith(spark, tableDir, retired)
     if (allFiles.isEmpty) return 0
     val dDir = deltaDir(tableDir)
-    val fs = new org.apache.hadoop.fs.Path(dDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseHasAny = Directory.tableHasData(spark, tableDir)
+    // drift guard for the INSTALL path (ADVICE r12): a schema-drifted delta
+    // file must never be trivially MOVED into the base, where the readRaw
+    // base-vs-delta guard could no longer attribute it and the drift would
+    // surface as intra-base parquet errors or silent nulls. One base sample
+    // footer, lazily, plus one footer per trivially-moved file (the
+    // partitions that overlap go through the merge path, which has its own
+    // DataFrame-level guard below). Data columns only on both sides —
+    // single-file reads carry no partition columns — so the comparison is
+    // symmetric.
+    lazy val baseSampleSchema: Option[Map[String, String]] =
+      if (!baseHasAny) None
+      else firstLiveFile(fs, tableDir, new Path(tableDir), retired)
+        .map(bf => schemaMap(spark.read.parquet(bf.toString)))
     // LSM TRIVIAL MOVE (the RocksDB/LevelDB non-overlapping-compaction
     // shape): every delta file is key-unique on its own (append and
-    // mergeDelta both write LWW-resolved output; refuged base files come
-    // from a key-unique base), so a partition whose delta holds exactly ONE
-    // file and whose base partition holds NO data folds by a single rename —
-    // no read, no shuffle, no rewrite. This is the common shape for a new
-    // day's partition (first fold after the date rolls over) and for a
-    // batch run into a fresh table; only partitions where delta and base
-    // genuinely overlap (or multiple delta generations exist) pay the
-    // merge. Crash-safe trivially: the rename is atomic, and the row set is
-    // visible in exactly one tree on both sides of it.
+    // mergeDelta both write LWW-resolved output), so a partition whose
+    // delta holds exactly ONE live file and whose base partition holds NO
+    // visible file (live or retired — a retired survivor forces the merge
+    // path, conservatively) folds by a single rename — no read, no shuffle,
+    // no rewrite. This is the common shape for a new day's partition (first
+    // fold after the date rolls over) and for a batch run into a fresh
+    // table; only partitions where delta and base genuinely overlap (or
+    // multiple delta generations exist) pay the merge. Crash-safe
+    // trivially: the rename is atomic, and the row set is visible in
+    // exactly one tree on both sides of it.
     def baseHasVisible(rel: String): Boolean = {
-      val d = new org.apache.hadoop.fs.Path(s"$tableDir/$rel")
+      val d = new Path(s"$tableDir/$rel")
       fs.exists(d) && fs.listStatus(d).exists(st =>
         st.isFile && Directory.visibleName(st.getPath.getName))
     }
@@ -266,50 +567,55 @@ object LwwTable {
         m.flatMap(_._2))
     }
     trivial.foreach { case (rel, f) =>
-      val dstDir = new org.apache.hadoop.fs.Path(s"$tableDir/$rel")
+      baseSampleSchema.foreach(b =>
+        assertNoDrift(b, schemaMap(spark.read.parquet(f.toString)), tableDir))
+      val dstDir = new Path(s"$tableDir/$rel")
       fs.mkdirs(dstDir)
       // fresh name: a re-fold after a crash must not collide with hidden
       // leftovers, and the folded- prefix makes the provenance greppable
-      val dst = new org.apache.hadoop.fs.Path(dstDir,
+      val dst = new Path(dstDir,
         s"folded-${java.util.UUID.randomUUID()}-${f.getName}")
       if (!fs.rename(f, dst))
         throw new java.io.IOException(s"trivial fold $f -> $dst failed")
     }
     if (mergeFiles.isEmpty) {
-      pruneEmptyDeltaDirs(fs, dDir)
+      pruneEmptyPartitionDirs(fs, dDir)
       return allFiles.size
     }
     val files = mergeFiles
     val delta = normalizePartCols(spark.read.option("basePath", dDir)
       .parquet(files.map(_.toString): _*))
     val unioned =
-      if (!Directory.tableHasData(spark, tableDir)) delta
+      if (!baseHasAny) delta
       else {
         // touched partitions parsed from the PINNED FILE PATHS on the
         // driver — a listed file's partition IS its directory, so no Spark
-        // job runs for this (the previous distinct().collect() over the
-        // delta paid a full scan + shuffle before the merge even started).
-        // Null-safe on BOTH partition columns: a null value reads back from
-        // __HIVE_DEFAULT_PARTITION__, and a plain === would silently drop
-        // that base partition from the merge — whose files the post-swap
-        // delete then retires, losing its rows permanently
-        val touched = files.map(f => partitionOfPath(f)).distinct
+        // job runs for this. Null-safe on BOTH partition columns: a null
+        // value reads back from __HIVE_DEFAULT_PARTITION__, and a plain
+        // === would silently drop that base partition from the merge —
+        // whose files the post-swap retirement then removes, losing its
+        // rows permanently
+        val touched = files.map(f => partitionOfPath(tableDir, f)).distinct
         val cond = touched.map { case (src, date) =>
           (col("source") <=> lit(src.orNull)) &&
-            (col("trip_start_date") <=> lit(date.map(
-              java.sql.Date.valueOf(_): java.sql.Date).orNull))
+            (col("trip_start_date") <=> lit(date.orNull))
         }.reduce(_ || _)
-        normalizePartCols(spark.read.parquet(tableDir)).filter(cond)
-          .unionByName(delta)
+        readBaseLive(spark, tableDir, retired) match {
+          case None => delta
+          case Some(base) =>
+            // the merge path's drift guard: fail with the NAMED error, not
+            // unionByName's generic one (both sides carry partition cols)
+            assertNoDrift(schemaMap(base), schemaMap(delta), tableDir)
+            base.filter(cond).unionByName(delta)
+        }
       }
-    // write the merged partitions to a HIDDEN temp tree and SWAP them in
-    // with metadata renames — never localCheckpoint: caching the whole
-    // merged partition pins it in the unified memory pool against the
-    // resolution window's own sort and OOMs a single-process fold past
-    // ~50M rows per partition (measured at 100M), where the temp-write
-    // shape lets the sort spill normally and scales with disk. The temp
-    // path also removes the self-overwrite hazard the checkpoint existed
-    // for: the plan reads base+delta and writes elsewhere.
+    // write the merged partitions to a HIDDEN temp tree — never
+    // localCheckpoint: caching the whole merged partition pins it in the
+    // unified memory pool against the resolution window's own sort and
+    // OOMs a single-process fold past ~50M rows per partition (measured at
+    // 100M), where the temp-write shape lets the sort spill normally and
+    // scales with disk. The temp path also removes any self-overwrite
+    // hazard: the plan reads base+delta and writes elsewhere.
     val tmpDir = s"$tableDir/_compact_tmp"
     resolve(unioned, keyCols, newestBy)
       .write.mode("overwrite").partitionBy(PartCols: _*).parquet(tmpDir)
@@ -317,62 +623,70 @@ object LwwTable {
     // (listing the temp tree sidesteps re-deriving Hive path escaping for
     // the partition values); the produced set IS the touched set — the LWW
     // keeps at least one row per key, so no touched partition comes out
-    // empty. Per-partition swap order is chosen so NO crash point can lose
-    // a row: (1) the old base partition's files are MOVED INTO the delta
-    // partition directory under fresh visible names — from that instant
-    // every old row is a (tied, value-identical) delta row, so a crash
-    // before step 2 leaves everything resolvable and the next fold simply
-    // re-merges it; (2) the temp partition is renamed into the base; a
-    // crash after it leaves the merged base beside now-redundant delta
-    // copies, which resolve as ties and re-fold away. A delete-dst-then-
-    // rename swap would instead open a window where base-only keys of the
-    // partition exist NOWHERE visible — and the next fold would make that
-    // loss permanent.
-    val foldedBaseFiles = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.hadoop.fs.Path]
-    val tmpRoot = new org.apache.hadoop.fs.Path(tmpDir)
+    // empty. Commit order (class doc crash analysis): (1) pin the old live
+    // base files of each produced partition, (2) rename every merged file
+    // INTO its base partition under a fresh visible name — from the first
+    // rename until the manifest commits, duplicated rows tie on the
+    // ordering with identical values and the still-live delta keeps every
+    // reader on the resolve path; (3) ONE manifest retires the old base
+    // files and the consumed delta files atomically. A crash at any point
+    // leaves all rows resolvable and the next fold re-merges and re-retires
+    // them — idempotent.
+    val supersededBase = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val tmpRoot = new Path(tmpDir)
     fs.listStatus(tmpRoot).filter(st => st.isDirectory
         && Directory.visibleName(st.getPath.getName)).foreach { srcDir =>
       fs.listStatus(srcDir.getPath).filter(st => st.isDirectory
           && Directory.visibleName(st.getPath.getName)).foreach { datePart =>
         val rel = s"${srcDir.getPath.getName}/${datePart.getPath.getName}"
-        val dst = new org.apache.hadoop.fs.Path(s"$tableDir/$rel")
-        if (fs.exists(dst)) {
-          val refuge = new org.apache.hadoop.fs.Path(s"$dDir/$rel")
-          fs.mkdirs(refuge)
-          fs.listStatus(dst).filter(f => f.isFile
-              && Directory.visibleName(f.getPath.getName)).foreach { f =>
-            val moved = new org.apache.hadoop.fs.Path(refuge,
-              s"basefold-${java.util.UUID.randomUUID()}-${f.getPath.getName}")
-            if (!fs.rename(f.getPath, moved))
-              throw new java.io.IOException(
-                s"compaction refuge ${f.getPath} -> $moved failed")
-            foldedBaseFiles += moved
-          }
-          fs.delete(dst, true) // now holds only hidden leftovers, if any
+        val dst = new Path(s"$tableDir/$rel")
+        if (fs.exists(dst))
+          supersededBase ++= fs.listStatus(dst)
+            .filter(f => f.isFile && Directory.visibleName(f.getPath.getName))
+            .map(_.getPath)
+            .filterNot(p => retired.contains(relPath(fs, tableDir, p)))
+        fs.mkdirs(dst)
+        fs.listStatus(datePart.getPath).filter(f => f.isFile
+            && Directory.visibleName(f.getPath.getName)).foreach { f =>
+          val moved = new Path(dst,
+            s"folded-${java.util.UUID.randomUUID()}-${f.getPath.getName}")
+          if (!fs.rename(f.getPath, moved))
+            throw new java.io.IOException(
+              s"compaction swap ${f.getPath} -> $moved failed")
         }
-        fs.mkdirs(dst.getParent)
-        if (!fs.rename(datePart.getPath, dst))
-          throw new java.io.IOException(
-            s"compaction swap ${datePart.getPath} -> $dst failed")
       }
     }
     fs.delete(tmpRoot, true)
-    (files ++ foldedBaseFiles).foreach(f => fs.delete(f, false))
-    pruneEmptyDeltaDirs(fs, dDir)
+    retire(fs, tableDir, (supersededBase ++ files).toSeq, graceMs)
+    pruneEmptyPartitionDirs(fs, dDir)
     allFiles.size
   }
 
-  /** Best-effort prune of now-empty delta partition directories (delete
-    * refuses non-empty dirs with recursive=false, so a racing append's
-    * fresh file is safe). */
-  private def pruneEmptyDeltaDirs(fs: org.apache.hadoop.fs.FileSystem,
-      dDir: String): Unit =
+  /** First visible, non-retired data file under `root` (for the fold's
+    * one-footer schema sample). */
+  private def firstLiveFile(fs: FileSystem, tableDir: String, root: Path,
+                            retired: Set[String]): Option[Path] = {
+    if (!fs.exists(root)) return None
+    def probe(d: Path): Option[Path] =
+      fs.listStatus(d).iterator.flatMap { st =>
+        if (!Directory.visibleName(st.getPath.getName)) None
+        else if (st.isDirectory) probe(st.getPath)
+        else if (retired.contains(relPath(fs, tableDir, st.getPath))) None
+        else Some(st.getPath)
+      }.nextOption()
+    probe(root)
+  }
+
+  /** Best-effort prune of now-empty partition directories (delete refuses
+    * non-empty dirs with recursive=false, so a racing append's fresh file —
+    * or a retired file still in its grace window — is safe; the table root
+    * itself is never deleted). */
+  private def pruneEmptyPartitionDirs(fs: FileSystem, dir: String): Unit =
     try {
-      val root = new org.apache.hadoop.fs.Path(dDir)
+      val root = new Path(dir)
       if (fs.exists(root))
         fs.listStatus(root).foreach { src =>
-          if (src.isDirectory) {
+          if (src.isDirectory && Directory.visibleName(src.getPath.getName)) {
             fs.listStatus(src.getPath).foreach { d =>
               if (d.isDirectory && fs.listStatus(d.getPath).isEmpty)
                 fs.delete(d.getPath, false)
@@ -390,9 +704,10 @@ object LwwTable {
     * [[mergeDeltaIfOversized]]; every other call site pays one listing. */
   def compactIfOversized(spark: SparkSession, tableDir: String,
       keyCols: Seq[String], newestBy: Column,
-      maxDeltaFiles: Int = DefaultMaxDeltaFiles): Boolean =
+      maxDeltaFiles: Int = DefaultMaxDeltaFiles,
+      graceMs: Long = DefaultGraceMs): Boolean =
     if (deltaFileCount(spark, tableDir) < maxDeltaFiles) false
-    else { compact(spark, tableDir, keyCols, newestBy); true }
+    else { compact(spark, tableDir, keyCols, newestBy, graceMs); true }
 
   /** Prefix of the data files [[mergeDelta]] writes into the delta tree —
     * their presence marks a delta that has already paid at least one
@@ -401,15 +716,15 @@ object LwwTable {
     * treats as "worth folding" regardless of the current file count. */
   val MergedFilePrefix: String = "merged-"
 
-  /** The TIERED compaction step: folds the current delta files into ONE
-    * file per touched partition WITHOUT reading the base — O(delta rows),
-    * never O(partition). This is the on-trigger backstop shape (VERDICT
-    * r11 #1): the full base fold ([[compact]]) stalls a trigger for the
-    * whole touched partition (measured 32–40 s at 50–100M rows/partition),
-    * which the reference's MySQL sink never pays on the ingest path
-    * (batched_statements.rs:59-107 is O(batch) per flush, B-tree
-    * maintenance amortized per statement) — so the hot path only ever
-    * merges delta→delta, and base folds stay on the idle branch.
+  /** The TIERED compaction step: folds the current live delta files into
+    * ONE file per touched partition WITHOUT reading the base — O(delta
+    * rows), never O(partition). This is the on-trigger backstop shape
+    * (VERDICT r11 #1): the full base fold ([[compact]]) stalls a trigger
+    * for the whole touched partition (measured 32–40 s at 50–100M
+    * rows/partition), which the reference's MySQL sink never pays on the
+    * ingest path (batched_statements.rs:59-107 is O(batch) per flush,
+    * B-tree maintenance amortized per statement) — so the hot path only
+    * ever merges delta→delta, and base folds stay on the idle branch.
     *
     * The merge applies the SAME LWW resolution as the readers (`newestBy`
     * must equal the readers' ordering — the [[compact]] contract applies
@@ -419,31 +734,39 @@ object LwwTable {
     * set — so read-time resolution cost is bounded by that working set plus
     * ≤ `maxDeltaFiles` fresh appends, not by trigger count.
     *
-    * Crash order mirrors the fold's refuge discipline, one step simpler
-    * because source and destination are the SAME tree: the merged files are
-    * renamed INTO the delta partitions (fresh [[MergedFilePrefix]] names)
-    * BEFORE any original is deleted, so at every crash point each row is
-    * visible at least once; duplicates across merge generations tie on the
-    * ordering with identical values and resolve away, and the next
-    * merge/fold deletes them — replay-idempotent, like the appends
-    * themselves. A concurrent append's file (none exists under the write
-    * gate, but the contract holds regardless) is never in the pinned list,
-    * so it survives untouched and wins/loses at read time as usual.
+    * Commit order mirrors the fold's: merged files are renamed INTO the
+    * delta partitions (fresh [[MergedFilePrefix]] names) BEFORE the
+    * originals are retired by one atomic manifest (GC after `graceMs`;
+    * 0 = delete immediately), so at every crash point each row is visible
+    * at least once; duplicates across merge generations tie on the ordering
+    * with identical values and resolve away, and the next merge/fold
+    * retires them — replay-idempotent, like the appends themselves. A
+    * concurrent append's file (none exists under the write gate, but the
+    * contract holds regardless) is never in the pinned list, so it survives
+    * untouched and wins/loses at read time as usual.
     *
     * Returns the number of delta files merged away (0 = nothing to do). */
   def mergeDelta(spark: SparkSession, tableDir: String, keyCols: Seq[String],
-                 newestBy: Column): Int = {
-    val allFiles = listDeltaFiles(spark, tableDir)
-    // only partitions holding ≥2 files merge: a single-file partition is
-    // already in the merged shape (one LWW-resolved file), and re-writing
-    // it buys a reader nothing. Without this, a feed touching 64+ DISTINCT
-    // partitions per backstop window (multi-source, or a backfill spraying
-    // dates) keeps the FILE count at one-per-partition ≥ the trigger bound
-    // forever, and every trigger would rewrite the whole working set —
-    // O(delta) per TRIGGER instead of per backstop window.
-    val files = allFiles.groupBy(relOf)
-      .valuesIterator.filter(_.size >= 2).flatten.toSeq
-    if (files.size < 2) return 0
+                 newestBy: Column, graceMs: Long = DefaultGraceMs): Int = {
+    gcRetired(spark, tableDir, graceMs)
+    val files = mergeEligible(listDeltaFiles(spark, tableDir))
+    if (files.size < 2) 0
+    else mergeFileSet(spark, tableDir, files, keyCols, newestBy, graceMs)
+  }
+
+  /** Only partitions holding ≥2 live files merge: a single-file partition
+    * is already in the merged shape (one LWW-resolved file), and re-writing
+    * it buys a reader nothing. Without this, a feed touching 64+ DISTINCT
+    * partitions per backstop window (multi-source, or a backfill spraying
+    * dates) keeps the FILE count at one-per-partition ≥ the trigger bound
+    * forever, and every trigger would rewrite the whole working set —
+    * O(delta) per TRIGGER instead of per backstop window. */
+  private def mergeEligible(all: Seq[Path]): Seq[Path] =
+    all.groupBy(relOf).valuesIterator.filter(_.size >= 2).flatten.toSeq
+
+  private def mergeFileSet(spark: SparkSession, tableDir: String,
+      files: Seq[Path], keyCols: Seq[String], newestBy: Column,
+      graceMs: Long): Int = {
     val dDir = deltaDir(tableDir)
     val delta = normalizePartCols(spark.read.option("basePath", dDir)
       .parquet(files.map(_.toString): _*))
@@ -451,19 +774,18 @@ object LwwTable {
     resolve(delta, keyCols, newestBy)
       .repartition(PartCols.map(col): _*) // one file per partition
       .write.mode("overwrite").partitionBy(PartCols: _*).parquet(tmpDir)
-    val fs = new org.apache.hadoop.fs.Path(dDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmpRoot = new org.apache.hadoop.fs.Path(tmpDir)
+    val fs = fsOf(spark, dDir)
+    val tmpRoot = new Path(tmpDir)
     fs.listStatus(tmpRoot).filter(st => st.isDirectory
         && Directory.visibleName(st.getPath.getName)).foreach { srcDir =>
       fs.listStatus(srcDir.getPath).filter(st => st.isDirectory
           && Directory.visibleName(st.getPath.getName)).foreach { datePart =>
         val rel = s"${srcDir.getPath.getName}/${datePart.getPath.getName}"
-        val dstDir = new org.apache.hadoop.fs.Path(s"$dDir/$rel")
+        val dstDir = new Path(s"$dDir/$rel")
         fs.mkdirs(dstDir)
         fs.listStatus(datePart.getPath).filter(f => f.isFile
             && Directory.visibleName(f.getPath.getName)).foreach { f =>
-          val dst = new org.apache.hadoop.fs.Path(dstDir,
+          val dst = new Path(dstDir,
             s"$MergedFilePrefix${java.util.UUID.randomUUID()}-${f.getPath.getName}")
           if (!fs.rename(f.getPath, dst))
             throw new java.io.IOException(
@@ -473,21 +795,31 @@ object LwwTable {
     }
     fs.delete(tmpRoot, true)
     // merged rows are visible from here on; only now retire the originals
-    files.foreach(f => fs.delete(f, false))
+    retire(fs, tableDir, files, graceMs)
     files.size
   }
 
   /** [[mergeDelta]] only when the delta has grown past `maxDeltaFiles` —
     * the size-triggered ON-TRIGGER backstop: bounded by delta size, never
     * by partition size, so a never-idle stream's worst-case trigger pays
-    * O(working set), not a 30 s base fold. Every other trigger pays one
-    * bounded listing. `newestBy` must equal the readers' ordering (the
-    * merge resolves ties — [[compact]]'s contract). */
+    * O(working set), not a 30 s base fold. ONE listing decides everything;
+    * every other trigger pays only that listing. Returns whether files were
+    * actually merged — a delta latched over the bound at one file per
+    * partition (nothing eligible) reports false, so callers/telemetry are
+    * not told a merge happened when none did (ADVICE r12). `newestBy` must
+    * equal the readers' ordering (the merge resolves ties — [[compact]]'s
+    * contract). */
   def mergeDeltaIfOversized(spark: SparkSession, tableDir: String,
       keyCols: Seq[String], newestBy: Column,
-      maxDeltaFiles: Int = DefaultMaxDeltaFiles): Boolean =
-    if (deltaFileCount(spark, tableDir) < maxDeltaFiles) false
-    else { mergeDelta(spark, tableDir, keyCols, newestBy); true }
+      maxDeltaFiles: Int = DefaultMaxDeltaFiles,
+      graceMs: Long = DefaultGraceMs): Boolean = {
+    val all = listDeltaFiles(spark, tableDir)
+    if (all.size < maxDeltaFiles) return false
+    val eligible = mergeEligible(all)
+    if (eligible.size < 2) return false
+    gcRetired(spark, tableDir, graceMs)
+    mergeFileSet(spark, tableDir, eligible, keyCols, newestBy, graceMs) > 0
+  }
 
   /** The idle branch's "fold the records delta now?" probe in ONE listing:
     * true past `minFiles` raw appends, OR as soon as any [[MergedFilePrefix]]
@@ -500,6 +832,70 @@ object LwwTable {
     val files = listDeltaFiles(spark, tableDir)
     files.size >= minFiles ||
       files.exists(_.getName.startsWith(MergedFilePrefix))
+  }
+
+  /** Replaces the rows of `partitions` with `kept` (a key-unique LIVE
+    * subset of those partitions' resolved rows — a row-level DELETE at
+    * partition scope, the engine-internal form of the reference's stale-
+    * schedule SQL DELETE). The kept rows enter the table as DELTA files
+    * ([[MergedFilePrefix]]-named, so the idle branch folds them promptly)
+    * and the partitions' old live base files are retired in one atomic
+    * manifest — the same commit discipline as the fold, so no crash point
+    * loses a row and no in-flight reader loses a planned file: before the
+    * manifest, readers resolve old ∪ kept (ties); after it, exactly the
+    * kept rows. Callers must hold the write gate, have folded the delta
+    * first (so the live delta is empty and `kept` is derived from the live
+    * base), and pass rows for ALL of `partitions` — a partition listed
+    * with no kept rows is retired whole. */
+  def replacePartitions(spark: SparkSession, tableDir: String,
+      partitions: Seq[(Option[String], Option[String])], kept: DataFrame,
+      graceMs: Long = DefaultGraceMs): Unit = {
+    val fs = fsOf(spark, tableDir)
+    val retired = retiredRelPaths(fs, tableDir)
+    val dDir = deltaDir(tableDir)
+    val tmpDir = s"$tableDir/_rewrite_tmp"
+    kept.write.mode("overwrite").partitionBy(PartCols: _*).parquet(tmpDir)
+    val tmpRoot = new Path(tmpDir)
+    fs.listStatus(tmpRoot).filter(st => st.isDirectory
+        && Directory.visibleName(st.getPath.getName)).foreach { srcDir =>
+      fs.listStatus(srcDir.getPath).filter(st => st.isDirectory
+          && Directory.visibleName(st.getPath.getName)).foreach { datePart =>
+        val rel = s"${srcDir.getPath.getName}/${datePart.getPath.getName}"
+        val dstDir = new Path(s"$dDir/$rel")
+        fs.mkdirs(dstDir)
+        fs.listStatus(datePart.getPath).filter(f => f.isFile
+            && Directory.visibleName(f.getPath.getName)).foreach { f =>
+          val dst = new Path(dstDir,
+            s"${MergedFilePrefix}kept-${java.util.UUID.randomUUID()}-${f.getPath.getName}")
+          if (!fs.rename(f.getPath, dst))
+            throw new java.io.IOException(
+              s"partition rewrite ${f.getPath} -> $dst failed")
+        }
+      }
+    }
+    fs.delete(tmpRoot, true)
+    // kept rows are visible (as delta) from here on; only now retire every
+    // old live base file of the rewritten partitions — including the
+    // partitions whose every row was dropped (no tmp output)
+    val hive = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val old = partitions.flatMap { case (src, date) =>
+      def leaf(name: String, v: Option[String]) = v match {
+        case Some(x) => s"$name=${hive.escapePathName(x)}"
+        case None => s"$name=__HIVE_DEFAULT_PARTITION__"
+      }
+      val d = new Path(
+        s"$tableDir/${leaf("source", src)}/${leaf("trip_start_date", date)}")
+      if (!fs.exists(d)) Seq.empty[Path]
+      else fs.listStatus(d).toSeq
+        .filter(st => st.isFile && Directory.visibleName(st.getPath.getName))
+        .map(_.getPath)
+        .filterNot(p => retired.contains(relPath(fs, tableDir, p)))
+    }
+    retire(fs, tableDir, old, graceMs)
+    // offline mode deletes physically — drop the directories of partitions
+    // whose every row was removed (grace mode leaves them for the GC pass,
+    // which prunes after the retired files expire)
+    if (graceMs <= 0L) pruneEmptyPartitionDirs(fs, tableDir)
   }
 
   /** Size-trigger default: at one delta file per partition per trigger, 64
@@ -526,8 +922,9 @@ object RecordsTable {
   def read(spark: SparkSession, tableDir: String): DataFrame =
     LwwTable.read(spark, tableDir, KeyCols, ordering)
 
-  def compact(spark: SparkSession, tableDir: String): Int =
-    LwwTable.compact(spark, tableDir, KeyCols, ordering)
+  def compact(spark: SparkSession, tableDir: String,
+              graceMs: Long = LwwTable.DefaultGraceMs): Int =
+    LwwTable.compact(spark, tableDir, KeyCols, ordering, graceMs)
 }
 
 /** The predictions table's key and tiered LWW ordering — shared by the
@@ -562,6 +959,8 @@ object PredictionsTable {
     LwwTable.read(spark, tableDir, KeyCols, ordering(currentScheduleName))
 
   def compact(spark: SparkSession, tableDir: String,
-              currentScheduleName: Option[String] = None): Int =
-    LwwTable.compact(spark, tableDir, KeyCols, ordering(currentScheduleName))
+              currentScheduleName: Option[String] = None,
+              graceMs: Long = LwwTable.DefaultGraceMs): Int =
+    LwwTable.compact(spark, tableDir, KeyCols, ordering(currentScheduleName),
+      graceMs)
 }

@@ -75,16 +75,19 @@ object Dedup {
   /** Run `f` over a cached intermediate, eagerly materialize the (small)
     * pair result, then RELEASE the intermediate — a convenience wrapper
     * must not pin a corpus-sized index in executor storage for the rest of
-    * the session. The returned DataFrame is persisted (callers typically
-    * reuse it); long-lived pipelines should prefer the `*FromShingles`
-    * forms with caller-owned caching (as PipelinePack's memos do). */
+    * the session. The result is materialized via `localCheckpoint` (NOT a
+    * persist: a persisted plan stays registered in the CacheManager until
+    * someone unpersists it, so each direct API call in a long-lived process
+    * would leak one cached DataFrame's blocks — ADVICE r12; checkpoint
+    * blocks are reclaimed with the DataFrame itself), which also truncates
+    * the lineage so the result never re-reads the released intermediate.
+    * Long-lived pipelines should prefer the `*FromShingles` forms with
+    * caller-owned caching (as PipelinePack's memos do). */
   private def scopedCache(intermediate: DataFrame)
                          (f: DataFrame => DataFrame): DataFrame = {
     val cached = intermediate.cache()
-    val out = f(cached).persist()
-    out.count()
-    cached.unpersist()
-    out
+    try f(cached).localCheckpoint(true)
+    finally cached.unpersist()
   }
 
   /** As [[ngramJaccard]], over a precomputed (cached) shingle index. */
@@ -152,8 +155,15 @@ object Dedup {
     // islands over sorted duplicated window starts: window [p, p+n-1]
     // merges with its predecessor [q, q+n-1] iff p <= q + n (overlap or
     // token-adjacent) — a new span starts exactly when the gap leaves an
-    // uncovered token between them
-    wins.join(hot, "shingle")
+    // uncovered token between them.
+    // SHUFFLE_HASH on the hot set: the default sort-merge join SORTS the
+    // full window index by shingle (the measured wall at 10M docs — 31 GB
+    // sort spill on a 16 GB shuffle, r12), but the index side only needs
+    // to STREAM past a hash table of the hot set, whose per-task share is
+    // tiny (distinct hot shingles / shuffle partitions, 8-byte keys) and
+    // cannot skew (distinct keys hash-uniformly). Same shuffles, no big
+    // sort.
+    wins.join(hot.hint("SHUFFLE_HASH"), "shingle")
       .withColumn("__new",
         when(col("pos") > lag(col("pos"), 1).over(w) + lit(n), 1)
           .when(lag(col("pos"), 1).over(w).isNull, 1).otherwise(0))

@@ -500,6 +500,10 @@ object GtfsPack extends QueryPack {
     "gtfs_default_curves" -> (defaults _),
     "gtfs_predictions" -> (predictions _),
     "gtfs_stream_records" -> (streamedRecords _),
+    // the three *_check queries are 0-row INVARIANTS (rows = violations);
+    // they are non-trivial because their non-empty companions prove the
+    // checked data exists: gtfs_specific_curves (2660 rows at sf0.01) for
+    // the curve-set shape, gtfs_default_curves (14600) for both point checks
     "gtfs_general_points_check" -> (generalPointsCheck _),
     "gtfs_default_points_check" -> (defaultPointsCheck _),
     "gtfs_curveset_shape_check" -> (curvesetShapeCheck _)

@@ -536,6 +536,8 @@ object MonitorPack extends QueryPack {
     "f11_autocomplete" -> (f11Autocomplete _),
     "a15_watermark" -> (a15Watermark _),
     "st4_backfill_batches" -> (st4BackfillBatches _),
+    // 0-row INVARIANT (EXCEPT of a set against its superset); non-trivial
+    // because so1_union (5 rows) proves the unioned inputs are non-empty
     "so4_except" -> (so4Except _),
     "x12_format" -> (x12Format _),
     "monitor_stop_page" -> (stopPage _),
@@ -546,6 +548,8 @@ object MonitorPack extends QueryPack {
     "w8_percentiles" -> (w8Percentiles _),
     "x9_walk_curves" -> (x9WalkCurves _),
     "j8_resolve_trip" -> (j8ResolveTrip _),
+    // 0-row INVARIANT (rows = probability-axiom violations); non-trivial
+    // because monitor_journey (4 rows) proves the checked journey exists
     "monitor_prob_check" -> (probCheck _)
   )
 

@@ -507,6 +507,9 @@ object PipelinePack extends QueryPack {
     "dedup_substring_strip" -> (dedupSubstringStrip _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
+    // 0-row INVARIANT (rows = LSH/exact disagreements); non-trivial because
+    // dedup_minhash_lsh + dedup_ngram_jaccard (25 pairs each) prove both
+    // sides are non-empty
     "dedup_lsh_vs_exact" -> (dedupLshVsExact _),
     "dedup_clusters" -> (dedupClusters _),
     "sample_split" -> (sampleSplit _),
@@ -522,8 +525,11 @@ object PipelinePack extends QueryPack {
     "dedup_stream" -> (dedupStream _),
     "ann_brute_topk" -> (annBrute _),
     "ann_lsh_topk" -> (annLsh _),
+    // 0-row INVARIANT (rows = ground-truth neighbors the index missed);
+    // non-trivial because ann_lsh_topk (50 rows) proves the index answers
     "ann_lsh_recall" -> (annLshRecall _),
     "ann_ivf_topk" -> (annIvf _),
+    // 0-row INVARIANT, companion ann_ivf_topk (50 rows) — as lsh_recall
     "ann_ivf_recall" -> (annIvfRecall _),
     "dedup_embedding" -> (dedupEmbedding _),
     "text_stats" -> (textStats _),

@@ -312,6 +312,8 @@ object RelationalPack extends QueryPack {
     "w4_forward_fill" -> (w4ForwardFill _),
     "j6_asof_join" -> (j6AsOfJoin _),
     "j11_semi_join" -> (j11SemiJoin _),
+    // 0-row INVARIANT (anti-join against a complete dimension); non-trivial
+    // because j11_semi_join (2958 rows at sf0.01) keeps the same join live
     "j11_anti_join" -> (j11AntiJoin _),
     "w2_last_writer" -> (w2LastWriter _),
     "w7_topk" -> (w7TopK _),

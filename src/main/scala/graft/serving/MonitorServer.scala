@@ -596,8 +596,13 @@ class MonitorServer(spark: SparkSession,
 
 object MonitorServer {
 
-  /** A read that raced a concurrent dynamic partition overwrite: the swap
-    * deletes listed files between plan and scan. Deliberately NARROW —
+  /** A read that raced a concurrent file swap: a replaced file vanishes
+    * between plan and scan. Since r13 the LWW tables themselves are
+    * race-free (LwwTable's retirement/grace discipline keeps superseded
+    * files on disk through the grace window), so this belt remains for the
+    * trees that still swap by rename — the schedule directory and the
+    * curve stores — and for readers that outlive the grace window.
+    * Deliberately NARROW —
     * anything else (bad descriptor, missing trip, a genuinely broken table)
     * must surface on the first attempt. With `dataRoots` given, the failure
     * must additionally name a path under one of them (the schedule tree and

@@ -90,9 +90,10 @@ final class AutomaticImport private (
   // stale-schedule delete are keyed per version, like the reference's
   // per-filename WHERE clauses
   private val scheduleName = new java.util.concurrent.atomic.AtomicReference[String]
-  // recovery runs UNDER the gate: the rt query is already live, and a
-  // pre-existing backlog batch could be mid-overwrite of the predictions
-  // table — an ungated read could hit the dynamic-overwrite file swap
+  // recovery runs UNDER the gate: the rt query is already live, and the
+  // legacy normalization below REWRITES the predictions table — writers
+  // must be serialized even though readers are race-safe under the
+  // retirement/grace discipline
   private val hwm = new AtomicLong({
     gate.lock()
     try {
@@ -360,15 +361,17 @@ object AutomaticImport {
     * (no legacy rows) is one partition-pruned, footer-filtered 3-column
     * probe. Returns the rewritten row count. Caller holds the gate. */
   def normalizeLegacyBackfillSeq(spark: SparkSession, predictionsDir: String,
-      source: String): Long = {
-    // BASE tree only, by construction: legacy rows come from builds that
-    // predate the delta layout (everything they wrote is compacted base),
-    // and every delta append is new-tier — so the `_delta` tree can be
-    // ignored and the partition rewrite below cannot race it
-    if (!Directory.tableHasData(spark, predictionsDir)) return 0L
+      source: String, graceMs: Long = LwwTable.DefaultGraceMs): Long = {
+    // LIVE BASE tree only, by construction: legacy rows come from builds
+    // that predate the delta layout (everything they wrote is compacted
+    // base), and every delta append is new-tier — so the `_delta` tree can
+    // be ignored, and the rewrite stays correct even against an un-folded
+    // delta left by a crashed previous run (its rows resolve against the
+    // normalized ones exactly as they would have against the originals)
+    val table = LwwTable.readBaseLiveOpt(spark, predictionsDir)
+      .getOrElse(return 0L)
     val legacy = col("origin_type") === Codes.OriginSchedule &&
       col("source") === lit(source) && col("refresh_seq") === lit(BackfillSeq)
-    val table = spark.read.parquet(predictionsDir)
     val parts = table.filter(legacy)
       .groupBy(col("source"), col("trip_start_date"))
       .agg(count(lit(1)).as("n")).collect()
@@ -378,15 +381,18 @@ object AutomaticImport {
         col("source") === lit(r.getString(0))
           && col("trip_start_date") <=> lit(r.getDate(1)))
       .reduce(_ || _)
-    // rewrite ONLY the touched partitions (kept rows ride along unchanged);
-    // materialize + truncate lineage before overwriting the path being read
+    // rewrite ONLY the touched partitions (kept rows ride along unchanged)
+    // through the retirement/grace discipline — the normalized rows enter
+    // as delta files and the old base files are retired atomically, so an
+    // in-flight reader (this process or another) never loses a planned
+    // file and no crash point loses a row
     val rewritten = table.filter(cond)
       .withColumn("refresh_seq",
         when(legacy, lit(backfillSeq(0L))).otherwise(col("refresh_seq")))
-      .localCheckpoint(true)
-    rewritten.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("source", "trip_start_date").parquet(predictionsDir)
+    val touched = parts.map(r =>
+      (Option(r.getString(0)), Option(r.getDate(1)).map(_.toString))).toSeq
+    LwwTable.replacePartitions(spark, predictionsDir, touched, rewritten,
+      graceMs)
     n
   }
 

@@ -419,7 +419,11 @@ object StreamingImport {
       require(q.awaitTermination(timeoutMs),
         s"batch import did not finish within ${timeoutMs} ms")
     finally if (q.isActive) q.stop()
-    graft.gtfs.RecordsTable.compact(spark, recordsDir)
+    // graceMs = 0: batch mode owns every reader for the run's duration
+    // (LwwTable's offline mode), so the fold deletes physically and the
+    // table is left with NO pending retirements — "finished" means a plain
+    // key-unique base an external reader can scan without any window
+    graft.gtfs.RecordsTable.compact(spark, recordsDir, graceMs = 0L)
   }
 
   /** The reference importer's full realtime loop, streaming end to end

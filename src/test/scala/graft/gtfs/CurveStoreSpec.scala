@@ -46,30 +46,42 @@ class CurveStoreSpec extends AnyFunSuite {
   test("stale-schedule delete: old-version schedule rows below the mark, nothing else") {
     import spark.implicits._
     val dir = Files.createTempDirectory("staledel").toString + "/predictions"
-    // (source, date, time, origin, schedule) — partitioned like the real table
-    def row(src: String, date: String, time: Int, origin: Int, sched: String) =
-      (src, java.sql.Date.valueOf(date), time, origin, sched)
+    // full upsert-key schema (the rewrite re-enters rows through the delta,
+    // whose fold resolves on PredictionsTable.KeyCols)
+    def row(src: String, trip: String, date: String, time: Int, origin: Int,
+            sched: String) =
+      (src, trip, java.sql.Date.valueOf(date), time, 1, 1, origin, 1L, sched)
     val day = "2024-01-10"
+    val cols = Seq("source", "trip_id", "trip_start_date", "trip_start_time",
+      "stop_sequence", "event_type", "origin_type", "refresh_seq",
+      "schedule_file_name") // time = INT service-day seconds
     val rows = Seq(
-      row("a", day, 8 * 3600, Codes.OriginSchedule, "v1"),   // stale: below mark
-      row("a", day, 20 * 3600, Codes.OriginSchedule, "v1"),  // keep: above mark
-      row("a", day, 8 * 3600, Codes.OriginSchedule, "v2"),   // keep: current version
-      row("a", day, 8 * 3600, Codes.OriginRealtime, "v1"),   // keep: realtime origin
-      row("b", day, 8 * 3600, Codes.OriginSchedule, "v1"),   // keep: other source
+      row("a", "T1", day, 8 * 3600, Codes.OriginSchedule, "v1"),  // stale: below mark
+      row("a", "T2", day, 20 * 3600, Codes.OriginSchedule, "v1"), // keep: above mark
+      row("a", "T3", day, 8 * 3600, Codes.OriginSchedule, "v2"),  // keep: current version
+      row("a", "T4", day, 8 * 3600, Codes.OriginRealtime, "v1"),  // keep: realtime origin
+      row("b", "T5", day, 8 * 3600, Codes.OriginSchedule, "v1"),  // keep: other source
       // all-stale partition: its directory must be dropped, not rewritten
-      row("a", "2024-01-09", 8 * 3600, Codes.OriginSchedule, "v1"))
-      .toDF("source", "trip_start_date", "trip_start_time",
-        "origin_type", "schedule_file_name") // time = INT service-day seconds
+      row("a", "T6", "2024-01-09", 8 * 3600, Codes.OriginSchedule, "v1"))
+      .toDF(cols: _*)
     rows.write.partitionBy("source", "trip_start_date").parquet(dir)
     // null-start row: NULL never satisfies the reference's comparison — kept
-    val nullRow = Seq(("a", java.sql.Date.valueOf(day), Codes.OriginSchedule, "v1"))
-      .toDF("source", "trip_start_date", "origin_type", "schedule_file_name")
+    val nullRow = Seq(("a", "T7", java.sql.Date.valueOf(day), 1, 1,
+        Codes.OriginSchedule, 1L, "v1"))
+      .toDF("source", "trip_id", "trip_start_date", "stop_sequence",
+        "event_type", "origin_type", "refresh_seq", "schedule_file_name")
       .withColumn("trip_start_time", lit(null).cast("int"))
     nullRow.write.mode("append").partitionBy("source", "trip_start_date").parquet(dir)
 
     val mark = java.time.LocalDate.parse(day).toEpochDay * 86400 + 12 * 3600
-    val deleted = Directory.deleteStaleSchedulePredictions(spark, dir, "a", "v2", mark)
+    // graceMs = 0: this spec pins the OFFLINE physical semantics (raw dir
+    // reads below); the grace-mode live behavior is LwwGraceSpec's job
+    val deleted = Directory.deleteStaleSchedulePredictions(spark, dir, "a", "v2",
+      mark, graceMs = 0L)
     assert(deleted == 2, s"exactly the two sub-mark v1 schedule rows, got $deleted")
+    // the kept rows re-enter through the delta tree (replacePartitions);
+    // fold so the raw BASE read below sees the converged physical state
+    PredictionsTable.compact(spark, dir, Some("v2"), graceMs = 0L)
 
     val left = spark.read.parquet(dir)
       .select("source", "trip_start_date", "trip_start_time",
@@ -86,6 +98,7 @@ class CurveStoreSpec extends AnyFunSuite {
     // the all-stale partition directory is gone (no empty dir left behind)
     assert(!new java.io.File(s"$dir/source=a/trip_start_date=2024-01-09").exists())
     // steady state: same call again is probe-only and deletes nothing
-    assert(Directory.deleteStaleSchedulePredictions(spark, dir, "a", "v2", mark) == 0)
+    assert(Directory.deleteStaleSchedulePredictions(spark, dir, "a", "v2",
+      mark, graceMs = 0L) == 0)
   }
 }

@@ -87,39 +87,45 @@ class LwwTableSpec extends AnyFunSuite {
     Files.copy(stash, deltaPart.toPath.resolve(stash.getFileName)) // "lost delete"
     assert(resolved(dir) == Set(("T1", "w", 7L)),
       "duplicate across trees ties to the identical row")
-    // the next fold reconverges to one physical copy
-    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    // the next fold reconverges to one physical copy (graceMs = 0: this
+    // spec pins the OFFLINE semantics — physical deletes, no manifests)
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L)
     assert(LwwTable.deltaFileCount(spark, dir) == 0
       && spark.read.parquet(dir).count() == 1)
   }
 
-  test("a fold crash between the base refuge and the swap loses nothing") {
-    // the dangerous interleaving: the old base partition is already gone
-    // (its files refuged into the delta tree) but the merged temp was never
-    // swapped in — base-only keys must still resolve, and the next fold
-    // must make the state whole. A delete-then-rename swap would lose key A
-    // here permanently.
-    val dir = Files.createTempDirectory("lww_refuge").toString + "/t"
+  test("a fold crash after the merged files land but before the retirement commits loses nothing") {
+    // the widest crash window of the new commit order: every merged file is
+    // already renamed into the base partition BESIDE the files it
+    // supersedes, but the retirement manifest was never written — base rows
+    // are duplicated (old file + merged file), the delta inputs are still
+    // live, so readers stay on the resolve path and the duplicates tie to
+    // identical rows; the next fold re-merges and converges. (The old
+    // refuge-first swap had a window where a partition directory was
+    // briefly EMPTY — this order never removes a file before its
+    // replacement is visible.)
+    val dir = Files.createTempDirectory("lww_commit").toString + "/t"
     LwwTable.append(df(("a", "A", "2024-01-01", "baseonly", 1L)), dir, keyCols, col("seq"))
-    LwwTable.compact(spark, dir, keyCols, col("seq")) // A now lives in base only
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L) // A base-only
     LwwTable.append(df(("a", "B", "2024-01-01", "deltaonly", 2L)), dir, keyCols, col("seq"))
-    // simulate the crash state by hand: move base files into the delta
-    // partition dir under refuge names, drop the base partition, leave a
+    // simulate the crash state by hand: copy what a finished merge would
+    // have produced (the resolved union of the partition) into the base
+    // under a folded- name, keep old base + delta files untouched, leave a
     // stale (hidden, ignorable) temp tree behind
     val basePart = new java.io.File(s"$dir/source=a/trip_start_date=2024-01-01")
+    val merged = basePart.listFiles().filter(_.getName.endsWith(".parquet")).head
     val deltaPart = new java.io.File(
       s"${LwwTable.deltaDir(dir)}/source=a/trip_start_date=2024-01-01")
-    basePart.listFiles().filter(f => f.getName.endsWith(".parquet")).foreach { f =>
-      Files.move(f.toPath, deltaPart.toPath.resolve(s"basefold-x-${f.getName}"))
-    }
-    org.apache.commons.io.FileUtils.deleteDirectory(basePart)
+    val deltaFile = deltaPart.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.copy(merged.toPath, basePart.toPath.resolve(s"folded-crash-a-${merged.getName}"))
+    Files.copy(deltaFile.toPath, basePart.toPath.resolve(s"folded-crash-b-${deltaFile.getName}"))
     val staleTmp = new java.io.File(s"$dir/_compact_tmp/source=a")
     staleTmp.mkdirs()
-    // every row still visible mid-crash
+    // every row still visible mid-crash, duplicates tie away
     assert(resolved(dir) == Set(("A", "baseonly", 1L), ("B", "deltaonly", 2L)),
-      "base-only keys survive the refuge window")
-    // the next fold converges: both keys in base, delta + temp cleared
-    LwwTable.compact(spark, dir, keyCols, col("seq"))
+      "duplicated base rows resolve as ties while the delta is live")
+    // the next fold converges: both keys in base once, delta + temp cleared
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L)
     assert(LwwTable.deltaFileCount(spark, dir) == 0)
     assert(!new java.io.File(s"$dir/_compact_tmp").exists(),
       "the stale temp tree is overwritten and removed by the next fold")
@@ -238,11 +244,11 @@ class LwwTableSpec extends AnyFunSuite {
     val stash = Files.createTempDirectory("lww_mc_stash").resolve(original.getName)
     Files.copy(original.toPath, stash)
     LwwTable.append(df(("a", "T1", "2024-01-01", "w2", 8L)), dir, keyCols, col("seq"))
-    LwwTable.mergeDelta(spark, dir, keyCols, col("seq"))
+    LwwTable.mergeDelta(spark, dir, keyCols, col("seq"), graceMs = 0L)
     Files.copy(stash, deltaPart.toPath.resolve(stash.getFileName)) // lost delete
     assert(resolved(dir) == Set(("T1", "w2", 8L)),
       "duplicate across merge generations resolves to the winner")
-    val again = LwwTable.mergeDelta(spark, dir, keyCols, col("seq"))
+    val again = LwwTable.mergeDelta(spark, dir, keyCols, col("seq"), graceMs = 0L)
     assert(again == 2 && LwwTable.deltaFileCount(spark, dir) == 1,
       "the next merge reconverges to one physical copy")
     assert(resolved(dir) == Set(("T1", "w2", 8L)))
@@ -300,11 +306,11 @@ class LwwTableSpec extends AnyFunSuite {
     def row(p: String, q: Long) = Seq(("a", "T1", null.asInstanceOf[java.sql.Date], p, q))
       .toDF(cols: _*)
     LwwTable.append(row("n1", 1L), dir, keyCols, col("seq"))
-    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L)
     LwwTable.append(row("n2", 2L), dir, keyCols, col("seq"))
     assert(resolved(dir) == Set(("T1", "n2", 2L)),
       "null-date rows merge across trees (null-safe partition predicate)")
-    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L)
     assert(resolved(dir) == Set(("T1", "n2", 2L))
       && spark.read.parquet(dir).count() == 1)
   }
@@ -366,7 +372,7 @@ class LwwTableSpec extends AnyFunSuite {
         .listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
           && !f.getName.startsWith(".")).map(_.getName).toSet
     val singleBefore = filesIn("2024-01-02")
-    val merged = LwwTable.mergeDelta(spark, dir, keyCols, col("seq"))
+    val merged = LwwTable.mergeDelta(spark, dir, keyCols, col("seq"), graceMs = 0L)
     assert(merged == 3, "only the multi-file partition's files merged")
     assert(filesIn("2024-01-02") == singleBefore,
       "the single-file partition was not rewritten")

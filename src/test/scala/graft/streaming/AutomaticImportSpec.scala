@@ -188,7 +188,9 @@ class AutomaticImportSpec extends AnyFunSuite {
     val keyCols = StreamingImport.PredictionKeyCols
     // the RESOLVED view is the restart-facing table; compact first so the
     // physical-uniqueness assertion exercises the fold, not just the window
-    PredictionsTable.compact(spark, predictionsDir)
+    // (graceMs = 0: offline maintenance — the raw dir reads below must see
+    // a physically clean base)
+    PredictionsTable.compact(spark, predictionsDir, graceMs = 0L)
     val preA = spark.read.parquet(predictionsDir)
     val preCount = preA.count()
     assert(preA.select(keyCols.map(col): _*).distinct().count() == preCount,
@@ -204,7 +206,7 @@ class AutomaticImportSpec extends AnyFunSuite {
             org.apache.spark.sql.functions.lit(AutomaticImport.BackfillSeq)),
           predictionsDir, keyCols, col("refresh_seq"))
     }
-    PredictionsTable.compact(spark, predictionsDir)
+    PredictionsTable.compact(spark, predictionsDir, graceMs = 0L)
     val post = spark.read.parquet(predictionsDir)
     assert(post.count() >= preCount, "restart advance never shrinks the table")
     assert(post.select(keyCols.map(col): _*).distinct().count() == post.count(),
@@ -239,7 +241,9 @@ class AutomaticImportSpec extends AnyFunSuite {
     // stale-schedule delete could then drop a still-valid trip entirely
     val n = AutomaticImport.normalizeLegacyBackfillSeq(spark, dir, "a")
     assert(n == 1, s"one legacy row of source a rewritten, got $n")
-    val after = spark.read.parquet(dir)
+    // LIVE rows (the normalization retires the old base files through the
+    // grace discipline; the rewritten rows enter as delta)
+    val after = LwwTable.readRaw(spark, dir)
     assert(after.filter(col("trip_id") === "T1").head().getAs[Long]("refresh_seq")
       == AutomaticImport.backfillSeq(0L), "legacy row floored to the tier minimum")
     assert(after.filter(col("trip_id") === "T2").head().getAs[Long]("refresh_seq")

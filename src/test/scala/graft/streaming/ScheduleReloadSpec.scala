@@ -30,16 +30,26 @@ class ScheduleReloadSpec extends AnyFunSuite {
     * any data file commits, and spark.read.parquet on it throws
     * UNABLE_TO_INFER_SCHEMA until the first commit lands. */
   private def await(timeoutSecs: Long)(cond: => Boolean): Boolean = {
+    // a read that raced a concurrent SWAP of a non-LWW tree (the schedule
+    // directory, a curve store overwrite): the LWW tables themselves are
+    // race-free under the retirement/grace discipline, but the schedule
+    // tree is replaced by rename and a footer read can still lose a file
+    // between plan and scan there
+    def raced(t: Throwable, depth: Int = 0): Boolean = t match {
+      case null => false
+      case _ if depth >= 16 => false
+      case _: java.io.FileNotFoundException => true
+      case e => (Option(e.getMessage).exists(_.contains("FAILED_READ_FILE"))
+        || raced(e.getCause, depth + 1))
+    }
     def softCond: Boolean =
       try cond
       catch {
         // UNABLE_TO_INFER_SCHEMA before the first commit lands
         case _: org.apache.spark.sql.AnalysisException => false
-        // FAILED_READ_FILE when the overwrite swaps a partition mid-read
-        case e: org.apache.spark.SparkException
-          if e.getMessage.contains("FAILED_READ_FILE") => false
-        // a listed partition directory deleted (stale-schedule retirement /
-        // cleanup) before the scan opened it
+        case e: org.apache.spark.SparkException if raced(e) => false
+        // a listed directory deleted (stale-schedule retirement / cleanup)
+        // before the scan opened it
         case _: java.io.IOException => false
       }
     val dl = System.nanoTime() + timeoutSecs * 1000000000L
@@ -468,8 +478,10 @@ class ScheduleReloadSpec extends AnyFunSuite {
     assert(!auto.query.isActive, "stream closed")
     // table consistent: readable, unique on the upsert key after a fold
     // (stop() may land between an append and the idle branch's compaction),
-    // recovery works
-    PredictionsTable.compact(spark, predictionsDir, Some("2024-01-01"))
+    // recovery works. graceMs = 0: the stream is stopped, this is offline
+    // maintenance — physical fold, no pending retirements left behind
+    PredictionsTable.compact(spark, predictionsDir, Some("2024-01-01"),
+      graceMs = 0L)
     val all = spark.read.parquet(predictionsDir)
     assert(all.count() > 0)
     assert(all.select(StreamingImport.PredictionKeyCols.map(col): _*)
