@@ -15,7 +15,12 @@ import graft.gtfs._
   * `completedAtNanos - decidedAtNanos` is the iteration's true wall. */
 final case class BackfillEvent(decidedAtNanos: Long, completedAtNanos: Long,
                                fromHwm: Long, toHwm: Long, tripCount: Long,
-                               bufferFull: Boolean)
+                               bufferFull: Boolean,
+                               // marks are PER VERSION (the reference's
+                               // recovery filters by its current schedule
+                               // filename) — monotonicity claims must scope
+                               // by this, not across a swap
+                               scheduleFileName: String = "")
 
 /** The reference's flagship `import automatic` deployment mode composed in
   * ONE process (`run_as_non_manual(is_automatic = true)`,
@@ -216,7 +221,8 @@ final class AutomaticImport private (
                 case None =>
                   backoffUntil = now + bufferFullBackoffSecs
                   record(BackfillEvent(decided, System.nanoTime(),
-                    hwm.get(), hwm.get(), 0L, bufferFull = true))
+                    hwm.get(), hwm.get(), 0L, bufferFull = true,
+                    scheduleFileName = schedName))
                 case Some(batch) =>
                   if (batch.tripCount > 0)
                     StreamingImport.upsertTable(
@@ -237,7 +243,8 @@ final class AutomaticImport private (
                   Directory.deleteStaleSchedulePredictions(spark,
                     predictionsDir, source, schedName, batch.newHighWaterMark)
                   record(BackfillEvent(decided, System.nanoTime(), hwm.get(),
-                    batch.newHighWaterMark, batch.tripCount, bufferFull = false))
+                    batch.newHighWaterMark, batch.tripCount,
+                    bufferFull = false, scheduleFileName = schedName))
                   hwm.updateAndGet(h => math.max(h, batch.newHighWaterMark))
                   skipConfirm = true // committed: drain back-to-back
               }

@@ -225,10 +225,17 @@ class ScheduleReloadSpec extends AnyFunSuite {
       assert(await(60)(predictions()
         .filter(col("origin_type") === Codes.OriginRealtime).count() >= rtPredsBefore),
         "realtime-origin predictions survive the swap")
-      // per-version mark discipline: committed v2 events advance monotonically
-      val afterSwap = auto.backfillEvents.filterNot(_.bufferFull)
-        .map(_.toHwm).filter(_ > 0)
-      assert(afterSwap == afterSwap.sorted, s"marks advance monotonically: $afterSwap")
+      // per-version mark discipline: committed marks advance monotonically
+      // WITHIN each schedule version (the reference recovers per filename;
+      // the v2 swap legitimately restarts the mark below v1's last — a
+      // global sort would flag exactly the re-predict-the-buffer behavior
+      // the swap exists for, and does when v1 commits more than one batch)
+      auto.backfillEvents.filterNot(_.bufferFull).filter(_.toHwm > 0)
+        .groupBy(_.scheduleFileName).foreach { case (v, evs) =>
+          val marks = evs.map(_.toHwm)
+          assert(marks == marks.sorted,
+            s"marks advance monotonically within version $v: $marks")
+        }
       // key uniqueness across the whole swap (duplicate-trip cleanup worked)
       assert(await(60)({
         val all = predictions()
