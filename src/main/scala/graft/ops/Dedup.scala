@@ -130,7 +130,10 @@ object Dedup {
                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     // the wins index feeds TWO plans (occurrence count + join back), which
     // cannot share an exchange — cache it for the duration, like the
-    // shingle index in ngramJaccard
+    // shingle index in ngramJaccard. Measured both ways (r13): recomputing
+    // the index per consumer instead loses at 10M (167 vs 158 s) AND at 30M
+    // where the cache is disk-resident (486 vs 423 s) — the second
+    // tokenize+hash pass costs more than the cache churn saves
     scopedCache(docWindows(docs, idCol, textCol, n))(
       dupSpansFromWins(_, n, minCount, idCol))
 

@@ -1,0 +1,103 @@
+package graft.gtfs
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The OTHER half of the multi-process reader contract (LwwTable class
+  * doc): a SECOND JVM with its own SparkSession reads a live table by bare
+  * `LwwTable.read`/`readRaw` while THIS process appends, merges and folds
+  * it. The in-JVM stress spec cannot stand in for this — an external
+  * process shares no locks, no CacheManager, no FileSystem object, nothing
+  * but the directory — so only the retirement/grace discipline protects
+  * it. The reference gets the equivalent from MySQL's statement isolation;
+  * a second mysql client there is exactly this spec's probe process. */
+class LwwCrossProcessSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val keyCols = Seq("source", "trip_id", "trip_start_date")
+  private val cols = Seq("source", "trip_id", "trip_start_date", "payload", "seq")
+
+  private def df(rows: (String, String, String, String, Long)*) = {
+    import spark.implicits._
+    rows.toSeq.map { case (s, t, d, p, q) =>
+      (s, t, java.sql.Date.valueOf(d), p, q)
+    }.toDF(cols: _*)
+  }
+
+  test("a separate-JVM reader never fails while this process folds the table") {
+    val base = Files.createTempDirectory("lww_xproc")
+    val dir = s"$base/t"
+    val ctl = Files.createDirectory(base.resolve("ctl")).toString
+    val grace = 600000L // >> test duration: no GC deletion mid-probe
+    def batch(i: Long) = df(
+      ("a", "T1", "2024-01-01", s"v$i", i),
+      ("a", "T2", "2024-01-02", s"w$i", i))
+    LwwTable.append(batch(1L), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = grace)
+
+    // launch the probe with THIS forked test JVM's classpath and module
+    // opens (build.sbt's jdk17AddOpens — required for a bare SparkSession
+    // on JDK 17)
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cmd = Seq(javaBin) ++ opens ++ Seq("-Xmx2g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.gtfs.ReadProbeMain", dir, ctl)
+    val logF = new java.io.File(s"$ctl/probe.log")
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectOutput(logF).redirectErrorStream(true).start()
+    try {
+      val started = java.nio.file.Paths.get(ctl, "started")
+      val dl = System.nanoTime() + 120L * 1000000000L
+      while (!java.nio.file.Files.exists(started) && proc.isAlive
+          && System.nanoTime() < dl) Thread.sleep(200)
+      assert(java.nio.file.Files.exists(started),
+        s"probe must come up and read once (alive=${proc.isAlive}):\n" +
+          new String(java.nio.file.Files.readAllBytes(logF.toPath), "UTF-8")
+            .linesIterator.take(30).mkString("\n"))
+
+      // fold/merge storm under the external reader: appends every cycle,
+      // a delta merge every 3rd, a base fold every 8th — all retiring
+      // through the grace manifest
+      (2L to 33L).foreach { i =>
+        LwwTable.append(batch(i), dir, keyCols, col("seq"))
+        if (i % 3 == 0)
+          LwwTable.mergeDelta(spark, dir, keyCols, col("seq"), graceMs = grace)
+        if (i % 8 == 0)
+          LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = grace)
+      }
+    } finally {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(ctl, "stop"), "1".getBytes("UTF-8"))
+    }
+    assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+      "probe must exit after the stop marker")
+    val result = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ctl, "result")), "UTF-8")
+    assert(proc.exitValue() == 0 && result.startsWith("OK "),
+      s"external reader must never fail: $result")
+    val reads = result.stripPrefix("OK ").trim.toLong
+    assert(reads >= 3, s"probe read the live table repeatedly (got $reads)")
+    // this process's view converged to the last writer
+    val fin = LwwTable.read(spark, dir, keyCols, col("seq"))
+      .select("trip_id", "seq").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fin == Set(("T1", 33L), ("T2", 33L)))
+  }
+}
