@@ -181,6 +181,13 @@ object LwwTable {
     var deleted = 0
     fs.listStatus(root).foreach { st =>
       st.getPath.getName match {
+        // a retire() that crashed between creating its temp file and the
+        // atomic rename leaves an orphaned hidden .tmp- (its files were
+        // never retired — the crashed fold re-runs); age-guarded so a
+        // concurrent writer's in-flight temp is never touched
+        case name if name.startsWith(".tmp-") =>
+          if (now - st.getModificationTime >= math.max(graceMs, 60000L))
+            fs.delete(st.getPath, false)
         case ManifestRe(millis) if now - millis.toLong >= graceMs =>
           val in = fs.open(st.getPath)
           val rels =

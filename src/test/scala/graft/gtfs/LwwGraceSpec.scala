@@ -187,6 +187,40 @@ class LwwGraceSpec extends AnyFunSuite {
       "the drifted file was never installed")
   }
 
+  test("GC is crash-idempotent and sweeps orphaned manifest temp files") {
+    val dir = Files.createTempDirectory("lww_grace_gc").toString + "/t"
+    LwwTable.append(df(
+      ("a", "T1", "2024-01-01", "old1", 1L),
+      ("a", "T2", "2024-01-02", "old2", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L)
+    LwwTable.append(df(
+      ("a", "T1", "2024-01-01", "new1", 2L),
+      ("a", "T2", "2024-01-02", "new2", 2L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 60000L)
+    assert(LwwTable.pendingRetirements(spark, dir))
+    // simulate a GC that crashed mid-delete: one retired base file already
+    // gone, the manifest still present — the re-run must finish silently
+    // (missing entries skipped), never error
+    val manifest = new java.io.File(s"$dir/_gc").listFiles()
+      .filter(_.getName.startsWith("retire-")).minBy(_.getName)
+    val firstRel = Files.readAllLines(manifest.toPath).get(0)
+    assert(new java.io.File(s"$dir/$firstRel").delete(),
+      s"simulated partial GC removes $firstRel")
+    assert(LwwTable.gcRetired(spark, dir, 0L) > 0, "the surviving entries GC")
+    assert(!LwwTable.pendingRetirements(spark, dir))
+    assert(resolved(dir) == Set(("T1", "new1", 2L), ("T2", "new2", 2L)))
+    // a retire() that crashed between temp-create and rename leaves an
+    // orphaned hidden .tmp- under _gc: swept once old, never when fresh
+    val gcDir = new java.io.File(s"$dir/_gc"); gcDir.mkdirs()
+    val orphan = new java.io.File(gcDir, ".tmp-orphan")
+    Files.write(orphan.toPath, "ghost".getBytes("UTF-8"))
+    LwwTable.gcRetired(spark, dir, 0L)
+    assert(orphan.exists(), "a FRESH temp (a concurrent writer's) is never touched")
+    assert(orphan.setLastModified(System.currentTimeMillis() - 120000L))
+    LwwTable.gcRetired(spark, dir, 0L)
+    assert(!orphan.exists(), "an aged orphan temp is swept")
+  }
+
   test("a foreign partition directory under _delta fails naming the offending path") {
     // ADVICE r12: a hand-placed directory with an unparseable date must not
     // abort the fold with a bare IllegalArgumentException
