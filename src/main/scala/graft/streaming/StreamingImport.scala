@@ -411,19 +411,30 @@ object StreamingImport {
                source: String, recordsDir: String, checkpointDir: String,
                maxFilesPerTrigger: Int = 256,
                timeoutMs: Long = 300000L): Unit = {
-    val q = start(spark, rtDir, schedule, source, recordsDir, checkpointDir,
-      automatic = false, maxFilesPerTrigger = maxFilesPerTrigger)
-    try
-      // require, not assert: assert is elidable, and eliding it would drop
-      // the awaitTermination call itself and fold a partial table
-      require(q.awaitTermination(timeoutMs),
-        s"batch import did not finish within ${timeoutMs} ms")
-    finally if (q.isActive) q.stop()
-    // graceMs = 0: batch mode owns every reader for the run's duration
-    // (LwwTable's offline mode), so the fold deletes physically and the
-    // table is left with NO pending retirements — "finished" means a plain
-    // key-unique base an external reader can scan without any window
-    graft.gtfs.RecordsTable.compact(spark, recordsDir, graceMs = 0L)
+    // single-writer contract: batch mode owns the table for the run — a
+    // concurrent automatic mode (or a second batch run) on the same
+    // records directory fails fast here instead of interleaving folds
+    val lease = graft.gtfs.WriterLease.acquire(spark, recordsDir)
+    try {
+      // a PREVIOUS run that crashed with retirement manifests pending left
+      // retired files holding disk until its next fold (VERDICT r13 #2);
+      // batch mode owns every reader (the graceMs = 0 contract below), so
+      // the backlog clears whole at entry, before the first trigger
+      graft.gtfs.LwwTable.gcRetired(spark, recordsDir, 0L)
+      val q = start(spark, rtDir, schedule, source, recordsDir, checkpointDir,
+        automatic = false, maxFilesPerTrigger = maxFilesPerTrigger)
+      try
+        // require, not assert: assert is elidable, and eliding it would drop
+        // the awaitTermination call itself and fold a partial table
+        require(q.awaitTermination(timeoutMs),
+          s"batch import did not finish within ${timeoutMs} ms")
+      finally if (q.isActive) q.stop()
+      // graceMs = 0: batch mode owns every reader for the run's duration
+      // (LwwTable's offline mode), so the fold deletes physically and the
+      // table is left with NO pending retirements — "finished" means a plain
+      // key-unique base an external reader can scan without any window
+      graft.gtfs.RecordsTable.compact(spark, recordsDir, graceMs = 0L)
+    } finally lease.release()
   }
 
   /** The reference importer's full realtime loop, streaming end to end

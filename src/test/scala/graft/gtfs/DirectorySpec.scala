@@ -237,8 +237,12 @@ class DirectorySpec extends AnyFunSuite {
       Seq(rows("2024-01-10", "A", 0L), rows("2024-01-11", "B", 0L)).toDF(cols: _*),
       dir, keyCols = Seq("source", "trip_id"), newestBy = col("refresh_seq"))
     // exercise BOTH trees: fold one write into the base, append another to
-    // the delta — the cleanup must prune outdated partitions from each
-    LwwTable.compact(spark, dir, Seq("source", "trip_id"), col("refresh_seq"))
+    // the delta — the cleanup must prune outdated partitions from each.
+    // graceMs = 0 (offline fold): under grace the consumed delta files stay
+    // physically present awaiting GC, and the count below would include
+    // their directories
+    LwwTable.compact(spark, dir, Seq("source", "trip_id"), col("refresh_seq"),
+      graceMs = 0L)
     graft.streaming.StreamingImport.upsertTable(
       Seq(rows("2024-01-11", "B", 1L)).toDF(cols: _*),
       dir, keyCols = Seq("source", "trip_id"), newestBy = col("refresh_seq"))

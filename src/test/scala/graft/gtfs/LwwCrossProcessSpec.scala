@@ -32,6 +32,120 @@ class LwwCrossProcessSpec extends AnyFunSuite {
     }.toDF(cols: _*)
   }
 
+  /** Launch a probe JVM with this forked test JVM's classpath and module
+    * opens (build.sbt's jdk17AddOpens — required for a bare SparkSession on
+    * JDK 17), redirecting output to `ctl/<log>`. */
+  private def launchProbe(mainClass: String, ctl: String, log: String,
+      args: Seq[String]): Process = {
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cmd = Seq(javaBin) ++ opens ++ Seq("-Xmx2g",
+      "-cp", System.getProperty("java.class.path"), mainClass) ++ args
+    new ProcessBuilder(cmd: _*)
+      .redirectOutput(new java.io.File(s"$ctl/$log"))
+      .redirectErrorStream(true).start()
+  }
+
+  test("a second-JVM compact is refused while this process holds the lease, succeeds after expiry") {
+    // VERDICT r13 #1: the single-writer contract must FAIL FAST for a
+    // second writer PROCESS — the in-process registry cannot stand in for
+    // this, because a foreign JVM shares nothing but the directory
+    val base = Files.createTempDirectory("lww_xlease")
+    val dir = s"$base/t"
+    val ctl = Files.createDirectory(base.resolve("ctl")).toString
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v1", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L)
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v2", 2L)), dir, keyCols, col("seq"))
+    val lease = WriterLease.acquire(spark, dir, ttlMs = 600000L)
+    try {
+      val p1 = launchProbe("graft.gtfs.CompactProbeMain", ctl, "probe1.log",
+        Seq(dir, ctl, "compact"))
+      assert(p1.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+        && p1.exitValue() == 0, "probe JVM must finish cleanly:\n" +
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(ctl, "probe1.log")), "UTF-8")
+          .linesIterator.take(30).mkString("\n"))
+      val r1 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(ctl, "result-compact")), "UTF-8")
+      assert(r1.startsWith("REFUSED")
+        && r1.contains("another writer process holds the lease"),
+        s"the foreign fold is refused with the named error: $r1")
+      assert(LwwTable.deltaFileCount(spark, dir) == 1,
+        "the refused fold changed nothing")
+
+      // the holder dies without releasing: its lease goes stale, and the
+      // second writer's acquire takes over and folds
+      val leaseFile = new java.io.File(s"$dir/_gc/${WriterLease.LeaseFileName}")
+      assert(leaseFile.setLastModified(System.currentTimeMillis() - 700000L))
+      val p2 = launchProbe("graft.gtfs.CompactProbeMain", ctl, "probe2.log",
+        Seq(dir, ctl, "takeover"))
+      assert(p2.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+        && p2.exitValue() == 0, "takeover probe must finish cleanly:\n" +
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(ctl, "probe2.log")), "UTF-8")
+          .linesIterator.take(30).mkString("\n"))
+      val r2 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(ctl, "result-takeover")), "UTF-8")
+      assert(r2 == "OK 1", s"the takeover fold succeeds: $r2")
+      assert(LwwTable.read(spark, dir, keyCols, col("seq"))
+        .select("payload").head().getString(0) == "v2")
+      // and the dispossessed holder notices on its next heartbeat
+      val e = intercept[IllegalStateException](lease.renew())
+      assert(e.getMessage.contains("expired and was taken over"))
+    } finally lease.release()
+  }
+
+  test("a separate-JVM reader survives a storm of TRIVIAL folds (fresh partitions)") {
+    // ADVICE r13 (high): the trivial move renamed a LIVE delta file into
+    // the base — the existing storm never exercised it because every cycle
+    // hit partitions that already had base data. This storm appends each
+    // cycle to a FRESH date, so every fold takes the trivial path, under a
+    // bare external reader.
+    val base = Files.createTempDirectory("lww_xtrivial")
+    val dir = s"$base/t"
+    val ctl = Files.createDirectory(base.resolve("ctl")).toString
+    val grace = 600000L
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v1", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = grace)
+    val proc = launchProbe("graft.gtfs.ReadProbeMain", ctl, "probe.log",
+      Seq(dir, ctl))
+    try {
+      val started = java.nio.file.Paths.get(ctl, "started")
+      val dl = System.nanoTime() + 120L * 1000000000L
+      while (!java.nio.file.Files.exists(started) && proc.isAlive
+          && System.nanoTime() < dl) Thread.sleep(200)
+      assert(java.nio.file.Files.exists(started),
+        s"probe must come up and read once (alive=${proc.isAlive}):\n" +
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(ctl, "probe.log")), "UTF-8")
+            .linesIterator.take(30).mkString("\n"))
+      (2 to 21).foreach { i =>
+        val day = f"2024-02-${i % 28}%02d" // fresh partition every cycle
+        LwwTable.append(df(("a", s"T$i", day, s"v$i", i.toLong)),
+          dir, keyCols, col("seq"))
+        LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = grace)
+      }
+    } finally {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(ctl, "stop"), "1".getBytes("UTF-8"))
+    }
+    assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+      "probe must exit after the stop marker")
+    val result = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ctl, "result")), "UTF-8")
+    assert(proc.exitValue() == 0 && result.startsWith("OK "),
+      s"external reader must never fail under trivial folds: $result")
+    assert(LwwTable.read(spark, dir, keyCols, col("seq")).count() == 21)
+  }
+
   test("a separate-JVM reader never fails while this process folds the table") {
     val base = Files.createTempDirectory("lww_xproc")
     val dir = s"$base/t"

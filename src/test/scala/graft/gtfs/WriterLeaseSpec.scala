@@ -1,0 +1,165 @@
+package graft.gtfs
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The single-WRITER contract, enforced (VERDICT r13 #1): a second writer
+  * process on the same table directory must fail fast with a named error
+  * instead of interleaving folds (two merges pinning overlapping file sets
+  * and retiring each other's output — silent row loss). The reference gets
+  * writer serialization free from MySQL transactions
+  * (batched_statements.rs:72-84); the file-based table gets it from an
+  * atomic-create lease with heartbeat + expiry takeover. The
+  * SEPARATE-PROCESS half lives in [[LwwCrossProcessSpec]]; this spec pins
+  * the lease protocol itself, simulating the foreign writer by hand-writing
+  * lease files (a foreign lease IS just a file — the protocol has no other
+  * channel). */
+class WriterLeaseSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val keyCols = Seq("source", "trip_id", "trip_start_date")
+  private val cols = Seq("source", "trip_id", "trip_start_date", "payload", "seq")
+
+  private def df(rows: (String, String, String, String, Long)*) = {
+    import spark.implicits._
+    rows.toSeq.map { case (s, t, d, p, q) =>
+      (s, t, java.sql.Date.valueOf(d), p, q)
+    }.toDF(cols: _*)
+  }
+
+  private def newTable(tag: String): String = {
+    val dir = Files.createTempDirectory(s"lease_$tag").toString + "/t"
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v1", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L)
+    dir
+  }
+
+  /** A FOREIGN writer's lease, as the protocol sees one: the fixed lease
+    * file carrying an owner not registered in this process. */
+  private def plantForeignLease(dir: String, ttlMs: Long,
+      ageMs: Long = 0L): java.io.File = {
+    val gc = new java.io.File(s"$dir/_gc"); gc.mkdirs()
+    val owner = s"foreign-${java.util.UUID.randomUUID()}"
+    val f = new java.io.File(gc, WriterLease.LeaseFileName)
+    // hand-written content: drop any stale ChecksumFileSystem sidecar left
+    // by a previous Hadoop-side create, or reads see a checksum error
+    new java.io.File(gc, s".${WriterLease.LeaseFileName}.crc").delete()
+    Files.write(f.toPath, s"$owner\n$ttlMs\n".getBytes("UTF-8"))
+    if (ageMs > 0) assert(f.setLastModified(System.currentTimeMillis() - ageMs))
+    f
+  }
+
+  private def leaseOwner(dir: String): Option[String] = {
+    val f = new java.io.File(s"$dir/_gc/${WriterLease.LeaseFileName}")
+    if (!f.exists()) None
+    else new String(Files.readAllBytes(f.toPath), "UTF-8")
+      .linesIterator.toSeq.headOption
+  }
+
+  test("a live foreign lease refuses every destructive entry point with the named error") {
+    val dir = newTable("refuse")
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v2", 2L)), dir, keyCols, col("seq"))
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v3", 3L)), dir, keyCols, col("seq"))
+    plantForeignLease(dir, ttlMs = 600000L)
+    val e1 = intercept[IllegalStateException](
+      LwwTable.compact(spark, dir, keyCols, col("seq")))
+    assert(e1.getMessage.contains("another writer process holds the lease")
+      && e1.getMessage.contains(dir), s"named refusal: ${e1.getMessage}")
+    val e2 = intercept[IllegalStateException](
+      LwwTable.mergeDelta(spark, dir, keyCols, col("seq")))
+    assert(e2.getMessage.contains("another writer process holds the lease"))
+    val e3 = intercept[IllegalStateException](
+      LwwTable.replacePartitions(spark, dir,
+        Seq((Some("a"), Some("2024-01-01"))),
+        LwwTable.readRaw(spark, dir).filter(col("trip_id") =!= "T1")))
+    assert(e3.getMessage.contains("another writer process holds the lease"))
+    // the oversized backstop refuses too — but only once it has real work
+    // (the early returns stay one listing, un-asserted)
+    val e4 = intercept[IllegalStateException](
+      LwwTable.mergeDeltaIfOversized(spark, dir, keyCols, col("seq"),
+        maxDeltaFiles = 1))
+    assert(e4.getMessage.contains("another writer process holds the lease"))
+    // nothing was folded: both appends still live in the delta
+    assert(LwwTable.deltaFileCount(spark, dir) == 2)
+    // reads are NEVER refused — the lease guards writers only
+    assert(LwwTable.read(spark, dir, keyCols, col("seq"))
+      .select("payload").head().getString(0) == "v3")
+  }
+
+  test("an EXPIRED foreign lease blocks nothing and is taken over on acquire") {
+    val dir = newTable("expire")
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v2", 2L)), dir, keyCols, col("seq"))
+    val stale = plantForeignLease(dir, ttlMs = 1000L, ageMs = 5000L)
+    val staleOwner = leaseOwner(dir).get
+    // destructive ops pass an expired lease (the crashed writer is gone)
+    assert(LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L) == 1)
+    // acquire takes the expired lease over: the fixed lease path is
+    // re-owned by this process
+    val lease = WriterLease.acquire(spark, dir)
+    assert(leaseOwner(dir).contains(lease.ownerId)
+      && lease.ownerId != staleOwner, "the expired lease was taken over")
+    lease.release()
+    assert(!stale.exists(), "release removes the lease file")
+  }
+
+  test("acquire refuses a live foreign lease; our own lease admits our folds") {
+    val dir = newTable("own")
+    plantForeignLease(dir, ttlMs = 600000L)
+    val e = intercept[IllegalStateException](WriterLease.acquire(spark, dir))
+    assert(e.getMessage.contains("another writer process holds the lease"))
+    // clear the foreign lease; acquire ours; our folds pass the assert
+    assert(new java.io.File(s"$dir/_gc/${WriterLease.LeaseFileName}").delete())
+    val lease = WriterLease.acquire(spark, dir)
+    try {
+      LwwTable.append(df(("a", "T1", "2024-01-01", "v2", 2L)), dir, keyCols, col("seq"))
+      assert(LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L) == 1,
+        "the lease holder's own fold is admitted")
+      // a same-process re-acquire (restart without release) ADOPTS the
+      // live lease instead of refusing itself
+      val again = WriterLease.acquire(spark, dir)
+      assert(again.ownerId == lease.ownerId, "same-process restart adopts")
+    } finally lease.release()
+  }
+
+  test("a renew after takeover fails with the named stop error") {
+    val dir = newTable("renew")
+    val lease = WriterLease.acquire(spark, dir, ttlMs = 1000L)
+    // the lease goes stale (the writer froze past its ttl) and a second
+    // writer takes over — simulated by deleting + re-planting foreign
+    val mine = new java.io.File(s"$dir/_gc/${WriterLease.LeaseFileName}")
+    assert(mine.delete())
+    plantForeignLease(dir, ttlMs = 600000L)
+    val e = intercept[IllegalStateException](lease.renew())
+    assert(e.getMessage.contains("expired and was taken over"),
+      s"renew names the takeover: ${e.getMessage}")
+    // and the frozen writer's folds are refused against the new owner
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v2", 2L)), dir, keyCols, col("seq"))
+    intercept[IllegalStateException](
+      LwwTable.compact(spark, dir, keyCols, col("seq")))
+    lease.release() // idempotent on a lost lease
+  }
+
+  test("lease files never parse as retirement manifests and survive GC") {
+    val dir = newTable("coexist")
+    val lease = WriterLease.acquire(spark, dir)
+    try {
+      LwwTable.append(df(("a", "T1", "2024-01-01", "v2", 2L)), dir, keyCols, col("seq"))
+      LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 60000L)
+      assert(LwwTable.pendingRetirements(spark, dir))
+      assert(LwwTable.gcRetired(spark, dir, 0L) > 0)
+      assert(!LwwTable.pendingRetirements(spark, dir))
+      assert(leaseOwner(dir).contains(lease.ownerId),
+        "GC leaves the lease in place (and _gc itself, being non-empty)")
+      assert(LwwTable.read(spark, dir, keyCols, col("seq"))
+        .select("payload").head().getString(0) == "v2")
+    } finally lease.release()
+  }
+}
