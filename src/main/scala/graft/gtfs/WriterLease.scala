@@ -50,6 +50,16 @@ import org.apache.spark.sql.SparkSession
   * The lease lives under `_gc/` (hidden from Spark's directory reads,
   * beside the retirement manifests) and is ignored by manifest parsing
   * and GC (neither a `retire-` nor a `.tmp-` name).
+  *
+  * RESTART LATENCY: a writer that dies GRACEFULLY (stop(), SIGTERM,
+  * normal exit — a JVM shutdown hook releases every live handle) frees
+  * the lease instantly; a hard kill (-9) or power loss leaves it to
+  * expire, so the replacement waits up to the ttl before takeover — the
+  * Iceberg/Delta lock-expiry tradeoff. Size the ttl between the longest
+  * writer stall you tolerate heartbeat-free (the loop renews every poll,
+  * but a base fold can hold it for its 30–40 s worst case) and the
+  * restart latency you accept after a hard kill; [[DefaultTtlMs]] sits
+  * at 10 min, an order of magnitude above the worst measured stall.
   */
 final class WriterLease private[gtfs] (spark: SparkSession,
     val tableDir: String, val ownerId: String, val ttlMs: Long) {
@@ -81,6 +91,7 @@ final class WriterLease private[gtfs] (spark: SparkSession,
         f.delete(WriterLease.leasePath(tableDir), false)
     } catch { case scala.util.control.NonFatal(_) => () }
     WriterLease.held.remove(WriterLease.rootKey(fs, tableDir), ownerId)
+    WriterLease.deregister(this)
   }
 }
 
@@ -102,6 +113,29 @@ object WriterLease {
     * through every fold call site, and lets a same-process restart adopt
     * its still-live lease instead of refusing itself. */
   private val held = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Live handles for the shutdown hook: a writer dying GRACEFULLY
+    * (SIGTERM, normal exit) releases its leases so a replacement starts
+    * instantly; only a hard kill (-9) or power loss pays the ttl before
+    * takeover — the Iceberg/Delta lock-expiry tradeoff, documented rather
+    * than avoidable. Best-effort: the hook must never block or fail the
+    * exit. */
+  private val liveHandles =
+    new java.util.concurrent.ConcurrentHashMap[String, WriterLease]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      liveHandles.values.forEach(l =>
+        try l.release() catch { case _: Throwable => () }),
+      "graft-writer-lease-release"))
+
+  private def register(l: WriterLease): WriterLease = {
+    hookInstalled
+    liveHandles.put(l.ownerId, l)
+    l
+  }
+
+  private def deregister(l: WriterLease): Unit =
+    liveHandles.remove(l.ownerId)
 
   private def gcDir(tableDir: String) = new Path(s"$tableDir/_gc")
 
@@ -159,7 +193,7 @@ object WriterLease {
         // never released): adopt rather than refuse ourselves
         val lease = new WriterLease(spark, tableDir, l.ownerId, l.ttlMs)
         lease.renew()
-        return lease
+        return register(lease)
       }
       if (l.live(now))
         throw new IllegalStateException(refusal(tableDir, l, now))
@@ -187,7 +221,7 @@ object WriterLease {
         s"LWW table $tableDir: lease acquisition raced and lost")(l =>
         refusal(tableDir, l, System.currentTimeMillis())))
     held.put(rootKey(fs, tableDir), ownerId)
-    new WriterLease(spark, tableDir, ownerId, ttlMs)
+    register(new WriterLease(spark, tableDir, ownerId, ttlMs))
   }
 
   private def refusal(tableDir: String, l: LeaseInfo, now: Long): String =
