@@ -47,6 +47,13 @@ object CompactProbeMain {
               graceMs = 600000L)
             write(s"OK $n")
           } finally lease.release()
+        case "acquire-exit" =>
+          // acquire and exit WITHOUT releasing: the graceful-death path —
+          // the JVM shutdown hook must free the lease so a replacement
+          // writer starts instantly (WriterLease class doc: restart
+          // latency)
+          val lease = WriterLease.acquire(spark, tableDir)
+          write(s"OK ${lease.ownerId}")
       }
     } catch {
       case e: Throwable =>

@@ -103,6 +103,28 @@ class LwwCrossProcessSpec extends AnyFunSuite {
     } finally lease.release()
   }
 
+  test("a writer JVM exiting gracefully without release frees its lease via the shutdown hook") {
+    val base = Files.createTempDirectory("lww_xhook")
+    val dir = s"$base/t"
+    val ctl = Files.createDirectory(base.resolve("ctl")).toString
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v1", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L)
+    val p = launchProbe("graft.gtfs.CompactProbeMain", ctl, "probe-hook.log",
+      Seq(dir, ctl, "acquire-exit"))
+    assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+      && p.exitValue() == 0, "probe JVM must finish cleanly:\n" +
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(ctl, "probe-hook.log")), "UTF-8")
+        .linesIterator.take(30).mkString("\n"))
+    val r = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ctl, "result-acquire-exit")), "UTF-8")
+    assert(r.startsWith("OK "), s"the probe acquired: $r")
+    assert(!new java.io.File(s"$dir/_gc/${WriterLease.LeaseFileName}").exists(),
+      "the shutdown hook released the lease on graceful exit")
+    // a replacement writer acquires instantly — no ttl wait
+    WriterLease.acquire(spark, dir).release()
+  }
+
   test("a separate-JVM reader survives a storm of TRIVIAL folds (fresh partitions)") {
     // ADVICE r13 (high): the trivial move renamed a LIVE delta file into
     // the base — the existing storm never exercised it because every cycle
