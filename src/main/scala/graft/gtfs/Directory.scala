@@ -200,7 +200,14 @@ object Directory {
     * [[predictionWindowFilter]]. The null-date directory
     * (`__HIVE_DEFAULT_PARTITION__`) is never deleted, matching the
     * reference's SQL where a NULL date never satisfies the comparison.
-    * Returns the deleted partition paths. */
+    * Returns the deleted partition paths.
+    *
+    * Not gated on the [[LwwTable]] writer lease: the deletion targets only
+    * date partitions >12 h past the live window, which no fold ever writes
+    * into (appends carry current dates) — a second process running it
+    * beside a live writer deletes only dead data, and a retirement
+    * manifest naming a deleted file GC's as a skipped no-op. The automatic
+    * mode still calls it under its gate like every predictions writer. */
   def cleanupOutdatedPredictionsTable(spark: SparkSession, predictionsDir: String,
       source: String, nowEpochSecs: Long,
       maxTripStartSecs: Long = 48 * 3600L): Seq[String] = {

@@ -240,7 +240,15 @@ object LwwTable {
     * — a maintenance rewrite got there first — are skipped). Runs at the
     * head of every [[compact]]/[[mergeDelta]]; callable directly for
     * maintenance (`graceMs = 0` ⇒ everything pending). Returns the number
-    * of files deleted. */
+    * of files deleted.
+    *
+    * Deliberately NOT gated on the [[WriterLease]]: GC only deletes files
+    * every live listing already excludes, so running it from a second
+    * process races nothing — a double delete is a no-op (`fs.delete`
+    * returns false) and a manifest vanishing under a concurrent GC/reader
+    * reads as absent (see the FileNotFoundException handling here and in
+    * `retiredRelPaths`). A maintenance `gcRetired` beside a live writer is
+    * safe by construction, unlike a maintenance fold. */
   def gcRetired(spark: SparkSession, tableDir: String, graceMs: Long): Int = {
     val fs = fsOf(spark, tableDir)
     val root = new Path(gcDir(tableDir))
