@@ -344,13 +344,17 @@ final class AutomaticImport private (
   loop.start()
 
   /** Stops the backfill loop, then the stream, then releases the writer
-    * leases. Idempotent. */
+    * leases. Idempotent. The leases are released ONLY once the loop thread
+    * is truly gone: if the join timed out on a wedged fold, handing the
+    * lease to a new writer while that fold may still commit would be
+    * exactly the two-writer interleaving the lease prevents — leaving it
+    * to expire (ttl) is the safe default. */
   def stop(): Unit = {
     stopFlag.set(true)
     loop.interrupt()
     loop.join(60000)
     if (query.isActive) query.stop()
-    leases.foreach(_.release())
+    if (!loop.isAlive) leases.foreach(_.release())
   }
 }
 
