@@ -231,10 +231,15 @@ object Bench {
       val sha = try scala.sys.process.Process(
         Seq("git", "rev-parse", "HEAD")).!!.trim
       catch { case NonFatal(_) => "unknown" }
+      // a window measured with uncommitted changes says so: the sha alone
+      // would attribute the numbers to code it didn't measure
+      val dirty = try scala.sys.process.Process(
+        Seq("git", "status", "--porcelain")).!!.trim.nonEmpty
+      catch { case NonFatal(_) => true }
       val cleanPath = java.nio.file.Paths.get("tools/bench_clean.jsonl")
       java.nio.file.Files.createDirectories(cleanPath.getParent)
       java.nio.file.Files.writeString(cleanPath,
-        s"""{"head":"$sha","recorded":$line}""" + "\n",
+        s"""{"head":"$sha","dirty":$dirty,"recorded":$line}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case NonFatal(_) => () }

@@ -973,6 +973,46 @@ object ScaleRehearsal {
     }
 
     if (mode == "docs") {
+      // ---- label-propagation clustering decade point (VERDICT r14 #8) ----
+      // Near-dup `clusters` had oracle-green correctness but no scale point
+      // past the r8 corpus runs, whose pair count is an artifact of the
+      // corpus's duplication rate. This op builds a SYNTHETIC pair graph
+      // with controlled size and the worst diameter shape for min-label
+      // propagation: chains of SPARK_GRAFT_SR_CL_CHAIN nodes (default 1024
+      // — path halving converges in ~log2(chain)+1 rounds, so deep chains
+      // stress the iteration count the corpus graph's shallow star
+      // components never do), SPARK_GRAFT_SR_CL_PAIRS edges total. Opt-in
+      // (SPARK_GRAFT_SR_OPS must name it): the graph is corpus-independent,
+      // and the default docs run stays comparable round over round.
+      if (srOps.exists(_.contains("clusters_synth"))) {
+        val nPairs = sys.env.getOrElse("SPARK_GRAFT_SR_CL_PAIRS",
+          "10000000").toLong
+        val chain = sys.env.getOrElse("SPARK_GRAFT_SR_CL_CHAIN", "1024").toInt
+        require(chain >= 2, s"chain length must be >= 2: $chain")
+        val numChains = math.max(1L, nPairs / (chain - 1))
+        val nNodes = numChains * chain
+        val nodes = spark.range(nNodes).select(col("id").as("doc_id"))
+        // node i -> i+1 except at chain ends; the last node of the last
+        // chain is a chain end, so no edge ever dangles past nNodes-1
+        val pairsSynth = spark.range(nNodes)
+          .filter(col("id") % chain =!= (chain - 1))
+          .select(col("id").as("a"), (col("id") + 1L).as("b"))
+        println(s"[scale] clusters_synth graph: nodes=$nNodes " +
+          s"pairs=${numChains * (chain - 1)} chain=$chain")
+        runTimed("clusters_synth") {
+          val dropped = graft.ops.Dedup.clusters(nodes, pairsSynth)
+            .filter(!col("is_kept")).count()
+          // every chain collapses to its min node: the count is a closed
+          // form, so the decade point carries its own correctness pin
+          require(dropped == nNodes - numChains,
+            s"clusters_synth: expected ${nNodes - numChains} non-kept " +
+              s"docs, got $dropped")
+          dropped
+        }
+        if (srOps.exists(s => (s - "clusters_synth").isEmpty)) {
+          spark.stop(); return
+        }
+      }
       // ---- training-data pipeline ops at corpus scale ----
       // SPARK_GRAFT_SR_DOCS_DIR: persistent corpus location, reused when it
       // already holds a committed write. The corpus is deterministic (pure

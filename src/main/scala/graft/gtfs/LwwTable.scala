@@ -63,7 +63,9 @@ import org.apache.spark.sql.functions._
   * folds/merges — the write gate serializes them in-process, and the
   * [[WriterLease]] makes a SECOND writer process fail fast with a named
   * error instead of silently interleaving (acquired by the long-running
-  * writer modes; un-leased tables keep single-process semantics).
+  * writer modes; AD-HOC destructive calls on an un-leased table bracket
+  * themselves with an ephemeral lease, so even two manual maintenance
+  * folds from two processes serialize).
   * Any number of reader processes — other
   * Spark apps, ad-hoc sessions, tools — may read the table at any time,
   * provided each planned snapshot is CONSUMED within `graceMs` of planning
@@ -286,6 +288,27 @@ object LwwTable {
         case _ => ()
       }
     }
+    // a trivial fold that crashed between its copy and the install rename
+    // leaves `.tmp-folded-<name>` in the BASE partition dir; the re-fold
+    // overwrites its own leftover only if the partition takes the trivial
+    // path again — a second append first routes it through the merge path,
+    // which consumes the delta file, and the temp would linger forever
+    // (ADVICE r14). Sweep them here, age-guarded like the `_gc` temps so a
+    // concurrent fold's in-flight copy is never touched. Hidden files —
+    // invisible to every reader — so deleting them races nothing; the walk
+    // rides the same per-fold cadence as the partition-dir prune below.
+    val orphanAge = math.max(graceMs, 60000L)
+    try fs.listStatus(new Path(tableDir)).foreach { src =>
+      if (src.isDirectory && Directory.visibleName(src.getPath.getName))
+        fs.listStatus(src.getPath).foreach { d =>
+          if (d.isDirectory)
+            fs.listStatus(d.getPath).foreach { f =>
+              if (f.isFile && f.getPath.getName.startsWith(".tmp-folded-")
+                  && now - f.getModificationTime >= orphanAge)
+                fs.delete(f.getPath, false)
+            }
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
     // prune now-empty partition directories in both trees (best-effort)
     pruneEmptyPartitionDirs(fs, deltaDir(tableDir))
     pruneEmptyPartitionDirs(fs, tableDir)
@@ -614,8 +637,16 @@ object LwwTable {
     * (0 = nothing to do). Callers must hold the table's write gate;
     * `newestBy` must match the readers' ordering (class doc). */
   def compact(spark: SparkSession, tableDir: String, keyCols: Seq[String],
-              newestBy: Column, graceMs: Long = DefaultGraceMs): Int = {
-    WriterLease.assertWriter(spark, tableDir)
+              newestBy: Column, graceMs: Long = DefaultGraceMs): Int =
+    // withWriter, not a bare assert (VERDICT r14 #1): two AD-HOC compacts
+    // from two processes on an un-leased table both passed the assert —
+    // the ephemeral lease serializes them; held leases pay only the assert
+    WriterLease.withWriter(spark, tableDir) {
+      compactLocked(spark, tableDir, keyCols, newestBy, graceMs)
+    }
+
+  private def compactLocked(spark: SparkSession, tableDir: String,
+      keyCols: Seq[String], newestBy: Column, graceMs: Long): Int = {
     gcRetired(spark, tableDir, graceMs)
     val fs = fsOf(spark, tableDir)
     val retired = retiredRelPaths(fs, tableDir)
@@ -876,13 +907,13 @@ object LwwTable {
     *
     * Returns the number of delta files merged away (0 = nothing to do). */
   def mergeDelta(spark: SparkSession, tableDir: String, keyCols: Seq[String],
-                 newestBy: Column, graceMs: Long = DefaultGraceMs): Int = {
-    WriterLease.assertWriter(spark, tableDir)
-    gcRetired(spark, tableDir, graceMs)
-    val files = mergeEligible(listDeltaFiles(spark, tableDir))
-    if (files.size < 2) 0
-    else mergeFileSet(spark, tableDir, files, keyCols, newestBy, graceMs)
-  }
+                 newestBy: Column, graceMs: Long = DefaultGraceMs): Int =
+    WriterLease.withWriter(spark, tableDir) {
+      gcRetired(spark, tableDir, graceMs)
+      val files = mergeEligible(listDeltaFiles(spark, tableDir))
+      if (files.size < 2) 0
+      else mergeFileSet(spark, tableDir, files, keyCols, newestBy, graceMs)
+    }
 
   /** Only partitions holding ≥2 live files merge: a single-file partition
     * is already in the merged shape (one LWW-resolved file), and re-writing
@@ -947,12 +978,13 @@ object LwwTable {
     if (all.size < maxDeltaFiles) return false
     val eligible = mergeEligible(all)
     if (eligible.size < 2) return false
-    // asserted only past the early returns: the per-trigger cost of the
+    // leased only past the early returns: the per-trigger cost of the
     // size probe stays one listing, and only an ACTUAL merge pays the
-    // lease check
-    WriterLease.assertWriter(spark, tableDir)
-    gcRetired(spark, tableDir, graceMs)
-    mergeFileSet(spark, tableDir, eligible, keyCols, newestBy, graceMs) > 0
+    // lease check (held writers) or the ephemeral bracket (ad-hoc)
+    WriterLease.withWriter(spark, tableDir) {
+      gcRetired(spark, tableDir, graceMs)
+      mergeFileSet(spark, tableDir, eligible, keyCols, newestBy, graceMs) > 0
+    }
   }
 
   /** The idle branch's "fold the records delta now?" probe in ONE listing:
@@ -983,8 +1015,14 @@ object LwwTable {
     * with no kept rows is retired whole. */
   def replacePartitions(spark: SparkSession, tableDir: String,
       partitions: Seq[(Option[String], Option[String])], kept: DataFrame,
-      graceMs: Long = DefaultGraceMs): Unit = {
-    WriterLease.assertWriter(spark, tableDir)
+      graceMs: Long = DefaultGraceMs): Unit =
+    WriterLease.withWriter(spark, tableDir) {
+      replacePartitionsLocked(spark, tableDir, partitions, kept, graceMs)
+    }
+
+  private def replacePartitionsLocked(spark: SparkSession, tableDir: String,
+      partitions: Seq[(Option[String], Option[String])], kept: DataFrame,
+      graceMs: Long): Unit = {
     val fs = fsOf(spark, tableDir)
     val retired = retiredRelPaths(fs, tableDir)
     val dDir = deltaDir(tableDir)

@@ -24,27 +24,42 @@ import org.apache.spark.sql.SparkSession
   *
   *  - [[WriterLease.acquire]] refuses while a LIVE foreign lease exists
   *    (mtime younger than the lease's own ttl) — named error; an EXPIRED
-  *    lease (a crashed writer) is deleted and taken over; a live lease
-  *    registered to THIS process (restart without release) is adopted.
-  *    The create uses `fs.create(…, overwrite = false)` — atomic on HDFS
-  *    and friends (the namenode arbitrates), check-then-act on the local
-  *    FS — followed by a READ-BACK: with one fixed path, concurrent
-  *    winners-by-race all read the SAME final content, so exactly the one
-  *    whose ownerId survived proceeds and every other acquirer fails with
-  *    the named error. At most one winner on either filesystem.
+  *    lease (a crashed writer) is CLAIMED by atomic rename to a private
+  *    name before the new lease is created — rename has exactly one
+  *    winner, so two replacement writers started together after a crash
+  *    cannot both take over (a delete-then-create takeover would let the
+  *    slower racer delete the faster one's fresh lease) — and the claim
+  *    is then VERIFIED against the observation (same owner AND mtime; the
+  *    claimed file is frozen under its private name, so the check is
+  *    race-free): a claim that turns out to have grabbed a racer's
+  *    freshly installed lease is renamed back and the acquire fails. A
+  *    live lease registered to THIS process (restart without release) is
+  *    adopted.
+  *    The create is atomic on both filesystem classes: HDFS and friends
+  *    via `fs.create(…, overwrite = false)` (the namenode arbitrates),
+  *    the local FS via java.nio `CREATE_NEW` (O_EXCL — Hadoop's local
+  *    create is check-then-act). A READ-BACK after the create is kept as
+  *    defense in depth: with one fixed path, concurrent winners-by-race
+  *    all read the SAME final content, so exactly the one whose ownerId
+  *    survived proceeds. At most one winner on either filesystem.
   *  - [[WriterLease.renew]] is the heartbeat: verifies the file still
   *    carries OUR ownerId (a takeover replaced it ⇒ named stop error —
   *    continuing to fold would be the very interleaving the lease
-  *    prevents) and bumps the mtime. Owning processes renew at their loop
-  *    cadence, far below the ttl (default 10 min vs a 5 s idle poll).
+  *    prevents), bumps the mtime, then RE-READS: a takeover landing in
+  *    the check-to-bump millisecond window would otherwise receive the
+  *    bump on ITS file while this stalled writer folds on. Owning
+  *    processes renew at their loop cadence, far below the ttl (default
+  *    10 min vs a 5 s idle poll).
   *  - every DESTRUCTIVE table entry point ([[LwwTable.compact]],
   *    [[LwwTable.mergeDelta]], [[LwwTable.replacePartitions]], the
-  *    oversized backstop past its early returns) asserts via
-  *    [[WriterLease.assertWriter]]: a LIVE lease owned by another process
-  *    fails fast with a named error; no lease at all passes (un-leased
-  *    tables — single-process deployments, tests, offline maintenance —
-  *    keep today's semantics). O(batch) appends stay un-asserted: they
-  *    are additive (never pin or retire files), and the hot path must not
+  *    oversized backstop past its early returns) runs under
+  *    [[WriterLease.withWriter]]: with a lease held by this process it is
+  *    the old assert (one `_gc` probe — a LIVE foreign lease fails fast
+  *    with the named error); with NO lease held — ad-hoc maintenance —
+  *    an EPHEMERAL lease brackets the call, so two manual folds from two
+  *    processes serialize instead of both passing a bare assert on an
+  *    un-leased table. O(batch) appends stay un-asserted: they are
+  *    additive (never pin or retire files), and the hot path must not
   *    pay a listing per trigger.
   *
   * The lease lives under `_gc/` (hidden from Spark's directory reads,
@@ -70,17 +85,33 @@ final class WriterLease private[gtfs] (spark: SparkSession,
   /** Heartbeat: verifies ownership and bumps the lease mtime. Fails with a
     * named error when the lease is gone or re-owned — the owner outlived
     * its ttl without renewing and another writer took over; this writer
-    * must STOP (restart to re-acquire), not limp on. */
+    * must STOP (restart to re-acquire), not limp on.
+    *
+    * The bump is READ-BACK-verified (VERDICT r14 #1): between the
+    * ownership check and `setTimes` a takeover can replace the file — the
+    * acquire path closes exactly this millisecond class of race with its
+    * own read-back, and without one here a writer stalled past its ttl
+    * would bump the USURPER's mtime and keep folding — two writers. A
+    * bump that lands on the usurper's file only extends the usurper's
+    * apparent heartbeat (conservative: delays the NEXT takeover, never
+    * admits one), and this writer still stops on the re-read. */
   def renew(): Unit = {
     val f = fs
     val current = WriterLease.readLease(f, tableDir)
-    if (!current.exists(_.ownerId == ownerId))
-      throw new IllegalStateException(
-        s"LWW table $tableDir: writer lease $ownerId expired and was taken" +
-          " over (renew came later than the ttl) — this writer must stop;" +
-          " restart it to re-acquire")
-    f.setTimes(WriterLease.leasePath(tableDir), System.currentTimeMillis(), -1)
+    if (!current.exists(_.ownerId == ownerId)) throw takenOver()
+    WriterLease.renewRaceHook(tableDir) // test seam: the TOCTOU window
+    // the file can vanish mid-bump (a takeover's claim rename) — the
+    // read-back below turns that into the named stop, not a raw IOException
+    try f.setTimes(WriterLease.leasePath(tableDir), System.currentTimeMillis(), -1)
+    catch { case _: java.io.FileNotFoundException => () }
+    if (!WriterLease.readLease(f, tableDir).exists(_.ownerId == ownerId))
+      throw takenOver()
   }
+
+  private def takenOver() = new IllegalStateException(
+    s"LWW table $tableDir: writer lease $ownerId expired and was taken" +
+      " over (renew came later than the ttl) — this writer must stop;" +
+      " restart it to re-acquire")
 
   /** Releases the lease (idempotent; a lease already taken over is left to
     * its new owner). */
@@ -154,26 +185,48 @@ object WriterLease {
     * content parses as a live lease under the DEFAULT ttl with an owner
     * nobody holds — failing safe toward refusal, never toward two
     * writers. */
+  /** CONSISTENT lease read: status, content, status again — accepted only
+    * when the two status fetches agree on the mtime. A plain
+    * status-then-content pair is a TORN read under a concurrent takeover:
+    * the first race test run paired the OLD file's pre-takeover mtime with
+    * the NEW owner's content, judged the fresh lease "expired", and the
+    * claim rename then stole a LIVE lease — two writers, observed
+    * cross-process. Bounded retries; a still-unstable read resolves with
+    * the LATEST mtime — live-shaped, toward refusal, never toward two
+    * writers. */
   private def readLease(fs: FileSystem, tableDir: String): Option[LeaseInfo] = {
     val p = leasePath(tableDir)
-    val st =
-      try fs.getFileStatus(p)
-      catch { case _: java.io.FileNotFoundException => return None }
-    try {
-      val in = fs.open(p)
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      val owner = lines.headOption.getOrElse("unreadable")
-      val ttl = lines.lift(1).flatMap(_.toLongOption).getOrElse(DefaultTtlMs)
-      Some(LeaseInfo(owner, ttl, st.getModificationTime))
-    } catch {
-      case _: java.io.FileNotFoundException => None
-      // present but unreadable (torn write, checksum sidecar drift): a
-      // live lease nobody owns — refusal-shaped, never two-writers-shaped
-      case scala.util.control.NonFatal(_) =>
-        Some(LeaseInfo("unreadable", DefaultTtlMs, st.getModificationTime))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val st =
+        try fs.getFileStatus(p)
+        catch { case _: java.io.FileNotFoundException => return None }
+      val info =
+        try {
+          val in = fs.open(p)
+          val lines =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          val owner = lines.headOption.getOrElse("unreadable")
+          val ttl = lines.lift(1).flatMap(_.toLongOption).getOrElse(DefaultTtlMs)
+          LeaseInfo(owner, ttl, st.getModificationTime)
+        } catch {
+          case _: java.io.FileNotFoundException => return None
+          // present but unreadable (torn write, checksum sidecar drift): a
+          // live lease nobody owns — refusal-shaped, never two-writers-shaped
+          case scala.util.control.NonFatal(_) =>
+            LeaseInfo("unreadable", DefaultTtlMs, st.getModificationTime)
+        }
+      val st2 =
+        try fs.getFileStatus(p)
+        catch { case _: java.io.FileNotFoundException => return None }
+      if (st2.getModificationTime == st.getModificationTime) return Some(info)
+      if (attempt >= 3)
+        return Some(info.copy(mtime =
+          math.max(st.getModificationTime, st2.getModificationTime)))
     }
+    None // unreachable
   }
 
   /** Acquires the writer lease for `tableDir`, failing fast with a named
@@ -197,16 +250,97 @@ object WriterLease {
       }
       if (l.live(now))
         throw new IllegalStateException(refusal(tableDir, l, now))
-      fs.delete(leasePath(tableDir), false) // expired: take over
+      // SINGLE-WINNER TAKEOVER (ADVICE r14): delete-then-create let two
+      // replacement writers that both observed the expired lease interleave
+      // — B deletes + creates, then A deletes B's FRESH lease and creates
+      // its own, and both pass their read-backs (two simultaneously-started
+      // automatic modes after a crash is the likeliest mis-deploy). Claim
+      // the expired file by ATOMIC RENAME to a private name instead: rename
+      // has exactly one winner on every Hadoop FS, so only one racer ever
+      // reaches the create below with the old lease out of the way. The
+      // claimed name carries the `.tmp-` prefix so a claimer that crashes
+      // before the delete leaves an orphan the existing age-guarded `_gc`
+      // sweep already collects.
+      val claimed = new Path(gcDir(tableDir),
+        s".tmp-takeover-${java.util.UUID.randomUUID()}")
+      val won =
+        try fs.rename(leasePath(tableDir), claimed)
+        catch { case _: java.io.IOException => false }
+      if (!won) readLease(fs, tableDir) match {
+        case Some(l2) if l2.live(System.currentTimeMillis()) =>
+          // the racing claimer already installed its fresh lease
+          throw new IllegalStateException(
+            refusal(tableDir, l2, System.currentTimeMillis()))
+        case Some(_) =>
+          throw new IllegalStateException(
+            s"LWW table $tableDir: expired-lease takeover raced and lost —" +
+              " another replacement writer is claiming it; retry")
+        case None => () // claimed-then-released, or the owner released: free
+      }
+      else {
+        // VERIFY THE CLAIM: the rename grabs whatever sits at the path NOW
+        // — between observing the expired lease and renaming, a racing
+        // takeover can have completed (rename + create), and this rename
+        // would then steal the racer's FRESH lease. The claimed file is
+        // frozen (only we can touch its private name; rename preserves the
+        // mtime), so comparing its identity against the observation is
+        // race-free: same owner AND same mtime = the genuinely expired
+        // file — delete it and proceed; anything else = a live lease
+        // stolen mid-install — put it BACK and lose the acquire.
+        takeoverClaimHook(tableDir, claimed) // test seam
+        val claimedInfo =
+          try {
+            val cst = fs.getFileStatus(claimed)
+            val in = fs.open(claimed)
+            val lines =
+              try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+              finally in.close()
+            Some(LeaseInfo(lines.headOption.getOrElse("unreadable"),
+              lines.lift(1).flatMap(_.toLongOption).getOrElse(DefaultTtlMs),
+              cst.getModificationTime))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        val legitimate =
+          claimedInfo.exists(c => c.ownerId == l.ownerId && c.mtime == l.mtime)
+        if (legitimate) fs.delete(claimed, false)
+        else {
+          // restore the stolen lease; if the path was re-created meanwhile
+          // (a third racer saw the vacancy), the stolen content is
+          // superseded — its owner stops on its next renew read-back, so
+          // at most one writer continues either way
+          try { if (!fs.rename(claimed, leasePath(tableDir)))
+            fs.delete(claimed, false) }
+          catch { case scala.util.control.NonFatal(_) => () }
+          val cur = claimedInfo.orElse(readLease(fs, tableDir))
+          throw new IllegalStateException(cur.fold(
+            s"LWW table $tableDir: expired-lease takeover raced and lost —" +
+              " another replacement writer got there first; retry")(c =>
+            refusal(tableDir, c, System.currentTimeMillis())))
+        }
+      }
     }
     val ownerId = java.util.UUID.randomUUID().toString
     fs.mkdirs(gcDir(tableDir))
     try {
-      val out = fs.create(leasePath(tableDir), false) // the acquisition point
-      try out.write(s"$ownerId\n$ttlMs\n".getBytes("UTF-8"))
-      finally out.close()
+      if (fs.getScheme == "file") {
+        // local FS: Hadoop's create(overwrite = false) is check-then-act
+        // here (no namenode to arbitrate) — java.nio's CREATE_NEW maps to
+        // O_EXCL, atomic on local filesystems (ADVICE r14). No Hadoop-side
+        // checksum sidecar is written; LocalFileSystem reads crc-less
+        // files without verification, and release/rename handle a sidecar
+        // left by an older create.
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(fs.makeQualified(leasePath(tableDir)).toUri),
+          s"$ownerId\n$ttlMs\n".getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+      } else {
+        val out = fs.create(leasePath(tableDir), false) // the acquisition point
+        try out.write(s"$ownerId\n$ttlMs\n".getBytes("UTF-8"))
+        finally out.close()
+      }
     } catch {
-      case _: java.io.IOException => // FileAlreadyExists subsumed: lost the race
+      // FileAlreadyExists (both the nio and the Hadoop form) subsumed by
+      // IOException: lost the race
+      case _: java.io.IOException =>
         val w = readLease(fs, tableDir)
         throw new IllegalStateException(w.fold(
           s"LWW table $tableDir: lease acquisition raced and lost")(l =>
@@ -245,6 +379,63 @@ object WriterLease {
       if (l.live(now)
           && !Option(held.get(rootKey(fs, tableDir))).contains(l.ownerId))
         throw new IllegalStateException(refusal(tableDir, l, now))
+    }
+  }
+
+  /** Test seam: invoked between [[WriterLease.renew]]'s ownership check and
+    * its mtime bump — the TOCTOU window the read-back closes. No-op in
+    * production. */
+  private[graft] var renewRaceHook: String => Unit = _ => ()
+
+  /** Test seam: invoked after a takeover's claim rename wins, before the
+    * claimed file is verified against the observation — lets a spec
+    * simulate the claim having grabbed a racer's FRESH lease. No-op in
+    * production. */
+  private[graft] var takeoverClaimHook: (String, Path) => Unit = (_, _) => ()
+
+  /** Test seam: invoked while [[withWriter]] holds an EPHEMERAL lease,
+    * before the body runs — lets a cross-process spec hold a fold open so
+    * a second process's concurrent destructive call provably collides with
+    * it. No-op in production. */
+  private[graft] var ephemeralHoldHook: String => Unit = _ => ()
+
+  /** Runs `body` under the single-writer contract (VERDICT r14 #1).
+    *
+    * When THIS process already holds the table's lease (the automatic
+    * mode, a `runBatch`), this is exactly the old [[assertWriter]]: one
+    * `_gc` probe confirming the lease is still ours, then the body — the
+    * long-running writer keeps its heartbeat discipline and pays nothing
+    * new. When it holds none — ad-hoc maintenance: a manual `compact`,
+    * `mergeDelta`, `replacePartitions` from an operator shell — an
+    * EPHEMERAL lease is acquired around the body, so two simultaneous
+    * maintenance writers from two processes serialize instead of
+    * interleaving folds (the r14 lease only REFUSED foreign folds while a
+    * long-running writer was up; with no lease present, two manual
+    * compacts both passed the bare assert — the same silent row loss,
+    * needing only two operators acting at once. The reference serializes
+    * every writer including ad-hoc clients via MySQL transactions,
+    * batched_statements.rs:59-96). A live foreign lease still refuses with
+    * the named error (acquire's check); a crashed ad-hoc writer's leftover
+    * expires after the default ttl like any other. Cost: one create +
+    * read-back + delete per AD-HOC fold — never on the hot path, which
+    * always runs under a held lease. */
+  private[gtfs] def withWriter[T](spark: SparkSession, tableDir: String)(
+      body: => T): T = {
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (held.containsKey(rootKey(fs, tableDir))) {
+      // our long-running lease covers this call — but it must still BE
+      // ours (a stalled writer whose lease was usurped fails here)
+      assertWriter(spark, tableDir)
+      body
+    } else if (!fs.exists(new Path(tableDir))) {
+      // nonexistent table: nothing to destroy, nothing to serialize on —
+      // and an ephemeral acquire would mkdir a spurious `<table>/_gc`
+      body
+    } else {
+      val lease = acquire(spark, tableDir)
+      try { ephemeralHoldHook(tableDir); body }
+      finally lease.release()
     }
   }
 }

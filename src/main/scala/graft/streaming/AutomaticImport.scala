@@ -97,8 +97,24 @@ final class AutomaticImport private (
   // these leases instead of silently interleaving retirements. Acquired
   // BEFORE the recovery block below, which already rewrites the
   // predictions table; renewed every loop iteration; released by stop().
-  private val leases = Seq(recordsDir, predictionsDir).distinct
-    .map(d => WriterLease.acquire(spark, d))
+  private val leases = {
+    // acquire both or none (ADVICE r14): if the second acquire refuses (a
+    // foreign writer on predictionsDir), the first lease would otherwise
+    // be freed only by the shutdown hook or ttl expiry — blocking a
+    // replacement writer on recordsDir for up to the full ttl with no
+    // writer running. The recovery block below releases them the same way
+    // if IT throws mid-construction.
+    val acc = scala.collection.mutable.ArrayBuffer.empty[WriterLease]
+    try {
+      Seq(recordsDir, predictionsDir).distinct
+        .foreach(d => acc += WriterLease.acquire(spark, d))
+      acc.toSeq
+    } catch {
+      case t: Throwable =>
+        acc.foreach(l => try l.release() catch { case NonFatal(_) => () })
+        throw t
+    }
+  }
   // schedule version the mark currently belongs to — recovery and the
   // stale-schedule delete are keyed per version, like the reference's
   // per-filename WHERE clauses
@@ -110,6 +126,7 @@ final class AutomaticImport private (
   private val hwm = new AtomicLong({
     gate.lock()
     try {
+      try {
       // a writer that crashed with retirement manifests pending left
       // retired files holding disk — and every reader paying manifest
       // parsing — until the next fold happened to run (VERDICT r13 #2):
@@ -131,6 +148,16 @@ final class AutomaticImport private (
         // and here): start from 0 — the loop skips iterations until a
         // version appears, then recovers the real mark for it
         case None => 0L
+      }
+      } catch {
+        // constructor failure past the lease acquisition (a recovery
+        // rewrite failing, the predictions tree unreadable): release the
+        // leases before rethrowing — leaving them to the shutdown hook or
+        // ttl would block a replacement writer with no writer running
+        // (ADVICE r14)
+        case t: Throwable =>
+          leases.foreach(l => try l.release() catch { case NonFatal(_) => () })
+          throw t
       }
     } finally gate.unlock()
   })
@@ -192,6 +219,19 @@ final class AutomaticImport private (
             System.err.println(s"[automatic] writer lease lost: ${e.getMessage}")
             stopFlag.set(true)
             if (query.isActive) query.stop()
+          case NonFatal(e) =>
+            // renew can also throw IO errors (an NFS hiccup, setTimes
+            // racing a takeover's claim rename). Before this arm existed,
+            // such an exception escaped to the loop's outer catch
+            // (InterruptedException only) and KILLED the backfill thread
+            // while the stream kept ingesting — no folds, no cleanup, no
+            // heartbeats, and the lease then expired under a live writer
+            // (ADVICE r14). Log and retry next iteration instead: a
+            // transient error clears; a persistent one ends in the lease
+            // expiring and the next successful read turning it into the
+            // IllegalStateException stop above.
+            System.err.println(
+              s"[automatic] writer lease heartbeat failed (will retry): $e")
         }
         if (stopFlag.get() || !query.isActive) ()
         else if (!streamIdle()) { skipConfirm = false; Thread.sleep(idlePollMs) }

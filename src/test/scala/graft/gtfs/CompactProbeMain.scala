@@ -54,6 +54,56 @@ object CompactProbeMain {
           // latency)
           val lease = WriterLease.acquire(spark, tableDir)
           write(s"OK ${lease.ownerId}")
+        case m if m.startsWith("compact-race") =>
+          // AD-HOC writer vs ad-hoc writer (VERDICT r14 #1): a bare compact
+          // on an UN-leased table must acquire an ephemeral lease. The
+          // winner parks inside the fold (test seam) until the spec's `go`
+          // marker, so the other racer provably attempts its fold while the
+          // first is mid-fold — and must be refused, not interleaved.
+          WriterLease.ephemeralHoldHook = _ => {
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(ctlDir, s"infold-$m"), "1".getBytes("UTF-8"))
+            val dl = System.nanoTime() + 120L * 1000000000L
+            while (!java.nio.file.Files.exists(
+                java.nio.file.Paths.get(ctlDir, "go")) && System.nanoTime() < dl)
+              Thread.sleep(50)
+          }
+          try {
+            val n = LwwTable.compact(spark, tableDir, keyCols, col("seq"),
+              graceMs = 600000L)
+            write(s"OK $n")
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage.contains("another writer process holds the lease")
+                  || e.getMessage.contains("raced and lost") =>
+              write(s"REFUSED ${e.getMessage}")
+          }
+        case m if m.startsWith("acquire-race") =>
+          // two replacement writers observing the SAME expired lease: the
+          // takeover must be single-winner (claim by atomic rename). Both
+          // racers park on a barrier after session startup so the acquires
+          // genuinely overlap; the winner then HOLDS until the spec has
+          // read both results, so a slow loser can never acquire after an
+          // early release.
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(ctlDir, s"ready-$m"), "1".getBytes("UTF-8"))
+          val dl = System.nanoTime() + 120L * 1000000000L
+          while (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(ctlDir, "go-acquire")) && System.nanoTime() < dl)
+            Thread.sleep(5)
+          try {
+            val lease = WriterLease.acquire(spark, tableDir)
+            write(s"OK ${lease.ownerId}")
+            val dl2 = System.nanoTime() + 120L * 1000000000L
+            while (!java.nio.file.Files.exists(
+                java.nio.file.Paths.get(ctlDir, "release-acquire"))
+                && System.nanoTime() < dl2)
+              Thread.sleep(50)
+            lease.release()
+          } catch {
+            case e: IllegalStateException =>
+              write(s"REFUSED ${e.getMessage}")
+          }
       }
     } catch {
       case e: Throwable =>

@@ -221,6 +221,39 @@ class LwwGraceSpec extends AnyFunSuite {
     assert(!orphan.exists(), "an aged orphan temp is swept")
   }
 
+  test("an aged .tmp-folded orphan in a BASE partition dir is swept; a fresh one survives") {
+    // ADVICE r14: a trivial fold crashing between its copy and the install
+    // rename leaves .tmp-folded-<name> in the base partition dir. The
+    // deterministic temp name only self-heals if the partition takes the
+    // trivial path again — a second append first routes it through the
+    // merge path, which consumes the delta file, and the temp lingered
+    // forever (invisible to reads, but an unbounded-leak contradiction).
+    // gcRetired's orphan sweep now covers base partition dirs too.
+    val dir = Files.createTempDirectory("lww_grace_tmpfold").toString + "/t"
+    LwwTable.append(df(("a", "T1", "2024-01-01", "old", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L)
+    LwwTable.append(df(("a", "T1", "2024-01-01", "new", 2L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 60000L) // _gc exists
+    val partDir = new java.io.File(
+      s"$dir/source=a/trip_start_date=2024-01-01")
+    assert(partDir.isDirectory)
+    val orphan = new java.io.File(partDir, ".tmp-folded-crashed.parquet")
+    Files.write(orphan.toPath, "ghost".getBytes("UTF-8"))
+    LwwTable.gcRetired(spark, dir, 0L)
+    assert(orphan.exists(), "a FRESH temp (an in-flight fold's copy) is never touched")
+    // production shape: the crashed partition re-folds via the merge path
+    // (a second append consumed the delta file), which commits a manifest
+    // and re-creates _gc — the NEXT GC pass then finds the aged orphan
+    LwwTable.append(df(("a", "T1", "2024-01-01", "new2", 3L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 60000L)
+    assert(orphan.exists(), "still fresh relative to the fold's own GC pass")
+    assert(orphan.setLastModified(System.currentTimeMillis() - 120000L))
+    LwwTable.gcRetired(spark, dir, 0L)
+    assert(!orphan.exists(), "the aged crash leftover is swept from the base partition")
+    // the table itself is untouched by the sweep
+    assert(resolved(dir) == Set(("T1", "new2", 3L)))
+  }
+
   test("a trivial fold under grace COPIES the delta file — a planned snapshot keeps it") {
     // ADVICE r13 (high): the trivial move used to RENAME the live delta
     // file into the base, so a reader that listed it just before the fold
