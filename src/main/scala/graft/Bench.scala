@@ -232,9 +232,16 @@ object Bench {
         Seq("git", "rev-parse", "HEAD")).!!.trim
       catch { case NonFatal(_) => "unknown" }
       // a window measured with uncommitted changes says so: the sha alone
-      // would attribute the numbers to code it didn't measure
+      // would attribute the numbers to code it didn't measure. The bench's
+      // OWN artifacts don't count — this very run rewrites the floor file
+      // before recording, and untracked outputs (BENCH_SELF.json) never
+      // change the measured code — otherwise every window would read dirty
       val dirty = try scala.sys.process.Process(
-        Seq("git", "status", "--porcelain")).!!.trim.nonEmpty
+        Seq("git", "status", "--porcelain")).!!.linesIterator
+        .filterNot(_.startsWith("??"))
+        .map(_.drop(3))
+        .exists(p => p != "tools/bench_floor.tsv"
+          && p != "tools/bench_clean.jsonl")
       catch { case NonFatal(_) => true }
       val cleanPath = java.nio.file.Paths.get("tools/bench_clean.jsonl")
       java.nio.file.Files.createDirectories(cleanPath.getParent)
