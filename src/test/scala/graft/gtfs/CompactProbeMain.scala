@@ -78,6 +78,32 @@ object CompactProbeMain {
                   || e.getMessage.contains("raced and lost") =>
               write(s"REFUSED ${e.getMessage}")
           }
+        case m if m.startsWith("compact-loop") =>
+          // ad-hoc maintenance STORM participant: loop bare compacts (each
+          // taking the ephemeral lease) until the spec's stop marker,
+          // counting folds vs collisions. Any error other than the named
+          // refusal/raced-lost is a protocol failure and fails the probe.
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(ctlDir, s"ready-$m"), "1".getBytes("UTF-8"))
+          var oks = 0L
+          var refused = 0L
+          val dl = System.nanoTime() + 120L * 1000000000L
+          while (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(ctlDir, "stop-loop"))
+              && System.nanoTime() < dl) {
+            try {
+              LwwTable.compact(spark, tableDir, keyCols, col("seq"),
+                graceMs = 600000L)
+              oks += 1
+            } catch {
+              case e: IllegalStateException
+                  if e.getMessage.contains("another writer process holds the lease")
+                    || e.getMessage.contains("raced and lost") =>
+                refused += 1
+            }
+            Thread.sleep(25)
+          }
+          write(s"OK $oks $refused")
         case m if m.startsWith("acquire-race") =>
           // two replacement writers observing the SAME expired lease: the
           // takeover must be single-winner (claim by atomic rename). Both

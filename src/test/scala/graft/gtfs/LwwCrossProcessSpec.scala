@@ -214,6 +214,69 @@ class LwwCrossProcessSpec extends AnyFunSuite {
       "the claimed expired lease was deleted, not leaked")
   }
 
+  test("a 3-JVM ad-hoc fold storm against live appends loses no rows") {
+    // end-to-end proof of WHAT the ephemeral lease buys: three foreign
+    // JVMs loop bare compacts on the same table while this process keeps
+    // appending — before r15 any two of those folds could interleave (pin
+    // overlapping file sets, retire each other's merged output) and
+    // silently lose rows. Correctness is the assertion; the lease makes it
+    // hold by serializing every fold. Appends stay lease-free (additive)
+    // by design, like the reference's plain INSERTs under MySQL locks.
+    val base = Files.createTempDirectory("lww_xstorm")
+    val dir = s"$base/t"
+    val ctl = Files.createDirectory(base.resolve("ctl")).toString
+    def path(n: String) = java.nio.file.Paths.get(ctl, n)
+    def waitFor(cond: => Boolean, what: String): Unit = {
+      val dl = System.nanoTime() + 180L * 1000000000L
+      while (!cond && System.nanoTime() < dl) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what")
+    }
+    LwwTable.append(df(("a", "T0", "2024-01-01", "seed", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L)
+    val modes = Seq("compact-loop-1", "compact-loop-2", "compact-loop-3")
+    val procs = modes.zipWithIndex.map { case (m, i) =>
+      launchProbe("graft.gtfs.CompactProbeMain", ctl, s"storm$i.log",
+        Seq(dir, ctl, m))
+    }
+    try {
+      waitFor(modes.forall(m => java.nio.file.Files.exists(path(s"ready-$m"))),
+        "all three storm probes up")
+      // 14 keys × 3 generations of appends, interleaved with the foreign
+      // folds; every key's LAST write must survive whatever fold schedule
+      // the three probes produce
+      (1 to 3).foreach { gen =>
+        (1 to 14).foreach { k =>
+          LwwTable.append(df(("a", s"T$k", f"2024-03-${k % 9 + 1}%02d",
+            s"v$gen-$k", gen.toLong)), dir, keyCols, col("seq"))
+          Thread.sleep(30)
+        }
+      }
+      Thread.sleep(1500) // let a few more folds land on the final state
+    } finally
+      java.nio.file.Files.write(path("stop-loop"), "1".getBytes("UTF-8"))
+    procs.foreach(p => assert(
+      p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), "probe exits"))
+    val results = modes.map { m =>
+      new String(java.nio.file.Files.readAllBytes(path(s"result-$m")), "UTF-8")
+    }
+    procs.zip(results).foreach { case (p, r) =>
+      assert(p.exitValue() == 0 && r.startsWith("OK "),
+        s"a storm probe hit a non-refusal error: $r")
+    }
+    val counts = results.map(_.stripPrefix("OK ").trim.split(" ").map(_.toLong))
+    val folds = counts.map(_(0)).sum
+    val collisions = counts.map(_(1)).sum
+    assert(folds >= 3, s"the storm actually folded (folds=$folds)")
+    println(s"[storm] folds=$folds collisions=$collisions")
+    // ZERO row loss: every key resolves to its generation-3 write
+    val fin = LwwTable.read(spark, dir, keyCols, col("seq"))
+      .select("trip_id", "payload").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = (1 to 14).map(k => (s"T$k", s"v3-$k")).toSet + (("T0", "seed"))
+    assert(fin == expected,
+      s"last writer wins for every key after the storm:\n got $fin")
+  }
+
   test("a writer JVM exiting gracefully without release frees its lease via the shutdown hook") {
     val base = Files.createTempDirectory("lww_xhook")
     val dir = s"$base/t"
