@@ -418,7 +418,13 @@ object WriterLease {
     * the named error (acquire's check); a crashed ad-hoc writer's leftover
     * expires after the default ttl like any other. Cost: one create +
     * read-back + delete per AD-HOC fold — never on the hot path, which
-    * always runs under a held lease. */
+    * always runs under a held lease.
+    *
+    * The ephemeral bracket does NOT heartbeat: a single fold is expected
+    * to finish far inside the default ttl (worst measured base fold
+    * 30–40 s vs 10 min). A maintenance operation expected to run longer
+    * than the ttl must acquire explicitly and renew from its own loop,
+    * like the automatic mode does. */
   private[gtfs] def withWriter[T](spark: SparkSession, tableDir: String)(
       body: => T): T = {
     val fs = new Path(tableDir)
