@@ -524,13 +524,34 @@ object Dedup {
     * labels that would keep several exemplars per cluster.
     */
   def clusters(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
-               maxIters: Int = 25): DataFrame = {
+               maxIters: Int = 25,
+               rowsPerPartition: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .cache()
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
+    // SELF-SIZING shuffle width (SCALE.md r15): the halving self-join's
+    // sort-merge buffered side holds a task's whole label slice — at 133M
+    // nodes on the session default of 32 partitions that slice (~4M rows
+    // × 32 concurrent tasks) OOMed one 48 GB JVM. Measured ladder: 32
+    // parts OOM; 34 (the 4M-rows default) completes but spills 25.8 GB;
+    // 128 (~1M rows/task) completes with 7.4 GB spill and is ~10% faster
+    // — so the default targets ~1M rows per task, comfortably inside the
+    // boundary. Set-and-restore: the bump must not leak into the caller's
+    // other queries (restored in the finally below); AQE can coalesce
+    // small rounds back down, but cannot SPLIT an undersized shuffle,
+    // which is why the knob must rise here.
+    val spark = docs.sparkSession
+    val nNodes = labels.count()
+    val currentParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val targetParts = math.max(currentParts,
+      math.ceil(nNodes.toDouble / math.max(1L, rowsPerPartition)).toInt)
+    val bumped = targetParts > currentParts
+    if (bumped)
+      spark.conf.set("spark.sql.shuffle.partitions", targetParts.toString)
+    try {
     // convergence probe: labels only ever decrease, so the label sum is
     // strictly decreasing until the fixpoint. Summed as DECIMAL(38,0) —
     // a BIGINT sum overflows (and under ANSI, throws) once node-count ×
@@ -576,9 +597,21 @@ object Dedup {
     // straggler task; the aggregate combines map-side and AQE skew-join
     // handles the hot key on the way back
     val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    labeled.join(sizes, Seq("cluster_id"))
+    val result = labeled.join(sizes, Seq("cluster_id"))
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
         (col(idCol) === col("cluster_id")).as("is_kept"))
+    // a bumped run must MATERIALIZE its result before the conf restores:
+    // shuffle width is read at execution, not definition, so a lazy
+    // result's corpus-scale final joins would run back at the caller's
+    // undersized width — measured: the loop completed under the bump and
+    // the deferred final join then OOMed at 32 partitions. One extra
+    // checkpoint of the (id, cluster, size, kept) output, paid only on
+    // the bumped path; the common small-graph path stays lazy.
+    if (bumped) result.localCheckpoint() else result
+    } finally {
+      if (bumped)
+        spark.conf.set("spark.sql.shuffle.partitions", currentParts.toString)
+    }
   }
 
   /** DuckDB oracle twin of [[clusters]] over the n-gram Jaccard pair graph:

@@ -367,6 +367,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.count(_.getBoolean(3)) == 1, "exactly one kept exemplar")
   }
 
+  test("clusters self-size their shuffle width to the node count and restore the session conf") {
+    // SCALE.md r15: at 133M nodes the halving join OOMed on the session
+    // default of 32 partitions and completed at 128 — clusters now bumps
+    // spark.sql.shuffle.partitions to ceil(nodes / rowsPerPartition) for
+    // its eager rounds and RESTORES it after. Forced here with a tiny
+    // rowsPerPartition: 6 pair-nodes / 1 per partition = 6 > the session 4.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val corpus = (1L to 6L).toDF("doc_id")
+    val out = Dedup.clusters(corpus, chain, rowsPerPartition = 1L).collect()
+    assert(out.forall(_.getLong(1) == 1L), "correctness unchanged by the bump")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "the bumped shuffle width never leaks into the caller's session")
+    // and a failing run restores too (unconverged throw path)
+    intercept[IllegalStateException](
+      Dedup.clusters(corpus, chain, maxIters = 1, rowsPerPartition = 1L))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "restored on the throw path as well")
+  }
+
   test("simhash banding finds every pair up to the Hamming-3 guarantee") {
     // signatures of a doc and its 3-bit-flipped copy differ in exactly 3
     // bits only if the flipped tokens flip 3 independent signature bits —
