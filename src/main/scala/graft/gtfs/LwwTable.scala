@@ -694,6 +694,13 @@ object LwwTable {
       case (t, m) => (t.map { case (rel, g) => (rel, g.head) },
         m.flatMap(_._2))
     }
+    // PRE-INSTALL ownership re-check (VERDICT r15 #1): everything above is
+    // reads; the trivial moves below are the fold's first table mutation.
+    // A fold whose lease was usurped while it listed/planned aborts HERE
+    // with the named error, before any rename lands on a table another
+    // writer now owns — the ephemeral bracket's heartbeat makes usurpation
+    // rare, this makes it non-destructive.
+    if (trivial.nonEmpty) WriterLease.assertStillOwned(spark, tableDir)
     val trivialRetire = scala.collection.mutable.ArrayBuffer.empty[Path]
     trivial.foreach { case (rel, f) =>
       baseSampleSchema.foreach(b =>
@@ -787,6 +794,11 @@ object LwwTable {
     // files and the consumed delta files atomically. A crash at any point
     // leaves all rows resolvable and the next fold re-merges and re-retires
     // them — idempotent.
+    // PRE-INSTALL ownership re-check: the resolve+write above is the
+    // fold's long phase (minutes at scale) and lands only in the hidden
+    // temp tree — re-assert ownership immediately before the swap renames
+    // commit it into the base (VERDICT r15 #1)
+    WriterLease.assertStillOwned(spark, tableDir)
     val supersededBase = scala.collection.mutable.ArrayBuffer.empty[Path]
     val tmpRoot = new Path(tmpDir)
     fs.listStatus(tmpRoot).filter(st => st.isDirectory
@@ -936,6 +948,10 @@ object LwwTable {
       .repartition(PartCols.map(col): _*) // one file per partition
       .write.mode("overwrite").partitionBy(PartCols: _*).parquet(tmpDir)
     val fs = fsOf(spark, dDir)
+    // PRE-INSTALL ownership re-check: the resolve+write above only touched
+    // the hidden temp tree — re-assert ownership immediately before the
+    // merged files go live and the originals retire (VERDICT r15 #1)
+    WriterLease.assertStillOwned(spark, tableDir)
     val tmpRoot = new Path(tmpDir)
     fs.listStatus(tmpRoot).filter(st => st.isDirectory
         && Directory.visibleName(st.getPath.getName)).foreach { srcDir =>
@@ -1028,6 +1044,10 @@ object LwwTable {
     val dDir = deltaDir(tableDir)
     val tmpDir = s"$tableDir/_rewrite_tmp"
     kept.write.mode("overwrite").partitionBy(PartCols: _*).parquet(tmpDir)
+    // PRE-INSTALL ownership re-check: the kept-rows rewrite above landed in
+    // the hidden temp tree — re-assert ownership before the kept files go
+    // live and the old partitions retire (VERDICT r15 #1)
+    WriterLease.assertStillOwned(spark, tableDir)
     val tmpRoot = new Path(tmpDir)
     fs.listStatus(tmpRoot).filter(st => st.isDirectory
         && Directory.visibleName(st.getPath.getName)).foreach { srcDir =>

