@@ -236,17 +236,26 @@ object Bench {
       // OWN artifacts don't count — this very run rewrites the floor file
       // before recording, and untracked outputs (BENCH_SELF.json) never
       // change the measured code — otherwise every window would read dirty
-      val dirty = try scala.sys.process.Process(
+      val dirtyPaths = try scala.sys.process.Process(
         Seq("git", "status", "--porcelain")).!!.linesIterator
         .filterNot(_.startsWith("??"))
         .map(_.drop(3))
-        .exists(p => p != "tools/bench_floor.tsv"
+        .filter(p => p != "tools/bench_floor.tsv"
           && p != "tools/bench_clean.jsonl")
-      catch { case NonFatal(_) => true }
+        .toList
+      catch { case NonFatal(_) => List("<git status failed>") }
+      val dirty = dirtyPaths.nonEmpty
+      // when dirty IS true, name the paths (VERDICT r15 #4): the claim
+      // "this window measured uncommitted code" should itself be
+      // auditable — a reader can check whether the listed files touch the
+      // measured queries or are unrelated docs
+      val dirtyJson = if (dirty) dirtyPaths
+        .map(p => "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString(""","dirty_paths":[""", ",", "]") else ""
       val cleanPath = java.nio.file.Paths.get("tools/bench_clean.jsonl")
       java.nio.file.Files.createDirectories(cleanPath.getParent)
       java.nio.file.Files.writeString(cleanPath,
-        s"""{"head":"$sha","dirty":$dirty,"recorded":$line}""" + "\n",
+        s"""{"head":"$sha","dirty":$dirty$dirtyJson,"recorded":$line}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case NonFatal(_) => () }

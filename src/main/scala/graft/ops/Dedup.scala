@@ -529,29 +529,37 @@ object Dedup {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .cache()
+    // initial distinct runs at the session width (nNodes is unknown before
+    // it): a hash-aggregate distinct spills gracefully when undersized,
+    // unlike the sort-merge joins below — measured surviving 133M nodes at
+    // 32 partitions (SCALE.md r15)
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
-    // SELF-SIZING shuffle width (SCALE.md r15): the halving self-join's
-    // sort-merge buffered side holds a task's whole label slice — at 133M
-    // nodes on the session default of 32 partitions that slice (~4M rows
-    // × 32 concurrent tasks) OOMed one 48 GB JVM. Measured ladder: 32
-    // parts OOM; 34 (the 4M-rows default) completes but spills 25.8 GB;
-    // 128 (~1M rows/task) completes with 7.4 GB spill and is ~10% faster
-    // — so the default targets ~1M rows per task, comfortably inside the
-    // boundary. Set-and-restore: the bump must not leak into the caller's
-    // other queries (restored in the finally below); AQE can coalesce
-    // small rounds back down, but cannot SPLIT an undersized shuffle,
-    // which is why the knob must rise here.
+    // SELF-SIZING shuffle width (SCALE.md r15), scoped PER QUERY (ADVICE
+    // r15): the halving self-join's sort-merge buffered side holds a
+    // task's whole label slice — at 133M nodes on the session default of
+    // 32 partitions that slice (~4M rows × 32 concurrent tasks) OOMed one
+    // 48 GB JVM. Measured ladder: 32 parts OOM; 34 (the 4M-rows default)
+    // completes but spills 25.8 GB; 128 (~1M rows/task) completes with
+    // 7.4 GB spill and is ~10% faster — so the sizing targets ~1M rows
+    // per task. The width is pinned with explicit `repartition(n, key)`
+    // on each shuffle input instead of bumping the session-global
+    // `spark.sql.shuffle.partitions` (the old set-and-restore let a
+    // concurrent query on the same SparkSession observe the bumped width
+    // or restore a stale one, and needed a materialize-before-restore).
+    // Widths live in the PLAN now, so laziness is safe and concurrent
+    // queries are untouched. `sized` is the identity at or below the
+    // session width — the common small-graph path keeps today's plans
+    // (AQE free to broadcast the tiny side, no forced corpus shuffle).
     val spark = docs.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def widthFor(rows: Long): Int = math.max(sessionParts,
+      math.ceil(rows.toDouble / math.max(1L, rowsPerPartition)).toInt)
+    def sized(df: DataFrame, parts: Int, key: Column): DataFrame =
+      if (parts > sessionParts) df.repartition(parts, key) else df
     val nNodes = labels.count()
-    val currentParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val targetParts = math.max(currentParts,
-      math.ceil(nNodes.toDouble / math.max(1L, rowsPerPartition)).toInt)
-    val bumped = targetParts > currentParts
-    if (bumped)
-      spark.conf.set("spark.sql.shuffle.partitions", targetParts.toString)
-    try {
+    val loopParts = widthFor(nNodes)
     // convergence probe: labels only ever decrease, so the label sum is
     // strictly decreasing until the fixpoint. Summed as DECIMAL(38,0) —
     // a BIGINT sum overflows (and under ANSI, throws) once node-count ×
@@ -562,17 +570,25 @@ object Dedup {
     var converged = checksum == null // empty pair graph: nothing to propagate
     var iter = 0
     while (!converged && iter < maxIters) {
-      val prop = edges.join(labels, edges("a") === labels("node"))
-        .select(edges("b").as("node"), col("label"))
-      val propagated = labels.union(prop)
+      val e = sized(edges, loopParts, col("a"))
+      val l = sized(labels, loopParts, col("node"))
+      val prop = e.join(l, e("a") === l("node"))
+        .select(e("b").as("node"), col("label"))
+      // the repartition below satisfies the aggregation's required
+      // distribution, so partial+final run in one stage past it — the
+      // shuffle carries the un-combined union (≤ |edges| rows of 16 B),
+      // the same linear volume the implicit exchange moved
+      val propagated = sized(labels.union(prop), loopParts, col("node"))
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint() // materialize once — the halving self-join reads it twice
       // path halving: label := label(label). Labels are node ids with
       // label(n) ≤ n invariant, so the lookup is total (coalesce guards the
       // self-label rows the join keeps anyway) and strictly non-increasing —
       // one hop per round becomes doubling, O(log diameter) rounds.
-      val lookup = propagated.select(col("node").as("ref_node"), col("label").as("ref_label"))
-      labels = propagated
+      val lookup = sized(
+        propagated.select(col("node").as("ref_node"), col("label").as("ref_label")),
+        loopParts, col("ref_node"))
+      labels = sized(propagated, loopParts, col("label"))
         .join(lookup, col("label") === col("ref_node"), "left")
         .select(col("node"),
           coalesce(col("ref_label"), col("label")).as("label"))
@@ -587,31 +603,34 @@ object Dedup {
       throw new IllegalStateException(
         s"near-dup clustering did not converge in $maxIters rounds " +
           "(component diameter beyond ~2^25 — malformed pair graph?)")
+    // the final joins run over the CORPUS, which can dwarf the pair graph
+    // (ADVICE r15): size them off max(nodes, docs). The count is one
+    // zero-column scan of `docs` — parquet answers it from footer row
+    // counts; paid once per clusters() call, only so a 1000× corpus never
+    // funnels through a pair-graph-sized shuffle.
+    val finalParts = widthFor(math.max(nNodes, docs.count()))
     val comp = labels.withColumnRenamed("node", idCol)
-    val labeled = docs.select(col(idCol))
-      .join(comp, Seq(idCol), "left")
+    // when comp is small (loopParts at the session width ⇒ well under any
+    // broadcast threshold), `sized` leaves docs alone and AQE broadcasts
+    // comp — zero corpus shuffle; when the pair graph itself is huge the
+    // sort-merge is inevitable and both sides get the corpus-sized width
+    val joinParts = if (loopParts > sessionParts) finalParts else sessionParts
+    val labeled = sized(docs.select(col(idCol)), joinParts, col(idCol))
+      .join(sized(comp, joinParts, col(idCol)), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster_id"))
     // sizes via partial-aggregated groupBy + equi-join, NOT a window over
     // cluster_id: a window sorts each cluster in one partition, so a
     // mega-cluster (the all-identical-boilerplate pathology) becomes one
-    // straggler task; the aggregate combines map-side and AQE skew-join
-    // handles the hot key on the way back
-    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    val result = labeled.join(sizes, Seq("cluster_id"))
+    // straggler task. At pinned widths the hot key still lands in one
+    // partition, but both its consumers stream (the count aggregates, the
+    // join-back meets a single sizes row per cluster) — a straggler,
+    // never a blowup; below the pin, map-side combine + AQE skew-join
+    // keep today's plans.
+    val byCluster = sized(labeled, finalParts, col("cluster_id"))
+    val sizes = byCluster.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    byCluster.join(sizes, Seq("cluster_id"))
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
         (col(idCol) === col("cluster_id")).as("is_kept"))
-    // a bumped run must MATERIALIZE its result before the conf restores:
-    // shuffle width is read at execution, not definition, so a lazy
-    // result's corpus-scale final joins would run back at the caller's
-    // undersized width — measured: the loop completed under the bump and
-    // the deferred final join then OOMed at 32 partitions. One extra
-    // checkpoint of the (id, cluster, size, kept) output, paid only on
-    // the bumped path; the common small-graph path stays lazy.
-    if (bumped) result.localCheckpoint() else result
-    } finally {
-      if (bumped)
-        spark.conf.set("spark.sql.shuffle.partitions", currentParts.toString)
-    }
   }
 
   /** DuckDB oracle twin of [[clusters]] over the n-gram Jaccard pair graph:

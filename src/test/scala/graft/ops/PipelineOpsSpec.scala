@@ -367,25 +367,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.count(_.getBoolean(3)) == 1, "exactly one kept exemplar")
   }
 
-  test("clusters self-size their shuffle width to the node count and restore the session conf") {
+  test("clusters pin their self-sized shuffle width in the PLAN — the session conf never moves") {
     // SCALE.md r15: at 133M nodes the halving join OOMed on the session
-    // default of 32 partitions and completed at 128 — clusters now bumps
-    // spark.sql.shuffle.partitions to ceil(nodes / rowsPerPartition) for
-    // its eager rounds and RESTORES it after. Forced here with a tiny
+    // default of 32 partitions and completed at 128. ADVICE r15: the first
+    // fix bumped the session-global spark.sql.shuffle.partitions and
+    // restored it in a finally — a concurrent query on the same
+    // SparkSession could observe the bumped width mid-run or have its
+    // width restored out from under it. The sizing now lives in the plan
+    // as explicit repartition(n, key) nodes. Forced here with a tiny
     // rowsPerPartition: 6 pair-nodes / 1 per partition = 6 > the session 4.
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
       .toDF("a", "b")
     val corpus = (1L to 6L).toDF("doc_id")
-    val out = Dedup.clusters(corpus, chain, rowsPerPartition = 1L).collect()
-    assert(out.forall(_.getLong(1) == 1L), "correctness unchanged by the bump")
-    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
-      "the bumped shuffle width never leaks into the caller's session")
-    // and a failing run restores too (unconverged throw path)
+    // watch the conf from a CONCURRENT thread for the whole run: the old
+    // set-and-restore would trip this observer; plan-pinned widths cannot
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val observer = new Thread(() => {
+      while (!stop.get()) {
+        observed.add(spark.conf.get("spark.sql.shuffle.partitions"))
+        Thread.sleep(1)
+      }
+    })
+    observer.start()
+    val out =
+      try Dedup.clusters(corpus, chain, rowsPerPartition = 1L).collect()
+      finally { stop.set(true); observer.join(5000) }
+    assert(out.forall(_.getLong(1) == 1L), "correctness unchanged by the sizing")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    import scala.jdk.CollectionConverters._
+    assert(observed.asScala.forall(_ == before),
+      s"a concurrent same-session query never sees a bumped width; saw: ${
+        observed.asScala.toSet}")
+    // the sizing is real, not dropped: the result's physical plan carries
+    // the pinned 6-partition repartition on the cluster_id shuffle
+    val plan = Dedup.clusters(corpus, chain, rowsPerPartition = 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(cluster_id") && plan.contains(" 6)"),
+      s"pinned width in the plan:\n$plan")
+    // the throw path needs no restore bookkeeping anymore — but still throws
     intercept[IllegalStateException](
       Dedup.clusters(corpus, chain, maxIters = 1, rowsPerPartition = 1L))
-    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
-      "restored on the throw path as well")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
 
   test("simhash banding finds every pair up to the Hamming-3 guarantee") {
