@@ -580,6 +580,7 @@ object WriterLease {
       }, s"graft-ephemeral-lease-heartbeat-${lease.ownerId.take(8)}")
       hb.setDaemon(true)
       hb.start()
+      val t0 = System.nanoTime()
       try {
         ephemeralHoldHook(tableDir)
         val result = body
@@ -593,6 +594,15 @@ object WriterLease {
       } finally {
         stop.countDown()
         hb.join(2000L)
+        // telemetry (VERDICT r15 stretch): an ad-hoc fold running long
+        // against its ttl is kept safe by the heartbeat, but an operator
+        // should SEE the bound being approached before it matters
+        val heldMs = (System.nanoTime() - t0) / 1000000L
+        if (heldMs > lease.ttlMs / 2)
+          System.err.println(s"[lease] ad-hoc fold on $tableDir held its" +
+            s" ephemeral lease $heldMs ms (ttl ${lease.ttlMs} ms) — the" +
+            " bracket's heartbeat kept it live; maintenance expected to" +
+            " run this long should acquire explicitly and renew")
         lease.release()
       }
     }
