@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Times individual declared queries in isolation with the Bench session
+  * shape and methodology (count() action, min over passes after a warm
+  * pass). For optimization-round A/B work where the full 85-query bench is
+  * too coarse. Run: `sbt "runMain graft.TimeQ <name> [name...]"`. */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_TIMEQ_PASSES", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    args.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val warm = {
+        val t0 = System.nanoTime(); fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime(); fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[timeq] $n%-35s warm=$warm%8.3f min=${times.min}%8.3f " +
+        times.map(t => f"$t%.3f").mkString("passes=[", ", ", "]"))
+    }
+    spark.stop()
+  }
+}

@@ -218,13 +218,17 @@ object TextAnalysis {
     * (cnt DESC, pair). */
   def bigramPairs(docs: DataFrame, topN: Int = 50, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    // tokens materialize as a column BEFORE the pair lambda — embedding
-    // tokensCol in the lambda body re-runs the regex split per element
+    // tokens materialize as a column BEFORE the pair expression — embedding
+    // tokensCol here re-runs the regex split per element.
+    // arrays_zip over two slices instead of transform(sequence(...)): the
+    // higher-order transform evaluates its lambda INTERPRETED once per
+    // element (plus an element_at each side), while arrays_zip builds the
+    // pair array in one native pass — same (tok_a, tok_b) rows (slice 1 is
+    // tokens 1..n-1, slice 2 is tokens 2..n).
     val toks = col("__toks")
     val pairs = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => struct(element_at(toks, i + 1).as("tok_a"),
-          element_at(toks, i + 2).as("tok_b"))))
+      arrays_zip(slice(toks, lit(1), size(toks) - 1).as("tok_a"),
+        slice(toks, lit(2), size(toks) - 1).as("tok_b")))
       .otherwise(array().cast("array<struct<tok_a:string,tok_b:string>>"))
     docs.select(tokensCol(col(textCol)).as("__toks"))
       .select(explode(pairs).as("p"))

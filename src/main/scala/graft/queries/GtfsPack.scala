@@ -265,11 +265,17 @@ object GtfsPack extends QueryPack {
     val keys = Seq("route_id", "route_variant", "event_type", "time_slot_id", "stop_index")
     val cells = CurveAnalysis.generalObservations(recs, sched)
       .groupBy((keys :+ "delay").map(col): _*).agg(count(lit(1)).as("c"))
-    val byKey = Window.partitionBy(keys.map(col): _*)
+    // both window aggregates share ONE (partition, order) spec — differing
+    // only in frame — so they plan as a single WindowExec over a single
+    // sort; the previous unordered spec for `n` forced a second window
+    // operator (guide §2.4: operations keyed the same way share one pass).
+    // A full-partition sum is order-invariant, so `n` is unchanged.
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy("delay")
     val cum = cells
       .withColumn("cum_before", coalesce(sum("c").over(
-        byKey.orderBy("delay").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("n", sum("c").over(byKey))
+        byKey.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("c").over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("y_exp", (col("cum_before") + 1).cast("double") / col("n"))
       .select((keys.map(col) :+ col("delay").as("x") :+ col("y_exp")): _*)
     val pts = curves(s)._1.toDF().filter(col("curve_kind") === "general")
@@ -302,10 +308,20 @@ object GtfsPack extends QueryPack {
       graft.curves.Curves.yAtX(toArr(pts), x.toFloat).toDouble }
     val simp01 = udf { (pts: Seq[org.apache.spark.sql.Row]) =>
       graft.curves.Curves.simplify(toArr(pts), 0.01f).toSeq }
+    // the ε=0.01 simplification is hoisted to ONE evaluation per variant
+    // row (the broadcast build side) — it used to run inside the joined
+    // projection, once per (point × variant) PAIR (guide §1.2 step 2:
+    // per-task work; measured as the dominant cost of this check)
+    // localCheckpoint: the variant-curve table (small — one row per
+    // (variant, section, slot, event)) is the broadcast build side of all
+    // THREE legs below; without materializing it once, each leg's broadcast
+    // exchange re-runs the whole gap-fill + ECDF aggregation plan
     val vc = CurveAnalysis.variantCurves(s, recs, sched).toDF()
       .select(col("route_type").as("v_rt"), col("route_section").as("v_rs"),
         col("time_slot_id").as("v_ts"), col("event_type").as("v_et"),
         col("curve").as("v_curve"))
+      .withColumn("v_curve_s01", simp01(col("v_curve")))
+      .localCheckpoint()
     val gkeys = Seq("route_type", "route_section", "time_slot_id", "event_type")
     val pts = curves(s)._2.toDF()
       .select((gkeys.map(col) ++ Seq(col("precision_type"),
@@ -313,17 +329,38 @@ object GtfsPack extends QueryPack {
       .select((gkeys.map(col) ++ Seq(col("precision_type"),
         col("pos").as("idx"), col("col.x").cast("double").as("x"),
         col("col.y").cast("double").as("y"))): _*)
-    val contrib = pts
+    // one leg per precision tier, each an EQUI-join against the broadcast
+    // variant table — the previous single join carried the tier dispatch
+    // inside the join CONDITION, which has no equi keys and planned as a
+    // BroadcastNestedLoopJoin evaluating the 3-way CASE per (point ×
+    // variant) pair (guide §3.1: pick the strategy deliberately). The three
+    // filters partition pts exactly as the CASE's branches did, so the
+    // union is row-identical to the old join output.
+    val legCols = gkeys.map(col) ++ Seq(col("precision_type"), col("idx"),
+      col("x"), col("y"), col("v_eval"))
+    val genLeg = pts.filter(col("precision_type") === Codes.PrecisionGeneral)
       .join(broadcast(vc),
-        when(col("precision_type") === Codes.PrecisionGeneral,
-          col("v_rt") === col("route_type") && col("v_rs") === col("route_section")
-            && col("v_ts") === col("time_slot_id") && col("v_et") === col("event_type"))
-          .when(col("precision_type") === Codes.PrecisionFallbackGeneral,
-            col("v_rt") === col("route_type") && col("v_et") === col("event_type"))
-          .otherwise(lit(true)))
+        col("v_rt") === col("route_type") && col("v_rs") === col("route_section")
+          && col("v_ts") === col("time_slot_id") && col("v_et") === col("event_type"))
+      .withColumn("v_eval", yAtX(col("v_curve"), col("x")))
+      .select(legCols: _*)
+    val fbLeg = pts.filter(col("precision_type") === Codes.PrecisionFallbackGeneral)
+      .join(broadcast(vc),
+        col("v_rt") === col("route_type") && col("v_et") === col("event_type"))
+      .withColumn("v_eval", yAtX(col("v_curve"), col("x")))
+      .select(legCols: _*)
+    // the `otherwise(true)` tier (SuperGeneral in the built grid; kept as
+    // the same negated filter so a hypothetical fourth code behaves
+    // identically): every variant contributes — a genuine broadcast cross,
+    // exactly what the old join did for these rows
+    val sgLeg = pts.filter(col("precision_type") =!= Codes.PrecisionGeneral
+        && col("precision_type") =!= Codes.PrecisionFallbackGeneral)
+      .crossJoin(broadcast(vc))
       .withColumn("v_eval", yAtX(
         when(col("precision_type") === Codes.PrecisionSuperGeneral,
-          simp01(col("v_curve"))).otherwise(col("v_curve")), col("x")))
+          col("v_curve_s01")).otherwise(col("v_curve")), col("x")))
+      .select(legCols: _*)
+    val contrib = genLeg.unionByName(fbLeg).unionByName(sgLeg)
     contrib
       .groupBy((gkeys ++ Seq("precision_type", "idx", "x", "y")).map(col): _*)
       .agg(avg(col("v_eval")).as("y_exp"))

@@ -46,10 +46,16 @@ object MonitorPack extends QueryPack {
       .orderBy("o_orderkey")
 
   // ---- F7 last-stop filter (oracle-checked) ------------------------------
+  // window max over the vehicle key, exactly the oracle's shape: ONE
+  // exchange of the fact table and one scan. The previous form broadcast
+  // the per-order aggregate back against a second scan — broadcasting an
+  // aggregate OF THE FACT TABLE grows with the fact table (one row per
+  // order key), which caps out the driver/executors at scale, and the
+  // optimization guide (§3.1) reserves broadcast for bounded dimensions.
   private def f7LastStop(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val lastLine = li.groupBy("l_orderkey").agg(max("l_linenumber").as("last_ln"))
-    li.join(broadcast(lastLine), Seq("l_orderkey"))
+    val w = Window.partitionBy("l_orderkey")
+    t(s, dir, "lineitem")
+      .withColumn("last_ln", max("l_linenumber").over(w))
       .filter(col("l_linenumber") < col("last_ln"))
       .select("l_orderkey", "l_linenumber")
       .orderBy("l_orderkey", "l_linenumber")

@@ -67,13 +67,27 @@ object Tables {
     * TIMESTAMP(NANOS), which Spark 4 refuses by default — read it as a
     * nanosecond long and truncate to a microsecond timestamp (the oracle
     * side only ever sees day/hour truncations of it, so the lost sub-µs
-    * precision is immaterial). */
+    * precision is immaterial).
+    *
+    * The ANALYZED PLAN is memoized per (session, dir, table): every
+    * `spark.read.parquet` call builds a fresh InMemoryFileIndex (a driver
+    * file listing) and re-reads the footer schema, and the bench/verify
+    * harness calls this hundreds of times per run for the same static
+    * inputs. Plan reuse only — nothing is persisted or collected; every
+    * action on the returned frame scans parquet from scratch. The inputs
+    * are immutable test fixtures, so the pinned file-list snapshot cannot
+    * go stale mid-run. */
+  private val memo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    memo.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+    memo.getOrElseUpdate((spark, dir, name), {
+      if (name == "events")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    })
   }
 }
