@@ -9,6 +9,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // runtime-gated SMJ→SHJ upgrade (guide §3.1): AQE rewrites a
+      // sort-merge join to shuffled-hash only when every post-shuffle
+      // partition MEASURES below this bound, so small runs skip the sort
+      // while at scale (partitions >64 MB) the join stays sort-merge —
+      // scale-neutral by construction, unlike a static SHUFFLE_HASH hint
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

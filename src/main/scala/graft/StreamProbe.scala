@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch phase-timer for the streaming harness queries (not part of the
+  * declared surface): breaks gtfs_stream_records / dedup_stream cost into
+  * phases so optimization effort lands where the time is. */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    // warm the fixture pipeline (same shared state the bench setup builds)
+    t("pipeline_setup")(graft.queries.GtfsPack.predictionState(spark))
+    (1 to 2).foreach { i =>
+      println(s"--- round $i: gtfs_stream_records phases ---")
+      val (sched, _) = graft.queries.GtfsPack.predictionState(spark)
+      val rtDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        "/graft_gtfs_fixture_v1/rt" // FixtureLocator's stable location
+      val base = graft.queries.Scratch.tempDir("graft_probe").toString
+      val recordsDir = base + "/records"
+      try {
+        val lease = t("lease_acquire")(
+          graft.gtfs.WriterLease.acquire(spark, recordsDir))
+        try {
+          t("gc_retired")(graft.gtfs.LwwTable.gcRetired(spark, recordsDir, 0L))
+          val q = t("stream_start")(graft.streaming.StreamingImport.start(
+            spark, rtDir, sched, "graft", recordsDir, base + "/ckpt",
+            automatic = false, maxFilesPerTrigger = 256))
+          t("await_termination")(require(q.awaitTermination(300000)))
+          t("compact")(graft.gtfs.RecordsTable.compact(spark, recordsDir, graceMs = 0L))
+        } finally lease.release()
+        val out = t("read_back")(
+          graft.gtfs.RecordsTable.read(spark, recordsDir))
+        t("collect")(out.orderBy("source", "trip_start_date", "trip_id",
+          "trip_start_time", "stop_sequence").collect().length)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+    }
+    (1 to 2).foreach { i =>
+      println(s"--- round $i: dedup_stream full ---")
+      t("dedup_stream_query")(
+        SparkEntry.queries("dedup_stream")(spark, "/root/testdata/sf0.1").count())
+    }
+    spark.stop()
+  }
+}

@@ -15,6 +15,7 @@ object TimeQ {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -29,7 +30,15 @@ object TimeQ {
         val t0 = System.nanoTime(); fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
+      // driver-side share: analysis+optimization+physical planning alone
+      // (no job) — tells plan-depth overhead apart from execution
+      val planTimes = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.executedPlan
+        (System.nanoTime() - t0) / 1e9
+      }
       println(f"[timeq] $n%-35s warm=$warm%8.3f min=${times.min}%8.3f " +
+        f"planMin=${planTimes.min}%6.3f " +
         times.map(t => f"$t%.3f").mkString("passes=[", ", ", "]"))
     }
     spark.stop()

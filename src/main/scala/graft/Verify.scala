@@ -13,6 +13,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // same runtime-gated SMJ→SHJ upgrade as Bench — correctness runs
+      // should execute the plans the bench times (see Bench.scala)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

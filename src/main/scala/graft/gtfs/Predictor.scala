@@ -423,9 +423,20 @@ object Predictor {
           && col("event_type") === col("d_et")
           && col("d_slot") === when(col("time_slot_id") === Codes.DefaultTimeSlot, 1)
             .otherwise(col("time_slot_id")), "left")
-      .withColumn("prediction_curve", capCurve(
+      // the raw curve materializes in its OWN projection before capCurve:
+      // capCurve references its argument in ~5 expression positions (null
+      // gate, size test, identity branch, and per-element inside the
+      // >120-point resample lambda), and Spark's subexpression elimination
+      // does not reach into conditional branches or lambda bodies — inlining
+      // the interpolate UDF there evaluated it several times per row and
+      // quintupled the optimizer's expression tree. CollapseProject keeps
+      // the split (it refuses to duplicate non-cheap expressions), so the
+      // UDF runs exactly once per row and capCurve sees a plain attribute.
+      .withColumn("__raw_curve",
         when(col("best_rank") < 2, interpolate(col("curve_set"), col("basis_delay")))
-          .otherwise(col("d_curve"))))
+          .otherwise(col("d_curve")))
+      .withColumn("prediction_curve", capCurve(col("__raw_curve")))
+      .drop("__raw_curve")
       .filter(col("prediction_curve").isNotNull)
       .withColumn("precision_type",
         when(col("best_rank") === 0, Codes.PrecisionSpecific)

@@ -55,12 +55,17 @@ object VisualSchedule {
     val vstops = routeId
       .map(r => schedule.variantStops.filter(col("route_id") === r))
       .getOrElse(schedule.variantStops)
+    // sort DRIVER-side: the list is tiny by contract (collected right
+    // after), and a distributed orderBy before collect() paid a global
+    // range exchange + sort job per invocation just to order rows the
+    // driver is about to hold in memory anyway
     val byRoute = vstops
-      .orderBy("route_id", "route_variant", "stop_index")
-      .select("route_id", "route_variant", "stop_id")
+      .select("route_id", "route_variant", "stop_id", "stop_index")
       .collect()
-      .groupBy(r => (r.getString(0), r.getLong(1)))
-      .map { case ((rid, v), rows) => (rid, v, rows.map(_.getString(2)).toSeq) }
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .sortBy { case (rid, v, _, idx) => (rid, v, idx) }
+      .groupBy(r => (r._1, r._2))
+      .map { case ((rid, v), rows) => (rid, v, rows.map(_._3).toSeq) }
       .toSeq.groupBy(_._1)
 
     val mapping = for {
