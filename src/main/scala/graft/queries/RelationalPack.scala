@@ -214,24 +214,25 @@ object RelationalPack extends QueryPack {
   // construction in SQL: cumulative count at first occurrence / n, endpoints
   // forced to 0/1, and the reference's lastX=0 quirk (a minimum value of
   // exactly 0 emits no point of its own).
-  private def a3EcdfCurve(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private def a3EcdfCurve(s: SparkSession, dir: String): DataFrame =
+    // the PARTIAL-aggregating ECDF (EcdfAggregator, whose finish is pinned
+    // to Curves.makeCurve(values, None) by EcdfAggregatorSpec — endpoints,
+    // lastX=0 quirk and all; ε=0 keeps simplify a no-op): map-side combine
+    // shuffles one (value → count) cell per distinct delay instead of every
+    // raw observation row, which the previous typed groupByKey/
+    // flatMapGroups form shipped whole (guide §2.3: aggregate before you
+    // shuffle). Same curve values; y rounding is half-up on non-negative
+    // values in both forms.
     t(s, dir, "events")
       .select(col("event_type"),
-        (expr("CAST(value AS INT)") - expr("CAST(value AS INT) % 12")).as("x"))
-      .as[(String, Int)]
-      .groupByKey(_._1)
-      .flatMapGroups { (g: String, rows: Iterator[(String, Int)]) =>
-        val values = rows.map(_._2.toFloat).toSeq
-        graft.curves.Curves.makeCurve(values, None).iterator.flatMap {
-          case (curve, _) =>
-            curve.iterator.map(p =>
-              (g, p.x.toInt, math.round(p.y.toDouble * 10000) / 10000.0))
-        }
-      }
-      .toDF("event_type", "x", "y")
+        (expr("CAST(value AS INT)") - expr("CAST(value AS INT) % 12"))
+          .cast("float").as("v"))
+      .groupBy("event_type")
+      .agg(graft.functions.EcdfAggregator.ecdf(col("v"), 1, 0f).as("curve"))
+      .select(col("event_type"), posexplode(col("curve")))
+      .select(col("event_type"), col("col.x").cast("int").as("x"),
+        (round(col("col.y").cast("double") * 10000) / 10000).as("y"))
       .orderBy("event_type", "x")
-  }
 
   // A8/A10 curve averaging, oracle-checked end to end: per-group
   // unsimplified ECDFs (the REAL partial aggregator) averaged pointwise on
