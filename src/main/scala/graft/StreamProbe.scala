@@ -51,6 +51,32 @@ object StreamProbe {
       t("dedup_stream_query")(
         SparkEntry.queries("dedup_stream")(spark, "/root/testdata/sf0.1").count())
     }
+    (1 to 2).foreach { i =>
+      println(s"--- round $i: dedup_stream phases ---")
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.1", "documents")
+      val base = graft.queries.Scratch.tempDir("graft_probe_ds")
+      val srcDir = base.toString + "/src"
+      t("src_write")(docs.write.mode("overwrite").parquet(srcDir))
+      val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
+        .withColumn("ts", timestamp_micros(col("doc_id") + lit(1700000000000000L)))
+      val sink = "probe_sink_" + i
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val q = t("stream_start")(
+        graft.streaming.StreamingDedup.exactStream(stream)
+          .select(md5(col("text")).as("text_md5"))
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", base.toString + "/ckpt")
+          .trigger(Trigger.AvailableNow()).start())
+      t("await")(require(q.awaitTermination(300000)))
+      println(s"[probe] batches=${q.recentProgress.length} " +
+        q.recentProgress.map(p => s"${p.numInputRows}r/${p.batchDuration}ms")
+          .mkString(" "))
+      t("collect")(spark.table(sink).orderBy("text_md5").collect().length)
+      spark.catalog.dropTempView(sink)
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
     spark.stop()
   }
 }

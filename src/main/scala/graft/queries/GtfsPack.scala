@@ -310,18 +310,18 @@ object GtfsPack extends QueryPack {
       graft.curves.Curves.simplify(toArr(pts), 0.01f).toSeq }
     // the ε=0.01 simplification is hoisted to ONE evaluation per variant
     // row (the broadcast build side) — it used to run inside the joined
-    // projection, once per (point × variant) PAIR (guide §1.2 step 2:
-    // per-task work; measured as the dominant cost of this check)
-    // localCheckpoint: the variant-curve table (small — one row per
-    // (variant, section, slot, event)) is the broadcast build side of all
-    // THREE legs below; without materializing it once, each leg's broadcast
-    // exchange re-runs the whole gap-fill + ECDF aggregation plan
+    // projection, once per matched (point × variant) pair (guide §1.2
+    // step 2: per-task work). The join itself deliberately STAYS the
+    // single conditional BroadcastNestedLoopJoin: an r16 experiment split
+    // it into per-tier equi-join legs (2 BroadcastHashJoins + a cross leg)
+    // and measured SLOWER — this check runs on the constant-size GTFS
+    // fixture, never at corpus scale, so the extra per-leg jobs/broadcasts
+    // cost more than the ~6M cheap CASE evaluations they remove.
     val vc = CurveAnalysis.variantCurves(s, recs, sched).toDF()
       .select(col("route_type").as("v_rt"), col("route_section").as("v_rs"),
         col("time_slot_id").as("v_ts"), col("event_type").as("v_et"),
         col("curve").as("v_curve"))
       .withColumn("v_curve_s01", simp01(col("v_curve")))
-      .localCheckpoint()
     val gkeys = Seq("route_type", "route_section", "time_slot_id", "event_type")
     val pts = curves(s)._2.toDF()
       .select((gkeys.map(col) ++ Seq(col("precision_type"),
@@ -329,39 +329,17 @@ object GtfsPack extends QueryPack {
       .select((gkeys.map(col) ++ Seq(col("precision_type"),
         col("pos").as("idx"), col("col.x").cast("double").as("x"),
         col("col.y").cast("double").as("y"))): _*)
-    // one leg per precision tier, each an EQUI-join against the broadcast
-    // variant table — the previous single join carried the tier dispatch
-    // inside the join CONDITION, which has no equi keys and planned as a
-    // BroadcastNestedLoopJoin evaluating the 3-way CASE per (point ×
-    // variant) pair (guide §3.1: pick the strategy deliberately). The three
-    // filters partition pts exactly as the CASE's branches did, so the
-    // union is row-identical to the old join output.
-    val legCols = gkeys.map(col) ++ Seq(col("precision_type"), col("idx"),
-      col("x"), col("y"), col("v_eval"))
-    val genLeg = pts.filter(col("precision_type") === Codes.PrecisionGeneral)
+    pts
       .join(broadcast(vc),
-        col("v_rt") === col("route_type") && col("v_rs") === col("route_section")
-          && col("v_ts") === col("time_slot_id") && col("v_et") === col("event_type"))
-      .withColumn("v_eval", yAtX(col("v_curve"), col("x")))
-      .select(legCols: _*)
-    val fbLeg = pts.filter(col("precision_type") === Codes.PrecisionFallbackGeneral)
-      .join(broadcast(vc),
-        col("v_rt") === col("route_type") && col("v_et") === col("event_type"))
-      .withColumn("v_eval", yAtX(col("v_curve"), col("x")))
-      .select(legCols: _*)
-    // the `otherwise(true)` tier (SuperGeneral in the built grid; kept as
-    // the same negated filter so a hypothetical fourth code behaves
-    // identically): every variant contributes — a genuine broadcast cross,
-    // exactly what the old join did for these rows
-    val sgLeg = pts.filter(col("precision_type") =!= Codes.PrecisionGeneral
-        && col("precision_type") =!= Codes.PrecisionFallbackGeneral)
-      .crossJoin(broadcast(vc))
+        when(col("precision_type") === Codes.PrecisionGeneral,
+          col("v_rt") === col("route_type") && col("v_rs") === col("route_section")
+            && col("v_ts") === col("time_slot_id") && col("v_et") === col("event_type"))
+          .when(col("precision_type") === Codes.PrecisionFallbackGeneral,
+            col("v_rt") === col("route_type") && col("v_et") === col("event_type"))
+          .otherwise(lit(true)))
       .withColumn("v_eval", yAtX(
         when(col("precision_type") === Codes.PrecisionSuperGeneral,
           col("v_curve_s01")).otherwise(col("v_curve")), col("x")))
-      .select(legCols: _*)
-    val contrib = genLeg.unionByName(fbLeg).unionByName(sgLeg)
-    contrib
       .groupBy((gkeys ++ Seq("precision_type", "idx", "x", "y")).map(col): _*)
       .agg(avg(col("v_eval")).as("y_exp"))
       .filter(abs(col("y") - col("y_exp")) > 1e-4)
