@@ -350,15 +350,33 @@ object LwwTable {
   def append(batch: DataFrame, tableDir: String, keyCols: Seq[String],
              newestBy: Column): Unit = {
     if (batch.isEmpty) return
-    resolve(batch, keyCols, newestBy)
-      // one file per (source, date) per append — delta file count grows with
-      // TRIGGERS, not with (triggers × shuffle partitions); micro-batches
-      // are bounded by maxFilesPerTrigger, so the single writer task per
-      // partition is never the bottleneck
-      .repartition(PartCols.map(col): _*)
+    // one file per (source, date) per append — delta file count grows with
+    // TRIGGERS, not with (triggers × shuffle partitions); micro-batches
+    // are bounded by maxFilesPerTrigger, so the single writer task per
+    // partition is never the bottleneck
+    partitionedResolve(batch, keyCols, newestBy)
       .write.mode("append").partitionBy(PartCols: _*)
       .parquet(deltaDir(tableDir))
   }
+
+  /** [[resolve]] + one-file-per-partition layout in ONE exchange: when the
+    * partition columns are a subset of the key columns (both engine tables
+    * — records and predictions — satisfy this), hashing by PartCols already
+    * clusters every LWW key into one task, so the resolution window runs on
+    * the write partitioning directly instead of paying its own
+    * hash(keyCols) exchange and then a second hash(PartCols) exchange for
+    * the layout (guide §2.4: two operations keyed compatibly share one
+    * exchange). Every micro-batch trigger pays this path — at a 5 s
+    * production trigger, one exchange per trigger saved. Falls back to the
+    * two-exchange form for hypothetical tables whose key does not contain
+    * the partition columns (where one task per partition would not see all
+    * rows of a key). */
+  private[gtfs] def partitionedResolve(df: DataFrame, keyCols: Seq[String],
+                                 newestBy: Column): DataFrame =
+    if (PartCols.forall(keyCols.contains))
+      resolve(df.repartition(PartCols.map(col): _*), keyCols, newestBy)
+    else
+      resolve(df, keyCols, newestBy).repartition(PartCols.map(col): _*)
 
   /** The W2 read-time resolution: newest row per `keyCols` by `newestBy`.
     * Exactly the window the write-time merge used, applied lazily — callers
@@ -944,8 +962,9 @@ object LwwTable {
     val delta = normalizePartCols(spark.read.option("basePath", dDir)
       .parquet(files.map(_.toString): _*))
     val tmpDir = s"$tableDir/_merge_tmp"
-    resolve(delta, keyCols, newestBy)
-      .repartition(PartCols.map(col): _*) // one file per partition
+    // one file per partition; single exchange via partitionedResolve (the
+    // merge runs on every 64-file backstop window — same win as append's)
+    partitionedResolve(delta, keyCols, newestBy)
       .write.mode("overwrite").partitionBy(PartCols: _*).parquet(tmpDir)
     val fs = fsOf(spark, dDir)
     // PRE-INSTALL ownership re-check: the resolve+write above only touched

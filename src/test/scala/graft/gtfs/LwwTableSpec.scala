@@ -400,4 +400,27 @@ class LwwTableSpec extends AnyFunSuite {
     assert(resolved(dir) == Set(("T1", "keep", 1L), ("T2", "new", 2L)),
       "base-only keys of the null-source partition survive the fold")
   }
+
+  test("partitionedResolve pays ONE exchange and matches resolve exactly") {
+    val d = df(
+      ("a", "T1", "2024-01-01", "old", 1L),
+      ("a", "T1", "2024-01-01", "new", 2L),
+      ("a", "T2", "2024-01-01", "only", 3L),
+      ("b", "T1", "2024-01-02", "x", 4L),
+      ("b", "T1", "2024-01-02", "y", 5L))
+    val out = LwwTable.partitionedResolve(d, keyCols, col("seq"))
+    // the write layout's hash(PartCols) repartition must be the ONLY
+    // shuffle: it already clusters every LWW key (PartCols is a subset of
+    // the key), so the resolution window adds a sort, never an exchange
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
+    val got = out.select(cols.map(col): _*).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3), r.getLong(4))).toSet
+    val expected = LwwTable.resolve(d, keyCols, col("seq"))
+      .select(cols.map(col): _*).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3), r.getLong(4))).toSet
+    assert(got == expected && got == Set(
+      ("a", "T1", "new", 2L), ("a", "T2", "only", 3L), ("b", "T1", "y", 5L)))
+  }
 }
