@@ -362,11 +362,17 @@ object GtfsPack extends QueryPack {
       .select(keys.map(col) ++ Seq(col("npts"), posexplode(col("curve"))): _*)
       .select(keys.map(col) ++ Seq(col("npts"), col("pos").as("idx"),
         col("col.x").cast("double").as("x"), col("col.y").cast("double").as("y")): _*)
-    val byKey = Window.partitionBy(keys.map(col): _*)
+    // one (partition, order) spec for all four window aggregates — frames
+    // differ (lag offsets vs unbounded span), but sharing the spec plans a
+    // single WindowExec over a single sort (full-partition max/min are
+    // order-invariant, so `span` is unchanged)
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy("idx")
+    val whole = byKey.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     pts
-      .withColumn("prev_x", lag("x", 1).over(byKey.orderBy("idx")))
-      .withColumn("prev_y", lag("y", 1).over(byKey.orderBy("idx")))
-      .withColumn("span", max("x").over(byKey) - min("x").over(byKey))
+      .withColumn("prev_x", lag("x", 1).over(byKey))
+      .withColumn("prev_y", lag("y", 1).over(byKey))
+      .withColumn("span", max("x").over(whole) - min("x").over(whole))
       .withColumn("reason",
         when(col("idx") === 0 && abs(col("y")) > 1e-6, "first_y_not_zero")
           .when(col("idx") === col("npts") - 1 && abs(col("y") - 1) > 1e-6,

@@ -22,8 +22,11 @@ object ScalarPack extends QueryPack {
   // lineitem as "trip": stop_count = lines per order, stop_index = rank-1.
   private def x7RouteSection(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val counts = Window.partitionBy("l_orderkey")
     val order = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    // full-partition count on the SAME (partition, order) spec as the
+    // row_number — one WindowExec, one sort (count is order-invariant)
+    val counts = order.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     li.withColumn("stop_count", count(lit(1)).over(counts))
       .withColumn("stop_index", row_number().over(order) - 1)
       .select(col("l_orderkey"), col("l_linenumber"),
