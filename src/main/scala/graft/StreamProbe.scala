@@ -19,6 +19,29 @@ object StreamProbe {
       println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       r
     }
+    // job-level accounting: every Spark job's wall time + description, so
+    // the micro-batch's cost splits into named jobs vs framework gaps
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(js.jobId, (System.nanoTime(),
+          Option(js.properties.getProperty("spark.job.description"))
+            .orElse(Option(js.properties.getProperty("callSite.short"))).getOrElse("?")))
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = starts.remove(je.jobId)
+        if (s != null) jobs.add((je.jobId, System.nanoTime() - s._1, s._2))
+      }
+    })
+    def drainJobs(label: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val all = jobs.asScala.toSeq.sortBy(_._1)
+      jobs.clear()
+      println(s"[jobs:$label] n=${all.size} " +
+        f"sum=${all.map(_._2).sum / 1e9}%.3f s")
+      all.foreach { case (id, ns, d) =>
+        println(f"[jobs:$label]   #$id%-4d ${ns / 1e9}%7.3f  ${d.take(90)}") }
+    }
     // warm the fixture pipeline (same shared state the bench setup builds)
     t("pipeline_setup")(graft.queries.GtfsPack.predictionState(spark))
     (1 to 2).foreach { i =>
@@ -33,11 +56,14 @@ object StreamProbe {
           graft.gtfs.WriterLease.acquire(spark, recordsDir))
         try {
           t("gc_retired")(graft.gtfs.LwwTable.gcRetired(spark, recordsDir, 0L))
+          drainJobs("pre")
           val q = t("stream_start")(graft.streaming.StreamingImport.start(
             spark, rtDir, sched, "graft", recordsDir, base + "/ckpt",
             automatic = false, maxFilesPerTrigger = 256))
           t("await_termination")(require(q.awaitTermination(300000)))
+          drainJobs("microbatch")
           t("compact")(graft.gtfs.RecordsTable.compact(spark, recordsDir, graceMs = 0L))
+          drainJobs("compact")
         } finally lease.release()
         val out = t("read_back")(
           graft.gtfs.RecordsTable.read(spark, recordsDir))
