@@ -169,12 +169,10 @@ object ImportCli {
     val source = if (rest.length > 1) rest(1) else "graft"
     val nowDate = if (rest.length > 2) Some(rest(2)) else None
 
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shared session shape (GraftSession, VERDICT r16 #6): the production
+    // entry point executes the same plans the bench/verify harness runs —
+    // including the runtime-gated SMJ→SHJ conf that used to be harness-only
+    val spark = GraftSession.builder("8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
       if (automatic) {

@@ -8,16 +8,9 @@ object Verify {
     val Array(sfDir, outDirArg) = args
     // oracle SQL references dumped parquet by ABSOLUTE path (__VOUT__ token)
     val outDir = new java.io.File(outDirArg).getAbsolutePath
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // same runtime-gated SMJ→SHJ upgrade as Bench — correctness runs
-      // should execute the plans the bench times (see Bench.scala)
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shared session shape (GraftSession): correctness runs execute the
+    // plans the bench times
+    val spark = GraftSession.builder("4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
