@@ -42,9 +42,13 @@ object StreamProbe {
       all.foreach { case (id, ns, d) =>
         println(f"[jobs:$label]   #$id%-4d ${ns / 1e9}%7.3f  ${d.take(90)}") }
     }
+    // section filter (gtfs | dedup | dedup_phases), default all
+    val ops = sys.env.getOrElse("SPARK_GRAFT_PROBE_OPS", "gtfs,dedup,dedup_phases")
+      .split(',').map(_.trim).toSet
     // warm the fixture pipeline (same shared state the bench setup builds)
-    t("pipeline_setup")(graft.queries.GtfsPack.predictionState(spark))
-    (1 to 2).foreach { i =>
+    if (ops("gtfs"))
+      t("pipeline_setup")(graft.queries.GtfsPack.predictionState(spark))
+    if (ops("gtfs")) (1 to 2).foreach { i =>
       println(s"--- round $i: gtfs_stream_records phases ---")
       val (sched, _) = graft.queries.GtfsPack.predictionState(spark)
       val rtDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
@@ -72,12 +76,21 @@ object StreamProbe {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(base))
     }
-    (1 to 2).foreach { i =>
+    if (ops("dedup")) (1 to 2).foreach { i =>
       println(s"--- round $i: dedup_stream full ---")
       t("dedup_stream_query")(
         SparkEntry.queries("dedup_stream")(spark, "/root/testdata/sf0.1").count())
     }
-    (1 to 2).foreach { i =>
+    // state-store A/B knobs for the phase runs (probe-only; the declared
+    // query is untouched): SPARK_GRAFT_PROBE_STATE_PROVIDER sets
+    // spark.sql.streaming.stateStore.providerClass,
+    // SPARK_GRAFT_PROBE_STATE_PARTS sets spark.sql.shuffle.partitions for
+    // the stream (state partition count is pinned at first batch)
+    sys.env.get("SPARK_GRAFT_PROBE_STATE_PROVIDER").foreach(p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    sys.env.get("SPARK_GRAFT_PROBE_STATE_PARTS").foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n))
+    if (ops("dedup_phases")) (1 to 2).foreach { i =>
       println(s"--- round $i: dedup_stream phases ---")
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.Trigger
@@ -99,6 +112,12 @@ object StreamProbe {
       println(s"[probe] batches=${q.recentProgress.length} " +
         q.recentProgress.map(p => s"${p.numInputRows}r/${p.batchDuration}ms")
           .mkString(" "))
+      q.recentProgress.foreach { p =>
+        println(s"[probe] durationMs=${p.durationMs}")
+        p.stateOperators.foreach(so => println(
+          s"[probe] state op=${so.operatorName} rows=${so.numRowsTotal} " +
+            s"commitMs=${so.allUpdatesTimeMs}/${so.commitTimeMs} mem=${so.memoryUsedBytes}"))
+      }
       t("collect")(spark.table(sink).orderBy("text_md5").collect().length)
       spark.catalog.dropTempView(sink)
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)

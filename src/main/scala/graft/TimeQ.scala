@@ -33,6 +33,17 @@ object TimeQ {
       println(f"[timeq] $n%-35s warm=$warm%8.3f min=${times.min}%8.3f " +
         f"planMin=${planTimes.min}%6.3f " +
         times.map(t => f"$t%.3f").mkString("passes=[", ", ", "]"))
+      // optional planMin decomposition: DataFrame CONSTRUCTION (eager
+      // per-op analysis while the query builds) vs the final plan's
+      // optimize + physical-planning phases (SPARK_GRAFT_TIMEQ_PHASES=1)
+      if (sys.env.get("SPARK_GRAFT_TIMEQ_PHASES").contains("1")) {
+        val t0 = System.nanoTime(); val df = fn(spark, sfDir)
+        val t1 = System.nanoTime(); df.queryExecution.optimizedPlan
+        val t2 = System.nanoTime(); df.queryExecution.executedPlan
+        val t3 = System.nanoTime()
+        println(f"[timeq]   phases construct=${(t1 - t0) / 1e9}%.3f " +
+          f"optimize=${(t2 - t1) / 1e9}%.3f physical=${(t3 - t2) / 1e9}%.3f")
+      }
     }
     spark.stop()
   }

@@ -349,7 +349,12 @@ object LwwTable {
     * under `_delta/`. Never reads existing data. */
   def append(batch: DataFrame, tableDir: String, keyCols: Seq[String],
              newestBy: Column): Unit = {
-    if (batch.isEmpty) return
+    // no isEmpty pre-probe (guide §1.5/§2: one action per batch, not two):
+    // the probe was a second action that re-ran (or force-cached) the whole
+    // decode plan every trigger just to skip a write that is already cheap
+    // when empty — an empty partitioned write emits no data files and no
+    // partition dirs (only a _SUCCESS marker, hidden from every listing and
+    // from tableHasData), so readers still take the no-delta short-circuit
     // one file per (source, date) per append — delta file count grows with
     // TRIGGERS, not with (triggers × shuffle partitions); micro-batches
     // are bounded by maxFilesPerTrigger, so the single writer task per

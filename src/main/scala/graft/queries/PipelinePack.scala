@@ -404,14 +404,31 @@ object PipelinePack extends QueryPack {
     // starts a stream inside the bracket.
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val ndPrev = s.conf.get(ndKey)
+    // SCALE-ADAPTIVE state width (guide §2.2: size partitions by data, not
+    // by the core-count constant): the state store pays a ~100-150 ms FIXED
+    // commit cost per partition per batch (StreamProbe: commitTimeMs 8.8 s
+    // CPU across the session's 32 partitions for ~5k keys; 0.8 s at 8; 0.07 s
+    // at 1 — identical results, the dedup key set is partition-invariant).
+    // Derive the stream's shuffle width from the SOURCE SIZE at one
+    // partition per 64 MB, capped by the session width so a corpus-scale
+    // source keeps the session's full parallelism — the constant-width
+    // session conf stays untouched for every batch query. RocksDB provider
+    // A/B'd and rejected (addBatch 0.78 s → 4-5 s on this state size).
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = s.conf.get(spKey)
+    val srcBytes = org.apache.commons.io.FileUtils
+      .sizeOfDirectory(base.resolve("src").toFile)
+    val streamParts = math.max(1L,
+      math.min(spPrev.toLong, srcBytes / (64L << 20) + 1)).toString
     val q = try {
       s.conf.set(ndKey, "false")
+      s.conf.set(spKey, streamParts)
       graft.streaming.StreamingDedup.exactStream(stream)
         .select(md5(col("text")).as("text_md5"))
         .writeStream.format("memory").queryName(sinkName)
         .option("checkpointLocation", base.toString + "/ckpt")
         .trigger(Trigger.AvailableNow()).start()
-    } finally s.conf.set(ndKey, ndPrev)
+    } finally { s.conf.set(ndKey, ndPrev); s.conf.set(spKey, spPrev) }
     // materialize the bounded result (distinct text hashes) on the driver so
     // the temp source/checkpoint dirs and the memory sink can be torn down —
     // teardown runs on the FAILURE path too (a timed-out query must be

@@ -386,12 +386,13 @@ object StreamingImport {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[RtRow], _: Long) =>
-        // persist: upsertBatch runs the decode + schedule-join plan for the
-        // touched-partitions collect AND the merged write — same replay the
-        // prediction-refresh path already pins (see startPredictionRefresh)
-        val recs = recordsStream(spark, batch, schedule, source).persist()
-        try upsertBatch(recs, recordsDir)
-        finally recs.unpersist()
+        // NO persist: with append's isEmpty pre-probe gone the upsert is a
+        // single action (the delta write), so the decode + schedule-join
+        // plan runs exactly once per trigger — caching it would only add a
+        // memory-store round trip ahead of that one pass (the
+        // prediction-refresh loop keeps its persist: it genuinely reuses
+        // the batch across several actions)
+        upsertBatch(recordsStream(spark, batch, schedule, source), recordsDir)
       }
       .start()
   }
@@ -855,12 +856,9 @@ object StreamingImport {
                       "no_schedule_version_predict",
                       s"date=$d version=${schedName.getOrElse("-")}")))
                   case Some(p) =>
-                  // persist: upsertTable's touched-partitions collect would
-                  // otherwise run the whole predict plan once, and the
-                  // merge write a second time — the dominant per-trigger
-                  // cost doubled
-                  val preds = p.withColumn("refresh_seq", lit(refreshSeq))
-                    .persist()
+                  // NO persist (append's isEmpty pre-probe is gone): the
+                  // per-group upsert is a single action — the delta write —
+                  // so the predict plan runs exactly once per group.
                   // mergeBackstop=false PER GROUP (ADVICE r11): the group's
                   // as-of name is legitimately OLDER than the newest version
                   // for late old-dated rt files, and a physical merge under
@@ -868,11 +866,11 @@ object StreamingImport {
                   // tie toward the OLD version — which the stale-schedule
                   // delete then removes, permanently losing the cell. The
                   // ONE backstop below the loop uses the CURRENT version.
-                  try upsertTable(preds, predictionsDir,
+                  upsertTable(p.withColumn("refresh_seq", lit(refreshSeq)),
+                    predictionsDir,
                     keyCols = PredictionKeyCols,
                     newestBy = graft.gtfs.PredictionsTable.ordering(schedName),
                     mergeBackstop = false)
-                  finally preds.unpersist()
                 }
               }
               // the deferred size backstop, ONCE per trigger, under the
