@@ -396,6 +396,60 @@ object ScaleRehearsal {
         }
       }
 
+      if (opWanted("resolve_exchanges")) {
+        // ---- VERDICT r16 stretch #9, measured: the single-exchange append
+        // (partitionedResolve — the LWW resolution window runs ON the write
+        // partitioning, since PartCols ⊂ keyCols) vs the two-exchange form
+        // (resolve exchanged on the full key, then a second repartition to
+        // the one-file-per-partition layout) at a production-like trigger
+        // cadence. The exchange counts themselves are pinned by
+        // LwwTableSpec's plan assertion; this measures the per-trigger wall
+        // delta the saved exchange buys.
+        import org.apache.spark.sql.functions._
+        val rows = sys.env.getOrElse("SPARK_GRAFT_SR_RX_ROWS", "200000").toInt
+        val trigs = sys.env.getOrElse("SPARK_GRAFT_SR_RX_TRIGS", "20").toInt
+        val base = java.nio.file.Files.createTempDirectory("sr_rx").toString
+        val keys = graft.gtfs.RecordsTable.KeyCols
+        def ord = graft.gtfs.RecordsTable.ordering
+        // four (source, date) partitions per batch so the layout exchange
+        // has real routing work, duplicate keys within the batch so the
+        // resolution window has real collapsing work
+        def batchDf(i: Int) = spark.range(rows.toLong)
+          .select(lit("scale").as("source"),
+            concat(lit("R"), (col("id") % 50).cast("string")).as("route_id"),
+            (col("id") % 7).as("route_variant"),
+            concat(lit("T"), (col("id") % (rows / 4)).cast("string")).as("trip_id"),
+            date_add(lit(java.sql.Date.valueOf("2024-01-15")),
+              (col("id") % 4).cast("int")).as("trip_start_date"),
+            lit(28800).as("trip_start_time"),
+            (col("id") % 40).cast("int").as("stop_sequence"),
+            timestamp_seconds(lit(1705300000L) + lit(i * 60L) + col("id") % 120)
+              .as("time_of_recording"),
+            (col("id") % 600).cast("int").as("delay_arrival"))
+        def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+        runTimed("resolve_exchanges") {
+          val twoExchange = (1 to trigs).map { i =>
+            val t0 = System.nanoTime()
+            graft.gtfs.LwwTable.resolve(batchDf(i), keys, ord)
+              .repartition(graft.gtfs.LwwTable.PartCols.map(col): _*)
+              .write.mode("append")
+              .partitionBy(graft.gtfs.LwwTable.PartCols: _*)
+              .parquet(s"$base/two/_delta")
+            (System.nanoTime() - t0) / 1e9
+          }
+          val oneExchange = (1 to trigs).map { i =>
+            val t0 = System.nanoTime()
+            graft.gtfs.LwwTable.append(batchDf(i), s"$base/one", keys, ord)
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[scale] resolve_exchanges rows/trigger=$rows trigs=$trigs: " +
+            f"two-exchange median=${med(twoExchange)}%.2fs " +
+            f"one-exchange median=${med(oneExchange)}%.2fs " +
+            f"(speedup ${med(twoExchange) / med(oneExchange)}%.2fx)")
+          graft.gtfs.LwwTable.readRaw(spark, s"$base/one").count()
+        }
+      }
+
       if (opWanted("backstop_bound")) {
         // ---- VERDICT r11 #1's done criterion, measured: with the idle
         // branch DISABLED (nothing here folds to base except the explicit

@@ -122,14 +122,31 @@ object Monitor {
       .withColumn("dist_m", round(col("dist_m"), 1))
   }
 
+  // (trip → last stop_sequence) is STATIC per schedule version, and every
+  // stop-page request re-aggregated it from stopTimes — S2-schedule-cache
+  // parity (the reference's FileCache holds per-schedule derived data):
+  // materialized once per (session, schedule), one broadcast-sized row per
+  // trip. Stopped sessions purged; hot-reload builds a new GtfsSchedule, so
+  // a key never aliases changed data and stale entries are bounded by the
+  // handful of versions a session loads.
+  private val lastStopsMemo = scala.collection.concurrent.TrieMap[
+    (SparkSession, GtfsSchedule), DataFrame]()
+  private def lastStopsOf(spark: SparkSession,
+                          schedule: GtfsSchedule): DataFrame = {
+    lastStopsMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    lastStopsMemo.getOrElseUpdate((spark, schedule),
+      schedule.stopTimes
+        .groupBy("trip_id").agg(max("stop_sequence").as("last_seq"))
+        .localCheckpoint())
+  }
+
   private def stopPageFiltered(spark: SparkSession, predictions: DataFrame,
                                schedule: GtfsSchedule, windowStart: String,
                                windowEnd: String, keep: Seq[String] = Nil): DataFrame = {
     val ws = to_timestamp(lit(windowStart))
     val we = to_timestamp(lit(windowEnd))
 
-    val lastStops = schedule.stopTimes
-      .groupBy("trip_id").agg(max("stop_sequence").as("last_seq"))
+    val lastStops = lastStopsOf(spark, schedule)
 
     val overlap = predictions
       .filter(col("event_type") === Codes.EventDeparture)
@@ -206,9 +223,10 @@ object Monitor {
     withPercentiles(vehicle)
       .withColumn("sched_ts", col("prediction_min") -
         secs(element_at(col("prediction_curve"), 1).getField("x")))
-      .withColumn("q1_ts", col("sched_ts") + secs(col("delay_1")))
-      .withColumn("median_ts", col("sched_ts") + secs(col("delay_50")))
-      .withColumn("q99_ts", col("sched_ts") + secs(col("delay_99")))
+      .withColumns(Map( // one eager op for the three independent instants
+        "q1_ts" -> (col("sched_ts") + secs(col("delay_1"))),
+        "median_ts" -> (col("sched_ts") + secs(col("delay_50"))),
+        "q99_ts" -> (col("sched_ts") + secs(col("delay_99")))))
       .join(broadcast(schedule.stops.select(col("stop_id"), col("stop_name"))),
         Seq("stop_id"), "left")
       .orderBy("stop_sequence", "event_type")
