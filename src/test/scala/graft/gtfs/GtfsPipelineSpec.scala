@@ -197,6 +197,23 @@ class GtfsPipelineSpec extends AnyFunSuite {
     assert(lines.count(_.getAs[String]("trip_id") == "T2") == 16)
   }
 
+  test("variant index map is memoized per (session, schedule) — plan reuse") {
+    // r17: the schedule-static mapping is built once per schedule version
+    // (S2 FileCache parity); same key returns the SAME DataFrame, a
+    // different schedule instance rebuilds
+    val a = VisualSchedule.variantIndexMap(spark, schedule)
+    val b = VisualSchedule.variantIndexMap(spark, schedule)
+    assert(a eq b, "same (session, schedule) reuses the built mapping")
+    val (schedDir2, _) = GtfsFixtures.create()
+    val schedule2 = GtfsSchedule.load(spark, schedDir2)
+    try {
+      val c = VisualSchedule.variantIndexMap(spark, schedule2)
+      assert(!(c eq a), "a new schedule instance gets its own mapping")
+      assert(c.collect().toSet == a.collect().toSet,
+        "identical fixture schedules yield identical mappings")
+    } finally schedule2.unpersist()
+  }
+
   test("batch prediction targets only trips whose service runs on the date") {
     // same schedule, but service WD skips Mondays
     val dir = java.nio.file.Files.createTempDirectory("nomonday")

@@ -51,6 +51,27 @@ class LwwTableSpec extends AnyFunSuite {
     assert(resolved(dir) == Set(("T1", "v11", 11L)), "read-time LWW wins")
   }
 
+  test("an EMPTY append is invisible: no delta data file, readers unaffected") {
+    // r17: append no longer pays an isEmpty pre-probe action per trigger —
+    // the contract it guarded moves here: an empty batch's write leaves no
+    // data file (only hidden markers), so the delta stays "empty" for every
+    // listing and readers keep the no-window short-circuit
+    val dir = Files.createTempDirectory("lww_empty").toString + "/t"
+    LwwTable.append(df(("a", "T1", "2024-01-01", "v1", 1L)), dir, keyCols, col("seq"))
+    LwwTable.compact(spark, dir, keyCols, col("seq"), graceMs = 0L)
+    assert(LwwTable.deltaFileCount(spark, dir) == 0, "fold emptied the delta")
+    LwwTable.append(df().limit(0), dir, keyCols, col("seq"))
+    assert(LwwTable.deltaFileCount(spark, dir) == 0,
+      "an empty append adds no delta data file")
+    assert(!Directory.tableHasData(spark, LwwTable.deltaDir(dir)),
+      "the delta tree still reads as data-free (hidden markers only)")
+    assert(resolved(dir) == Set(("T1", "v1", 1L)), "readers see the base unchanged")
+    // and on a FRESH table an empty append must not fabricate a readable table
+    val fresh = Files.createTempDirectory("lww_empty2").toString + "/t"
+    LwwTable.append(df().limit(0), fresh, keyCols, col("seq"))
+    assert(!LwwTable.hasData(spark, fresh), "no data rows, no data files")
+  }
+
   test("resolved view is invariant under compaction, and the fold empties the delta") {
     val dir = Files.createTempDirectory("lww2").toString + "/t"
     LwwTable.append(df(
